@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table under `dir`. Reads are lazy DataFrames so
+  * Catalyst can push filters/column pruning into the parquet scan; at
+  * cluster scale these would be partitioned tables, but the access path
+  * (spark.read.parquet → pushdown) is identical.
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}
+
+/** Output-normalization helpers shared by every `SparkEntry.queries` entry.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * `oracleSql` on the same inputs, so results must be bit-deterministic
+  * across engines:
+  *   - sums of money/doubles go through DecimalType (exact, order-independent)
+  *     and are cast to double only at the very end (exact-decimal → double is
+  *     a deterministic IEEE rounding);
+  *   - integer-ish outputs are always LongType (DuckDB BIGINT);
+  *   - no engine-seeded randomness — "random" sampling uses an explicit
+  *     multiplicative hash both engines evaluate identically.
+  */
+object Norm {
+  /** Money amounts: exact decimal for order-independent aggregation. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Higher-scale decimal for rates/ratios that need more digits. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent exact sum of a money column, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact sum at 6-digit scale, surfaced as double. */
+  def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  /** Deterministic pseudo-random bucket in [0, m) from an integer key.
+    * Knuth multiplicative hash — plain 64-bit arithmetic, expressible
+    * identically in DuckDB (`(k * 2654435761) % m`), overflow-free for
+    * keys < 2^31. Replaces DBMS_RANDOM-style sampling (SURVEY §2.6). */
+  def hashBucket(key: Column, m: Int): Column = pmod(key * lit(2654435761L), lit(m.toLong))
+}

@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.{Norm, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.4/§2.5 — aggregation + window surface: hash aggregation,
+  * exact distinct counts, conditional pivot, multi-level re-aggregation,
+  * scalar totals, LISTAGG, ratio-to-report, ROLLUP subtotals, top-N per
+  * group, LAG deltas, whole-partition windows.
+  *
+  * All grouped sums run on DecimalType (order-independent) — partial
+  * (map-side) aggregation stays enabled, which is the scalability
+  * requirement: per-group state, not per-row shuffle.
+  */
+object AggOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── agg_hash: GROUP BY + SUM/COUNT, TPC-H-Q1 shape
+    // (ref LQY_query1.txt:39-52).
+    OpQuery.checked(
+      "agg_hash",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Norm.dsum(col("l_quantity")).as("sum_qty"),
+          Norm.dsum(col("l_extendedprice")).as("sum_base"),
+          sum(Norm.dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n"),
+          (sum(Norm.dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty")
+        )
+    },
+
+    // ── agg_count_distinct: COUNT(DISTINCT) per group (ref LQY_query2.txt:123).
+    // Exact (expand + two-phase agg); approx_count_distinct is the 100 TB
+    // escape hatch when ±2% is acceptable.
+    OpQuery.checked(
+      "agg_count_distinct",
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+    },
+
+    // ── agg_conditional_pivot: SUM(CASE WHEN qtr=N ...) manual pivot
+    // (ref LQY_query1.txt:57-60).
+    OpQuery.checked(
+      "agg_conditional_pivot",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(sum(CASE WHEN quarter(o_orderdate)=1 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS q1_spend,
+        |       CAST(sum(CASE WHEN quarter(o_orderdate)=2 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS q2_spend,
+        |       CAST(sum(CASE WHEN quarter(o_orderdate)=3 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS q3_spend,
+        |       CAST(sum(CASE WHEN quarter(o_orderdate)=4 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS q4_spend,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS yr_total
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin
+    ) { (spark, dir) =>
+      val p = Norm.dec(col("o_totalprice"))
+      def q(n: Int) = sum(when(quarter(col("o_orderdate")) === n, p).otherwise(lit(0))).cast("double")
+      Tables(spark, dir).orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          q(1).as("q1_spend"), q(2).as("q2_spend"), q(3).as("q3_spend"), q(4).as("q4_spend"),
+          sum(p).cast("double").as("yr_total")
+        )
+    },
+
+    // ── agg_multi_level: re-aggregation of aggregates — line → customer →
+    // segment (ref LQY_query2.txt:85-130 PO totals → genre rollup).
+    OpQuery.checked(
+      "agg_multi_level",
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_buyers,
+        |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |       CAST(sum(spend) AS DOUBLE) AS segment_spend
+        |FROM per_cust JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCust = t.orders
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(Norm.dec(col("o_totalprice"))).as("spend"))
+      perCust
+        .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_buyers"),
+          sum(col("n_orders")).cast("long").as("n_orders"),
+          sum(col("spend")).cast("double").as("segment_spend")
+        )
+    },
+
+    // ── agg_minmax_avg: MIN/MAX/AVG per group (ref 07_SubsequentLoading
+    // .sql:366-368). AVG = exact-decimal sum / count, cast last.
+    OpQuery.checked(
+      "agg_minmax_avg",
+      """SELECT p_brand,
+        |       CAST(min(p_retailprice) AS DOUBLE) AS min_price,
+        |       CAST(max(p_retailprice) AS DOUBLE) AS max_price,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM part GROUP BY p_brand""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).part
+        .groupBy("p_brand")
+        .agg(
+          min(col("p_retailprice")).cast("double").as("min_price"),
+          max(col("p_retailprice")).cast("double").as("max_price"),
+          (sum(Norm.dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // ── agg_scalar_total: ungrouped scalar aggregate (ref SELECT SUM INTO v,
+    // 02_Trigger.sql:235-238).
+    OpQuery.checked(
+      "agg_scalar_total",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).lineitem.agg(
+        count(lit(1)).as("n_lines"),
+        Norm.dsum(col("l_quantity")).as("total_qty"),
+        Norm.dsum(col("l_extendedprice")).as("total_revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders")
+      )
+    },
+
+    // ── agg_listagg: LISTAGG WITHIN GROUP ORDER BY (ref LQY_query2.txt:31)
+    // → sort-then-join over collect_list; deterministic ordering.
+    OpQuery.checked(
+      "agg_listagg",
+      """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ", ").as("nations"))
+    },
+
+    // ── agg_ratio_to_report: share-of-total via whole-result window
+    // (ref RATIO_TO_REPORT 02_InsertMembers.sql:225).
+    OpQuery.checked(
+      "agg_ratio_to_report",
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).customer
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+    },
+
+    // ── agg_rollup_subtotals: SQL*Plus COMPUTE SUM subtotals
+    // (ref LQY_query1.txt:36-37) in-engine via ROLLUP grouping sets.
+    OpQuery.checked(
+      "agg_rollup_subtotals",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |       CAST(GROUPING(quarter(o_orderdate)) AS BIGINT) AS g_qtr,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate))""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(year(col("o_orderdate")).cast("long").as("yr"), quarter(col("o_orderdate")).cast("long").as("qtr"),
+          Norm.dec(col("o_totalprice")).as("p"))
+        .rollup("yr", "qtr")
+        .agg(
+          grouping(col("yr")).cast("long").as("g_yr"),
+          grouping(col("qtr")).cast("long").as("g_qtr"),
+          sum(col("p")).cast("double").as("spend")
+        )
+        .select("yr", "qtr", "g_yr", "g_qtr", "spend")
+    },
+
+    // ── win_row_number_topn: top-N per group with deterministic tiebreak
+    // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
+    // per-partition top-N before the shuffle, no full sort per group.
+    OpQuery.checked(
+      "win_row_number_topn",
+      """SELECT * FROM (
+        |  SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                                 ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
+        |  FROM part) WHERE rn <= 3""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).part
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice").cast("double").as("price"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("p_brand"))
+          .orderBy(col("price").desc, col("p_partkey").asc)).cast("long"))
+        .filter(col("rn") <= 3)
+    },
+
+    // ── win_lag: LAG deltas over ordered partitions — the YoY/QoQ engine
+    // of all three reference reports (ref LQY_query1.txt:78,80).
+    OpQuery.checked(
+      "win_lag",
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, year(o_orderdate)*100 + month(o_orderdate))
+        |SELECT seg, ym, rev,
+        |       lag(rev) OVER (PARTITION BY seg ORDER BY ym) AS prev_rev,
+        |       rev - lag(rev) OVER (PARTITION BY seg ORDER BY ym) AS delta
+        |FROM monthly""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("c_mktsegment").as("seg"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"))
+        .agg(Norm.dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("ym"))
+      monthly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("delta", col("rev") - col("prev_rev"))
+    },
+
+    // ── win_whole_partition: aggregate OVER () — share of grand total
+    // (ref 02_InsertMembers.sql:225) on revenue per nation.
+    OpQuery.checked(
+      "win_whole_partition",
+      """WITH per_nation AS (
+        |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS rev,
+        |       CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE) AS rev_share
+        |FROM per_nation""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      // Window-sum runs on exact decimal (order-independent); cast to double
+      // only at the end, or the share drifts in the last bit vs the oracle.
+      val perNation = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(Norm.dec(col("o_totalprice"))).as("rev_dec"))
+      perNation
+        .select(
+          col("n_name"),
+          col("rev_dec").cast("double").as("rev"),
+          (col("rev_dec").cast("double") / sum(col("rev_dec")).over(Window.partitionBy()).cast("double"))
+            .as("rev_share"))
+    }
+  )
+}

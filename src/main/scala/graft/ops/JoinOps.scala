@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.{Norm, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — the reference's complete join surface: star equi-joins,
+  * expression joins, outer, range/interval, semi, anti, cross
+  * (densification), and correlated scalar lookups.
+  *
+  * Scale posture: dimension sides are explicitly `broadcast()` (they are
+  * small by construction in a star schema — at 100 TB the facts grow, the
+  * dims don't), so the fact side never shuffles for a dim join. Fact-to-fact
+  * joins (orders⋈lineitem) shuffle on the join key once; AQE handles skew.
+  */
+object JoinOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── join_inner_equi: multi-way star join fact ⋈ dims
+    // (ref FactSales 6-way join 05_InitialLoading.sql:426-432).
+    OpQuery.checked(
+      "join_inner_equi",
+      """SELECT r_name,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_lines"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // ── join_expr_equi: equi-join on an expression — TRUNC(ts) = cal_date
+    // (ref 05_InitialLoading.sql:335,397,430). Still hash-joinable: the
+    // expression is evaluated pre-shuffle.
+    OpQuery.checked(
+      "join_expr_equi",
+      """WITH spine AS (
+        |  SELECT CAST(gs AS DATE) AS cal_date
+        |  FROM generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) AS t(gs))
+        |SELECT CAST(year(cal_date) AS BIGINT) AS yr,
+        |       CAST(quarter(cal_date) AS BIGINT) AS qtr,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM spine JOIN orders ON CAST(o_orderdate AS DATE) = cal_date
+        |GROUP BY year(cal_date), quarter(cal_date)""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val spine = spark.sql(
+        "SELECT explode(sequence(DATE'1992-01-01', DATE'1998-12-31', interval 1 day)) AS cal_date")
+      broadcast(spine)
+        .join(t.orders, to_date(col("o_orderdate")) === col("cal_date"))
+        .groupBy(year(col("cal_date")).cast("long").as("yr"), quarter(col("cal_date")).cast("long").as("qtr"))
+        .agg(count(col("o_orderkey")).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── join_left_outer: LEFT JOIN with NVL fill
+    // (ref 05_InitialLoading.sql:429; LQY_query2.txt:159-161). Customers
+    // with no orders appear with n_orders=0, spend=0.
+    OpQuery.checked(
+      "join_left_outer",
+      """SELECT c_custkey,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_custkey""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(Norm.dec(col("o_totalprice"))), lit(0)).cast("double").as("spend")
+        )
+    },
+
+    // ── join_range: interval-predicate join — date within [start, end]
+    // (ref discount window 13_InsertSalesAndOrders.sql:43,96-97). The range
+    // side is tiny (like the reference's 64 Discounts) → broadcast
+    // nested-loop join, which is the right physical plan at any scale.
+    OpQuery.checked(
+      "join_range",
+      """WITH windows AS (
+        |  SELECT * FROM (VALUES
+        |    (DATE '1995-01-01', DATE '1995-03-31', '1995-Q1'),
+        |    (DATE '1995-04-01', DATE '1995-06-30', '1995-Q2'),
+        |    (DATE '1995-07-01', DATE '1995-09-30', '1995-Q3'),
+        |    (DATE '1995-10-01', DATE '1995-12-31', '1995-Q4')) AS w(win_start, win_end, win_label))
+        |SELECT win_label,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders JOIN windows
+        |  ON CAST(o_orderdate AS DATE) BETWEEN win_start AND win_end
+        |GROUP BY win_label""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val windows = Seq(
+        ("1995-01-01", "1995-03-31", "1995-Q1"),
+        ("1995-04-01", "1995-06-30", "1995-Q2"),
+        ("1995-07-01", "1995-09-30", "1995-Q3"),
+        ("1995-10-01", "1995-12-31", "1995-Q4")
+      ).toDF("s", "e", "win_label")
+        .select(col("s").cast("date").as("win_start"), col("e").cast("date").as("win_end"), col("win_label"))
+      t.orders
+        .join(broadcast(windows), to_date(col("o_orderdate")).between(col("win_start"), col("win_end")))
+        .groupBy("win_label")
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── join_semi: EXISTS → left-semi (ref 02_Trigger.sql:78-82;
+    // LQY_query2.txt:81). No duplication, right side never materialized
+    // into the output.
+    OpQuery.checked(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
+    ) { (spark, dir) =>
+      val t      = Tables(spark, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      t.customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ── join_anti: NOT EXISTS → left-anti, the idempotent-load guard
+    // (ref 05_InitialLoading.sql:400-406; 07_SubsequentLoading.sql:42...).
+    OpQuery.checked(
+      "join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    // ── join_cross: CROSS JOIN densification — full (year × priority)
+    // universe, zero-filled (ref LQY_query2.txt:146-161). Both distinct
+    // sides are tiny aggregates → broadcast cartesian of ~40 rows.
+    OpQuery.checked(
+      "join_cross",
+      """WITH yrs AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+        |pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+        |actual AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS pri,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y.yr, p.pri, CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders
+        |FROM yrs y CROSS JOIN pris p
+        |LEFT JOIN actual a ON a.yr = y.yr AND a.pri = p.pri""".stripMargin
+    ) { (spark, dir) =>
+      val t      = Tables(spark, dir)
+      val o      = t.orders.select(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority").as("pri"))
+      val yrs    = o.select("yr").distinct()
+      val pris   = o.select("pri").distinct()
+      val actual = o.groupBy("yr", "pri").agg(count(lit(1)).as("n"))
+      yrs
+        .crossJoin(broadcast(pris))
+        .join(actual, Seq("yr", "pri"), "left_outer")
+        .select(col("yr"), col("pri"), coalesce(col("n"), lit(0L)).cast("long").as("n_orders"))
+    },
+
+    // ── join_scalar_lookup: correlated scalar subquery in SELECT
+    // (ref holiday lookup 05_InitialLoading.sql:187,189) → left join +
+    // coalesce against a pre-aggregated lookup (one shuffle, no per-row
+    // subquery execution).
+    OpQuery.checked(
+      "join_scalar_lookup",
+      """SELECT o_orderkey,
+        |       CAST(coalesce(
+        |         (SELECT max(CAST(l.l_shipdate AS DATE)) FROM lineitem l
+        |          WHERE l.l_orderkey = o.o_orderkey),
+        |         DATE '1900-01-01') AS DATE) AS last_ship,
+        |       CAST(coalesce(
+        |         (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey),
+        |         0) AS BIGINT) AS n_lines
+        |FROM orders o""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val lookup = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("ls"), count(lit(1)).as("nl"))
+      t.orders
+        .join(lookup, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("ls"), lit("1900-01-01").cast("date")).as("last_ship"),
+          coalesce(col("nl"), lit(0L)).cast("long").as("n_lines")
+        )
+    }
+  )
+}
