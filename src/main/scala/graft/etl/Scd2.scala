@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 maintenance.
+  *
+  * Reference: the SCD2 procedures at /root/reference/06_Type2_DimBook.sql:22-113
+  * and 06_Type2_DimMembers.sql:4-117 — close the current version
+  * (expiration_date := changeDate - 1, curr_ind := 'N') and append a new
+  * current version when any tracked attribute changed.
+  *
+  * Spark realization: a single batch rewrite. No row-at-a-time MERGE —
+  * the dim is joined once against the change set on the business key,
+  * split into (unchanged ∪ closed-old ∪ new-version), and written back.
+  * At scale this is one shuffle on the business key (zero if the dim is
+  * bucketed by it); the change set is usually small → AQE broadcasts it.
+  */
+object Scd2 {
+
+  val EndOfTime = "9999-12-31"
+
+  /** Initialize a dim from a source snapshot: version 1, open-ended. */
+  def initial(src: DataFrame, effectiveDate: String): DataFrame =
+    src
+      .withColumn("effective_date", lit(effectiveDate).cast("date"))
+      .withColumn("expiration_date", lit(EndOfTime).cast("date"))
+      .withColumn("curr_ind", lit("Y"))
+
+  /** Apply a change set to an SCD2 dim.
+    *
+    * @param dim        current dim rows carrying effective_date /
+    *                   expiration_date / curr_ind
+    * @param changes    new attribute values, one row per business key
+    * @param keyCols    business key columns
+    * @param trackedCols attribute columns whose change forces a new version
+    * @param changeDate effective date of the new versions (yyyy-MM-dd)
+    */
+  def apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], changeDate: String): DataFrame = {
+    val chg = changes.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
+
+    val joinCond: Column = keyCols.map(k => col(k) === col(s"__chg_$k")).reduce(_ && _)
+    val differs: Column = trackedCols
+      .map(c => !(col(c) <=> col(s"__chg_$c"))) // null-safe inequality
+      .reduce(_ || _)
+
+    val joined = dim.join(broadcast(chg), joinCond, "left_outer")
+
+    val isCurrentAndChanged = col("curr_ind") === "Y" && col(s"__chg_${keyCols.head}").isNotNull && differs
+
+    // 1. rows untouched (historic rows, or current rows with no real change)
+    val untouched = joined.filter(!isCurrentAndChanged).select(dim.columns.map(col).toIndexedSeq: _*)
+
+    // 2. close the superseded current version
+    val closed = joined
+      .filter(isCurrentAndChanged)
+      .withColumn("expiration_date", date_sub(lit(changeDate).cast("date"), 1))
+      .withColumn("curr_ind", lit("N"))
+      .select(dim.columns.map(col).toIndexedSeq: _*)
+
+    // 3. append the new current version with the changed attributes
+    val opened = joined
+      .filter(isCurrentAndChanged)
+      .select(dim.columns.map {
+        case c if trackedCols.contains(c) => col(s"__chg_$c").as(c)
+        case "effective_date"             => lit(changeDate).cast("date").as("effective_date")
+        case "expiration_date"            => lit(EndOfTime).cast("date").as("expiration_date")
+        case "curr_ind"                   => lit("Y").as("curr_ind")
+        case c                            => col(c)
+      }.toIndexedSeq: _*)
+
+    untouched.unionByName(closed).unionByName(opened)
+  }
+}

@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.{Norm, Tables}
+import graft.etl.{DimDate, MergeUpsert, Scd2}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.10/§3 — the warehouse-ETL surface as verifiable queries:
+  * DimDate build, SCD2 apply, star-schema fact build with surrogate keys,
+  * idempotent incremental load, and trigger-style derivation/invariant
+  * checks.
+  */
+object EtlOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── etl_dim_date: the DimDate spine + calendar attributes + holiday
+    // lookup (ref 05_InitialLoading.sql:157-203), set-based.
+    OpQuery.checked(
+      "etl_dim_date",
+      """SELECT CAST(year(gs)*10000 + month(gs)*100 + day(gs) AS BIGINT) AS date_key,
+        |       CAST(gs AS DATE) AS cal_date,
+        |       CAST(year(gs) AS BIGINT) AS cal_year,
+        |       CAST(quarter(gs) AS BIGINT) AS cal_quarter,
+        |       CAST(month(gs) AS BIGINT) AS cal_month,
+        |       CAST(day(gs) AS BIGINT) AS cal_dom,
+        |       CAST(dayofyear(gs) AS BIGINT) AS cal_doy,
+        |       CAST(isodow(gs) AS BIGINT) AS iso_dow,
+        |       monthname(gs) AS month_name,
+        |       CASE WHEN isodow(gs) <= 5 THEN 'Y' ELSE 'N' END AS is_weekday,
+        |       CASE WHEN (month(gs)=1 AND day(gs)=1) OR (month(gs)=7 AND day(gs)=4)
+        |                 OR (month(gs)=12 AND day(gs)=25) THEN 'Y' ELSE 'N' END AS is_holiday,
+        |       CASE WHEN month(gs)=1 AND day(gs)=1 THEN 'New Year'
+        |            WHEN month(gs)=7 AND day(gs)=4 THEN 'Independence Day'
+        |            WHEN month(gs)=12 AND day(gs)=25 THEN 'Christmas'
+        |            ELSE '-' END AS holiday_name,
+        |       CAST(date_trunc('month', gs) AS DATE) AS month_start,
+        |       last_day(CAST(gs AS DATE)) AS month_end
+        |FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) AS t(gs)""".stripMargin
+    ) { (spark, _) =>
+      DimDate.build(spark, "1995-01-01", "1996-12-31")
+    },
+
+    // ── etl_scd2_apply: SCD Type 2 close-old + open-new
+    // (ref 06_Type2_DimMembers.sql:4-117). Change set: every 10th customer
+    // moves to MACHINERY on 1996-06-01; customers already in MACHINERY are
+    // a no-op (exercises the tracked-attribute diff guard).
+    OpQuery.checked(
+      "etl_scd2_apply",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         DATE '1992-01-01' AS effective_date,
+        |         DATE '9999-12-31' AS expiration_date,
+        |         'Y' AS curr_ind
+        |  FROM customer),
+        |chg AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT d.* FROM dim d LEFT JOIN chg c USING (c_custkey)
+        |WHERE c.c_custkey IS NULL OR d.c_mktsegment = 'MACHINERY'
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.effective_date,
+        |       DATE '1996-05-31', 'N'
+        |FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_name, 'MACHINERY', DATE '1996-06-01',
+        |       DATE '9999-12-31', 'Y'
+        |FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'""".stripMargin
+    ) { (spark, dir) =>
+      val c   = Tables(spark, dir).customer
+      val dim = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
+      val changes = c
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+      Scd2.apply(dim, changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
+    },
+
+    // ── etl_fact_build: star-schema fact load — facts joined to dims,
+    // surrogate keys via dense row_number (ref FactSales 6-way build
+    // 05_InitialLoading.sql:413-434). date_key is derivable (yyyymmdd),
+    // customer_skey is a sequence-replacement surrogate.
+    OpQuery.checked(
+      "etl_fact_build",
+      """WITH dim_cust AS (
+        |  SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS cust_skey
+        |  FROM customer)
+        |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS line_no,
+        |       CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + day(o.o_orderdate) AS BIGINT) AS date_key,
+        |       d.cust_skey,
+        |       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |            * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_amount
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN dim_cust d ON o.o_custkey = d.c_custkey""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dimCust = t.customer.select(
+        col("c_custkey"),
+        row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("cust_skey"))
+      val o = t.orders
+      t.lineitem
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dimCust), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("line_no"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 + dayofmonth(col("o_orderdate")))
+            .cast("long").as("date_key"),
+          col("cust_skey"),
+          (Norm.dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("net_amount")
+        )
+    },
+
+    // ── etl_incremental: idempotent incremental fact load — an overlapping
+    // batch is anti-joined against the existing fact before the append
+    // (ref NOT EXISTS guards 07_SubsequentLoading.sql:42,93,122,162 and
+    // MERGE :331-355). Running it twice yields the same state.
+    OpQuery.checked(
+      "etl_incremental",
+      """WITH existing AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+        |batch AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1996-12-31'),
+        |loaded AS (
+        |  SELECT * FROM existing
+        |  UNION ALL
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = b.o_orderkey))
+        |SELECT CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM loaded GROUP BY year(od)""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
+      val batch    = o.filter(col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+      MergeUpsert
+        .insertMissing(existing, batch, Seq("o_orderkey"))
+        .groupBy(year(col("od")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── etl_derive_validate: trigger-style invariant recompute — the
+    // PO-total guard (ref trg_check_purchase_total 02_Trigger.sql:303-357):
+    // recompute each order's total from its lines, flag mismatches.
+    OpQuery.checked(
+      "etl_derive_validate",
+      """WITH recomputed AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |             * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS calc_total
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS declared_total,
+        |       CAST(r.calc_total AS DOUBLE) AS calc_total,
+        |       CASE WHEN abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - r.calc_total) <= 1.0
+        |            THEN 'OK' ELSE 'MISMATCH' END AS check_flag
+        |FROM orders o JOIN recomputed r ON o.o_orderkey = r.l_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val recomputed = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(
+            Norm.dec(col("l_extendedprice"))
+              * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+              * (lit(1) + col("l_tax").cast("decimal(4,2)"))
+          ).as("calc_total"))
+      t.orders
+        .join(recomputed, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").cast("double").as("declared_total"),
+          col("calc_total").cast("double").as("calc_total"),
+          when(abs(Norm.dec(col("o_totalprice")) - col("calc_total")) <= 1.0, "OK")
+            .otherwise("MISMATCH").as("check_flag")
+        )
+    }
+  )
+}

@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.{Norm, Tables}
+import graft.ops.OpQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's three parameterized OLAP reports, re-expressed over the
+  * testdata star schema (lineitem/orders = facts; part/customer/nation =
+  * dims; p_brand plays "genre", n_name plays "state").
+  *
+  * Q1: quarterly sales by genre, pivot + YoY + top-N   (LQY_query1.txt:39-111)
+  * Q2: spend by primary genre, densified + QoQ + top-N (LQY_query2.txt:57-215)
+  * Q3: quarterly gross margin by state, QoQ + signals  (LQY_query3.txt:62-135)
+  *
+  * Parameters arrive as case classes (the SQL*Plus ACCEPT/substitution
+  * mechanism, LQY_query1.txt:8-11); a disabled filter is simply not added
+  * to the plan — the Scala analog of Oracle's `'%'='%'` constant-fold.
+  */
+object ReportQueries {
+
+  final case class Q1Params(yearFrom: Int = 1995, yearTo: Int = 1997, topN: Int = 5, segment: Option[String] = None)
+  final case class Q2Params(yearFrom: Int = 1995, yearTo: Int = 1996, topN: Int = 7)
+  final case class Q3Params(yearFrom: Int = 1995, yearTo: Int = 1997, alertPct: Double = 10.0)
+
+  /** Q1 — genre(=brand) quarterly revenue: star join → quarter pivot →
+    * YoY LAG → ROW_NUMBER top-N per year. */
+  def q1(spark: SparkSession, dir: String, p: Q1Params = Q1Params()): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = p.segment.fold(t.customer)(s => t.customer.filter(col("c_mktsegment") === s))
+    val base = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        col("p_brand").as("genre"))
+      .agg(sum(Norm.dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+
+    val pivoted = base
+      .groupBy("yr", "genre")
+      .agg(
+        sum(when(col("qtr") === 1, col("rev")).otherwise(lit(0))).cast("double").as("q1_rev"),
+        sum(when(col("qtr") === 2, col("rev")).otherwise(lit(0))).cast("double").as("q2_rev"),
+        sum(when(col("qtr") === 3, col("rev")).otherwise(lit(0))).cast("double").as("q3_rev"),
+        sum(when(col("qtr") === 4, col("rev")).otherwise(lit(0))).cast("double").as("q4_rev"),
+        sum(col("rev")).as("tot_dec"))
+
+    val wYoY  = Window.partitionBy(col("genre")).orderBy(col("yr"))
+    val wRank = Window.partitionBy(col("yr")).orderBy(col("tot_dec").desc, col("genre").asc)
+    pivoted
+      .withColumn("prev_tot_dec", lag(col("tot_dec"), 1).over(wYoY))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= p.topN)
+      .select(
+        col("yr"), col("genre"), col("q1_rev"), col("q2_rev"), col("q3_rev"), col("q4_rev"),
+        col("tot_dec").cast("double").as("tot_rev"),
+        col("prev_tot_dec").cast("double").as("prev_tot"),
+        ((col("tot_dec") - col("prev_tot_dec")).cast("double") * 100d
+          / col("prev_tot_dec").cast("double")).as("yoy_pct"),
+        col("rn"))
+      .orderBy(col("yr").asc, col("tot_rev").desc, col("genre").asc)
+  }
+
+  /** Q1 oracle (DuckDB). */
+  def q1Sql(p: Q1Params = Q1Params()): String = {
+    val segFilter = p.segment.fold("")(s => s" AND c.c_mktsegment = '$s'")
+    s"""WITH base AS (
+       |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       |         CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+       |         p.p_brand AS genre,
+       |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+       |  FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN customer c ON o.o_custkey = c.c_custkey
+       |    JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE year(o.o_orderdate) BETWEEN ${p.yearFrom} AND ${p.yearTo}$segFilter
+       |  GROUP BY 1, 2, 3),
+       |pivoted AS (
+       |  SELECT yr, genre,
+       |         CAST(sum(CASE WHEN qtr=1 THEN rev ELSE 0 END) AS DOUBLE) AS q1_rev,
+       |         CAST(sum(CASE WHEN qtr=2 THEN rev ELSE 0 END) AS DOUBLE) AS q2_rev,
+       |         CAST(sum(CASE WHEN qtr=3 THEN rev ELSE 0 END) AS DOUBLE) AS q3_rev,
+       |         CAST(sum(CASE WHEN qtr=4 THEN rev ELSE 0 END) AS DOUBLE) AS q4_rev,
+       |         sum(rev) AS tot_dec
+       |  FROM base GROUP BY yr, genre),
+       |ranked AS (
+       |  SELECT *,
+       |         lag(tot_dec) OVER (PARTITION BY genre ORDER BY yr) AS prev_tot_dec,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY tot_dec DESC, genre ASC) AS BIGINT) AS rn
+       |  FROM pivoted)
+       |SELECT yr, genre, q1_rev, q2_rev, q3_rev, q4_rev,
+       |       CAST(tot_dec AS DOUBLE) AS tot_rev,
+       |       CAST(prev_tot_dec AS DOUBLE) AS prev_tot,
+       |       CAST(tot_dec - prev_tot_dec AS DOUBLE) * 100 / CAST(prev_tot_dec AS DOUBLE) AS yoy_pct,
+       |       rn
+       |FROM ranked WHERE rn <= ${p.topN}""".stripMargin
+  }
+
+  /** Q2 — spend by each order's PRIMARY genre (top-spend brand per order,
+    * ties alphabetical), densified over the full quarter × genre universe
+    * with zero-fill, QoQ LAG, top-N per quarter retaining zero rows. */
+  def q2(spark: SparkSession, dir: String, p: Q2Params = Q2Params()): DataFrame = {
+    val t = Tables(spark, dir)
+    val lines = t.lineitem
+      .join(t.orders.filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+
+    // per-order per-brand spend, then primary brand per order (rn = 1)
+    val perOrderBrand = lines
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("p_brand"))
+      .agg(sum(Norm.dec(col("l_extendedprice"))).as("brand_spend"))
+    val wPrimary = Window.partitionBy(col("o_orderkey")).orderBy(col("brand_spend").desc, col("p_brand").asc)
+    val primary = perOrderBrand
+      .withColumn("rn", row_number().over(wPrimary))
+      .filter(col("rn") === 1)
+
+    // order-grain totals attributed to the primary genre
+    val orderTotals = lines
+      .groupBy(col("o_orderkey"))
+      .agg(sum(Norm.dec(col("l_extendedprice"))).as("order_spend"))
+    val attributed = primary
+      .join(orderTotals, "o_orderkey")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        col("p_brand").as("genre"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"), sum(col("order_spend")).as("spend_dec"))
+
+    // densification: full (yr, qtr) × genre universe, zero-filled
+    val quarters = attributed.select("yr", "qtr").distinct()
+    val genres   = attributed.select("genre").distinct()
+    val dense = quarters
+      .crossJoin(broadcast(genres))
+      .join(attributed, Seq("yr", "qtr", "genre"), "left_outer")
+      .select(
+        col("yr"), col("qtr"), col("genre"),
+        coalesce(col("n_orders"), lit(0L)).cast("long").as("n_orders"),
+        coalesce(col("spend_dec"), lit(0).cast("decimal(18,2)")).as("spend_dec"))
+
+    val wQoQ  = Window.partitionBy(col("genre")).orderBy(col("yr"), col("qtr"))
+    val wRank = Window.partitionBy(col("yr"), col("qtr")).orderBy(col("spend_dec").desc, col("genre").asc)
+    dense
+      .withColumn("prev_spend_dec", lag(col("spend_dec"), 1).over(wQoQ))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= p.topN)
+      // reference drops rows that are zero in both current and prior quarter
+      .filter(!(col("spend_dec") === 0 && coalesce(col("prev_spend_dec"), lit(0)) === 0))
+      .select(
+        col("yr"), col("qtr"), col("genre"), col("n_orders"),
+        col("spend_dec").cast("double").as("spend"),
+        col("prev_spend_dec").cast("double").as("prev_spend"),
+        col("rn"))
+      .orderBy(col("yr"), col("qtr"), col("spend").desc, col("genre"))
+  }
+
+  def q2Sql(p: Q2Params = Q2Params()): String =
+    s"""WITH lines AS (
+       |  SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, p.p_brand,
+       |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+       |  FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE year(o.o_orderdate) BETWEEN ${p.yearFrom} AND ${p.yearTo}),
+       |per_order_brand AS (
+       |  SELECT o_orderkey, o_orderdate, p_brand, sum(price) AS brand_spend
+       |  FROM lines GROUP BY 1, 2, 3),
+       |primary_genre AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |                                 ORDER BY brand_spend DESC, p_brand ASC) AS prn
+       |    FROM per_order_brand) WHERE prn = 1),
+       |order_totals AS (
+       |  SELECT o_orderkey, sum(price) AS order_spend FROM lines GROUP BY 1),
+       |attributed AS (
+       |  SELECT CAST(year(pg.o_orderdate) AS BIGINT) AS yr,
+       |         CAST(quarter(pg.o_orderdate) AS BIGINT) AS qtr,
+       |         pg.p_brand AS genre,
+       |         count(DISTINCT pg.o_orderkey) AS n_orders,
+       |         sum(ot.order_spend) AS spend_dec
+       |  FROM primary_genre pg JOIN order_totals ot USING (o_orderkey)
+       |  GROUP BY 1, 2, 3),
+       |dense AS (
+       |  SELECT q.yr, q.qtr, g.genre,
+       |         CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+       |         coalesce(a.spend_dec, CAST(0 AS DECIMAL(18,2))) AS spend_dec
+       |  FROM (SELECT DISTINCT yr, qtr FROM attributed) q
+       |  CROSS JOIN (SELECT DISTINCT genre FROM attributed) g
+       |  LEFT JOIN attributed a ON a.yr = q.yr AND a.qtr = q.qtr AND a.genre = g.genre),
+       |ranked AS (
+       |  SELECT *,
+       |         lag(spend_dec) OVER (PARTITION BY genre ORDER BY yr, qtr) AS prev_spend_dec,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY yr, qtr
+       |                                 ORDER BY spend_dec DESC, genre ASC) AS BIGINT) AS rn
+       |  FROM dense)
+       |SELECT yr, qtr, genre, n_orders,
+       |       CAST(spend_dec AS DOUBLE) AS spend,
+       |       CAST(prev_spend_dec AS DOUBLE) AS prev_spend,
+       |       rn
+       |FROM ranked
+       |WHERE rn <= ${p.topN}
+       |  AND NOT (spend_dec = 0 AND coalesce(prev_spend_dec, 0) = 0)""".stripMargin
+
+  /** Q3 — quarterly gross margin by state(=nation): margin = revenue −
+    * cost with cost = 0.8 × retail × qty (the reference's cost model,
+    * LQY_query3.txt:86), QoQ LAG, threshold signal CASE. */
+  def q3(spark: SparkSession, dir: String, p: Q3Params = Q3Params()): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.lineitem
+      .join(t.orders.filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.part.select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        col("n_name").as("state"))
+      .agg(
+        sum(Norm.dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("rev_dec"),
+        sum(Norm.dec(col("p_retailprice")) * lit("0.8").cast("decimal(2,1)") * Norm.dec(col("l_quantity"))).as("cost_dec"))
+
+    val wQoQ = Window.partitionBy(col("state")).orderBy(col("yr"), col("qtr"))
+    base
+      .withColumn("margin_dec", col("rev_dec") - col("cost_dec"))
+      .withColumn("prev_margin_dec", lag(col("margin_dec"), 1).over(wQoQ))
+      .select(
+        col("yr"), col("qtr"), col("state"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cost_dec").cast("double").as("cost"),
+        col("margin_dec").cast("double").as("margin"),
+        col("prev_margin_dec").cast("double").as("prev_margin"),
+        ((col("margin_dec") - col("prev_margin_dec")).cast("double") * 100d
+          / col("prev_margin_dec").cast("double")).as("qoq_pct"))
+      .withColumn("signal",
+        when(col("qoq_pct").isNull, "N/A")
+          .when(col("qoq_pct") < -p.alertPct, "ALERT")
+          .when(col("qoq_pct") > p.alertPct, "GOOD")
+          .otherwise("STABLE"))
+      .orderBy(col("yr"), col("qtr"), col("state"))
+  }
+
+  def q3Sql(p: Q3Params = Q3Params()): String =
+    s"""WITH base AS (
+       |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       |         CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+       |         n.n_name AS state,
+       |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_dec,
+       |         sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+       |             * CAST(0.8 AS DECIMAL(2,1))
+       |             * CAST(l.l_quantity AS DECIMAL(18,2))) AS cost_dec
+       |  FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN customer c ON o.o_custkey = c.c_custkey
+       |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |    JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE year(o.o_orderdate) BETWEEN ${p.yearFrom} AND ${p.yearTo}
+       |  GROUP BY 1, 2, 3),
+       |lagged AS (
+       |  SELECT *, rev_dec - cost_dec AS margin_dec,
+       |         lag(rev_dec - cost_dec) OVER (PARTITION BY state ORDER BY yr, qtr) AS prev_margin_dec
+       |  FROM base)
+       |SELECT yr, qtr, state,
+       |       CAST(rev_dec AS DOUBLE) AS revenue,
+       |       CAST(cost_dec AS DOUBLE) AS cost,
+       |       CAST(margin_dec AS DOUBLE) AS margin,
+       |       CAST(prev_margin_dec AS DOUBLE) AS prev_margin,
+       |       CAST(margin_dec - prev_margin_dec AS DOUBLE) * 100 / CAST(prev_margin_dec AS DOUBLE) AS qoq_pct,
+       |       CASE WHEN prev_margin_dec IS NULL THEN 'N/A'
+       |            WHEN CAST(margin_dec - prev_margin_dec AS DOUBLE) * 100 / CAST(prev_margin_dec AS DOUBLE) < -${p.alertPct} THEN 'ALERT'
+       |            WHEN CAST(margin_dec - prev_margin_dec AS DOUBLE) * 100 / CAST(prev_margin_dec AS DOUBLE) > ${p.alertPct} THEN 'GOOD'
+       |            ELSE 'STABLE' END AS signal
+       |FROM lagged""".stripMargin
+
+  val ops: Seq[OpQuery] = Seq(
+    OpQuery.checked("q1_genre_sales", q1Sql())((s, d) => q1(s, d)),
+    OpQuery.checked("q2_primary_genre_spend", q2Sql())((s, d) => q2(s, d)),
+    OpQuery.checked("q3_gross_margin", q3Sql())((s, d) => q3(s, d))
+  )
+}
