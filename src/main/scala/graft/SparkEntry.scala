@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Every implemented operator demo, in registration order. */
   val all: Seq[OpQuery] =
-    CoreOps.ops ++ JoinOps.ops ++ AggOps.ops ++ EtlOps.ops ++ graft.queries.ReportQueries.ops
+    CoreOps.ops ++ JoinOps.ops ++ AggOps.ops ++ EtlOps.ops ++ graft.queries.ReportQueries.ops ++
+      TextOps.ops ++ SimOps.ops ++ EventsOps.ops ++ MultimodalOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

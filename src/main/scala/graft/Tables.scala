@@ -21,7 +21,13 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default; read it as raw nanos and rebuild a microsecond timestamp
+    * (matching DuckDB's own nanos→micros truncation). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Norm, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table — the batch analogs of
+  * the Structured Streaming path (graft.streaming.EventsStream runs the
+  * same window aggregation incrementally with a watermark; SURVEY §2.9).
+  */
+object EventsOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── events_window_agg: tumbling-window aggregation (1 h) per event
+    // type — the micro-batch equivalent of the streaming windowed count.
+    OpQuery.checked(
+      "events_window_agg",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Norm.dsum6(col("value")).as("total_value"))
+    },
+
+    // ── events_sessionize: gap-based sessionization — lag per user, a
+    // >30 min gap opens a session, session id = running sum of open flags.
+    // One shuffle on user_id; the two windows share the same partitioning.
+    OpQuery.checked(
+      "events_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800000 OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+        |       CAST(max(ts_ms) AS BIGINT) AS session_end_ms
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin
+    ) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_ms")).cast("long").as("session_start_ms"),
+          max(col("ts_ms")).cast("long").as("session_end_ms"))
+    },
+
+    // ── events_json_props: semi-structured property extraction — regex
+    // field pull from the JSON props column, aggregated per event type.
+    OpQuery.checked(
+      "events_json_props",
+      """WITH parsed AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        |FROM parsed GROUP BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("event_type"), regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+    }
+  )
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE.json north-star scope): media
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs as partition-local batch functions.
+  *
+  * The real decode step (image/audio libs) is STUBBED with a deterministic
+  * fake — this container has no media codecs — but the Spark-side plumbing
+  * (schema, binary columns, per-partition batch processing, feature-vector
+  * output shape) is real and tested. At 100 TB the same shape holds: binary
+  * payloads stay columnar in parquet, the extractor is a narrow map (no
+  * shuffle), and feature vectors are ArrayType columns feeding the
+  * similarity ops (SimOps).
+  */
+object MultimodalOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── multimodal_meta: binary payload + typed metadata projection —
+    // content length, content hash, and the (stubbed) decoded media
+    // dimensions derived deterministically from the payload.
+    OpQuery.checked(
+      "multimodal_meta",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS content_sha,
+        |       CAST(100 + octet_length(CAST(text AS BLOB)) % 800 AS BIGINT) AS decoded_width,
+        |       CAST(100 + (octet_length(CAST(text AS BLOB)) * 7) % 600 AS BIGINT) AS decoded_height,
+        |       CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+    ) { (spark, dir) =>
+      val payload = col("text").cast("binary")
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("content_sha"),
+        (lit(100) + octet_length(payload) % 800).cast("long").as("decoded_width"),
+        (lit(100) + (octet_length(payload) * 7) % 600).cast("long").as("decoded_height"),
+        (lit(1) + octet_length(payload) % 30).cast("long").as("n_frames"))
+    },
+
+    // ── multimodal_features: per-partition batch feature extraction over
+    // binary payloads — the mapPartitions shape a Pandas-UDF/mapInPandas
+    // extractor takes. The "model" is a stub (normalized 8-bin byte
+    // histogram); the batching, binary input, and ArrayType(Float) output
+    // are the real contract. Rows-only checked (array outputs).
+    OpQuery.unchecked("multimodal_features") { (spark, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val src = Tables(spark, dir).documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      src.mapPartitions { rows =>
+        // batch-at-a-time extractor: in production this boundary hosts the
+        // codec / model call; here a deterministic byte histogram.
+        rows.map { r =>
+          val id      = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val hist    = new Array[Float](8)
+          var i = 0
+          while (i < payload.length) { hist((payload(i) & 0xff) >> 5) += 1f; i += 1 }
+          val n = math.max(payload.length, 1).toFloat
+          Row(id, payload.length.toLong, hist.map(_ / n).toSeq)
+        }
+      }(enc)
+    }
+  )
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim) — brute-force cosine top-k as the exact baseline, plus an
+  * IVF-style sign-bucketed variant as the at-scale path.
+  *
+  * Numeric portability: dot products fold left-to-right over
+  * double-casted elements in BOTH engines (DuckDB's list_dot_product
+  * accumulates in float32 and drifts ~1e-8 — rejected), so Spark and the
+  * DuckDB oracle agree bit-for-bit.
+  *
+  * 100 TB design: brute force is O(Q×N) — correct but quadratic; the IVF
+  * variant shows the production shape: partition the corpus by a coarse
+  * quantizer (sign code here; k-means centroids in production), shuffle
+  * queries only to their bucket, search within the bucket. The pair
+  * generation is a hash join on the bucket id, so cost drops to
+  * O(Q×N/buckets) with the same top-k semantics per bucket.
+  */
+object SimOps {
+
+  /** Left-to-right double-precision fold dot product (Spark side). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Same fold in DuckDB SQL. */
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 65), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)), 'sum')"
+
+  /** Embeddings with a precomputed L2 norm (computed once per row). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── sim_cosine_topk: exact brute-force cosine top-5 per query vector
+    // (query set = every 50th vector). Ranking on round(cos, 6) with id
+    // tiebreak keeps cross-engine ordering deterministic.
+    OpQuery.checked(
+      "sim_cosine_topk",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckDot("q.qe", "e.embedding")}
+         |               / (q.qn * sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cos_sim
+         |  FROM q CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      val emb = withNorm(Tables(spark, dir).embeddings.select("vec_id", "embedding"))
+      val q = emb
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      scored
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc))
+            .cast("long"))
+        .filter(col("rnk") <= 5)
+    },
+
+    // ── sim_topk_ivf: IVF-style bucketed ANN — coarse quantizer = 4-bit
+    // sign code over dims 1-4; each query searches only its own bucket.
+    OpQuery.checked(
+      "sim_topk_ivf",
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         CAST((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END)
+         |            + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END)
+         |            + (CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END)
+         |            + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+         |      FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, q.bucket,
+         |         round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos_sim
+         |  FROM q JOIN emb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, bucket, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      val signCode =
+        (when(element_at(col("embedding"), 1) > 0f, 8).otherwise(0)
+          + when(element_at(col("embedding"), 2) > 0f, 4).otherwise(0)
+          + when(element_at(col("embedding"), 3) > 0f, 2).otherwise(0)
+          + when(element_at(col("embedding"), 4) > 0f, 1).otherwise(0)).cast("long")
+      val emb = withNorm(Tables(spark, dir).embeddings.select("vec_id", "embedding"))
+        .withColumn("bucket", signCode)
+      val q = emb
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+      val scored = broadcast(q)
+        .join(
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn"),
+            col("bucket").as("nbucket")),
+          col("nbucket") === col("bucket") && col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("neighbor_id"), col("bucket"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      scored
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc))
+            .cast("long"))
+        .filter(col("rnk") <= 5)
+    },
+
+    // ── dedup_embedding_cosine: embedding near-dup pairs — label-blocked
+    // (the precomputed cluster id plays the IVF cell), cosine ≥ 0.9.
+    OpQuery.checked(
+      "dedup_embedding_cosine",
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(a.label AS BIGINT) AS label,
+         |       round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin
+    ) { (spark, dir) =>
+      val emb = withNorm(Tables(spark, dir).embeddings)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      emb.as("a")
+        .join(emb.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.label").cast("long").as("label"),
+          round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+    }
+  )
+}

@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over the `documents` table
+  * (BASELINE.json north-star scope): language ID, quality scoring, token
+  * counting, document fingerprinting, exact + n-gram-Jaccard near dedup.
+  *
+  * 100 TB design rule: per-document work (shingling, hashing, scoring) is
+  * expressed as array higher-order functions — partition-local, no shuffle,
+  * whole-stage-codegen'd. Only candidate-pair generation shuffles, and it
+  * shuffles on the banded fingerprint (tiny keys), never on raw text.
+  */
+object TextOps {
+
+  /** Salted min-md5 shingle fingerprint — the portable (Spark == DuckDB)
+    * minhash primitive: min over 8-char shingles of md5(salt || shingle). */
+  private def minFp(salt: String): String =
+    s"array_min(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> md5(concat('$salt', substr(text, i, 8)))))"
+
+  private def duckMinFp(salt: String): String =
+    s"list_aggregate(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> md5('$salt' || substr(text, CAST(i AS INT), 8))), 'min')"
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── text_langid: n-gram-marker language ID — per-language function-word
+    // counts, argmax with fixed tie preference. Pure projection (no shuffle).
+    OpQuery.checked(
+      "text_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) AS en_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ''))) / 4 AS BIGINT) AS es_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5 AS BIGINT) AS de_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4 AS BIGINT) AS fr_score
+        |  FROM documents)
+        |SELECT doc_id, lang, en_score, es_score, de_score, fr_score,
+        |       CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+        |            WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+        |            WHEN de_score >= fr_score THEN 'de'
+        |            ELSE 'fr' END AS pred_lang
+        |FROM scored""".stripMargin
+    ) { (spark, dir) =>
+      def score(marker: String) = {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        ((length(padded) - length(regexp_replace(padded, marker, ""))) / marker.length).cast("long")
+      }
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          score(" the ").as("en_score"), score(" la ").as("es_score"),
+          score(" der ").as("de_score"), score(" le ").as("fr_score"))
+        .withColumn("pred_lang",
+          when(col("en_score") >= col("es_score") && col("en_score") >= col("de_score")
+            && col("en_score") >= col("fr_score"), "en")
+            .when(col("es_score") >= col("de_score") && col("es_score") >= col("fr_score"), "es")
+            .when(col("de_score") >= col("fr_score"), "de")
+            .otherwise("fr"))
+    },
+
+    // ── text_quality: length / lexical-ratio quality signals + a composite
+    // keep/drop score — the standard pretraining-corpus filter features.
+    OpQuery.checked(
+      "text_quality",
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+        |       + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens, alpha_chars, stop_hits,
+        |       CAST(alpha_chars AS DOUBLE) / n_chars_m AS alpha_ratio,
+        |       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+        |          + CASE WHEN CAST(alpha_chars AS DOUBLE) / n_chars_m > 0.7 THEN 1 ELSE 0 END
+        |          + CASE WHEN stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_score
+        |FROM feats""".stripMargin
+    ) { (spark, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def hits(m: String) = (length(padded) - length(regexp_replace(padded, m, ""))) / m.length
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("alpha_chars"),
+          (hits(" the ") + hits(" a ")).cast("long").as("stop_hits"))
+        .withColumn("alpha_ratio", col("alpha_chars").cast("double") / col("n_chars_m"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          (when(col("n_tokens").between(10, 1000), 1).otherwise(0)
+            + when(col("alpha_ratio") > 0.7, 1).otherwise(0)
+            + when(col("stop_hits") > 0, 1).otherwise(0)).cast("long"))
+    },
+
+    // ── text_tokens: token counting — whitespace, regex word tokens, and a
+    // chars/4 BPE-budget estimate (the standard LLM context-cost proxy).
+    OpQuery.checked(
+      "text_tokens",
+      """SELECT doc_id,
+        |       CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+        |       CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_word
+        |FROM documents""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("word_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
+        (length(col("text")).cast("double") / size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
+          .as("chars_per_word"))
+    },
+
+    // ── text_fingerprint: shingle fingerprinting (winnowing-lite) — min/max
+    // salted-md5 over 8-char shingles + distinct-shingle cardinality.
+    // Entirely partition-local (array HOFs): zero shuffle at any scale.
+    OpQuery.checked(
+      "text_fingerprint",
+      s"""SELECT doc_id,
+         |       ${duckMinFp("s1")} AS fp_min,
+         |       list_aggregate(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> md5('s1' || substr(text, CAST(i AS INT), 8))), 'max') AS fp_max,
+         |       CAST(len(list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8)))) AS BIGINT) AS n_distinct_shingles
+         |FROM documents""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        expr(minFp("s1")).as("fp_min"),
+        expr("array_max(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> md5(concat('s1', substr(text, i, 8)))))").as("fp_max"),
+        expr("size(array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8))))")
+          .cast("long").as("n_distinct_shingles"))
+    },
+
+    // ── dedup_exact: exact dedup by content hash — groupBy md5(text), keep
+    // lowest doc_id (the canonical survivor), count duplicates.
+    OpQuery.checked(
+      "dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).cast("long").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ── dedup_ngram_jaccard: near-dup detection — banded minhash blocking
+    // (2 salted min-fingerprints must both collide) → exact 8-gram Jaccard
+    // on the candidate pairs only. The classic MinHash-LSH→verify pipeline:
+    // candidate generation shuffles on 32-byte fingerprints, never on text;
+    // verification joins exploded distinct shingles per candidate pair.
+    OpQuery.checked(
+      "dedup_ngram_jaccard",
+      s"""WITH fp AS (
+         |  SELECT doc_id, ${duckMinFp("s1")} AS f1, ${duckMinFp("s2")} AS f2 FROM documents),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM fp a JOIN fp b ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8)))) AS shingle
+         |  FROM documents),
+         |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN sh sa ON sa.doc_id = c.a_id
+         |    JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id)
+         |SELECT i.a_id, i.b_id,
+         |       CAST(i.n_inter AS BIGINT) AS n_inter,
+         |       CAST(ca.n_sh AS BIGINT) AS n_a,
+         |       CAST(cb.n_sh AS BIGINT) AS n_b,
+         |       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+         |FROM inter i
+         |  JOIN card ca ON ca.doc_id = i.a_id
+         |  JOIN card cb ON cb.doc_id = i.b_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val fp = docs.select(col("doc_id"), expr(minFp("s1")).as("f1"), expr(minFp("s2")).as("f2"))
+      val cand = fp.as("a")
+        .join(fp.as("b"),
+          col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val sh = docs.select(
+        col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8)))"))
+          .as("shingle"))
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("a_id"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("b_id") && col("sb.shingle") === col("sa.shingle"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(card.as("ca"), col("ca.doc_id") === col("a_id"))
+        .join(card.as("cb"), col("cb.doc_id") === col("b_id"))
+        .select(
+          col("a_id"), col("b_id"),
+          col("n_inter").cast("long").as("n_inter"),
+          col("ca.n_sh").cast("long").as("n_a"),
+          col("cb.n_sh").cast("long").as("n_b"),
+          (col("n_inter").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+    },
+
+    // ── dedup_minhash_lsh: full MinHash + banded LSH, the at-scale
+    // implementation (xxhash64-based — engine-native, so rows-only checked).
+    // 16 hash functions → 4 bands of 4 → band-bucket join → estimated
+    // Jaccard = fraction of agreeing minhashes, verified pairs only.
+    OpQuery.unchecked("dedup_minhash_lsh") { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      // sig[k] = min over shingles of xxhash64(k, shingle)
+      val withSig = docs.select(
+        col("doc_id"),
+        expr("""transform(sequence(0, 15), k ->
+                 array_min(transform(
+                   array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8))),
+                   s -> xxhash64(k, s))))""").as("sig"))
+      // band hash = xxhash64 of the band's 4 signature slots
+      val banded = withSig.select(
+        col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3])))")).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("a_id", "b_id")
+      pairs
+        .select(
+          col("a_id"), col("b_id"),
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("long").as("n_agree"))
+        .withColumn("est_jaccard", col("n_agree").cast("double") / 16)
+        .filter(col("est_jaccard") >= 0.5)
+    },
+
+    // ── dedup_simhash: 64-bit SimHash over word tokens + Hamming-distance
+    // near-dup pairs, band-blocked on 16-bit slices (a pair within Hamming
+    // ≤ 3 of 64 bits must agree exactly on at least one of 4 slices).
+    OpQuery.unchecked("dedup_simhash") { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      // simhash: per bit, sign of Σ_tokens (bit set ? +1 : -1)
+      val sim = docs.select(
+        col("doc_id"),
+        expr("""aggregate(sequence(0, 63), cast(0 as bigint), (acc, bit) ->
+                  acc + if(
+                    aggregate(transform(split(trim(text), '\\s+'), t -> if(((xxhash64(t) >> bit) & 1) = 1, 1, -1)),
+                              0, (a, v) -> a + v) > 0,
+                    shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))""").as("simhash"))
+      val sliced = sim.select(
+        col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.slice").as("slice"), col("x.sv").as("slice_val"))
+      sliced.as("a")
+        .join(sliced.as("b"),
+          col("a.slice") === col("b.slice") && col("a.slice_val") === col("b.slice_val")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(col("hamming") <= 3)
+    }
+  )
+}
