@@ -191,13 +191,13 @@ object CoreOps {
       "filter_basic",
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no, CAST(l_quantity AS DOUBLE) AS qty
         |FROM lineitem
-        |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         |  AND l_returnflag IN ('A','R')
         |  AND l_linestatus IS NOT NULL""".stripMargin
     ) { (spark, dir) =>
       Tables(spark, dir).lineitem
         .filter(
-          col("l_shipdate").between(lit("1994-01-01").cast("date"), lit("1994-12-31").cast("date"))
+          col("l_shipdate").between(lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date"))
             && col("l_returnflag").isin("A", "R")
             && col("l_linestatus").isNotNull
         )

