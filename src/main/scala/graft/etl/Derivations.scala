@@ -1,0 +1,105 @@
+package graft.etl
+
+import graft.gen.LibraryTables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's trigger logic (SURVEY §2.10) as deterministic batch
+  * derivations, applied in dependency order. Spark has no row triggers;
+  * each rule is a set-based join/projection over the whole table — which
+  * is also the only formulation that scales (the reference disables these
+  * triggers during bulk load for exactly this reason,
+  * 12_InsertPurchase.sql:9-10).
+  */
+object Derivations {
+
+  /** trg_auto_expire_membership (02_Trigger.sql:2-11): status from
+    * expire_date vs the as-of date. */
+  def memberStatus(members: DataFrame, asOf: String): DataFrame =
+    members.withColumn("member_status",
+      when(col("expire_date") < lit(asOf).cast("date"), "Expire").otherwise("Active"))
+
+  /** TRG_MANAGE_BOOK_STATUS_BB (02_Trigger.sql:45-99): a copy is
+    * 'Borrowed' while any open loan exists — semi-join on open loans. */
+  def copyStatus(copies: DataFrame, borrows: DataFrame): DataFrame = {
+    val open = borrows.filter(col("return_status") === "On loan").select("copy_id").distinct()
+    copies
+      .join(open.withColumn("is_open", lit(1)), Seq("copy_id"), "left_outer")
+      .withColumn("copy_status", when(col("is_open").isNotNull, "Borrowed").otherwise(col("copy_status")))
+      .drop("is_open")
+  }
+
+  /** TRG_CALCULATE_FINE_AMOUNT (02_Trigger.sql:199-224): Lost =
+    * salesPrice + 20, Damage = salesPrice, Late = 30. NB the reference's
+    * generator prices from purchasePrice instead (08_InsertFines.sql:50)
+    * — `fromPurchasePrice = true` reproduces generator semantics, false
+    * the trigger's. */
+  def fineAmounts(fines: DataFrame, titles: DataFrame, fromPurchasePrice: Boolean = false): DataFrame = {
+    val priceCol = if (fromPurchasePrice) col("purchase_price") else col("sales_price")
+    fines
+      .join(broadcast(titles.select(col("book_id"), priceCol.as("price"))), Seq("book_id"), "left_outer")
+      .withColumn("fine_amount",
+        when(col("fine_type") === "Lost", col("price") + 20)
+          .when(col("fine_type") === "Damage", col("price"))
+          .otherwise(lit(30).cast(DecimalType(6, 2))))
+      .drop("price")
+  }
+
+  /** TRG_CALCULATE_PAYMENT_AMOUNT (02_Trigger.sql:227-246): payment =
+    * Σ linked fines; membership registration = flat 50. */
+  def paymentAmounts(payments: DataFrame, fines: DataFrame): DataFrame = {
+    val fineTotals = fines.groupBy("payment_id")
+      .agg(sum(col("fine_amount")).cast(DecimalType(8, 2)).as("fine_total"))
+    payments
+      .join(fineTotals, Seq("payment_id"), "left_outer")
+      .withColumn("pay_amount",
+        when(col("payment_type") === "Registration", lit(50).cast(DecimalType(8, 2)))
+          .otherwise(coalesce(col("fine_total"), lit(0).cast(DecimalType(8, 2)))))
+      .drop("fine_total")
+  }
+
+  /** trg_salesdetails_calc_amounts (02_Trigger.sql:412-455): per line,
+    * gross = qty × salesPrice; discountAmount = round(gross·rate/100, 2)
+    * when the sale date falls in a discount window; total = gross − disc. */
+  def salesDetailAmounts(details: DataFrame, titles: DataFrame, discounts: DataFrame): DataFrame = {
+    val priced = details
+      .join(broadcast(titles.select("book_id", "sales_price")), Seq("book_id"), "left_outer")
+      .withColumn("gross_amount", (col("quantity") * col("sales_price")).cast(DecimalType(10, 2)))
+    // range-join against the (tiny) discount windows; at most one window
+    // applies per date in the generated calendar — keep the max rate if
+    // windows ever overlap (deterministic).
+    val withDisc = priced
+      .join(
+        broadcast(discounts.select(col("discount_rate"), col("start_date"), col("end_date"))),
+        col("sales_date").between(col("start_date"), col("end_date")), "left_outer")
+      .groupBy(priced.columns.map(col).toIndexedSeq: _*)
+      .agg(max(col("discount_rate")).as("discount_rate"))
+    withDisc
+      .withColumn("discount_amount",
+        coalesce(
+          round(col("gross_amount") * col("discount_rate") / 100, 2).cast(DecimalType(10, 2)),
+          lit(0).cast(DecimalType(10, 2))))
+      .withColumn("total_amount", (col("gross_amount") - col("discount_amount")).cast(DecimalType(10, 2)))
+  }
+
+  /** trg_check_purchase_total / trg_guard_po_total (02_Trigger.sql:303-379):
+    * PO total = Σ qty × purchasePrice, recomputed (derivation) and
+    * checkable (invariant). */
+  def purchaseOrderTotals(orders: DataFrame, details: DataFrame, titles: DataFrame): DataFrame = {
+    val lineTotals = details
+      .join(broadcast(titles.select("book_id", "purchase_price")), Seq("book_id"), "left_outer")
+      .groupBy("po_id")
+      .agg(sum((col("quantity") * col("purchase_price")).cast(DecimalType(12, 2)))
+        .cast(DecimalType(12, 2)).as("total_amount"))
+    orders.join(lineTotals, Seq("po_id"), "left_outer")
+  }
+
+  /** Apply the full rule set in dependency order over generated tables. */
+  def applyAll(t: LibraryTables, asOf: String): LibraryTables =
+    t.copy(
+      members = memberStatus(t.members, asOf),
+      bookCopies = copyStatus(t.bookCopies, t.borrowedBooks),
+      salesDetails = salesDetailAmounts(t.salesDetails, t.bookTitles, t.discounts),
+      purchaseOrders = purchaseOrderTotals(t.purchaseOrders, t.purchaseDetails, t.bookTitles))
+}

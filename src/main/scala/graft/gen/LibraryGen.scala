@@ -1,0 +1,244 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Seeded synthetic generators for the reference's library domain
+  * (SURVEY §0 layer 2) — the Spark rewrite of the 8 PL/SQL generator
+  * procedures, set-based instead of row-at-a-time loops.
+  *
+  * Determinism: the reference uses DBMS_RANDOM (irreproducible across
+  * runs); here every "random" draw is a pure function of (seed, row id)
+  * via xxhash64 — stable across partitionings, re-runs, and cluster
+  * sizes, which `rand(seed)` is NOT (it seeds per-partition).
+  *
+  * Scale posture: every generator is `spark.range(n)` + projections —
+  * embarrassingly parallel, no driver loop, no shuffle except where the
+  * domain genuinely requires a join (e.g. borrow events → valid members).
+  *
+  * Volume targets follow the reference config (BASELINE.md):
+  * 7,500 members / 9,000 titles / 45,000 copies / ~200k borrows /
+  * ~55k sales orders / ~480 POs / 15 suppliers / 64 discounts over the
+  * business window 2004-07-01 → 2024-06-30.
+  */
+object LibraryGen {
+
+  val WindowStart = "2004-07-01"
+  val WindowEnd   = "2024-06-30"
+  val WindowDays  = 7305
+
+  /** Uniform [0, 1) draw as a pure function of (seed, key). */
+  private def u(seed: Long, key: Column): Column =
+    pmod(xxhash64(lit(seed), key), lit(1000000L)).cast("double") / 1000000d
+
+  /** Uniform integer in [lo, hi] as a pure function of (seed, key). */
+  private def uniInt(seed: Long, key: Column, lo: Int, hi: Int): Column =
+    (pmod(xxhash64(lit(seed), key), lit((hi - lo + 1).toLong)) + lo).cast("int")
+
+  /** Pick one of a fixed candidate list, keyed. */
+  private def pickOne(seed: Long, key: Column, choices: Seq[String]): Column =
+    element_at(array(choices.map(lit): _*), (pmod(xxhash64(lit(seed), key), lit(choices.size.toLong)) + 1).cast("int"))
+
+  /** Random date within the business window, keyed. */
+  private def rndDate(seed: Long, key: Column): Column =
+    date_add(lit(WindowStart).cast("date"), pmod(xxhash64(lit(seed), key), lit(WindowDays.toLong)).cast("int"))
+
+  /** fmt_id: prefix + zero-padded number (ref 01_helpers.sql:48-53). */
+  def fmtId(prefix: String, n: Column, len: Int): Column =
+    concat(lit(prefix), lpad(n.cast("string"), len, "0"))
+
+  private val genres = Seq(
+    "Fiction", "Mystery", "Romance", "SciFi", "Fantasy", "Biography", "History",
+    "Science", "Travel", "Cooking", "Art", "Poetry", "Children", "Business")
+  private val states = Seq(
+    "Selangor", "Johor", "Penang", "Sabah", "Sarawak", "Perak", "Kedah", "Kelantan")
+  private val cities = Seq(
+    "Shah Alam", "Johor Bahru", "George Town", "Kota Kinabalu", "Kuching", "Ipoh")
+
+  /** Members (ref 02_InsertMembers.sql:46-185): 7,500 rows, ~75% active,
+    * registration spread over the window, gender split ~65% F. */
+  def members(spark: SparkSession, n: Int = 7500, seed: Long = 42): DataFrame = {
+    val base = spark.range(1, n + 1L).toDF("seq")
+    base.select(
+      fmtId("M", col("seq"), 4).as("member_id"),
+      concat(lit("Member "), col("seq")).as("member_name"),
+      when(u(seed ^ 1, col("seq")) < 0.65, "F").otherwise("M").as("member_gender"),
+      uniInt(seed ^ 2, col("seq"), 18, 80).as("member_age"),
+      concat(lit("01"), lpad(pmod(xxhash64(lit(seed ^ 3), col("seq")), lit(100000000L)).cast("string"), 8, "0"))
+        .as("member_phone"),
+      concat(lit("member"), col("seq"), lit("@mail.example")).as("member_email"),
+      // address: "street, city, state" — DimMembers parses state/city back out
+      concat(
+        col("seq"), lit(" Jalan Utama, "),
+        pickOne(seed ^ 4, col("seq"), cities), lit(", "),
+        pickOne(seed ^ 5, col("seq"), states)).as("member_address"),
+      rndDate(seed ^ 6, col("seq")).as("registration_date"),
+      uniInt(seed ^ 7, col("seq"), 0, 3).as("renewals"))
+      .withColumn("expire_date",
+        date_sub(add_months(col("registration_date"), (col("renewals") + 1) * 12), 1))
+      .drop("renewals")
+  }
+
+  /** BookTitles (ref 04_InsertBookTitles.sql): 9,000 titles, 14 genres,
+    * sales price 15–150, purchase price = 0.8 × sales. */
+  def bookTitles(spark: SparkSession, n: Int = 9000, seed: Long = 42): DataFrame = {
+    spark.range(1, n + 1L).toDF("seq").select(
+      fmtId("B", col("seq"), 5).as("book_id"),
+      concat(lit("Title "), col("seq")).as("title"),
+      concat(lit("Author "), pmod(col("seq"), lit(997))).as("author"),
+      pickOne(seed ^ 10, col("seq"), genres).as("genre"),
+      uniInt(seed ^ 11, col("seq"), 1980, 2024).as("publication_year"),
+      (uniInt(seed ^ 12, col("seq"), 1500, 15000).cast("double") / 100).cast(DecimalType(6, 2)).as("sales_price"),
+      (uniInt(seed ^ 13, col("seq"), 0, 50).cast("double") / 10).cast(DecimalType(2, 1)).as("popularity"))
+      .withColumn("purchase_price",
+        (col("sales_price") * lit("0.8").cast(DecimalType(2, 1))).cast(DecimalType(6, 2)))
+  }
+
+  /** BookCopies (ref 05_InsertBookCopies.sql): 45,000 copies spread over
+    * titles; status seeded Available (derivations flip to borrowed). */
+  def bookCopies(spark: SparkSession, n: Int = 45000, titles: Int = 9000, seed: Long = 42): DataFrame = {
+    spark.range(1, n + 1L).toDF("seq").select(
+      fmtId("C", col("seq"), 6).as("copy_id"),
+      fmtId("B", pmod(xxhash64(lit(seed ^ 20), col("seq")), lit(titles.toLong)) + 1, 5).as("book_id"),
+      rndDate(seed ^ 21, col("seq")).as("acquired_date"),
+      lit("Available").as("copy_status"))
+  }
+
+  /** Suppliers (ref 10_InsertSuppliers.sql): 15 static suppliers. */
+  def suppliers(spark: SparkSession): DataFrame = {
+    spark.range(1, 16).toDF("seq").select(
+      fmtId("S", col("seq"), 3).as("supplier_id"),
+      concat(lit("Supplier "), col("seq")).as("supplier_name"),
+      concat(lit("supplier"), col("seq"), lit("@books.example")).as("supplier_email"),
+      pickOne(99, col("seq"), states).as("supplier_state"))
+  }
+
+  /** Discounts (ref 11_InsertDiscount.sql): 64 windows D000–D063, each a
+    * month-long window with a 5–30% rate, spread over the 20 years. */
+  def discounts(spark: SparkSession, seed: Long = 42): DataFrame = {
+    spark.range(0, 64).toDF("seq").select(
+      fmtId("D", col("seq"), 3).as("discount_id"),
+      concat(lit("Promo "), col("seq")).as("discount_name"),
+      (uniInt(seed ^ 30, col("seq"), 1, 6) * 5).cast(DecimalType(4, 1)).as("discount_rate"),
+      date_add(lit(WindowStart).cast("date"), (col("seq") * 114).cast("int")).as("start_date"))
+      .withColumn("end_date", date_add(col("start_date"), 30))
+  }
+
+  /** BorrowedBooks (ref 06_InsertBorrowedBooks.sql): ~36 events per
+    * weekday over the window (~190k), weekends skipped, status mix
+    * 85% Returned / 8% Overdue / 2% Lost / 5% On loan. */
+  def borrowedBooks(spark: SparkSession, members: DataFrame, copies: DataFrame, seed: Long = 42): DataFrame = {
+    val mCount = members.count()
+    val cCount = copies.count()
+    // weekday spine × events-per-day, fully set-based
+    val days = spark.sql(
+      s"SELECT explode(sequence(DATE'$WindowStart', DATE'$WindowEnd', interval 1 day)) AS d")
+      .filter(weekday(col("d")) < 5)
+    val perDay = days.select(col("d"), explode(sequence(lit(1), lit(36))).as("slot"))
+    // id = dayIndex*40 + slot: unique without a global row_number (which
+    // would single-partition the generator; dense ids aren't needed here)
+    val events = perDay.select(
+      (datediff(col("d"), lit(WindowStart).cast("date")) * 40 + col("slot")).cast("long").as("seq"),
+      col("d").as("borrow_date"))
+    val keyed = events.select(
+      fmtId("BR", col("seq"), 7).as("borrow_id"),
+      col("borrow_date"),
+      fmtId("M", pmod(xxhash64(lit(seed ^ 40), col("seq")), lit(mCount)) + 1, 4).as("member_id"),
+      fmtId("C", pmod(xxhash64(lit(seed ^ 41), col("seq")), lit(cCount)) + 1, 6).as("copy_id"),
+      u(seed ^ 42, col("seq")).as("statusDraw"),
+      uniInt(seed ^ 43, col("seq"), 1, 7).as("lateDays"))
+    keyed
+      .withColumn("due_date", date_add(col("borrow_date"), 14))
+      .withColumn("return_status",
+        when(col("statusDraw") < 0.85, "Returned")
+          .when(col("statusDraw") < 0.93, "Overdue")
+          .when(col("statusDraw") < 0.95, "Lost")
+          .otherwise("On loan"))
+      .withColumn("return_date",
+        when(col("return_status") === "Returned", date_add(col("borrow_date"), pmod(xxhash64(lit(seed ^ 44), col("borrow_id")), lit(14L)).cast("int")))
+          .when(col("return_status") === "Overdue", date_add(col("due_date"), col("lateDays"))))
+      .drop("statusDraw", "lateDays")
+  }
+
+  /** Sales orders + lines (ref 13_InsertSalesAndOrders.sql): 5–10 orders
+    * per day (~55k orders), 1–6 lines each, qty 1–4. Returns (orders, details). */
+  def sales(spark: SparkSession, titles: DataFrame, members: DataFrame, seed: Long = 42): (DataFrame, DataFrame) = {
+    val tCount = titles.count()
+    val mCount = members.count()
+    val days = spark.sql(
+      s"SELECT explode(sequence(DATE'$WindowStart', DATE'$WindowEnd', interval 1 day)) AS d")
+    val perDay = days.select(col("d"), explode(sequence(lit(1), lit(10))).as("slot"))
+      .filter(col("slot") <= uniInt(seed ^ 50, xxhash64(col("d")), 5, 10))
+    val orders = perDay.select(
+      (datediff(col("d"), lit(WindowStart).cast("date")) * 12 + col("slot")).cast("long").as("seq"),
+      col("d").as("sales_date"))
+      .select(
+        fmtId("SO", col("seq"), 6).as("order_id"),
+        col("sales_date"),
+        fmtId("M", pmod(xxhash64(lit(seed ^ 51), col("seq")), lit(mCount)) + 1, 4).as("member_id"),
+        uniInt(seed ^ 52, col("seq"), 1, 6).as("n_lines"))
+    val details = orders
+      .select(col("order_id"), col("sales_date"), explode(sequence(lit(1), col("n_lines"))).as("line_no"))
+      .select(
+        col("order_id"), col("sales_date"), col("line_no"),
+        fmtId("B", pmod(xxhash64(lit(seed ^ 53), concat(col("order_id"), col("line_no"))), lit(tCount)) + 1, 5)
+          .as("book_id"),
+        uniInt(seed ^ 54, concat(col("order_id"), col("line_no")), 1, 4).as("quantity"))
+    (orders.drop("n_lines"), details)
+  }
+
+  /** Purchase orders + lines (ref 12_InsertPurchase.sql): ~2 POs per month
+    * (~480), 7–10 lines each, qty 5–40. Returns (orders, details). */
+  def purchases(spark: SparkSession, titles: DataFrame, seed: Long = 42): (DataFrame, DataFrame) = {
+    val tCount = titles.count()
+    val months = spark.sql(
+      s"SELECT explode(sequence(DATE'$WindowStart', DATE'$WindowEnd', interval 1 month)) AS m")
+    val perMonth = months.select(col("m"), explode(sequence(lit(1), lit(2))).as("slot"))
+    val orders = perMonth.select(
+      (months_between(col("m"), lit(WindowStart).cast("date")).cast("long") * 4 + col("slot")).as("seq"),
+      col("m"), col("slot"))
+      .select(
+        fmtId("PO", col("seq"), 4).as("po_id"),
+        date_add(col("m"), pmod(xxhash64(lit(seed ^ 60), col("seq")), lit(28L)).cast("int")).as("purchase_date"),
+        fmtId("S", pmod(xxhash64(lit(seed ^ 61), col("seq")), lit(15L)) + 1, 3).as("supplier_id"),
+        uniInt(seed ^ 62, col("seq"), 7, 10).as("n_lines"))
+    val details = orders
+      .select(col("po_id"), explode(sequence(lit(1), col("n_lines"))).as("line_no"))
+      .select(
+        col("po_id"), col("line_no"),
+        fmtId("B", pmod(xxhash64(lit(seed ^ 63), concat(col("po_id"), col("line_no"))), lit(tCount)) + 1, 5)
+          .as("book_id"),
+        uniInt(seed ^ 64, concat(col("po_id"), col("line_no")), 5, 40).as("quantity"))
+    (orders.drop("n_lines"), details)
+  }
+}
+
+/** All generated OLTP tables, materialized once. */
+final case class LibraryTables(
+    members: DataFrame,
+    bookTitles: DataFrame,
+    bookCopies: DataFrame,
+    suppliers: DataFrame,
+    discounts: DataFrame,
+    borrowedBooks: DataFrame,
+    salesOrders: DataFrame,
+    salesDetails: DataFrame,
+    purchaseOrders: DataFrame,
+    purchaseDetails: DataFrame)
+
+object LibraryTables {
+  /** Generate the full OLTP layer at a volume scale (1.0 = reference). */
+  def generate(spark: SparkSession, scale: Double = 1.0, seed: Long = 42): LibraryTables = {
+    val m  = LibraryGen.members(spark, math.max(1, (7500 * scale).toInt), seed).cache()
+    val bt = LibraryGen.bookTitles(spark, math.max(1, (9000 * scale).toInt), seed).cache()
+    val bc = LibraryGen.bookCopies(spark, math.max(1, (45000 * scale).toInt),
+      math.max(1, (9000 * scale).toInt), seed).cache()
+    val sup = LibraryGen.suppliers(spark)
+    val dis = LibraryGen.discounts(spark, seed)
+    val bb  = LibraryGen.borrowedBooks(spark, m, bc, seed)
+    val (so, sd) = LibraryGen.sales(spark, bt, m, seed)
+    val (po, pd) = LibraryGen.purchases(spark, bt, seed)
+    LibraryTables(m, bt, bc, sup, dis, bb, so, sd, po, pd)
+  }
+}
