@@ -30,11 +30,14 @@ object LibraryReports {
   /** Q1 — genre-quarter sales with pivot, YoY and rank. */
   def q1GenreSales(dw: DwTables, p: Params = Params()): DataFrame = {
     val dimM = p.gender.fold(dw.dimMembers)(g => dw.dimMembers.filter(upper(col("member_gender")) === g.toUpperCase))
+    // date_key is yyyymmdd, so the year range is a pushable key-range scan
+    // predicate on the fact (partition-prunes a date_key-partitioned fact);
+    // the dimDate join only decorates with calendar attributes.
     val base = dw.factSales
+      .filter(col("date_key").between(p.yearFrom * 10000L + 101, p.yearTo * 10000L + 1231))
       .join(broadcast(dw.dimDate.select("date_key", "cal_year", "cal_quarter")), Seq("date_key"))
       .join(broadcast(dw.dimBook.select("book_key", "genre")), Seq("book_key"))
       .join(broadcast(dimM.select("member_key")), Seq("member_key"))
-      .filter(col("cal_year").between(p.yearFrom, p.yearTo))
       .groupBy(col("cal_year"), col("cal_quarter"), col("genre"))
       .agg(sum(col("total_amount")).as("rev"))
 
@@ -61,9 +64,9 @@ object LibraryReports {
   /** Q2 — purchase spend by the PO's primary genre, densified + QoQ. */
   def q2PurchaseSpend(dw: DwTables, p: Params = Params()): DataFrame = {
     val lines = dw.factPurchase
+      .filter(col("date_key").between(p.yearFrom * 10000L + 101, p.yearTo * 10000L + 1231))
       .join(broadcast(dw.dimDate.select("date_key", "cal_year", "cal_quarter")), Seq("date_key"))
       .join(broadcast(dw.dimBook.select("book_key", "genre")), Seq("book_key"))
-      .filter(col("cal_year").between(p.yearFrom, p.yearTo))
 
     val perPoGenre = lines
       .groupBy(col("po_id"), col("cal_year"), col("cal_quarter"), col("genre"))
@@ -107,10 +110,10 @@ object LibraryReports {
     val dimM = p.states.fold(dw.dimMembers)(ss =>
       dw.dimMembers.filter(col("member_state").isin(ss: _*)))
     val base = dw.factSales
+      .filter(col("date_key").between(p.yearFrom * 10000L + 101, p.yearTo * 10000L + 1231))
       .join(broadcast(dw.dimDate.select("date_key", "cal_year", "cal_quarter")), Seq("date_key"))
       .join(broadcast(dw.dimBook.select("book_key", "sales_price")), Seq("book_key"))
       .join(broadcast(dimM.select("member_key", "member_state")), Seq("member_key"))
-      .filter(col("cal_year").between(p.yearFrom, p.yearTo))
       .groupBy(col("cal_year"), col("cal_quarter"), col("member_state"))
       .agg(
         sum(col("total_amount")).as("rev_dec"),

@@ -33,7 +33,8 @@ object ReportQueries {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust.select("c_custkey")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
-      .filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo))
+      .filter(col("o_orderdate") >= lit(s"${p.yearFrom}-01-01").cast("date")
+        && col("o_orderdate") < lit(s"${p.yearTo + 1}-01-01").cast("date"))
       .groupBy(
         year(col("o_orderdate")).cast("long").as("yr"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
@@ -78,7 +79,7 @@ object ReportQueries {
        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
        |    JOIN customer c ON o.o_custkey = c.c_custkey
        |    JOIN part p ON l.l_partkey = p.p_partkey
-       |  WHERE year(o.o_orderdate) BETWEEN ${p.yearFrom} AND ${p.yearTo}$segFilter
+       |  WHERE o.o_orderdate >= DATE '${p.yearFrom}-01-01' AND o.o_orderdate < DATE '${p.yearTo + 1}-01-01'$segFilter
        |  GROUP BY 1, 2, 3),
        |pivoted AS (
        |  SELECT yr, genre,
@@ -107,7 +108,8 @@ object ReportQueries {
   def q2(spark: SparkSession, dir: String, p: Q2Params = Q2Params()): DataFrame = {
     val t = Tables(spark, dir)
     val lines = t.lineitem
-      .join(t.orders.filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo)),
+      .join(t.orders.filter(col("o_orderdate") >= lit(s"${p.yearFrom}-01-01").cast("date")
+        && col("o_orderdate") < lit(s"${p.yearTo + 1}-01-01").cast("date")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
 
@@ -211,7 +213,8 @@ object ReportQueries {
   def q3(spark: SparkSession, dir: String, p: Q3Params = Q3Params()): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.lineitem
-      .join(t.orders.filter(year(col("o_orderdate")).between(p.yearFrom, p.yearTo)),
+      .join(t.orders.filter(col("o_orderdate") >= lit(s"${p.yearFrom}-01-01").cast("date")
+        && col("o_orderdate") < lit(s"${p.yearTo + 1}-01-01").cast("date")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")), col("c_nationkey") === col("n_nationkey"))
@@ -259,7 +262,7 @@ object ReportQueries {
        |    JOIN customer c ON o.o_custkey = c.c_custkey
        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
        |    JOIN part p ON l.l_partkey = p.p_partkey
-       |  WHERE year(o.o_orderdate) BETWEEN ${p.yearFrom} AND ${p.yearTo}
+       |  WHERE o.o_orderdate >= DATE '${p.yearFrom}-01-01' AND o.o_orderdate < DATE '${p.yearTo + 1}-01-01'
        |  GROUP BY 1, 2, 3),
        |lagged AS (
        |  SELECT *, rev_dec - cost_dec AS margin_dec,
