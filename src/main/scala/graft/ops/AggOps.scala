@@ -146,18 +146,21 @@ object AggOps {
     },
 
     // ── agg_listagg: LISTAGG WITHIN GROUP ORDER BY (ref LQY_query2.txt:31)
-    // → sort-then-join over collect_list; deterministic ordering.
+    // via the native TypedImperativeAggregate (graft.functions
+    // .ListAggSorted) — partial-aggregate friendly, sorted once per group
+    // at eval; DuckDB's string_agg ORDER BY validates it byte-for-byte.
     OpQuery.checked(
       "agg_listagg",
       """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin
     ) { (spark, dir) =>
+      graft.functions.ListAggSorted.register(spark)
       val t = Tables(spark, dir)
       t.nation
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(array_join(array_sort(collect_list(col("n_name"))), ", ").as("nations"))
+        .agg(expr("listagg_sorted(n_name, ', ')").as("nations"))
     },
 
     // ── agg_ratio_to_report: share-of-total via whole-result window

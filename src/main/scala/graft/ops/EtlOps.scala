@@ -142,6 +142,30 @@ object EtlOps {
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
     },
 
+    // ── etl_partitioned_layout: the physical fact layout from SURVEY §4 —
+    // facts written partitioned by year, so a year predicate prunes whole
+    // directories before any IO (PartitionFilters in the scan, the local
+    // analog of cluster-scale partition pruning at 100 TB).
+    OpQuery.checked(
+      "etl_partitioned_layout",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_scratch/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_by_year"
+      Tables(spark, dir).orders
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("o_year").isin(1995L, 1996L)) // directory-level pruning
+        .groupBy("o_year", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
     // ── etl_derive_validate: trigger-style invariant recompute — the
     // PO-total guard (ref trg_check_purchase_total 02_Trigger.sql:303-357):
     // recompute each order's total from its lines, flag mismatches.

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.MergeUpsert
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming ingest path (SURVEY §2.9 stretch scope).
@@ -40,6 +41,91 @@ object EventsStream {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  // ── stateful sessionization ────────────────────────────────────────────
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionState(start: Long, lastTs: Long, n: Int)
+  final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long, n_events: Int)
+
+  val GapMs = 30 * 60 * 1000L
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): a >30 min silence closes the session.
+    * Sessions still open when the stream ends stay in state (they would be
+    * flushed by the processing-time timeout in a live deployment).
+    *
+    * State per user is three longs — bounded regardless of corpus size —
+    * and the stream shuffles once on user_id: the scalable shape for
+    * billions of events. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          val sorted = evs.map(_.ts.getTime).toArray.sorted
+          var st     = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { t =>
+            st match {
+              case Some(s) if t - s.lastTs <= GapMs =>
+                st = Some(s.copy(lastTs = t, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.lastTs, s.n)
+                st = Some(SessionState(t, t, 1))
+              case None =>
+                st = Some(SessionState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+        })
+  }
+
+  /** Start stateful sessionization from a parquet directory into a memory
+    * sink. */
+  def startSessionize(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id").as[Ev]
+    sessionize(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
+  // ── foreachBatch + MERGE sink ──────────────────────────────────────────
+
+  /** Continuous refresh of a parquet aggregate table: each micro-batch's
+    * windowed counts MERGE-upsert into the target keyed on
+    * (window_start, event_type) — the streaming version of the reference's
+    * idempotent subsequent load (07_SubsequentLoading.sql MERGE contract).
+    * Replayed batches overwrite with identical values, so the sink is
+    * effectively exactly-once at the aggregate grain. */
+  def startMergeSink(spark: SparkSession, sourceDir: String, targetDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    windowedCounts(src).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // The target is aggregate-grain (small); snapshot it into memory
+        // before overwriting so no lazy scan races the rewrite. A real
+        // deployment would use a transactional table format's MERGE here —
+        // the upsert semantics (graft.etl.MergeUpsert) are the same.
+        val target = try {
+          val d = spark.read.parquet(targetDir)
+          spark.createDataFrame(d.collectAsList(), d.schema)
+        } catch {
+          case _: Throwable =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        }
+        MergeUpsert.upsert(target, batch, Seq("window_start", "event_type"))
+          .write.mode("overwrite").parquet(targetDir)
+        spark.catalog.refreshByPath(targetDir)
+      }
+      .start()
+  }
 
   /** Start the stream from a directory of parquet event files into an
     * in-memory sink (used by tests; swap format for a real sink). */

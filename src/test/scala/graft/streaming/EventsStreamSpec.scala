@@ -5,6 +5,50 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 class EventsStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stateful sessionize emits every closed session (open ones stay in state)") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_sess_spec").toString
+    val events = Tables(spark, sf0001).events
+    events.coalesce(2).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startSessionize(spark, staged, "sess_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test").count()
+      // batch equivalent: all sessions except each user's last (still open)
+      val batchSessions = graft.SparkEntry.queries("events_sessionize")(spark, sf0001).count()
+      val users = events.select("user_id").distinct().count()
+      assert(streamed == batchSessions - users,
+        s"streamed=$streamed batch=$batchSessions users=$users")
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge sink converges to the batch aggregate and is idempotent") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_merge_target").toString + "/agg"
+    val events = Tables(spark, sf0001).events
+    events.coalesce(2).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    def runOnce(): Unit = {
+      val q = EventsStream.startMergeSink(spark, staged, target)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val expected = EventsStream.windowedCounts(events)
+    // materialize before the replay overwrites the target files
+    val count1 = spark.read.parquet(target).count()
+    val diff1  = spark.read.parquet(target).except(expected).count() +
+      expected.except(spark.read.parquet(target)).count()
+    assert(count1 == expected.count())
+    assert(diff1 == 0)
+    // replay the same source: the MERGE keeps the sink unchanged
+    runOnce()
+    spark.catalog.refreshByPath(target)
+    val got2 = spark.read.parquet(target)
+    assert(got2.count() == count1)
+    assert(got2.except(expected).count() == 0)
+  }
 
   test("streaming windowed counts match the batch equivalent") {
     // stage events as TimestampType parquet (source table is TIMESTAMP(NANOS))
