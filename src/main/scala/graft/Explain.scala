@@ -22,9 +22,20 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    keys.foreach { k =>
-      println(s"\n========== $k ==========")
-      SparkEntry.queries(k)(spark, sfDir).explain("formatted")
+    keys.foreach {
+      case "year_rule_demo" =>
+        // graft.plans.YearPredicateRewrite before/after: the year() filter
+        // becomes a pushed scan range once the rule is installed.
+        import org.apache.spark.sql.functions.{col, year}
+        val orders = Tables(spark, sfDir).orders
+        println("\n========== year_rule_demo (rule OFF) ==========")
+        orders.filter(year(col("o_orderdate")).between(1995, 1996)).explain("formatted")
+        graft.plans.YearPredicateRewrite.install(spark)
+        println("\n========== year_rule_demo (rule ON) ==========")
+        orders.filter(year(col("o_orderdate")).between(1995, 1996)).explain("formatted")
+      case k =>
+        println(s"\n========== $k ==========")
+        SparkEntry.queries(k)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
