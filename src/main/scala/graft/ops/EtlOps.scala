@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Norm, Tables}
-import graft.etl.{DimDate, MergeUpsert, Scd2}
+import graft.etl.{DimDate, MergeUpsert, Scd2, Validation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -140,6 +140,42 @@ object EtlOps {
         .insertMissing(existing, batch, Seq("o_orderkey"))
         .groupBy(year(col("od")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── etl_validation_report: CHECK-constraint semantics as violation
+    // counters (ref 01_Create.sql CHECK domains + SURVEY §5 post-load
+    // checks). One aggregation pass per table, report is itself data.
+    OpQuery.checked(
+      "etl_validation_report",
+      """SELECT 'orders' AS table_name, 'positive_total' AS rule_name,
+        |       CAST(count(*) AS BIGINT) AS n_checked,
+        |       CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'known_status',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', 'qty_range',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'discount_range',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.5, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val orderRules = Seq(
+        Validation.Rule("positive_total", col("o_totalprice") > 0),
+        Validation.Rule("known_status", col("o_orderstatus").isin("O", "F", "P")))
+      val lineRules = Seq(
+        Validation.Rule("qty_range", col("l_quantity").between(1, 50)),
+        Validation.Rule("discount_range", col("l_discount").between(0, 0.5)))
+      Validation.report(t.orders, "orders", orderRules)
+        .unionByName(Validation.report(t.lineitem, "lineitem", lineRules))
     },
 
     // ── etl_partitioned_layout: the physical fact layout from SURVEY §4 —

@@ -219,6 +219,106 @@ object TextOps {
           col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
     },
 
+    // ── dedup_cluster: pairs → groups. Union exact-dup edges (same md5)
+    // with verified near-dup edges (banded candidates at 8-gram Jaccard
+    // ≥ 0.8), run connected components (min-label propagation), emit every
+    // document with its cluster id and canonical flag. The DuckDB oracle
+    // computes the same fixpoint with a recursive CTE — both sides
+    // converge to component = min doc_id, so results hash-match.
+    OpQuery.checked(
+      "dedup_cluster",
+      s"""WITH RECURSIVE fp AS (
+         |  SELECT doc_id, md5(text) AS h, ${duckMinFp("s1")} AS f1, ${duckMinFp("s2")} AS f2,
+         |         list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8))) AS sh
+         |  FROM documents),
+         |edges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM fp a JOIN fp b ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM sym
+         |  UNION
+         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+         |       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = tables(spark, dir).documents
+      val docsSh = docs
+        .select(col("doc_id"), md5(col("text")).as("h"), expr(shingleArr).as("shingles"))
+        .withColumn("f1", expr(minFp("s1")))
+        .withColumn("f2", expr(minFp("s2")))
+        .cache()
+      val exact = docsSh.as("a").join(docsSh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val near = docsSh.as("a").join(docsSh.as("b"),
+        col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("n_inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+        .withColumn("jac",
+          col("n_inter").cast("double") / (size(col("a.shingles")) + size(col("b.shingles")) - col("n_inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val comp = graft.algo.ConnectedComponents.components(exact.unionByName(near).distinct())
+      docs.select("doc_id")
+        .join(comp, docs("doc_id") === comp("id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"),
+          when(coalesce(col("component"), col("doc_id")) === col("doc_id"), 1L).otherwise(0L).as("is_canonical"))
+    },
+
+    // ── text_ngram_freq: corpus-level n-gram frequency — top-20 word
+    // bigrams with deterministic tiebreak; the vocabulary/statistics pass
+    // of a training-data pipeline (map-side partial counts, one shuffle
+    // on the bigram).
+    OpQuery.checked(
+      "text_ngram_freq",
+      """WITH words AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+        |bigrams AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i ->
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS bigram
+        |  FROM words WHERE len(w) > 1),
+        |counted AS (
+        |  SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram)
+        |SELECT bigram, CAST(n AS BIGINT) AS n,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rnk
+        |FROM counted ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .select(split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) > 1)
+        .select(explode(expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("bigram").asc)).cast("long"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    },
+
+    // ── agg_approx_distinct: HyperLogLog++ distinct estimation — the
+    // 100 TB alternative to exact COUNT(DISTINCT) when ±2% is acceptable.
+    // Engine-specific sketch → rows-only checked; the exact count rides
+    // along so the estimate's error is visible in the output.
+    OpQuery.unchecked("agg_approx_distinct") { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+    },
+
     // ── dedup_minhash_lsh: full MinHash + banded LSH, the at-scale
     // implementation (xxhash64-based — engine-native, so rows-only checked).
     // 16 hash functions → 4 bands of 4 → band-bucket join → estimated
