@@ -202,6 +202,27 @@ object AggOps {
         .select("yr", "qtr", "g_yr", "g_qtr", "spend")
     },
 
+    // ── agg_percentile: exact percentiles per group — Spark `percentile`
+    // and DuckDB `quantile_cont` both use linear interpolation over the
+    // sorted values, so the doubles match bit-for-bit.
+    OpQuery.checked(
+      "agg_percentile",
+      """SELECT l_returnflag,
+        |       CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS qty_p25,
+        |       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS qty_p50,
+        |       CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS qty_p75,
+        |       CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").cast("double").as("qty_p25"),
+          expr("percentile(l_quantity, 0.5)").cast("double").as("qty_p50"),
+          expr("percentile(l_quantity, 0.75)").cast("double").as("qty_p75"),
+          expr("percentile(l_extendedprice, 0.9)").cast("double").as("price_p90"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.

@@ -177,6 +177,25 @@ object JoinOps {
         .select(col("yr"), col("pri"), coalesce(col("n"), lit(0L)).cast("long").as("n_orders"))
     },
 
+    // ── join_skew_salted: the skew-mitigation join (SURVEY/prompt scale
+    // requirement) — large side salted across 8 buckets, small side
+    // replicated per bucket. Result is identical to the plain join (the
+    // oracle IS the plain join), only task placement changes.
+    OpQuery.checked(
+      "join_skew_salted",
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.etl.Salting
+        .saltedEquiJoin(t.orders, t.customer.select("c_custkey", "c_mktsegment"), "o_custkey", "c_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
     // ── join_scalar_lookup: correlated scalar subquery in SELECT
     // (ref holiday lookup 05_InitialLoading.sql:187,189) → left join +
     // coalesce against a pre-aggregated lookup (one shuffle, no per-row

@@ -12,9 +12,11 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
