@@ -162,6 +162,45 @@ object CoreOps {
         )
     },
 
+    // ── io_csv_roundtrip: CSV sink + schema-on-read source (SURVEY §2.1
+    // source/sink surface beyond parquet). Values survive the text
+    // round-trip exactly because the projection is ints/strings only.
+    OpQuery.checked(
+      "io_csv_roundtrip",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c_nationkey) AS BIGINT) AS nat_sum
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
+    ) { (spark, dir) =>
+      val path = scratch(dir, "csv_roundtrip")
+      Tables(spark, dir).customer
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      spark.read
+        .option("header", "true")
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_nationkey INT")
+        .csv(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_nationkey")).cast("long").as("nat_sum"))
+    },
+
+    // ── io_json_roundtrip: JSON-lines sink + source with explicit schema.
+    OpQuery.checked(
+      "io_json_roundtrip",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    ) { (spark, dir) =>
+      val path = scratch(dir, "json_roundtrip")
+      Tables(spark, dir).orders
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").json(path)
+      spark.read
+        .schema("o_orderkey BIGINT, o_orderpriority STRING")
+        .json(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).cast("long").as("min_key"))
+    },
+
     // ── project_expr: computed projection — CASE bucketing, string build
     // (ref DimMembers load 05_InitialLoading.sql:230-289).
     OpQuery.checked(

@@ -43,6 +43,26 @@ object MultimodalOps {
         (lit(1) + octet_length(payload) % 30).cast("long").as("n_frames"))
     },
 
+    // ── multimodal_frame_sample: frame sampling over (stub-)decoded video
+    // payloads — every 5th frame index up to the decoded frame count, the
+    // standard stride-sampling shape (explode over a bounded sequence;
+    // partition-local, no shuffle).
+    OpQuery.checked(
+      "multimodal_frame_sample",
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |       CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+        |FROM meta""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          (lit(1) + octet_length(col("text").cast("binary")) % 30).cast("long").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(cast(0 as bigint), n_frames - 1, cast(5 as bigint))")).as("frame_idx"))
+    },
+
     // ── multimodal_features: per-partition batch feature extraction over
     // binary payloads — the mapPartitions shape a Pandas-UDF/mapInPandas
     // extractor takes. The "model" is a stub (normalized 8-bin byte
