@@ -33,6 +33,24 @@ object Explain {
         graft.plans.YearPredicateRewrite.install(spark)
         println("\n========== year_rule_demo (rule ON) ==========")
         orders.filter(year(col("o_orderdate")).between(1995, 1996)).explain("formatted")
+      case "range_join_demo" =>
+        // graft.plans.RangeLookupJoinStrategy before/after: the interval
+        // join's BroadcastNestedLoop becomes the binary-search operator.
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        import spark.implicits._
+        val windows = Seq(("1995-01-01", "1995-06-30", "H1"), ("1995-07-01", "1995-12-31", "H2"))
+          .toDF("s", "e", "label")
+          .select(col("s").cast("date").as("win_start"), col("e").cast("date").as("win_end"), col("label"))
+        def q = Tables(spark, sfDir).orders
+          .join(windows, to_date(col("o_orderdate")).between(col("win_start"), col("win_end")))
+          .groupBy("label").agg(count(lit(1)).as("n"))
+        println("\n========== range_join_demo (strategy OFF) ==========")
+        q.explain()
+        q.show()
+        graft.plans.RangeLookupJoin.install(spark)
+        println("\n========== range_join_demo (strategy ON) ==========")
+        q.explain()
+        q.show()
       case k =>
         println(s"\n========== $k ==========")
         SparkEntry.queries(k)(spark, sfDir).explain("formatted")

@@ -109,5 +109,6 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
+    ext.injectPlannerStrategy(_ => RangeLookupJoinStrategy)
   }
 }
