@@ -16,9 +16,11 @@ object SparkEntry {
     CoreOps.ops ++ JoinOps.ops ++ AggOps.ops ++ EtlOps.ops ++ graft.queries.ReportQueries.ops ++
       TextOps.ops ++ SimOps.ops ++ EventsOps.ops ++ MultimodalOps.ops
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Q1 is the designated minimum end-to-end slice (SURVEY §7.5): star
+    * join → quarter pivot → YoY LAG → top-N rank in one DAG. */
   def entry(spark: SparkSession): DataFrame =
-    queries("join_inner_equi")(spark, "/root/testdata/sf0.001")
+    queries("q1_genre_sales")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

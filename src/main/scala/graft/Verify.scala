@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // exercise the t1 flagship path too, so a broken entry surfaces here
+    try System.err.println(s"[verify] entry rows=${SparkEntry.entry(spark).count()}")
+    catch { case e: Throwable => System.err.println(s"[verify] entry FAILED: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
