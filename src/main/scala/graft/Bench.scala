@@ -28,18 +28,26 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to math.max(repeat, 1)).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // optional args: restrict to these query keys (dev iteration only).
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only(kv._1))
+      .map { case (name, fn) =>
+        var failed = false
+        val times = (1 to math.max(repeat, 1)).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        // a failed query must not masquerade as a fast healthy timing
+        (name, if (failed) -1.0 else times.min, failed)
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedKeys = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, false) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedKeys,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

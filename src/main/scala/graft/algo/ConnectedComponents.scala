@@ -10,41 +10,72 @@ import org.apache.spark.sql.functions._
   * Each round: every node takes the min label among itself and its
   * neighbors; converges in O(component diameter) rounds — and dup
   * clusters are near-cliques, so 2-3 rounds in practice. Each round is a
-  * join + groupBy on the edge list, fully distributed; the driver only
-  * evaluates the convergence counter. (At extreme scale the same loop
-  * with the large-star/small-star transforms halves round count; not
-  * needed at dup-cluster diameters.)
+  * join + groupBy on the edge list, fully distributed.
+  *
+  * Scale discipline (this loop must survive 100× data):
+  *   - `localCheckpoint(eager = true)` on every label generation truncates
+  *     both logical-plan and RDD lineage — without it the DAG grows by one
+  *     join+agg per round and round N replays rounds 1..N-1.
+  *   - exactly ONE job per round (the eager checkpoint materialization);
+  *     the convergence probe runs every `checkEvery` rounds as a
+  *     short-circuit `isEmpty` (limit-1 scan) over the already-
+  *     materialized generation, piggybacking on a `changed` flag computed
+  *     inside the round — no second full-count job per round.
+  *   - superseded generations are explicitly unpersisted so executor
+  *     storage stays O(|V|), not O(rounds × |V|).
+  *   - (At extreme diameters the same loop with large-star/small-star
+  *     transforms halves round count; not needed at dup-cluster
+  *     diameters.)
   */
 object ConnectedComponents {
 
   /** @param edges DataFrame with two long columns `a`, `b` (undirected).
+    * @param checkEvery probe convergence every this many rounds (dup
+    *        clusters converge in 2-3, so probing each round wastes a job).
     * @return (id, component) for every node appearing in `edges`,
     *         component = min node id in the connected component. */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
 
-    var labels  = sym.select(col("a").as("id")).distinct().withColumn("label", col("id")).cache()
-    var changed = 1L
-    var i       = 0
-    while (changed > 0 && i < maxIter) {
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint persists its RDD outside the CacheManager, so
+    // Dataset.unpersist can't release superseded generations — track the
+    // persisted-RDD ids each checkpoint creates and unpersist them
+    // directly once the following generation has materialized.
+    def snapshotIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    var before = snapshotIds
+    var gen = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"), lit(false).as("changed"))
+      .localCheckpoint(true)
+    var genIds = snapshotIds -- before
+    var done   = false
+    var i      = 0
+    while (!done && i < maxIter) {
       val nbrMin = sym
-        .join(labels, sym("b") === labels("id"))
+        .join(gen.select("id", "label"), sym("b") === col("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = next
+      before = snapshotIds
+      val next = gen
+        .join(nbrMin, gen("id") === nbrMin("nid"), "left_outer")
+        .select(
+          gen("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+        .localCheckpoint(true) // the round's single job; truncates lineage
+      // free the superseded generation — `next` is fully materialized, so
+      // nothing live references the old labels anymore.
+      val nextIds = snapshotIds -- before
+      genIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      genIds = nextIds
+      gen = next
       i += 1
+      if (i % checkEvery == 0 || i >= maxIter)
+        done = gen.where(col("changed")).isEmpty // limit-1 probe on materialized data
     }
-    labels.select(col("id"), col("label").as("component"))
+    gen.select(col("id"), col("label").as("component"))
   }
 }

@@ -65,13 +65,35 @@ object MultimodalOps {
 
     // ── multimodal_features: per-partition batch feature extraction over
     // binary payloads — the mapPartitions shape a Pandas-UDF/mapInPandas
-    // extractor takes. The "model" is a stub (normalized 8-bin byte
-    // histogram); the batching, binary input, and ArrayType(Float) output
-    // are the real contract. Rows-only checked (array outputs).
-    OpQuery.unchecked("multimodal_features") { (spark, dir) =>
+    // extractor takes. The "model" is a stub (8-bin byte histogram —
+    // bin = byte >> 5); the batching, binary input, and per-bin feature
+    // output are the real contract. Output is posexploded to one row per
+    // (doc_id, bin) so it is flat-typed (harness-sortable) and oracle-
+    // checkable: weight = round(count/len, 6) is one IEEE double division
+    // of exact integers — bit-identical across engines.
+    OpQuery.checked(
+      "multimodal_features",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         octet_length(CAST(text AS BLOB)) AS n,
+        |         hex(CAST(text AS BLOB)) AS h
+        |  FROM documents),
+        |bins AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(0, n), i ->
+        |           (strpos('0123456789ABCDEF', h[CAST(2*i+1 AS INT):CAST(2*i+1 AS INT)]) - 1) // 2) AS bl
+        |  FROM b)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(bin AS BIGINT) AS bin,
+        |       CAST(len(list_filter(bl, x -> x = bin)) AS BIGINT) AS byte_count,
+        |       ROUND(CAST(len(list_filter(bl, x -> x = bin)) AS DOUBLE) / greatest(n, 1), 6) AS weight
+        |FROM bins CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) bins8""".stripMargin
+    ) { (spark, dir) =>
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("n_bytes", LongType, nullable = false),
+        StructField("hist", ArrayType(LongType, containsNull = false), nullable = false),
         StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
       val enc = org.apache.spark.sql.Encoders.row(schema)
       val src = Tables(spark, dir).documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -81,13 +103,19 @@ object MultimodalOps {
         rows.map { r =>
           val id      = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val hist    = new Array[Float](8)
+          val hist    = new Array[Long](8)
           var i = 0
-          while (i < payload.length) { hist((payload(i) & 0xff) >> 5) += 1f; i += 1 }
+          while (i < payload.length) { hist((payload(i) & 0xff) >> 5) += 1L; i += 1 }
           val n = math.max(payload.length, 1).toFloat
-          Row(id, payload.length.toLong, hist.map(_ / n).toSeq)
+          Row(id, payload.length.toLong, hist.toSeq, hist.map(_ / n).toSeq)
         }
       }(enc)
+        // flatten the feature vector: one (doc_id, bin) row per histogram
+        // slot — narrow map over the extractor output, still zero-shuffle.
+        .select(col("doc_id"), col("n_bytes"), posexplode(col("hist")).as(Seq("bin", "byte_count")))
+        .select(
+          col("doc_id"), col("n_bytes"), col("bin").cast("long").as("bin"), col("byte_count"),
+          round(col("byte_count").cast("double") / greatest(col("n_bytes"), lit(1L)), 6).as("weight"))
     }
   )
 }

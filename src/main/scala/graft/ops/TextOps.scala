@@ -29,6 +29,25 @@ object TextOps {
     Tables(spark, dir)
   }
 
+  /** Shared shingle artifact: (doc_id, text, shingles), cached once and
+    * reused by every dedup/fingerprint op (Spark's CacheManager matches the
+    * cached subplan inside each derived query). In a production pipeline
+    * this is a persisted parquet artifact — shingling 100 TB once, not once
+    * per consumer — and the cache models exactly that. */
+  private def docBase(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), expr(shingleArr).as("shingles"))
+      .cache()
+
+  /** Shared fingerprint artifact: (doc_id, h = md5(text), f1, f2) — the
+    * tiny (4 × 32-byte) table every candidate-pair join shuffles on. */
+  private def fpBase(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    docBase(spark, dir)
+      .select(
+        col("doc_id"), md5(col("text")).as("h"),
+        expr(minFp("s1")).as("f1"), expr(minFp("s2")).as("f2"))
+      .cache()
+
   private def duckMinFp(salt: String): String =
     s"list_aggregate(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> md5('$salt' || substr(text, CAST(i AS INT), 8))), 'min')"
 
@@ -136,8 +155,7 @@ object TextOps {
          |       CAST(len(list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8)))) AS BIGINT) AS n_distinct_shingles
          |FROM documents""".stripMargin
     ) { (spark, dir) =>
-      tables(spark, dir).documents
-        .select(col("doc_id"), expr(shingleArr).as("shingles"))
+      docBase(spark, dir)
         .select(
           col("doc_id"),
           expr(minFp("s1")).as("fp_min"),
@@ -195,21 +213,19 @@ object TextOps {
       // the Jaccard verify is a partition-local array_intersect — no
       // exploded-shingle shuffle. (For unbounded document sizes the
       // explode+join formulation wins; for bounded docs this is ~5× faster.)
-      // cached: the fingerprint table is a persisted artifact in a real
-      // pipeline; without it every join branch re-shingles the corpus.
-      val docsSh = tables(spark, dir).documents
-        .select(col("doc_id"), expr(shingleArr).as("shingles"))
-        .cache()
-      val fp = docsSh.select(
-        col("doc_id"),
-        expr(minFp("s1")).as("f1"), expr(minFp("s2")).as("f2"))
+      // NO broadcast hints: every join side is corpus-derived (grows with
+      // the data), so the scale-safe physical plan is a shuffle join on
+      // the 32-byte fingerprint / doc_id keys. AQE still elects broadcast
+      // at runtime when the candidate side turns out tiny — its call.
+      val sh = docBase(spark, dir)
+      val fp = fpBase(spark, dir)
       val cand = fp.select("doc_id", "f1", "f2").as("a")
-        .join(broadcast(fp.select("doc_id", "f1", "f2").as("b")),
+        .join(fp.select("doc_id", "f1", "f2").as("b"),
           col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       cand
-        .join(broadcast(docsSh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))), "a_id")
-        .join(broadcast(docsSh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))), "b_id")
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
         .select(
           col("a_id"), col("b_id"),
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
@@ -251,23 +267,30 @@ object TextOps {
          |       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
     ) { (spark, dir) =>
+      // Candidate-pair joins run over the 4×32-byte fingerprint artifact
+      // only — the shingle arrays never ride through a self-join shuffle.
+      // Shingles are fetched just for the (few) candidate pairs; AQE
+      // broadcasts the tiny candidate side at runtime.
       val docs = tables(spark, dir).documents
-      val docsSh = docs
-        .select(col("doc_id"), md5(col("text")).as("h"), expr(shingleArr).as("shingles"))
-        .withColumn("f1", expr(minFp("s1")))
-        .withColumn("f2", expr(minFp("s2")))
-        .cache()
-      val exact = docsSh.as("a").join(docsSh.as("b"),
+      val sh   = docBase(spark, dir).select(col("doc_id"), col("shingles"))
+      val fp   = fpBase(spark, dir)
+      val exact = fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      val near = docsSh.as("a").join(docsSh.as("b"),
+      val near = fp.as("a").join(fp.as("b"),
         col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("n_inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
-        .withColumn("jac",
-          col("n_inter").cast("double") / (size(col("a.shingles")) + size(col("b.shingles")) - col("n_inter")))
-        .filter(col("jac") >= 0.8)
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      val comp = graft.algo.ConnectedComponents.components(exact.unionByName(near).distinct())
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jac",
+          col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a"), col("b"))
+      // the verified edge list is tiny (near-dup pairs only) — cache it so
+      // the CC loop's seed checkpoint doesn't replay the verify pipeline.
+      val edges = exact.unionByName(near).distinct().cache()
+      val comp  = graft.algo.ConnectedComponents.components(edges)
       docs.select("doc_id")
         .join(comp, docs("doc_id") === comp("id"), "left_outer")
         .select(
@@ -328,8 +351,7 @@ object TextOps {
       // banding/joins carry only (doc_id, band_hash) — the text never
       // shuffles. This is the shape that holds at 100 TB: corpus-size work
       // is embarrassingly parallel, shuffle volume is O(docs × bands × 16B).
-      val withSig = tables(spark, dir).documents
-        .select(col("doc_id"), expr(shingleArr).as("shingles"))
+      val withSig = docBase(spark, dir)
         .select(col("doc_id"), expr("minhash_sig(shingles)").as("sig"))
         .cache()
       // band hash = xxhash64 of the band's 4 signature slots
@@ -337,15 +359,17 @@ object TextOps {
         col("doc_id"),
         explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3])))")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+      // shuffle joins on (band, band_hash) / doc_id — all sides are
+      // corpus-sized, so no broadcast hints (AQE decides at runtime).
       val pairs = banded.as("a")
-        .join(broadcast(banded.as("b")),
+        .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       pairs
-        .join(broadcast(withSig.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))), "a_id")
-        .join(broadcast(withSig.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))), "b_id")
+        .join(withSig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+        .join(withSig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
         .select(
           col("a_id"), col("b_id"),
           expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("long").as("n_agree"))
@@ -366,8 +390,10 @@ object TextOps {
         col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.slice").as("slice"), col("x.sv").as("slice_val"))
+      // shuffle join on (slice, slice_val) — both sides corpus-sized, no
+      // broadcast hint.
       sliced.as("a")
-        .join(broadcast(sliced.as("b")),
+        .join(sliced.as("b"),
           col("a.slice") === col("b.slice") && col("a.slice_val") === col("b.slice_val")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
