@@ -29,6 +29,11 @@ object InitialLoad {
   private def dateKey(d: org.apache.spark.sql.Column) =
     (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast("long")
 
+  /** Surrogate-key lookups resolve against the CURRENT dim version only
+    * (ref 07_SubsequentLoading.sql joins on curr_ind = 'Y') — an SCD2 dim
+    * with history must not fan facts out across versions. */
+  private def currentOf(dim: DataFrame): DataFrame = dim.filter(col("curr_ind") === "Y")
+
   /** DimMembers (ref 05_InitialLoading.sql:226-290): age buckets, state /
     * city parsed from the address ("street, city, state" — the reference's
     * INSTR-from-the-end chains become split + element_at), SCD2 columns. */
@@ -80,8 +85,8 @@ object InitialLoad {
   def factSales(details: DataFrame, orders: DataFrame, dimB: DataFrame, dimM: DataFrame): DataFrame =
     details
       .join(orders.select("order_id", "member_id"), Seq("order_id"))
-      .join(broadcast(dimB.select("book_id", "book_key")), Seq("book_id"))
-      .join(broadcast(dimM.select("member_id", "member_key")), Seq("member_id"))
+      .join(broadcast(currentOf(dimB).select("book_id", "book_key")), Seq("book_id"))
+      .join(broadcast(currentOf(dimM).select("member_id", "member_key")), Seq("member_id"))
       .select(
         col("order_id"), col("line_no"),
         dateKey(col("sales_date")).as("date_key"),
@@ -96,8 +101,8 @@ object InitialLoad {
   def factBorrowing(borrows: DataFrame, copies: DataFrame, dimB: DataFrame, dimM: DataFrame, asOf: String): DataFrame =
     borrows
       .join(broadcast(copies.select("copy_id", "book_id")), Seq("copy_id"))
-      .join(broadcast(dimB.select("book_id", "book_key")), Seq("book_id"))
-      .join(broadcast(dimM.select("member_id", "member_key")), Seq("member_id"))
+      .join(broadcast(currentOf(dimB).select("book_id", "book_key")), Seq("book_id"))
+      .join(broadcast(currentOf(dimM).select("member_id", "member_key")), Seq("member_id"))
       .withColumn("duration_days",
         when(col("return_date").isNotNull, datediff(col("return_date"), col("borrow_date")))
           .otherwise(datediff(lit(asOf).cast("date"), col("borrow_date"))))
@@ -117,8 +122,8 @@ object InitialLoad {
     details
       .join(orders.select("po_id", "purchase_date", "supplier_id"), Seq("po_id"))
       .join(broadcast(titles.select("book_id", "purchase_price")), Seq("book_id"))
-      .join(broadcast(dimB.select("book_id", "book_key")), Seq("book_id"))
-      .join(broadcast(dimS.select("supplier_id", "supplier_key")), Seq("supplier_id"))
+      .join(broadcast(currentOf(dimB).select("book_id", "book_key")), Seq("book_id"))
+      .join(broadcast(currentOf(dimS).select("supplier_id", "supplier_key")), Seq("supplier_id"))
       .select(
         col("po_id"), col("line_no"),
         dateKey(col("purchase_date")).as("date_key"),

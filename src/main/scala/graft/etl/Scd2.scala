@@ -36,7 +36,17 @@ object Scd2 {
     * @param trackedCols attribute columns whose change forces a new version
     * @param changeDate effective date of the new versions (yyyy-MM-dd)
     */
-  def apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], changeDate: String): DataFrame = {
+  def apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], changeDate: String): DataFrame =
+    applyTagged(dim, changes, keyCols, trackedCols, changeDate).drop(ActionCol)
+
+  /** Name of the action column [[applyTagged]] appends. */
+  val ActionCol = "__scd2_action"
+
+  /** Like [[apply]], but each output row carries [[ActionCol]] ∈
+    * ('keep' | 'close' | 'open') so callers can post-process the new
+    * current versions — e.g. assign them fresh surrogate keys
+    * ([[IncrementalLoad]]). */
+  def applyTagged(dim: DataFrame, changes: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], changeDate: String): DataFrame = {
     val chg = changes.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
 
     val joinCond: Column = keyCols.map(k => col(k) === col(s"__chg_$k")).reduce(_ && _)
@@ -44,19 +54,24 @@ object Scd2 {
       .map(c => !(col(c) <=> col(s"__chg_$c"))) // null-safe inequality
       .reduce(_ || _)
 
-    val joined = dim.join(broadcast(chg), joinCond, "left_outer")
+    // cached: three branches (keep/close/open) consume this join — without
+    // the cache the dim⋈changes join executes three times per apply.
+    val joined = dim.join(broadcast(chg), joinCond, "left_outer").cache()
 
     val isCurrentAndChanged = col("curr_ind") === "Y" && col(s"__chg_${keyCols.head}").isNotNull && differs
 
+    val dimCols = dim.columns.map(col).toIndexedSeq
+
     // 1. rows untouched (historic rows, or current rows with no real change)
-    val untouched = joined.filter(!isCurrentAndChanged).select(dim.columns.map(col).toIndexedSeq: _*)
+    val untouched = joined.filter(!isCurrentAndChanged)
+      .select(dimCols: _*).withColumn(ActionCol, lit("keep"))
 
     // 2. close the superseded current version
     val closed = joined
       .filter(isCurrentAndChanged)
       .withColumn("expiration_date", date_sub(lit(changeDate).cast("date"), 1))
       .withColumn("curr_ind", lit("N"))
-      .select(dim.columns.map(col).toIndexedSeq: _*)
+      .select(dimCols: _*).withColumn(ActionCol, lit("close"))
 
     // 3. append the new current version with the changed attributes
     val opened = joined
@@ -67,7 +82,7 @@ object Scd2 {
         case "expiration_date"            => lit(EndOfTime).cast("date").as("expiration_date")
         case "curr_ind"                   => lit("Y").as("curr_ind")
         case c                            => col(c)
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq: _*).withColumn(ActionCol, lit("open"))
 
     untouched.unionByName(closed).unionByName(opened)
   }

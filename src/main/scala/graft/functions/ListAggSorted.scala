@@ -36,7 +36,8 @@ case class ListAggSorted(
     extends TypedImperativeAggregate[ArrayBuffer[UTF8String]] {
 
   override def children: Seq[Expression] = Seq(child, sep)
-  override def nullable: Boolean = false
+  // SQL LISTAGG / string_agg return NULL (not '') for empty/all-null groups
+  override def nullable: Boolean = true
   override def dataType: DataType = StringType
   override def prettyName: String = "listagg_sorted"
 
@@ -57,7 +58,8 @@ case class ListAggSorted(
   }
 
   override def eval(buf: ArrayBuffer[UTF8String]): Any =
-    UTF8String.fromString(buf.sorted.map(_.toString).mkString(sepStr))
+    if (buf.isEmpty) null
+    else UTF8String.fromString(buf.sorted.map(_.toString).mkString(sepStr))
 
   override def serialize(buf: ArrayBuffer[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,19 +28,27 @@ case class MinHashSig(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val sig = Array.fill(MinHashSig.NumHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val s  = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28cL)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x1b873593L)
-      var k = 0
-      while (k < MinHashSig.NumHashes) {
-        val hk = h1 + k * h2
-        if (hk < sig(k)) sig(k) = hk
-        k += 1
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        val s  = arr.getUTF8String(i)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28cL)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x1b873593L)
+        var k = 0
+        while (k < MinHashSig.NumHashes) {
+          val hk = h1 + k * h2
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+        }
       }
       i += 1
     }
@@ -58,17 +67,25 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+
   override def nullSafeEval(input: Any): Any = {
     val arr      = input.asInstanceOf[ArrayData]
     val counters = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
-        bit += 1
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+          bit += 1
+        }
       }
       i += 1
     }
@@ -92,6 +109,12 @@ case class MinMd5Salted(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "min_md5_salted"
 
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<string>, string), got ($l, $r)")
+  }
+
+
   override def nullSafeEval(shingles: Any, salt: Any): Any = {
     val arr       = shingles.asInstanceOf[ArrayData]
     val saltBytes = salt.asInstanceOf[UTF8String].getBytes
@@ -99,11 +122,13 @@ case class MinMd5Salted(left: Expression, right: Expression)
     var best: String = null
     var i = 0
     while (i < arr.numElements()) {
-      md.reset()
-      md.update(saltBytes)
-      md.update(arr.getUTF8String(i).getBytes)
-      val hex = MinMd5Salted.toHex(md.digest())
-      if (best == null || hex.compareTo(best) < 0) best = hex
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        md.reset()
+        md.update(saltBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        val hex = MinMd5Salted.toHex(md.digest())
+        if (best == null || hex.compareTo(best) < 0) best = hex
+      }
       i += 1
     }
     if (best == null) null else UTF8String.fromString(best)
@@ -119,6 +144,12 @@ case class MaxMd5Salted(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "max_md5_salted"
 
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<string>, string), got ($l, $r)")
+  }
+
+
   override def nullSafeEval(shingles: Any, salt: Any): Any = {
     val arr       = shingles.asInstanceOf[ArrayData]
     val saltBytes = salt.asInstanceOf[UTF8String].getBytes
@@ -126,11 +157,13 @@ case class MaxMd5Salted(left: Expression, right: Expression)
     var best: String = null
     var i = 0
     while (i < arr.numElements()) {
-      md.reset()
-      md.update(saltBytes)
-      md.update(arr.getUTF8String(i).getBytes)
-      val hex = MinMd5Salted.toHex(md.digest())
-      if (best == null || hex.compareTo(best) > 0) best = hex
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        md.reset()
+        md.update(saltBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        val hex = MinMd5Salted.toHex(md.digest())
+        if (best == null || hex.compareTo(best) > 0) best = hex
+      }
       i += 1
     }
     if (best == null) null else UTF8String.fromString(best)

@@ -60,6 +60,12 @@ case class RangeLookupJoinExec(
     left.execute().mapPartitions { iter =>
       val (ivs, maxHi) = bcIntervals.value
       val joined       = new JoinedRow
+      // Parent operators (Sort, Exchange, executeCollect/executeTake) cast
+      // emitted rows to UnsafeRow — project every joined row through an
+      // UnsafeProjection, exactly as BroadcastNestedLoopJoinExec does. The
+      // projection reuses one buffer, which is safe under the standard
+      // join-iterator contract (consumer reads/copies before next()).
+      val toUnsafe = UnsafeProjection.create(output, output)
       iter.flatMap { lrow =>
         val d = probeExpr.eval(lrow)
         if (d == null || ivs.isEmpty) Iterator.empty
@@ -83,7 +89,7 @@ case class RangeLookupJoinExec(
             if (ordering.gteq(ivs(idx)._2, d)) matches += ivs(idx)._3
             idx -= 1
           }
-          matches.iterator.map(rrow => joined(lrow, rrow))
+          matches.iterator.map(rrow => toUnsafe(joined(lrow, rrow)))
         }
       }
     }

@@ -52,12 +52,15 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def intOf(e: Expression): Option[Int] = e match {
+  private def intOf(e: Expression): Option[Int] = (e match {
     case Literal(v: Int, _)                  => Some(v)
     case Cast(Literal(v: Int, _), _, _, _)   => Some(v)
     case Literal(v: Long, _) if v.isValidInt => Some(v.toInt)
     case _                                   => None
-  }
+    // Only rewrite sane year literals: boundary(y + 1) must stay inside
+    // LocalDateTime/micros range, so e.g. `year(col) = 2147483647` (a valid
+    // always-false predicate) is left alone instead of crashing planning.
+  }).filter(y => y >= 1 && y <= 9998)
 
   private object YearOf {
     private def ok(t: org.apache.spark.sql.types.DataType): Boolean =

@@ -35,6 +35,29 @@ class IncrementalAndRendererSpec extends SparkSuite {
     assert(added == extraDetails.count(), s"expected ${extraDetails.count()} new fact rows, got $added")
   }
 
+  test("incremental load versions existing members whose tracked attrs changed (SCD2)") {
+    val someId = derived.members.select("member_id").orderBy("member_id").limit(1)
+      .collect().head.getString(0)
+    val batch = derived.copy(members =
+      derived.members.withColumn("member_name",
+        when(col("member_id") === someId, lit("Changed Name")).otherwise(col("member_name"))))
+    val refreshed = IncrementalLoad(spark, dw, batch, "2024-07-31")
+    // exactly one new version row appended for the changed member
+    assert(refreshed.dimMembers.count() == dw.dimMembers.count() + 1)
+    val versions = refreshed.dimMembers.filter(col("member_id") === someId)
+      .select("member_name", "curr_ind", "member_key")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._2)
+    assert(versions.length == 2)
+    val (closed, opened) = (versions.head, versions.last)
+    assert(closed._2 == "N" && opened._2 == "Y")
+    assert(opened._1 == "Changed Name")
+    // the new version got a fresh surrogate key above the old max
+    val oldMax = dw.dimMembers.agg(max(col("member_key"))).first().getLong(0)
+    assert(opened._3 > oldMax && closed._3 <= oldMax)
+    // facts resolve against the current version only — no fan-out
+    assert(refreshed.factSales.count() == dw.factSales.count())
+  }
+
   test("renderer emits BREAK-suppressed groups and COMPUTE subtotal rows") {
     val df = Seq(
       (1995L, "Fiction", 100.0), (1995L, "Mystery", 50.0),

@@ -42,6 +42,27 @@ class RangeLookupJoinSpec extends SparkSuite {
     }
   }
 
+  test("join output survives direct collect/orderBy (UnsafeRow contract)") {
+    // executeCollect and SortExec cast emitted rows to UnsafeRow — consume
+    // the join with NO aggregate above it so the operator's raw output
+    // contract is what's under test.
+    RangeLookupJoin.install(spark)
+    try {
+      val planned = rangeJoin.select(col("o_orderkey"), col("label"))
+      assert(planned.queryExecution.executedPlan.toString.contains("RangeLookupJoin"))
+      val direct = planned.collect()
+      assert(direct.nonEmpty)
+      val sorted = planned.orderBy(col("o_orderkey"), col("label")).collect()
+      assert(sorted.length == direct.length)
+      // rows must be distinct materialized values, not one shared buffer
+      assert(direct.map(r => (r.getLong(0), r.getString(1))).distinct.length == direct.length)
+      assert(planned.limit(3).collect().length == 3)
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == RangeLookupJoinStrategy)
+    }
+  }
+
   test("strategy leaves non-matching joins and large right sides alone") {
     RangeLookupJoin.install(spark)
     try {

@@ -49,4 +49,13 @@ class YearPredicateRewriteSpec extends SparkSuite {
       assert(a == b, s"rewrite changed semantics for $yearPred: $a vs $b")
     }
   }
+
+  test("out-of-range year literals are left unrewritten, not a planning crash") {
+    YearPredicateRewrite.install(spark)
+    val orders = Tables(spark, sf0001).orders
+    // valid always-false predicates; LocalDateTime.of would reject y+1
+    assert(orders.filter(year(col("o_orderdate")) === 2147483647).count() == 0)
+    assert(orders.filter(year(col("o_orderdate")) === 0).count() == 0)
+    assert(orders.filter(year(col("o_orderdate")) > 9998).count() == 0)
+  }
 }
