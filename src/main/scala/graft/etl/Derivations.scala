@@ -40,23 +40,37 @@ object Derivations {
     fines
       .join(broadcast(titles.select(col("book_id"), priceCol.as("price"))), Seq("book_id"), "left_outer")
       .withColumn("fine_amount",
-        when(col("fine_type") === "Lost", col("price") + 20)
-          .when(col("fine_type") === "Damage", col("price"))
-          .otherwise(lit(30).cast(DecimalType(6, 2))))
+        when(col("fine_type") === "Lost Book", (col("price") + 20).cast(DecimalType(8, 2)))
+          .when(col("fine_type") === "Damage", col("price").cast(DecimalType(8, 2)))
+          .otherwise(lit(30).cast(DecimalType(8, 2))))
       .drop("price")
   }
 
   /** TRG_CALCULATE_PAYMENT_AMOUNT (02_Trigger.sql:227-246): payment =
     * Σ linked fines; membership registration = flat 50. */
   def paymentAmounts(payments: DataFrame, fines: DataFrame): DataFrame = {
-    val fineTotals = fines.groupBy("payment_id")
+    val fineTotals = fines.filter(col("payment_id").isNotNull)
+      .groupBy("payment_id")
       .agg(sum(col("fine_amount")).cast(DecimalType(8, 2)).as("fine_total"))
     payments
       .join(fineTotals, Seq("payment_id"), "left_outer")
       .withColumn("pay_amount",
-        when(col("payment_type") === "Registration", lit(50).cast(DecimalType(8, 2)))
+        when(col("payment_type") === "Membership Registration", lit(50).cast(DecimalType(8, 2)))
           .otherwise(coalesce(col("fine_total"), lit(0).cast(DecimalType(8, 2)))))
       .drop("fine_total")
+  }
+
+  /** TRG_MANAGE_PAYMENTS (02_Trigger.sql:271-297): a 'Fines' payment with
+    * an amount marks its linked fines 'Paid' — the reference's only
+    * cross-table trigger UPDATE, as a semi-join flip. */
+  def finePaymentStatus(fines: DataFrame, payments: DataFrame): DataFrame = {
+    val paying = payments
+      .filter(col("payment_type") === "Fines" && col("pay_amount").isNotNull)
+      .select(col("payment_id")).distinct()
+    fines
+      .join(paying.withColumn("is_paid", lit(1)), Seq("payment_id"), "left_outer")
+      .withColumn("fine_status", when(col("is_paid").isNotNull, "Paid").otherwise(col("fine_status")))
+      .drop("is_paid")
   }
 
   /** trg_salesdetails_calc_amounts (02_Trigger.sql:412-455): per line,
@@ -95,11 +109,17 @@ object Derivations {
     orders.join(lineTotals, Seq("po_id"), "left_outer")
   }
 
-  /** Apply the full rule set in dependency order over generated tables. */
-  def applyAll(t: LibraryTables, asOf: String): LibraryTables =
+  /** Apply the full rule set in dependency order over generated tables:
+    * fine amounts before payment sums before the paid-status flip. */
+  def applyAll(t: LibraryTables, asOf: String): LibraryTables = {
+    val finesPriced = fineAmounts(t.fines, t.bookTitles)
+    val paymentsAmt = paymentAmounts(t.payments, finesPriced)
     t.copy(
       members = memberStatus(t.members, asOf),
       bookCopies = copyStatus(t.bookCopies, t.borrowedBooks),
       salesDetails = salesDetailAmounts(t.salesDetails, t.bookTitles, t.discounts),
-      purchaseOrders = purchaseOrderTotals(t.purchaseOrders, t.purchaseDetails, t.bookTitles))
+      purchaseOrders = purchaseOrderTotals(t.purchaseOrders, t.purchaseDetails, t.bookTitles),
+      fines = finePaymentStatus(finesPriced, paymentsAmt),
+      payments = paymentsAmt)
+  }
 }

@@ -188,6 +188,105 @@ object LibraryGen {
     (orders.drop("n_lines"), details)
   }
 
+  /** Fines (ref 08_InsertFines.sql:46-108), set-based — three MERGE
+    * sources become three filters over the borrow log:
+    *   Lost Book:   returnStatus = 'Lost', fineDate = least(nvl(return,
+    *                due+1), windowEnd);
+    *   Late Return: returned 1..7 days past due → fineDate = returnDate;
+    *   Damage:      ~3% of returned (seeded draw) → fineDate = returnDate.
+    * Amounts are left NULL — TRG_CALCULATE_FINE_AMOUNT semantics live in
+    * [[graft.etl.Derivations.fineAmounts]], which fills them exactly like
+    * the trigger's WHEN (NEW.fineAmount IS NULL) path.
+    * fine_id = 'F' + borrow digits + type code: the reference MERGEs on
+    * (borrowId, fineType), so that pair IS the natural key — no global
+    * sequence needed (a sequence would single-partition the generator). */
+  def fines(borrows: DataFrame, copies: DataFrame, damageRate: Double = 0.03, seed: Long = 42): DataFrame = {
+    val b = borrows.join(broadcast(copies.select("copy_id", "book_id")), Seq("copy_id"))
+    val lost = b.filter(upper(col("return_status")) === "LOST")
+      .select(col("borrow_id"), col("book_id"), col("member_id"),
+        lit("Lost Book").as("fine_type"),
+        least(coalesce(col("return_date"), date_add(col("due_date"), 1)),
+          lit(WindowEnd).cast("date")).as("fine_date"))
+    val late = b.filter(col("return_date").isNotNull
+        && upper(col("return_status")).isin("OVERDUE", "RETURNED")
+        && greatest(datediff(col("return_date"), col("due_date")), lit(0)).between(1, 7))
+      .select(col("borrow_id"), col("book_id"), col("member_id"),
+        lit("Late Return").as("fine_type"), col("return_date").as("fine_date"))
+    val damage = b.filter(upper(col("return_status")) === "RETURNED"
+        && col("return_date").isNotNull
+        && u(seed ^ 70, col("borrow_id")) < damageRate)
+      .select(col("borrow_id"), col("book_id"), col("member_id"),
+        lit("Damage").as("fine_type"), col("return_date").as("fine_date"))
+    lost.unionByName(late).unionByName(damage)
+      .withColumn("fine_id",
+        concat(lit("F"), substring(col("borrow_id"), 3, 10), lit("-"),
+          upper(substring(col("fine_type"), 1, 2))))
+      .withColumn("fine_status", lit("Unpaid"))
+      .withColumn("payment_id", lit(null).cast("string"))
+  }
+
+  /** Payments (ref 07_InsertPayments.sql + 08_InsertFines.sql:154-193).
+    *
+    * Membership registrations: ~15/month over the window, member and date
+    * seeded draws (the reference's 60% share of ~25/month).
+    *
+    * Fines payments: the reference loops monthly payment events, each
+    * paying that member's ≤2 OLDEST unpaid fines (Lost Book first) dated
+    * on or before the payment. Set-based equivalent: per member, order
+    * fines (lost first, oldest first), pair consecutive fines, and let a
+    * seeded draw decide how many leading pairs the member actually pays
+    * (80% none / 15% one / 5% two) — same invariants (≤2 fines per
+    * payment, oldest-first prefix paid, fineDate ≤ paymentDate, payment
+    * amount = Σ linked fines via the trigger derivation), no sequential
+    * driver loop. Amounts left NULL for Derivations.paymentAmounts.
+    *
+    * @return (payments without pay_amount, fine→payment links) */
+  def payments(spark: SparkSession, members: DataFrame, fines: DataFrame, seed: Long = 42): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val methods = Seq("Tng", "Cash", "Duitnow")
+
+    val mCount = members.count()
+    val regMonths = spark.sql(
+      s"SELECT explode(sequence(DATE'$WindowStart', DATE'$WindowEnd', interval 1 month)) AS m")
+    val reg = regMonths.select(col("m"), explode(sequence(lit(1), lit(15))).as("slot"))
+      .select((months_between(col("m"), lit(WindowStart).cast("date")).cast("long") * 16 + col("slot")).as("seq"), col("m"))
+      .select(
+        fmtId("P0", col("seq"), 6).as("payment_id"),
+        fmtId("M", pmod(xxhash64(lit(seed ^ 81), col("seq")), lit(mCount)) + 1, 4).as("member_id"),
+        least(date_add(col("m"), pmod(xxhash64(lit(seed ^ 82), col("seq")), lit(28L)).cast("int")),
+          lit(WindowEnd).cast("date")).as("payment_date"),
+        pickOne(seed ^ 83, col("seq"), methods).as("payment_method"),
+        lit("Membership Registration").as("payment_type"),
+        fmtId("R0", col("seq"), 6).as("receipt_no"))
+
+    // fines payments: pair the member's fines lost-first/oldest-first,
+    // keep a seeded number of leading pairs per member
+    val w = Window.partitionBy("member_id")
+      .orderBy(col("is_lost").desc, col("fine_date"), col("fine_id"))
+    val ranked = fines
+      .withColumn("is_lost", (col("fine_type") === "Lost Book").cast("int"))
+      .withColumn("pair_idx", ((row_number().over(w) - 1) / 2).cast("int"))
+      .withColumn("k_draw", u(seed ^ 84, xxhash64(col("member_id"))))
+      .withColumn("k_pairs", when(col("k_draw") < 0.80, 0).when(col("k_draw") < 0.95, 1).otherwise(2))
+    val paid = ranked.filter(col("pair_idx") < col("k_pairs"))
+      .withColumn("payment_id",
+        concat(lit("P1"), lpad(substring(col("member_id"), 2, 10), 5, "0"),
+          lpad(col("pair_idx").cast("string"), 2, "0")))
+    val finePays = paid.groupBy(col("payment_id"), col("member_id"))
+      .agg(max(col("fine_date")).as("last_fine_date"))
+      .select(
+        col("payment_id"), col("member_id"),
+        // paymentDate ≥ every linked fineDate by construction
+        least(date_add(col("last_fine_date"),
+          pmod(xxhash64(lit(seed ^ 85), col("payment_id")), lit(31L)).cast("int")),
+          lit(WindowEnd).cast("date")).as("payment_date"),
+        pickOne(seed ^ 86, xxhash64(col("payment_id")), methods).as("payment_method"),
+        lit("Fines").as("payment_type"),
+        concat(lit("R1"), substring(col("payment_id"), 3, 10)).as("receipt_no"))
+
+    (reg.unionByName(finePays), paid.select(col("fine_id"), col("payment_id")))
+  }
+
   /** Purchase orders + lines (ref 12_InsertPurchase.sql): ~2 POs per month
     * (~480), 7–10 lines each, qty 5–40. Returns (orders, details). */
   def purchases(spark: SparkSession, titles: DataFrame, seed: Long = 42): (DataFrame, DataFrame) = {
@@ -225,7 +324,9 @@ final case class LibraryTables(
     salesOrders: DataFrame,
     salesDetails: DataFrame,
     purchaseOrders: DataFrame,
-    purchaseDetails: DataFrame)
+    purchaseDetails: DataFrame,
+    fines: DataFrame,
+    payments: DataFrame)
 
 object LibraryTables {
   /** Generate the full OLTP layer at a volume scale (1.0 = reference). */
@@ -236,9 +337,14 @@ object LibraryTables {
       math.max(1, (9000 * scale).toInt), seed).cache()
     val sup = LibraryGen.suppliers(spark)
     val dis = LibraryGen.discounts(spark, seed)
-    val bb  = LibraryGen.borrowedBooks(spark, m, bc, seed)
+    val bb  = LibraryGen.borrowedBooks(spark, m, bc, seed).cache()
     val (so, sd) = LibraryGen.sales(spark, bt, m, seed)
     val (po, pd) = LibraryGen.purchases(spark, bt, seed)
-    LibraryTables(m, bt, bc, sup, dis, bb, so, sd, po, pd)
+    val fn0 = LibraryGen.fines(bb, bc, seed = seed).cache()
+    val (pay, links) = LibraryGen.payments(spark, m, fn0, seed)
+    // attach the generator's fine→payment links (amounts/status stay for
+    // the trigger derivations, Derivations.applyAll)
+    val fn = fn0.drop("payment_id").join(links, Seq("fine_id"), "left_outer")
+    LibraryTables(m, bt, bc, sup, dis, bb, so, sd, po, pd, fn, pay)
   }
 }

@@ -238,6 +238,64 @@ object EtlOps {
           when(abs(Norm.dec(col("o_totalprice")) - col("calc_total")) <= 1.0, "OK")
             .otherwise("MISMATCH").as("check_flag")
         )
+    },
+
+    // ── etl_fine_payment_pipeline: the reference's fines→payments flow
+    // (08_InsertFines.sql:46-193 + TRG_CALCULATE_PAYMENT_AMOUNT) mapped
+    // onto the testdata: returned lineitems become fines (classed and
+    // priced deterministically), each "member" (customer) pays its ≤2
+    // oldest fines per payment, Lost Book class first — a per-member
+    // ROW_NUMBER pick, paired into payments whose amount is Σ of linked
+    // fines. Amounts are integer currency units so the cross-engine hash
+    // is exact. One shuffle on the member key; the rank+pair+sum all stay
+    // inside that partitioning.
+    OpQuery.checked(
+      "etl_fine_payment_pipeline",
+      """WITH fines AS (
+        |  SELECT l.l_orderkey * 10 + l.l_linenumber AS fine_id,
+        |         o.o_custkey AS member_id,
+        |         CAST(l.l_shipdate AS DATE) AS fine_date,
+        |         CASE WHEN l.l_quantity >= 45 THEN 1 ELSE 0 END AS is_lost,
+        |         CASE WHEN l.l_quantity >= 45 THEN CAST(floor(l.l_extendedprice / 100) AS BIGINT) + 20
+        |              WHEN l.l_tax >= 0.06 THEN CAST(floor(l.l_extendedprice / 100) AS BIGINT)
+        |              ELSE 30 END AS fine_amount
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R'),
+        |ranked AS (
+        |  SELECT *,
+        |         CAST((ROW_NUMBER() OVER (PARTITION BY member_id
+        |                ORDER BY is_lost DESC, fine_date, fine_id) - 1) // 2 AS BIGINT) AS pair_idx
+        |  FROM fines)
+        |SELECT member_id, pair_idx,
+        |       CAST(count(*) AS BIGINT) AS n_fines,
+        |       CAST(sum(is_lost) AS BIGINT) AS lost_cnt,
+        |       CAST(sum(fine_amount) AS BIGINT) AS pay_amount,
+        |       max(fine_date) AS payment_date
+        |FROM ranked WHERE pair_idx < 2
+        |GROUP BY member_id, pair_idx""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fines = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("fine_id"),
+          col("o_custkey").as("member_id"),
+          to_date(col("l_shipdate")).as("fine_date"),
+          when(col("l_quantity") >= 45, 1L).otherwise(0L).as("is_lost"),
+          when(col("l_quantity") >= 45, floor(col("l_extendedprice") / 100).cast("long") + 20)
+            .when(col("l_tax") >= 0.06, floor(col("l_extendedprice") / 100).cast("long"))
+            .otherwise(30L).as("fine_amount"))
+      val w = Window.partitionBy("member_id")
+        .orderBy(col("is_lost").desc, col("fine_date"), col("fine_id"))
+      fines
+        .withColumn("pair_idx", floor((row_number().over(w) - 1) / 2).cast("long"))
+        .filter(col("pair_idx") < 2)
+        .groupBy("member_id", "pair_idx")
+        .agg(
+          count(lit(1)).as("n_fines"),
+          sum(col("is_lost")).cast("long").as("lost_cnt"),
+          sum(col("fine_amount")).cast("long").as("pay_amount"),
+          max(col("fine_date")).as("payment_date"))
     }
   )
 }

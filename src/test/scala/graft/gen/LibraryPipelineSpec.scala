@@ -81,6 +81,50 @@ class LibraryPipelineSpec extends SparkSuite {
     assert(outside.count() == 0)
   }
 
+  test("fines: classes, pricing rule, and volumes follow 08_InsertFines") {
+    val f = derived.fines
+    assert(f.select("fine_id").distinct().count() == f.count()) // natural key unique
+    val byType = f.groupBy("fine_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every Lost borrow fined; Overdue 1..7 late → Late Return; ~3% Damage
+    val lost = oltp.borrowedBooks.filter($"return_status" === "Lost").count()
+    assert(byType("Lost Book") == lost)
+    assert(byType("Late Return") > 0 && byType("Damage") > 0)
+    val returned = oltp.borrowedBooks.filter($"return_status" === "Returned").count()
+    assert(math.abs(byType("Damage").toDouble / returned - 0.03) < 0.01)
+    // trigger pricing: Lost = salesPrice + 20, Damage = salesPrice, Late = 30
+    val priced = f.join(oltp.bookTitles.select("book_id", "sales_price"), Seq("book_id"))
+    assert(priced.filter($"fine_type" === "Lost Book"
+      && $"fine_amount" =!= ($"sales_price" + 20).cast("decimal(8,2)")).count() == 0)
+    assert(priced.filter($"fine_type" === "Damage"
+      && $"fine_amount" =!= $"sales_price".cast("decimal(8,2)")).count() == 0)
+    assert(priced.filter($"fine_type" === "Late Return" && $"fine_amount" =!= 30).count() == 0)
+  }
+
+  test("payments: amount = Σ linked fines, ≤2 fines each, dates ordered, status propagated") {
+    val f = derived.fines
+    val p = derived.payments
+    // registration flat 50, fines payments = sum of linked fine amounts
+    assert(p.filter($"payment_type" === "Membership Registration" && $"pay_amount" =!= 50).count() == 0)
+    val sums = f.filter($"payment_id".isNotNull)
+      .groupBy("payment_id").agg(sum($"fine_amount").cast("decimal(8,2)").as("calc"), count(lit(1)).as("n"))
+    val joinedPays = p.filter($"payment_type" === "Fines").join(sums, Seq("payment_id"), "left_outer")
+    assert(joinedPays.filter($"pay_amount" =!= $"calc").count() == 0)
+    assert(joinedPays.filter($"n" > 2).count() == 0) // top-2 pick
+    assert(joinedPays.count() > 0)
+    // linked fines are Paid and predate their payment; unlinked stay Unpaid
+    val linked = f.filter($"payment_id".isNotNull)
+      .join(p.select("payment_id", "payment_date"), Seq("payment_id"))
+    assert(linked.filter($"fine_status" =!= "Paid").count() == 0)
+    assert(linked.filter($"fine_date" > $"payment_date").count() == 0)
+    assert(f.filter($"payment_id".isNull && $"fine_status" =!= "Unpaid").count() == 0)
+    // lost-first prefix: a member with an unpaid Lost fine older than a paid
+    // non-lost fine would violate the reference's pick order — the pairing
+    // is lost-first by construction, so every Paid Lost fine precedes any
+    // Paid non-lost fine of the same member in (is_lost desc, date) order.
+    assert(p.select("receipt_no").distinct().count() == p.count())
+  }
+
   test("FactBorrowing collapses the (date, member, book) PK like the reference") {
     val fb = dw.factBorrowing
     assert(fb.groupBy("date_key", "member_key", "book_key").count().filter($"count" > 1).count() == 0)
