@@ -109,6 +109,44 @@ object Derivations {
     orders.join(lineTotals, Seq("po_id"), "left_outer")
   }
 
+  /** trg_auto_mark_late (02_Trigger.sql:104-123): attendance status from
+    * the punch-in vs the scheduled shift start — Late when actualStart is
+    * strictly past the scheduled start, Present otherwise, Absent when
+    * there is no punch at all. Set-based: one broadcast join to the (tiny)
+    * schedule→shift lookup, no per-row trigger. */
+  def attendanceStatus(attendance: DataFrame, schedules: DataFrame, shifts: DataFrame): DataFrame = {
+    val sched = schedules
+      .join(broadcast(shifts.select("shift_id", "start_time")), Seq("shift_id"))
+      .select(col("schedule_id"), col("shift_date"), col("start_time"))
+    attendance
+      .join(broadcast(sched), Seq("schedule_id"), "left_outer")
+      .withColumn("attendance_status",
+        when(col("actual_start_time").isNull, "Absent")
+          .when(col("actual_start_time") >
+            to_timestamp(concat(col("shift_date"), lit(" "), col("start_time"))), "Late")
+          .otherwise("Present"))
+      .drop("shift_date", "start_time")
+  }
+
+  /** trg_check_weekly_hours (02_Trigger.sql:126-159): per (staff, ISO
+    * week) worked-hour totals with the reference's interval arithmetic —
+    * EXTRACT(DAY)*24 + EXTRACT(HOUR) of (end − start), i.e. whole hours
+    * truncated. The trigger rejects inserts pushing a week over 40; the
+    * batch derivation reports each week with its over-limit flag instead
+    * (a constraint scan, not a row veto). One shuffle on (staff, week). */
+  def weeklyHours(attendance: DataFrame, schedules: DataFrame, limit: Int = 40): DataFrame =
+    attendance
+      .filter(col("actual_start_time").isNotNull && col("actual_end_time").isNotNull)
+      .join(schedules.select("schedule_id", "staff_id", "shift_date"), Seq("schedule_id"))
+      .withColumn("worked_hours",
+        ((unix_micros(col("actual_end_time")) - unix_micros(col("actual_start_time")))
+          / lit(3600000000L)).cast("long"))
+      .groupBy(col("staff_id"), date_trunc("week", col("shift_date")).cast("date").as("week_start"))
+      .agg(
+        count(lit(1)).as("shifts_worked"),
+        sum(col("worked_hours")).cast("long").as("week_hours"))
+      .withColumn("over_limit", (col("week_hours") > limit).cast("int"))
+
   /** Apply the full rule set in dependency order over generated tables:
     * fine amounts before payment sums before the paid-status flip. */
   def applyAll(t: LibraryTables, asOf: String): LibraryTables = {
@@ -120,6 +158,7 @@ object Derivations {
       salesDetails = salesDetailAmounts(t.salesDetails, t.bookTitles, t.discounts),
       purchaseOrders = purchaseOrderTotals(t.purchaseOrders, t.purchaseDetails, t.bookTitles),
       fines = finePaymentStatus(finesPriced, paymentsAmt),
-      payments = paymentsAmt)
+      payments = paymentsAmt,
+      staffAttendance = attendanceStatus(t.staffAttendance, t.shiftSchedules, t.shifts))
   }
 }

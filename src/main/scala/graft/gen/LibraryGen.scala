@@ -188,6 +188,91 @@ object LibraryGen {
     (orders.drop("n_lines"), details)
   }
 
+  /** Staff (ref 03_InsertStaffShift.sql:2-22): 11 static staff across the
+    * 5 roles (1 manager, 2 assistants, 4 librarians, 2 security,
+    * 2 cleaners); names/contacts synthetic. */
+  def staff(spark: SparkSession): DataFrame = {
+    spark.range(1, 12).toDF("seq").select(
+      fmtId("S", col("seq"), 3).as("staff_id"),
+      concat(lit("Staff "), col("seq")).as("staff_name"),
+      concat(lit("staff"), col("seq"), lit("@library.example")).as("staff_email"),
+      concat(lit("01"), lpad(col("seq").cast("string"), 8, "7")).as("staff_phone"),
+      when(col("seq") === 1, "manager")
+        .when(col("seq") <= 3, "assistant")
+        .when(col("seq") <= 7, "librarian")
+        .when(col("seq") <= 9, "security")
+        .otherwise("cleaner").as("staff_role"))
+  }
+
+  /** Shift (ref 03_InsertStaffShift.sql:24-45): the 11 static shift
+    * definitions with their start/end times-of-day. */
+  def shifts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("SH01", "Librarians Morning", "09:00:00", "15:30:00"),
+      ("SH02", "Librarians Evening", "15:30:00", "22:00:00"),
+      ("SH03", "Librarians FullDay", "09:00:00", "22:00:00"),
+      ("SH04", "Assistants Morning", "09:00:00", "15:30:00"),
+      ("SH05", "Assistants Evening", "15:30:00", "22:00:00"),
+      ("SH06", "Assistants FullDay", "09:00:00", "22:00:00"),
+      ("SH07", "Manager Duty", "09:00:00", "17:00:00"),
+      ("SH08", "Security Morning", "09:00:00", "15:30:00"),
+      ("SH09", "Security Evening", "15:30:00", "22:00:00"),
+      ("SH10", "Cleaner Afternoon", "12:00:00", "14:00:00"),
+      ("SH11", "Cleaner Night", "20:00:00", "22:00:00")
+    ).toDF("shift_id", "shift_name", "start_time", "end_time")
+  }
+
+  /** ShiftSchedules (DDL 01_Create.sql:145-154; the reference ships no
+    * data generator for this table): every staff member works every
+    * weekday, shift picked from the role's eligible set (morning/evening
+    * 45/45, full-day 10% where the role has one). UNIQUE (staffId,
+    * shiftDate) holds by construction. */
+  def shiftSchedules(spark: SparkSession, staffDf: DataFrame, seed: Long = 42): DataFrame = {
+    val days = spark.sql(
+      s"SELECT explode(sequence(DATE'$WindowStart', DATE'$WindowEnd', interval 1 day)) AS shift_date")
+      .filter(weekday(col("shift_date")) < 5)
+    val d = u(seed ^ 90, xxhash64(col("staff_id"), col("shift_date")))
+    days.crossJoin(broadcast(staffDf.select("staff_id", "staff_role")))
+      .withColumn("shift_id",
+        when(col("staff_role") === "manager", "SH07")
+          .when(col("staff_role") === "librarian",
+            when(d < 0.45, "SH01").when(d < 0.90, "SH02").otherwise("SH03"))
+          .when(col("staff_role") === "assistant",
+            when(d < 0.45, "SH04").when(d < 0.90, "SH05").otherwise("SH06"))
+          .when(col("staff_role") === "security", when(d < 0.5, "SH08").otherwise("SH09"))
+          .otherwise(when(d < 0.5, "SH10").otherwise("SH11")))
+      .select(
+        concat(lit("SC"), substring(col("staff_id"), 2, 3),
+          lpad(datediff(col("shift_date"), lit(WindowStart).cast("date")).cast("string"), 5, "0"))
+          .as("schedule_id"),
+        col("shift_id"), col("staff_id"), col("shift_date"))
+  }
+
+  /** StaffAttendance (DDL 01_Create.sql:157-168): ~3% absences; otherwise
+    * punch-in −10..+29 min around the scheduled start (a positive offset
+    * makes trg_auto_mark_late's derivation flag 'Late') and punch-out
+    * 0..14 min past the scheduled end. attendanceStatus is left 'Present'
+    * for the trigger derivation (Derivations.attendanceStatus) to fill,
+    * mirroring the BEFORE INSERT trigger. */
+  def staffAttendance(schedules: DataFrame, shiftsDf: DataFrame, seed: Long = 42): DataFrame = {
+    val sched = schedules.join(broadcast(shiftsDf.select("shift_id", "start_time", "end_time")), Seq("shift_id"))
+    val absent = u(seed ^ 91, col("schedule_id")) < 0.03
+    val startOffsetMin = uniInt(seed ^ 92, col("schedule_id"), -10, 29)
+    val endOffsetMin   = uniInt(seed ^ 93, col("schedule_id"), 0, 14)
+    def at(time: Column, offsetMin: Column) =
+      timestamp_seconds(unix_timestamp(to_timestamp(concat(col("shift_date"), lit(" "), time)))
+        + offsetMin.cast("long") * 60)
+    sched.select(
+      concat(lit("A"), substring(col("schedule_id"), 3, 10)).as("attendance_id"),
+      col("schedule_id"),
+      lit("Present").as("attendance_status"),
+      when(absent, lit(null).cast("timestamp"))
+        .otherwise(at(col("start_time"), startOffsetMin)).as("actual_start_time"),
+      when(absent, lit(null).cast("timestamp"))
+        .otherwise(at(col("end_time"), endOffsetMin)).as("actual_end_time"))
+  }
+
   /** Fines (ref 08_InsertFines.sql:46-108), set-based — three MERGE
     * sources become three filters over the borrow log:
     *   Lost Book:   returnStatus = 'Lost', fineDate = least(nvl(return,
@@ -326,7 +411,11 @@ final case class LibraryTables(
     purchaseOrders: DataFrame,
     purchaseDetails: DataFrame,
     fines: DataFrame,
-    payments: DataFrame)
+    payments: DataFrame,
+    staff: DataFrame,
+    shifts: DataFrame,
+    shiftSchedules: DataFrame,
+    staffAttendance: DataFrame)
 
 object LibraryTables {
   /** Generate the full OLTP layer at a volume scale (1.0 = reference). */
@@ -345,6 +434,10 @@ object LibraryTables {
     // attach the generator's fine→payment links (amounts/status stay for
     // the trigger derivations, Derivations.applyAll)
     val fn = fn0.drop("payment_id").join(links, Seq("fine_id"), "left_outer")
-    LibraryTables(m, bt, bc, sup, dis, bb, so, sd, po, pd, fn, pay)
+    val st  = LibraryGen.staff(spark)
+    val sh  = LibraryGen.shifts(spark)
+    val ss  = LibraryGen.shiftSchedules(spark, st, seed)
+    val sa  = LibraryGen.staffAttendance(ss, sh, seed)
+    LibraryTables(m, bt, bc, sup, dis, bb, so, sd, po, pd, fn, pay, st, sh, ss, sa)
   }
 }

@@ -296,6 +296,51 @@ object EtlOps {
           sum(col("is_lost")).cast("long").as("lost_cnt"),
           sum(col("fine_amount")).cast("long").as("pay_amount"),
           max(col("fine_date")).as("payment_date"))
+    },
+
+    // ── etl_staff_hours: the staffing triggers' interval arithmetic
+    // (trg_auto_mark_late 02_Trigger.sql:104-123, trg_check_weekly_hours
+    // :126-159) mapped onto the events table: a user's first/last event
+    // per day are the shift punches, worked hours truncate to whole hours
+    // exactly like the reference's EXTRACT(DAY)*24 + EXTRACT(HOUR), a
+    // punch-in after 09:00:00 is Late, and hours roll up per ISO week
+    // with the 40-hour-limit flag. Micros-exact integer arithmetic on
+    // both engines. One shuffle on (user, day), reused by the week rollup.
+    OpQuery.checked(
+      "etl_staff_hours",
+      """WITH punches AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS shift_date,
+        |         min(ts) AS shift_start, max(ts) AS shift_end
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |days AS (
+        |  SELECT user_id, shift_date,
+        |         CAST((epoch_us(shift_end) - epoch_us(shift_start)) // 3600000000 AS BIGINT) AS worked_hours,
+        |         CASE WHEN strftime(shift_start, '%H:%M:%S') > '09:00:00' THEN 1 ELSE 0 END AS is_late
+        |  FROM punches)
+        |SELECT user_id,
+        |       CAST(date_trunc('week', shift_date) AS DATE) AS week_start,
+        |       CAST(count(*) AS BIGINT) AS days_worked,
+        |       CAST(sum(is_late) AS BIGINT) AS late_days,
+        |       CAST(sum(worked_hours) AS BIGINT) AS week_hours,
+        |       CAST(CASE WHEN sum(worked_hours) > 40 THEN 1 ELSE 0 END AS BIGINT) AS over_40
+        |FROM days GROUP BY user_id, date_trunc('week', shift_date)""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val punches = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("shift_date"))
+        .agg(min(col("ts")).as("shift_start"), max(col("ts")).as("shift_end"))
+      val days = punches.select(
+        col("user_id"), col("shift_date"),
+        ((unix_micros(col("shift_end")) - unix_micros(col("shift_start"))) / lit(3600000000L))
+          .cast("long").as("worked_hours"),
+        when(date_format(col("shift_start"), "HH:mm:ss") > "09:00:00", 1L).otherwise(0L).as("is_late"))
+      days
+        .groupBy(col("user_id"), date_trunc("week", col("shift_date")).cast("date").as("week_start"))
+        .agg(
+          count(lit(1)).as("days_worked"),
+          sum(col("is_late")).cast("long").as("late_days"),
+          sum(col("worked_hours")).cast("long").as("week_hours"))
+        .withColumn("over_40", (col("week_hours") > 40).cast("long"))
     }
   )
 }

@@ -125,6 +125,49 @@ class LibraryPipelineSpec extends SparkSuite {
     assert(p.select("receipt_no").distinct().count() == p.count())
   }
 
+  test("staffing: schedules respect role-shift eligibility and the unique (staff, date) key") {
+    val ss = oltp.shiftSchedules
+    assert(oltp.staff.count() == 11 && oltp.shifts.count() == 11)
+    assert(ss.groupBy("staff_id", "shift_date").count().filter($"count" > 1).count() == 0)
+    // role ↔ shift family mapping holds everywhere
+    val joined = ss.join(oltp.staff.select("staff_id", "staff_role"), Seq("staff_id"))
+    val bad = joined.filter(
+      ($"staff_role" === "manager"   && $"shift_id" =!= "SH07") ||
+      ($"staff_role" === "librarian" && !$"shift_id".isin("SH01", "SH02", "SH03")) ||
+      ($"staff_role" === "assistant" && !$"shift_id".isin("SH04", "SH05", "SH06")) ||
+      ($"staff_role" === "security"  && !$"shift_id".isin("SH08", "SH09")) ||
+      ($"staff_role" === "cleaner"   && !$"shift_id".isin("SH10", "SH11")))
+    assert(bad.count() == 0)
+  }
+
+  test("staffing: trg_auto_mark_late semantics — Late iff punch-in after scheduled start") {
+    val sa = derived.staffAttendance
+    val sched = oltp.shiftSchedules.join(oltp.shifts.select("shift_id", "start_time"), Seq("shift_id"))
+      .select($"schedule_id", to_timestamp(concat($"shift_date", lit(" "), $"start_time")).as("sched_start"))
+    val checked = sa.join(sched, Seq("schedule_id"))
+    assert(checked.filter($"actual_start_time".isNull && $"attendance_status" =!= "Absent").count() == 0)
+    assert(checked.filter($"actual_start_time" > $"sched_start" && $"attendance_status" =!= "Late").count() == 0)
+    assert(checked.filter($"actual_start_time".isNotNull && $"actual_start_time" <= $"sched_start"
+      && $"attendance_status" =!= "Present").count() == 0)
+    // all three statuses actually occur
+    assert(sa.select("attendance_status").distinct().count() == 3)
+    // CHECK constraint: start < end whenever both present
+    assert(sa.filter($"actual_start_time".isNotNull && $"actual_end_time".isNotNull
+      && $"actual_start_time" >= $"actual_end_time").count() == 0)
+  }
+
+  test("staffing: weekly hours use truncated-hour arithmetic and flag >40h weeks") {
+    val wk = Derivations.weeklyHours(derived.staffAttendance, oltp.shiftSchedules)
+    assert(wk.count() > 0)
+    // a librarian week of 5 morning shifts ≈ 5×6h (6.5h shifts truncate to 6) ≤ 40
+    assert(wk.filter($"week_hours" < 0).count() == 0)
+    // full-day draws (13h) make some weeks exceed the reference's 40h cap —
+    // the batch derivation reports them rather than vetoing rows
+    assert(wk.filter($"over_limit" === 1).count() > 0)
+    assert(wk.filter($"over_limit" === 1 && $"week_hours" <= 40).count() == 0)
+    assert(wk.filter($"over_limit" === 0 && $"week_hours" > 40).count() == 0)
+  }
+
   test("FactBorrowing collapses the (date, member, book) PK like the reference") {
     val fb = dw.factBorrowing
     assert(fb.groupBy("date_key", "member_key", "book_key").count().filter($"count" > 1).count() == 0)
