@@ -144,7 +144,14 @@ object EtlOps {
 
     // ── etl_validation_report: CHECK-constraint semantics as violation
     // counters (ref 01_Create.sql CHECK domains + SURVEY §5 post-load
-    // checks). One aggregation pass per table, report is itself data.
+    // checks), including the reference's validation triggers:
+    // TRG_MANAGE_BOOK_DETAILS (price/popularity domains → part price/size
+    // rules), trg_bb_member_valid (member must exist → orders⋈customer
+    // existence rule), trg_BookOrders_DiscDate (event date inside the
+    // parent window → lineitem ship-after-order rule). One aggregation
+    // pass per (joined) table; the report is itself data. Perf note: warm
+    // runtime is ~0.4 s at sf0.1 — the driver's first-run cost is janino
+    // compiling the six wide-agg branches, not IO or a bad plan.
     OpQuery.checked(
       "etl_validation_report",
       """SELECT 'orders' AS table_name, 'positive_total' AS rule_name,
@@ -157,6 +164,11 @@ object EtlOps {
         |       CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
         |FROM orders
         |UNION ALL
+        |SELECT 'orders', 'member_exists',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(c.c_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |UNION ALL
         |SELECT 'lineitem', 'qty_range',
         |       CAST(count(*) AS BIGINT),
         |       CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
@@ -165,7 +177,22 @@ object EtlOps {
         |SELECT 'lineitem', 'discount_range',
         |       CAST(count(*) AS BIGINT),
         |       CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.5, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM lineitem""".stripMargin
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'ship_in_window',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'part', 'positive_price',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(p_retailprice >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM part
+        |UNION ALL
+        |SELECT 'part', 'size_range',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN NOT coalesce(p_size BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM part""".stripMargin
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
       val orderRules = Seq(
@@ -174,8 +201,25 @@ object EtlOps {
       val lineRules = Seq(
         Validation.Rule("qty_range", col("l_quantity").between(1, 50)),
         Validation.Rule("discount_range", col("l_discount").between(0, 0.5)))
+      // trg_bb_member_valid: the referenced parent row must exist
+      val ordersWithCust = t.orders
+        .join(t.customer.select(col("c_custkey")), col("c_custkey") === col("o_custkey"), "left_outer")
+      // trg_bb_member_valid / trg_BookOrders_DiscDate: the event date must
+      // fall inside the parent row's window
+      val linesWithOrder = t.lineitem
+        .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"), "left_outer")
+      // TRG_MANAGE_BOOK_DETAILS: price and bounded-domain attribute rules
+      val partRules = Seq(
+        Validation.Rule("positive_price", col("p_retailprice") >= 0),
+        Validation.Rule("size_range", col("p_size").between(1, 50)))
       Validation.report(t.orders, "orders", orderRules)
+        .unionByName(Validation.report(ordersWithCust, "orders",
+          Seq(Validation.Rule("member_exists", col("c_custkey").isNotNull))))
         .unionByName(Validation.report(t.lineitem, "lineitem", lineRules))
+        .unionByName(Validation.report(linesWithOrder, "lineitem",
+          Seq(Validation.Rule("ship_in_window", to_date(col("l_shipdate")) >= to_date(col("o_orderdate"))))))
+        .unionByName(Validation.report(t.part, "part", partRules))
     },
 
     // ── etl_partitioned_layout: the physical fact layout from SURVEY §4 —

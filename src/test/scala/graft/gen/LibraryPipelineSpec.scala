@@ -168,6 +168,43 @@ class LibraryPipelineSpec extends SparkSuite {
     assert(wk.filter($"over_limit" === 0 && $"week_hours" > 40).count() == 0)
   }
 
+  test("validation rules: bb_member_valid, BookOrders_DiscDate, MANAGE_BOOK_DETAILS over generated data") {
+    import graft.etl.Validation
+    // trg_bb_member_valid: borrow date inside [registration, expire] of an existing member
+    val borrowsJ = oltp.borrowedBooks.join(
+      oltp.members.select("member_id", "registration_date", "expire_date"), Seq("member_id"), "left_outer")
+    val bbReport = Validation.report(borrowsJ, "borrowed_books", Seq(
+      Validation.Rule("member_exists", col("registration_date").isNotNull),
+      Validation.Rule("borrow_in_membership",
+        col("borrow_date").between(col("registration_date"), col("expire_date")))))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bbReport("member_exists")._2 == 0) // generator FKs are sound
+    // random member×date pairing ⇒ some out-of-window borrows exist and are counted
+    val expected = borrowsJ.filter(!col("borrow_date").between(col("registration_date"), col("expire_date"))).count()
+    assert(bbReport("borrow_in_membership")._2 == expected && expected > 0)
+
+    // trg_BookOrders_DiscDate: discounted sales must fall inside the discount window
+    val discounted = derived.salesDetails.filter(col("discount_amount") > 0)
+      .join(oltp.discounts.select("start_date", "end_date"),
+        col("sales_date").between(col("start_date"), col("end_date")), "left_outer")
+    val discReport = Validation.report(discounted, "sales_details", Seq(
+      Validation.Rule("discount_active_on_sale", col("start_date").isNotNull)))
+      .collect().head
+    assert(discReport.getLong(3) == 0)
+
+    // TRG_MANAGE_BOOK_DETAILS: year/price/popularity domains
+    val btReport = Validation.report(oltp.bookTitles, "book_titles", Seq(
+      Validation.Rule("year_not_future", col("publication_year") <= 2024),
+      Validation.Rule("positive_prices", col("sales_price") >= 0 && col("purchase_price") >= 0),
+      Validation.Rule("popularity_range", col("popularity").between(1.0, 5.0))))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(btReport("year_not_future") == 0 && btReport("positive_prices") == 0)
+    // generator draws popularity 0.0–5.0, so the 1.0 floor catches some —
+    // exactly what the trigger would have rejected
+    assert(btReport("popularity_range") ==
+      oltp.bookTitles.filter(col("popularity") < 1.0).count())
+  }
+
   test("FactBorrowing collapses the (date, member, book) PK like the reference") {
     val fb = dw.factBorrowing
     assert(fb.groupBy("date_key", "member_key", "book_key").count().filter($"count" > 1).count() == 0)
