@@ -62,8 +62,12 @@ object Norm {
   def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
 
   /** Deterministic pseudo-random bucket in [0, m) from an integer key.
-    * Knuth multiplicative hash — plain 64-bit arithmetic, expressible
-    * identically in DuckDB (`(k * 2654435761) % m`), overflow-free for
-    * keys < 2^31. Replaces DBMS_RANDOM-style sampling (SURVEY §2.6). */
-  def hashBucket(key: Column, m: Int): Column = pmod(key * lit(2654435761L), lit(m.toLong))
+    * Knuth multiplicative hash. The key is masked to 31 bits BEFORE the
+    * multiply so the product stays < 2^63 for any key magnitude — without
+    * the mask a key ≥ 2^31 overflows: Spark (ANSI) throws / wraps at 64
+    * bits while DuckDB widens to 128-bit, silently diverging from the
+    * oracle. DuckDB mirror: `((k % 2147483648) * 2654435761) % m`.
+    * Replaces DBMS_RANDOM-style sampling (SURVEY §2.6). */
+  def hashBucket(key: Column, m: Int): Column =
+    pmod(pmod(key, lit(2147483648L)) * lit(2654435761L), lit(m.toLong))
 }

@@ -15,28 +15,48 @@ import org.apache.spark.sql.functions._
 object DimDate {
 
   /** Fixed-date holidays (month, day, name) — the reproducible subset of
-    * the reference's HOLIDAY_LIST (05_InitialLoading.sql:80-88). Moving
-    * holidays (Easter etc., :89-110) are a driver-side generator feeding
-    * the same lookup join; omitted here for determinism across engines. */
+    * the reference's HOLIDAY_LIST (05_InitialLoading.sql:80-88). */
   val FixedHolidays: Seq[(Int, Int, String)] = Seq(
     (1, 1, "New Year"),
     (7, 4, "Independence Day"),
     (12, 25, "Christmas")
   )
 
+  /** Moving holidays (ref get_moving_holiday, 05_InitialLoading.sql:89-110)
+    * — the reference approximates each lunar/solar festival as pure year
+    * arithmetic, which makes the whole calendar deterministic and
+    * set-based. A holiday "of year y" can land in y+1 (the Hari Raya
+    * offsets exceed 365 for later years), so the year spine starts two
+    * years before the date spine and the lookup joins on the exact date. */
+  def movingHolidays(spark: SparkSession, yearFrom: Int, yearTo: Int): DataFrame = {
+    val years = spark.sql(s"SELECT explode(sequence($yearFrom, $yearTo)) AS y")
+    def d(base: (Int, Int), offsetDays: org.apache.spark.sql.Column, name: String) =
+      years.select(
+        date_add(make_date(col("y"), lit(base._1), lit(base._2)), offsetDays.cast("int")).as("h_date"),
+        lit(name).as("holiday_name"))
+    d((1, 1), lit(354) + (col("y") - 2000) * 11, "Hari Raya Puasa")
+      .unionByName(d((1, 1), lit(280) + (col("y") - 2000) * 11, "Hari Raya Haji"))
+      .unionByName(d((1, 21), floor(pmod((col("y") - 1900) * 5 + 4, lit(60)) * 0.48), "Chinese New Year"))
+      .unionByName(d((10, 15), pmod(col("y"), lit(19)) * 11, "Deepavali"))
+      .unionByName(d((5, 1), pmod(col("y"), lit(19)) * 11, "Wesak"))
+  }
+
   def build(spark: SparkSession, startDate: String, endDate: String): DataFrame = {
     import spark.implicits._
     val spine = spark.sql(
       s"SELECT explode(sequence(DATE'$startDate', DATE'$endDate', interval 1 day)) AS cal_date")
 
-    val holidays = FixedHolidays
-      .toDF("h_month", "h_day", "holiday_name")
+    val yearFrom = startDate.take(4).toInt - 2
+    val yearTo   = endDate.take(4).toInt
+    val fixed = FixedHolidays.toDF("h_month", "h_day", "holiday_name")
+      .crossJoin(spark.sql(s"SELECT explode(sequence($yearFrom, $yearTo)) AS y"))
+      .select(make_date(col("y"), col("h_month"), col("h_day")).as("h_date"), col("holiday_name"))
+    // one name per date (deterministic pick if festivals ever collide)
+    val holidays = fixed.unionByName(movingHolidays(spark, yearFrom, yearTo))
+      .groupBy("h_date").agg(min(col("holiday_name")).as("holiday_name"))
 
     spine
-      .join(
-        broadcast(holidays),
-        month(col("cal_date")) === col("h_month") && dayofmonth(col("cal_date")) === col("h_day"),
-        "left_outer")
+      .join(broadcast(holidays), col("cal_date") === col("h_date"), "left_outer")
       .select(
         // surrogate key = yyyymmdd, stable and join-friendly (no sequence)
         (year(col("cal_date")) * 10000 + month(col("cal_date")) * 100 + dayofmonth(col("cal_date")))

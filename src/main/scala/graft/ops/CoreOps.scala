@@ -324,7 +324,7 @@ object CoreOps {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_spend,
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10""".stripMargin
+        |FROM orders WHERE ((o_orderkey % 2147483648) * 2654435761) % 100 < 10""".stripMargin
     ) { (spark, dir) =>
       Tables(spark, dir).orders
         .filter(Norm.hashBucket(col("o_orderkey"), 100) < 10)

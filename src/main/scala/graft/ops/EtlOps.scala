@@ -14,10 +14,23 @@ object EtlOps {
 
   val ops: Seq[OpQuery] = Seq(
     // ── etl_dim_date: the DimDate spine + calendar attributes + holiday
-    // lookup (ref 05_InitialLoading.sql:157-203), set-based.
+    // lookup (ref 05_InitialLoading.sql:157-203), set-based. Holidays
+    // cover both the fixed dates and the reference's moving-holiday
+    // arithmetic (get_moving_holiday :89-110), cross-checked in DuckDB.
     OpQuery.checked(
       "etl_dim_date",
-      """SELECT CAST(year(gs)*10000 + month(gs)*100 + day(gs) AS BIGINT) AS date_key,
+      """WITH years AS (SELECT unnest(range(1993, 1997)) AS y),
+        |hol0 AS (
+        |  SELECT make_date(CAST(y AS INT), 1, 1) AS h_date, 'New Year' AS holiday_name FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 7, 4), 'Independence Day' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 12, 25), 'Christmas' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 1, 1) + CAST(354 + (y - 2000) * 11 AS INT), 'Hari Raya Puasa' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 1, 1) + CAST(280 + (y - 2000) * 11 AS INT), 'Hari Raya Haji' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 1, 21) + CAST(floor((((y - 1900) * 5 + 4) % 60) * 0.48) AS INT), 'Chinese New Year' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 10, 15) + CAST((y % 19) * 11 AS INT), 'Deepavali' FROM years
+        |  UNION ALL SELECT make_date(CAST(y AS INT), 5, 1) + CAST((y % 19) * 11 AS INT), 'Wesak' FROM years),
+        |hol AS (SELECT h_date, min(holiday_name) AS holiday_name FROM hol0 GROUP BY h_date)
+        |SELECT CAST(year(gs)*10000 + month(gs)*100 + day(gs) AS BIGINT) AS date_key,
         |       CAST(gs AS DATE) AS cal_date,
         |       CAST(year(gs) AS BIGINT) AS cal_year,
         |       CAST(quarter(gs) AS BIGINT) AS cal_quarter,
@@ -27,15 +40,12 @@ object EtlOps {
         |       CAST(isodow(gs) AS BIGINT) AS iso_dow,
         |       monthname(gs) AS month_name,
         |       CASE WHEN isodow(gs) <= 5 THEN 'Y' ELSE 'N' END AS is_weekday,
-        |       CASE WHEN (month(gs)=1 AND day(gs)=1) OR (month(gs)=7 AND day(gs)=4)
-        |                 OR (month(gs)=12 AND day(gs)=25) THEN 'Y' ELSE 'N' END AS is_holiday,
-        |       CASE WHEN month(gs)=1 AND day(gs)=1 THEN 'New Year'
-        |            WHEN month(gs)=7 AND day(gs)=4 THEN 'Independence Day'
-        |            WHEN month(gs)=12 AND day(gs)=25 THEN 'Christmas'
-        |            ELSE '-' END AS holiday_name,
+        |       CASE WHEN h.h_date IS NOT NULL THEN 'Y' ELSE 'N' END AS is_holiday,
+        |       coalesce(h.holiday_name, '-') AS holiday_name,
         |       CAST(date_trunc('month', gs) AS DATE) AS month_start,
         |       last_day(CAST(gs AS DATE)) AS month_end
-        |FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) AS t(gs)""".stripMargin
+        |FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) AS t(gs)
+        |LEFT JOIN hol h ON h.h_date = CAST(gs AS DATE)""".stripMargin
     ) { (spark, _) =>
       DimDate.build(spark, "1995-01-01", "1996-12-31")
     },
