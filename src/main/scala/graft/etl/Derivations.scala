@@ -109,6 +109,23 @@ object Derivations {
     orders.join(lineTotals, Seq("po_id"), "left_outer")
   }
 
+  /** trg_dimbook_unavail_to_copies (06_Type2_DimBook.sql:2-16): the
+    * reference's only DW→OLTP propagation — a book marked Unavailable on
+    * its CURRENT DimBook version flips every copy of that book to
+    * 'Unavailable'. Set-based: semi-join flip on book_id (the trigger's
+    * "avoid useless writes" guard is free here — unchanged rows project
+    * through untouched). */
+  def dimBookUnavailToCopies(copies: DataFrame, dimBook: DataFrame): DataFrame = {
+    val unavailable = dimBook
+      .filter(col("curr_ind") === "Y" && upper(col("book_status")) === "UNAVAILABLE")
+      .select("book_id").distinct()
+    copies
+      .join(broadcast(unavailable.withColumn("is_unavail", lit(1))), Seq("book_id"), "left_outer")
+      .withColumn("copy_status",
+        when(col("is_unavail").isNotNull, "Unavailable").otherwise(col("copy_status")))
+      .drop("is_unavail")
+  }
+
   /** trg_auto_mark_late (02_Trigger.sql:104-123): attendance status from
     * the punch-in vs the scheduled shift start — Late when actualStart is
     * strictly past the scheduled start, Present otherwise, Absent when

@@ -205,6 +205,21 @@ class LibraryPipelineSpec extends SparkSuite {
       oltp.bookTitles.filter(col("popularity") < 1.0).count())
   }
 
+  test("trg_dimbook_unavail_to_copies: Unavailable current dim versions flip their copies") {
+    val dimWithStatus = dw.dimBook.withColumn("book_status",
+      when(col("book_key") % 50 === 0, "Unavailable").otherwise("Available"))
+    val flipped = Derivations.dimBookUnavailToCopies(derived.bookCopies, dimWithStatus)
+    val unavailBooks = dimWithStatus
+      .filter($"curr_ind" === "Y" && $"book_status" === "Unavailable").select("book_id")
+    // every copy of an unavailable book is flipped...
+    assert(flipped.join(unavailBooks, Seq("book_id"))
+      .filter($"copy_status" =!= "Unavailable").count() == 0)
+    // ...and no other copy changed
+    val others = flipped.join(unavailBooks, Seq("book_id"), "left_anti")
+    val before = derived.bookCopies.join(unavailBooks, Seq("book_id"), "left_anti")
+    assert(others.select("copy_id", "copy_status").except(before.select("copy_id", "copy_status")).count() == 0)
+  }
+
   test("FactBorrowing collapses the (date, member, book) PK like the reference") {
     val fb = dw.factBorrowing
     assert(fb.groupBy("date_key", "member_key", "book_key").count().filter($"count" > 1).count() == 0)
