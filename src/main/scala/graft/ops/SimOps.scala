@@ -129,6 +129,79 @@ object SimOps {
         .filter(col("rnk") <= 5)
     },
 
+    // ── sim_topk_ivf_kmeans: the production IVF shape — coarse quantizer
+    // TRAINED (spherical k-means on a bounded hash-sample, driver-side;
+    // graft.algo.KMeans) instead of the fixed sign-code of sim_topk_ivf.
+    // Centroids broadcast; corpus assignment is a narrow map (argmax dot
+    // over 16 centroids); each query probes its nprobe=4 best cells only.
+    // The op also computes the EXACT top-5 for the query sample and emits
+    // a per-neighbor hit flag, so recall is measured, not assumed (the
+    // exact pass is diagnostic — on the every-50th query sample, not the
+    // corpus). Engine-specific training ⇒ rows-only checked.
+    OpQuery.unchecked("sim_topk_ivf_kmeans") { (spark, dir) =>
+      val K = 16; val NProbe = 4; val TopK = 5; val Iters = 5; val SampleCap = 2048
+      val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding")).cache()
+
+      // train on a deterministic hash-sample, id-ordered (bounded driver set)
+      val sample = emb
+        .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
+        .orderBy("vec_id").limit(SampleCap)
+        .select("embedding").collect()
+        .map(r => graft.algo.KMeans.normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+      val centroids = graft.algo.KMeans.fit(sample, K, Iters)
+
+      import spark.implicits._
+      val centDf = centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
+        .toDF("centroid_id", "cvec")
+
+      // distributed assignment: broadcast K centroids, argmax dot per
+      // vector — only (vec_id, cell, score) rides the aggregation shuffle,
+      // the vectors rejoin afterwards
+      val bestCell = emb
+        .crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cdot"), col("centroid_id"))).as("m"))
+        .select(col("vec_id"), col("m.centroid_id").as("bucket"))
+      val assigned = emb.join(bestCell, Seq("vec_id"))
+      // queries probe their NProbe best cells
+      val probes = emb
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("cdot", dot("qe", "cvec") / col("qn"))
+        .withColumn("probe_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
+        .filter(col("probe_rank") <= NProbe)
+        .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
+      val approx = probes
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("nrm").as("nn"), col("bucket")), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rnk") <= TopK)
+      // exact top-5 on the query sample → measured recall per neighbor
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val exact = broadcast(q)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("ecos"))
+        .withColumn("ernk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("ecos").desc, col("neighbor_id").asc)))
+        .filter(col("ernk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact_topk"))
+      approx
+        .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"),
+          coalesce(col("in_exact_topk"), lit(0L)).as("in_exact_topk"))
+    },
+
     // ── dedup_embedding_cosine: embedding near-dup pairs — label-blocked
     // (the precomputed cluster id plays the IVF cell), cosine ≥ 0.35 (the corpus has no planted near-dup embeddings — max same-label cosine is ~0.5 — so the threshold sits in the observable tail).
     OpQuery.checked(
