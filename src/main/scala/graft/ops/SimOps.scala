@@ -202,6 +202,41 @@ object SimOps {
           coalesce(col("in_exact_topk"), lit(0L)).as("in_exact_topk"))
     },
 
+    // ── sim_quantize_int8: symmetric int8 quantization of the embedding
+    // column — the 4×-smaller storage/IO path a 100 TB vector corpus
+    // actually ships (scan int8, dequantize in-register). Per-vector
+    // max-abs scale, q = floor(x/s·127 + 0.5) (explicit half-up so both
+    // engines round identically), reconstruction error surfaced per
+    // vector. Pure narrow map — no shuffle.
+    OpQuery.checked(
+      "sim_quantize_int8",
+      """WITH scaled AS (
+        |  SELECT vec_id,
+        |         greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) AS s,
+        |         embedding
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       round(s, 6) AS scale,
+        |       CAST(list_aggregate(list_transform(embedding,
+        |              x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_checksum,
+        |       round(list_aggregate(list_transform(embedding,
+        |              x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s * 127 + 0.5) * s / 127)), 'max'), 6) AS max_err
+        |FROM scaled""".stripMargin
+    ) { (spark, dir) =>
+      tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("s",
+          greatest(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"),
+            lit(1e-30)))
+        .select(
+          col("vec_id"),
+          round(col("s"), 6).as("scale"),
+          expr("aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS BIGINT))")
+            .as("q_checksum"),
+          round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s * 127 + 0.5) * s / 127)))"), 6)
+            .as("max_err"))
+    },
+
     // ── dedup_embedding_cosine: embedding near-dup pairs — label-blocked
     // (the precomputed cluster id plays the IVF cell), cosine ≥ 0.35 (the corpus has no planted near-dup embeddings — max same-label cosine is ~0.5 — so the threshold sits in the observable tail).
     OpQuery.checked(

@@ -329,6 +329,41 @@ object TextOps {
         .limit(20)
     },
 
+    // ── text_chunk: fixed-window document chunking with overlap — the
+    // canonical pre-training segmentation (chunk = 50 tokens, stride = 40,
+    // so consecutive chunks share 10 tokens). Pure per-document array
+    // arithmetic: tokenize once, explode a computed chunk-index range,
+    // slice the token array per chunk. No shuffle at any scale; output
+    // rows ≈ corpus tokens / stride.
+    OpQuery.checked(
+      "text_chunk",
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS tokens FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, len(tokens) AS n_tokens,
+        |         unnest(range(0, greatest(CAST(ceil((len(tokens) - 10) / 40.0) AS BIGINT), 1))) AS chunk_idx,
+        |         tokens
+        |  FROM toks)
+        |SELECT doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_idx * 40 + 1 AS BIGINT) AS tok_start,
+        |       array_to_string(tokens[CAST(chunk_idx*40+1 AS INT):CAST(chunk_idx*40+50 AS INT)], ' ') AS chunk_text,
+        |       CAST(len(tokens[CAST(chunk_idx*40+1 AS INT):CAST(chunk_idx*40+50 AS INT)]) AS BIGINT) AS chunk_tokens
+        |FROM chunks""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), split(trim(col("text")), " ").as("tokens"))
+        .withColumn("n_tokens", size(col("tokens")).cast("long"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), greatest(CAST(ceil((n_tokens - 10) / 40.0) AS BIGINT), 1) - 1)")))
+        .select(
+          col("doc_id"), col("n_tokens"), col("chunk_idx"),
+          (col("chunk_idx") * 40 + 1).cast("long").as("tok_start"),
+          concat_ws(" ", expr("slice(tokens, CAST(chunk_idx*40+1 AS INT), 50)")).as("chunk_text"),
+          size(expr("slice(tokens, CAST(chunk_idx*40+1 AS INT), 50)")).cast("long").as("chunk_tokens"))
+    },
+
     // ── agg_approx_distinct: HyperLogLog++ distinct estimation — the
     // 100 TB alternative to exact COUNT(DISTINCT) when ±2% is acceptable.
     // Engine-specific sketch → rows-only checked; the exact count rides
