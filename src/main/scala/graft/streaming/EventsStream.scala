@@ -96,6 +96,32 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming exact dedup ──────────────────────────────────────────────
+
+  /** Streaming exact deduplication — the ingest-side shape of the batch
+    * `dedup_exact` operator: drop re-deliveries of the same content hash
+    * as they arrive, instead of re-scanning the corpus later. State is one
+    * entry per distinct (hash-bucketed) key and the watermark lets Spark
+    * expire state for hashes older than the event-time horizon — without
+    * it, streaming dedup state grows without bound (the classic 100 TB
+    * ingest failure mode). Dedup key = (content hash, event type); the
+    * payload hash stands in for md5(text) of the documents pipeline. */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
+      .withColumn("content_hash", md5(concat_ws("|", col("event_type"), col("props"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Start streaming dedup from a parquet directory into a memory sink. */
+  def startDedup(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    dedupExact(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── foreachBatch + MERGE sink ──────────────────────────────────────────
 
   /** Continuous refresh of a parquet aggregate table: each micro-batch's

@@ -24,6 +24,27 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered content and keeps one row per hash") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    val events = Tables(spark, sf0001).events
+    // deliver the source twice: second copy is pure re-delivery
+    events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    events.coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+
+    val q = EventsStream.startDedup(spark, staged, "dedup_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_test")
+      val distinctHashes = events
+        .select(md5(concat_ws("|", col("event_type"), col("props"))).as("h"))
+        .distinct().count()
+      assert(streamed.count() == distinctHashes,
+        s"streamed=${streamed.count()} distinct=$distinctHashes")
+      // no hash appears twice in the output
+      assert(streamed.groupBy("content_hash").count().filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink converges to the batch aggregate and is idempotent") {
     val staged = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
     val target = java.nio.file.Files.createTempDirectory("graft_merge_target").toString + "/agg"
