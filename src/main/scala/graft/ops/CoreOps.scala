@@ -201,6 +201,25 @@ object CoreOps {
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).cast("long").as("min_key"))
     },
 
+    // ── io_orc_roundtrip: ORC sink + source — the columnar alternative to
+    // parquet (same predicate-pushdown/column-pruning story); binary
+    // round-trip, so decimals/doubles survive exactly.
+    OpQuery.checked(
+      "io_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ) { (spark, dir) =>
+      val path = scratch(dir, "orc_roundtrip")
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+        .write.mode("overwrite").orc(path)
+      spark.read.orc(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+    },
+
     // ── project_expr: computed projection — CASE bucketing, string build
     // (ref DimMembers load 05_InitialLoading.sql:230-289).
     OpQuery.checked(
