@@ -33,8 +33,17 @@ object LibraryDemo {
       "members" -> oltp.members, "bookTitles" -> oltp.bookTitles,
       "bookCopies" -> oltp.bookCopies, "borrowedBooks" -> oltp.borrowedBooks,
       "salesOrders" -> oltp.salesOrders, "salesDetails" -> oltp.salesDetails,
-      "purchaseOrders" -> oltp.purchaseOrders, "purchaseDetails" -> oltp.purchaseDetails
+      "purchaseOrders" -> oltp.purchaseOrders, "purchaseDetails" -> oltp.purchaseDetails,
+      "fines" -> oltp.fines, "payments" -> oltp.payments,
+      "shiftSchedules" -> oltp.shiftSchedules, "staffAttendance" -> oltp.staffAttendance
     ).foreach { case (n, df) => println(f"  $n%-16s ${df.count()}%,10d rows") }
+
+    println("=== Fines → payments (trigger derivations) ===")
+    derived.fines.groupBy("fine_type", "fine_status").count()
+      .orderBy("fine_type", "fine_status").show(10, truncate = false)
+    println("=== Staff weekly hours (trg_check_weekly_hours) ===")
+    Derivations.weeklyHours(derived.staffAttendance, oltp.shiftSchedules)
+      .groupBy("over_limit").count().orderBy("over_limit").show()
 
     println("=== DW volumes ===")
     Seq(
