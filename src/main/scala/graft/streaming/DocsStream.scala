@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Streaming near-duplicate detection — the ingest-side counterpart of the
+  * batch `dedup_minhash_lsh` operator: as documents arrive, each is
+  * fingerprinted once (native `minhash_sig`), banded, and compared ONLY
+  * against the documents already seen in its LSH band. Candidate pairs
+  * surface immediately instead of waiting for a batch re-scan of the
+  * corpus.
+  *
+  * Scale shape: state is keyed by (band, band_hash) — the stream shuffles
+  * 16-byte band keys, never text — and each band's state is a bounded
+  * FIFO of recent (doc_id, signature) entries (`MaxPerBand`), so state
+  * stays O(buckets × MaxPerBand × 16 longs) on an unbounded stream. Near
+  * dups overwhelmingly collide while close together in ingest order
+  * (re-crawls, mirrored posts), which is what a bounded recency window
+  * catches; the periodic batch pass remains the completeness backstop.
+  */
+object DocsStream {
+
+  val NumBands = 4
+  val RowsPerBand = 4
+  val MaxPerBand = 64
+  val MinAgree = 8 // of 16 minhashes ⇒ est. Jaccard ≥ 0.5
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  final case class BandedDoc(band: Int, band_hash: Long, doc_id: Long, sig: Seq[Long])
+  final case class DocSig(doc_id: Long, sig: Seq[Long])
+  final case class BandState(docs: List[DocSig])
+  final case class NearDupPair(a_id: Long, b_id: Long, band: Int, n_agree: Int)
+
+  /** Fingerprint + band a (streaming or batch) documents frame. */
+  def banded(docs: DataFrame): Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        expr("minhash_sig(array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8))))")
+          .as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> named_struct(" +
+          s"'band', b, 'bh', xxhash64(sig[b*$RowsPerBand], sig[b*$RowsPerBand+1], sig[b*$RowsPerBand+2], sig[b*$RowsPerBand+3])))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("band_hash"), col("doc_id"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** Stateful pair emission: compare each arriving doc against the band's
+    * recent members, emit pairs agreeing on ≥ MinAgree of 16 minhashes. */
+  def nearDupPairs(docs: Dataset[BandedDoc]): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => (d.band, d.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), in: Iterator[BandedDoc], state: GroupState[BandState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out  = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          // deterministic processing order within the micro-batch
+          in.toArray.sortBy(_.doc_id).foreach { d =>
+            seen.foreach { s =>
+              if (s.doc_id != d.doc_id) {
+                var agree = 0
+                var i = 0
+                while (i < s.sig.length) { if (s.sig(i) == d.sig(i)) agree += 1; i += 1 }
+                if (agree >= MinAgree)
+                  out += NearDupPair(math.min(s.doc_id, d.doc_id), math.max(s.doc_id, d.doc_id), key._1, agree)
+              }
+            }
+            seen = (DocSig(d.doc_id, d.sig) :: seen).take(MaxPerBand) // FIFO recency window
+          }
+          state.update(BandState(seen))
+          out.iterator
+        })
+  }
+
+  /** Start the near-dup stream from a parquet directory into a memory
+    * sink. A pair colliding in several bands is emitted once per band —
+    * consumers dedupe on (a_id, b_id) (stacking a second stateful
+    * dropDuplicates on the stream would double the state for a purely
+    * cosmetic gain). */
+  def start(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(docSchema).parquet(sourceDir)
+    nearDupPairs(banded(src))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}
