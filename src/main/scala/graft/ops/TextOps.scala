@@ -377,6 +377,30 @@ object TextOps {
           countDistinct(col("o_custkey")).as("exact_cust"))
     },
 
+    // ── text_heavy_hitters: SpaceSaving top-20 word bigrams — the
+    // bounded-memory alternative to text_ngram_freq's exact count when
+    // the distinct-ngram universe exceeds memory (100 TB corpora). The
+    // summary is a native TypedImperativeAggregate (map-side partials,
+    // counter-algebra merge, one shuffle of O(partitions × capacity)
+    // counters). Exact counts ride along so the sketch's error bounds
+    // (exact ≤ est ≤ exact + max_err) are visible in the output.
+    // Merge-order-dependent estimates ⇒ rows-only checked.
+    OpQuery.unchecked("text_heavy_hitters") { (spark, dir) =>
+      graft.functions.SpaceSavingTopK.register(spark)
+      val bigrams = Tables(spark, dir).documents
+        .select(split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) > 1)
+        .select(explode(expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bigram"))
+      val sketched = bigrams
+        .agg(expr("spacesaving_topk(bigram, 20, 400)").as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("bigram"), col("t.est_count").as("est_count"), col("t.max_err").as("max_err"))
+      val exact = bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_count"))
+      sketched.join(exact, Seq("bigram"), "left_outer")
+        .select(col("bigram"), col("est_count"), col("max_err"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+    },
+
     // ── dedup_minhash_lsh: full MinHash + banded LSH, the at-scale
     // implementation (xxhash64-based — engine-native, so rows-only checked).
     // 16 hash functions → 4 bands of 4 → band-bucket join → estimated
