@@ -25,13 +25,41 @@ import scala.collection.mutable
   * summary algebra, so the whole aggregation is one shuffle of
   * O(partitions × capacity) counters, never the raw item stream.
   */
+/** Mutable SpaceSaving summary: item map plus a TreeSet min-index so the
+  * eviction path is O(log capacity) instead of an O(capacity) scan per
+  * evicted item (the scan made the sketch slower than the exact count it
+  * replaces). */
+final class SpaceSavingBuffer {
+  val items = mutable.HashMap.empty[String, (Long, Long)] // item -> (count, err)
+  // ordered (count, item) index for O(log n) min lookup/removal
+  val byCount = mutable.TreeSet.empty[(Long, String)]
+
+  def offer(capacity: Int, item: String, add: Long, err: Long): Unit =
+    items.get(item) match {
+      case Some((c, e)) =>
+        byCount.remove((c, item))
+        items(item) = (c + add, e + err)
+        byCount.add((c + add, item))
+      case None if items.size < capacity =>
+        items(item) = (add, err)
+        byCount.add((add, item))
+      case None =>
+        // evict the min-count entry; the newcomer inherits its count as error
+        val min @ (minC, minItem) = byCount.head
+        byCount.remove(min)
+        items.remove(minItem)
+        items(item) = (minC + add, minC + err)
+        byCount.add((minC + add, item))
+    }
+}
+
 case class SpaceSavingTopK(
     child: Expression,
     k: Int,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.LinkedHashMap[String, (Long, Long)]] {
+    extends TypedImperativeAggregate[SpaceSavingBuffer] {
 
   require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
 
@@ -43,50 +71,32 @@ case class SpaceSavingTopK(
     StructField("est_count", LongType, nullable = false),
     StructField("max_err", LongType, nullable = false))), containsNull = false)
 
-  type Buf = mutable.LinkedHashMap[String, (Long, Long)] // item -> (count, err)
+  override def createAggregationBuffer(): SpaceSavingBuffer = new SpaceSavingBuffer
 
-  override def createAggregationBuffer(): Buf = mutable.LinkedHashMap.empty
-
-  private def offer(buf: Buf, item: String, add: Long, err: Long): Unit =
-    buf.get(item) match {
-      case Some((c, e)) => buf(item) = (c + add, e + err)
-      case None if buf.size < capacity => buf(item) = (add, err)
-      case None =>
-        // evict the min-count entry; the newcomer inherits its count as error
-        val (minItem, (minC, _)) = buf.minBy { case (i, (c, _)) => (c, i) }
-        buf.remove(minItem)
-        buf(item) = (minC + add, minC + err)
-    }
-
-  override def update(buf: Buf, input: InternalRow): Buf = {
+  override def update(buf: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.toString, 1L, 0L)
+    if (v != null) buf.offer(capacity, v.toString, 1L, 0L)
     buf
   }
 
-  override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreach { case (item, (c, e)) => offer(b1, item, c, e) }
-    // re-trim: keep the `capacity` largest counters (deterministic tiebreak)
-    if (b1.size > capacity) {
-      val keep = b1.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
-      b1.clear()
-      keep.foreach { case (i, ce) => b1(i) = ce }
-    }
+  override def merge(b1: SpaceSavingBuffer, b2: SpaceSavingBuffer): SpaceSavingBuffer = {
+    // feed the larger summary with the smaller for fewer evictions
+    b2.items.foreach { case (item, (c, e)) => b1.offer(capacity, item, c, e) }
     b1
   }
 
-  override def eval(buf: Buf): Any = {
-    val top = buf.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+  override def eval(buf: SpaceSavingBuffer): Any = {
+    val top = buf.items.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
     new GenericArrayData(top.map { case (i, (c, e)) =>
       InternalRow(UTF8String.fromString(i), c, e)
     }.toArray[Any])
   }
 
-  override def serialize(buf: Buf): Array[Byte] = {
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (i, (c, e)) =>
+    out.writeInt(buf.items.size)
+    buf.items.foreach { case (i, (c, e)) =>
       val b = i.getBytes("UTF-8")
       out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
     }
@@ -94,16 +104,20 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Buf = {
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
     val in  = new DataInputStream(new ByteArrayInputStream(bytes))
     val n   = in.readInt()
-    val buf = mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val buf = new SpaceSavingBuffer
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b   = new Array[Byte](len)
       in.readFully(b)
-      buf(new String(b, "UTF-8")) = (in.readLong(), in.readLong())
+      val item = new String(b, "UTF-8")
+      val c    = in.readLong()
+      val e    = in.readLong()
+      buf.items(item) = (c, e)
+      buf.byCount.add((c, item))
       i += 1
     }
     buf
