@@ -297,6 +297,38 @@ object AggOps {
           col("rev_dec").cast("double").as("rev"),
           (col("rev_dec").cast("double") / sum(col("rev_dec")).over(Window.partitionBy()).cast("double"))
             .as("rev_share"))
+    },
+
+    // ── win_range_frame: value-range window frames — rolling 7-day spend
+    // per order priority with RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    // over a day-number order key (calendar-gap-aware, unlike ROWS
+    // frames). Sum runs on exact decimal; one shuffle on the partition
+    // key, frame evaluation is partition-local.
+    OpQuery.checked(
+      "win_range_frame",
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |d2 AS (SELECT *, datediff('day', DATE '1990-01-01', od) AS dnum FROM daily)
+        |SELECT o_orderpriority, od,
+        |       CAST(spend AS DOUBLE) AS day_spend,
+        |       CAST(sum(spend) OVER (PARTITION BY o_orderpriority ORDER BY dnum
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d,
+        |       CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY dnum
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_frame
+        |FROM d2""".stripMargin
+    ) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
+        .withColumn("dnum", datediff(col("od"), lit("1990-01-01").cast("date")).cast("long"))
+      val frame = Window.partitionBy("o_orderpriority").orderBy("dnum").rangeBetween(-6, 0)
+      daily.select(
+        col("o_orderpriority"), col("od"),
+        col("spend").cast("double").as("day_spend"),
+        sum(col("spend")).over(frame).cast("double").as("spend_7d"),
+        count(lit(1)).over(frame).cast("long").as("days_in_frame"))
     }
   )
 }

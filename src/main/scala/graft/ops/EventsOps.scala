@@ -11,6 +11,55 @@ import org.apache.spark.sql.expressions.Window
 object EventsOps {
 
   val ops: Seq[OpQuery] = Seq(
+    // ── events_funnel: event-sequence (funnel) analysis — per user, the
+    // first view, the first click strictly after it, and the first
+    // purchase strictly after that; stage_reached counts completed steps.
+    // Three conditional min-aggregations chained by joins, all
+    // co-partitioned on user_id (one shuffle, reused across stages).
+    OpQuery.checked(
+      "events_funnel",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |                 WHEN c.t_click IS NOT NULL THEN 2
+        |                 WHEN v.t_view IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS stage_reached
+        |FROM u
+        |  LEFT JOIN v ON v.user_id = u.user_id
+        |  LEFT JOIN c ON c.user_id = u.user_id
+        |  LEFT JOIN p ON p.user_id = u.user_id""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val users = ev.select("user_id").distinct()
+      val view = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val click = ev.filter(col("event_type") === "click").as("e")
+        .join(view, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val purchase = ev.filter(col("event_type") === "purchase").as("e")
+        .join(click, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      users
+        .join(view, Seq("user_id"), "left_outer")
+        .join(click, Seq("user_id"), "left_outer")
+        .join(purchase, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("stage_reached"))
+    },
+
     // ── events_window_agg: tumbling-window aggregation (1 h) per event
     // type — the micro-batch equivalent of the streaming windowed count.
     OpQuery.checked(
