@@ -13,7 +13,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val keys  = if (args.length > 1) args.drop(1).toSeq
-                else Seq("q1_genre_sales", "join_inner_equi", "filter_basic", "sim_cosine_topk", "dedup_minhash_lsh")
+                else Seq("q1_genre_sales", "join_inner_equi", "filter_basic", "sim_cosine_topk",
+                         "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
