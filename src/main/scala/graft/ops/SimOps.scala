@@ -67,6 +67,9 @@ object SimOps {
       val q = emb
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // the query side broadcasts: a production deployment caps/chunks the
+      // query batch, so each chunk is bounded regardless of corpus size
+      // (the corpus side must never broadcast).
       val scored = broadcast(q)
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -114,6 +117,7 @@ object SimOps {
       val q = emb
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+      // bounded query batch broadcasts; corpus side never does
       val scored = broadcast(q)
         .join(
           emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn"),
@@ -187,7 +191,7 @@ object SimOps {
       // exact top-5 on the query sample → measured recall per neighbor
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val exact = broadcast(q)
+      val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
