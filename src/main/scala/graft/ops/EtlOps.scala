@@ -318,7 +318,7 @@ object EtlOps {
         |ranked AS (
         |  SELECT *,
         |         CAST((ROW_NUMBER() OVER (PARTITION BY member_id
-        |                ORDER BY is_lost DESC, fine_date, fine_id) - 1) // 2 AS BIGINT) AS pair_idx
+        |                ORDER BY is_lost DESC, fine_date, fine_id, fine_amount) - 1) // 2 AS BIGINT) AS pair_idx
         |  FROM fines)
         |SELECT member_id, pair_idx,
         |       CAST(count(*) AS BIGINT) AS n_fines,
@@ -339,8 +339,12 @@ object EtlOps {
           when(col("l_quantity") >= 45, floor(col("l_extendedprice") / 100).cast("long") + 20)
             .when(col("l_tax") >= 0.06, floor(col("l_extendedprice") / 100).cast("long"))
             .otherwise(30L).as("fine_amount"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata,
+      // so fine_id alone is not a total order — fine_amount completes the
+      // tiebreak (rows equal on all four keys are interchangeable for the
+      // pair sums, so the ordering is deterministic where it matters).
       val w = Window.partitionBy("member_id")
-        .orderBy(col("is_lost").desc, col("fine_date"), col("fine_id"))
+        .orderBy(col("is_lost").desc, col("fine_date"), col("fine_id"), col("fine_amount"))
       fines
         .withColumn("pair_idx", floor((row_number().over(w) - 1) / 2).cast("long"))
         .filter(col("pair_idx") < 2)
