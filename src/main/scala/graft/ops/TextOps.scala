@@ -377,6 +377,70 @@ object TextOps {
           countDistinct(col("o_custkey")).as("exact_cust"))
     },
 
+    // ── pipeline_pretrain: the composed training-data pipeline as ONE
+    // DAG — quality gate (token count + alpha ratio + stopword signal) →
+    // language gate (n-gram marker argmax = 'en') → exact dedup (md5
+    // groupBy, lowest doc_id survives) → fixed-window chunking. This is
+    // how the individual operators are actually consumed; the whole
+    // composition stays two shuffles (dedup groupBy + nothing else — the
+    // gates and chunking are narrow), and the oracle checks the composed
+    // semantics end-to-end.
+    OpQuery.checked(
+      "pipeline_pretrain",
+      """WITH feats AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS en_score,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ''))) / 4 AS es_score,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5 AS de_score,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4 AS fr_score
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens FROM feats
+        |  WHERE n_tokens BETWEEN 10 AND 1000 AND alpha_ratio > 0.5
+        |    AND en_score >= es_score AND en_score >= de_score AND en_score >= fr_score),
+        |deduped AS (
+        |  SELECT min(doc_id) AS doc_id, min(text) AS text, min(n_tokens) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM kept GROUP BY md5(text)),
+        |toks AS (SELECT doc_id, n_copies, str_split(trim(text), ' ') AS tokens FROM deduped),
+        |chunks AS (
+        |  SELECT doc_id, n_copies, len(tokens) AS n_tokens,
+        |         unnest(range(0, greatest(CAST(ceil((len(tokens) - 10) / 40.0) AS BIGINT), 1))) AS chunk_idx,
+        |         tokens
+        |  FROM toks)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_copies,
+        |       CAST(len(tokens[CAST(chunk_idx*40+1 AS INT):CAST(chunk_idx*40+50 AS INT)]) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(tokens[CAST(chunk_idx*40+1 AS INT):CAST(chunk_idx*40+50 AS INT)], ' ')) AS chunk_hash
+        |FROM chunks""".stripMargin
+    ) { (spark, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def hits(m: String) = (length(padded) - length(regexp_replace(padded, m, ""))) / m.length
+      val kept = Tables(spark, dir).documents
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text")))
+        .withColumn("en_score", hits(" the ")).withColumn("es_score", hits(" la "))
+        .withColumn("de_score", hits(" der ")).withColumn("fr_score", hits(" le "))
+        .filter(col("n_tokens").between(10, 1000) && col("alpha_ratio") > 0.5
+          && col("en_score") >= col("es_score") && col("en_score") >= col("de_score")
+          && col("en_score") >= col("fr_score"))
+        .select("doc_id", "text", "n_tokens")
+      val deduped = kept
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"),
+          min(col("n_tokens")).as("n_tokens"), count(lit(1)).as("n_copies"))
+      deduped
+        .select(col("doc_id"), col("n_copies"), split(trim(col("text")), " ").as("tokens"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), greatest(CAST(ceil((size(tokens) - 10) / 40.0) AS BIGINT), 1) - 1)")))
+        .select(
+          col("doc_id"), col("chunk_idx"), col("n_copies"),
+          size(expr("slice(tokens, CAST(chunk_idx*40+1 AS INT), 50)")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", expr("slice(tokens, CAST(chunk_idx*40+1 AS INT), 50)"))).as("chunk_hash"))
+    },
+
     // ── text_heavy_hitters: SpaceSaving top-20 word bigrams — the
     // bounded-memory alternative to text_ngram_freq's exact count when
     // the distinct-ngram universe exceeds memory (100 TB corpora). The
