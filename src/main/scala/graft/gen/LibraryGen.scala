@@ -162,7 +162,11 @@ object LibraryGen {
   }
 
   /** Sales orders + lines (ref 13_InsertSalesAndOrders.sql): 5–10 orders
-    * per day (~55k orders), 1–6 lines each, qty 1–4. Returns (orders, details). */
+    * per day (~55k orders), 1–6 lines each, qty 1–4. Orders carry the
+    * discount active on their sales date (BookOrders.discountId,
+    * 01_Create.sql:225-236) — valid by construction, which is exactly the
+    * invariant trg_BookOrders_DiscDate enforces (02_Trigger.sql:383-409).
+    * Returns (orders, details). */
   def sales(spark: SparkSession, titles: DataFrame, members: DataFrame, seed: Long = 42): (DataFrame, DataFrame) = {
     val tCount = titles.count()
     val mCount = members.count()
@@ -178,6 +182,14 @@ object LibraryGen {
         col("sales_date"),
         fmtId("M", pmod(xxhash64(lit(seed ^ 51), col("seq")), lit(mCount)) + 1, 4).as("member_id"),
         uniInt(seed ^ 52, col("seq"), 1, 6).as("n_lines"))
+      // discount active on the sales date (at most one window per date in
+      // the generated calendar; max picks deterministically if they ever
+      // overlap) — NULL outside every window
+      .join(
+        broadcast(discounts(spark, seed).select(col("discount_id"), col("start_date"), col("end_date"))),
+        col("sales_date").between(col("start_date"), col("end_date")), "left_outer")
+      .groupBy(col("order_id"), col("sales_date"), col("member_id"), col("n_lines"))
+      .agg(max(col("discount_id")).as("discount_id"))
     val details = orders
       .select(col("order_id"), col("sales_date"), explode(sequence(lit(1), col("n_lines"))).as("line_no"))
       .select(

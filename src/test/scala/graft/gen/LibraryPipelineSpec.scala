@@ -191,6 +191,12 @@ class LibraryPipelineSpec extends SparkSuite {
       Validation.Rule("discount_active_on_sale", col("start_date").isNotNull)))
       .collect().head
     assert(discReport.getLong(3) == 0)
+    // order-level discountId (BookOrders schema): carried id must be active
+    // on the order's sales date — the trigger's exact predicate
+    val withDisc = oltp.salesOrders.filter(col("discount_id").isNotNull)
+      .join(oltp.discounts.select("discount_id", "start_date", "end_date"), Seq("discount_id"))
+    assert(withDisc.count() > 0)
+    assert(withDisc.filter(!col("sales_date").between(col("start_date"), col("end_date"))).count() == 0)
 
     // TRG_MANAGE_BOOK_DETAILS: year/price/popularity domains
     val btReport = Validation.report(oltp.bookTitles, "book_titles", Seq(
