@@ -59,6 +59,8 @@ object LibraryDemo {
     LibraryReports.q2PurchaseSpend(dw, p).show(12, truncate = false)
     println("=== Q3: gross margin by member state (signals) ===")
     LibraryReports.q3GrossMargin(dw, p).show(12, truncate = false)
+    println("=== Q4: fine revenue and collection by type ===")
+    LibraryReports.q4FineRevenue(derived.fines, derived.payments, p).show(12, truncate = false)
 
     spark.stop()
   }

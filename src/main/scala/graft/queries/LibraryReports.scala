@@ -140,4 +140,28 @@ object LibraryReports {
         col("qoq_pct"), col("signal"))
       .orderBy(col("cal_year"), col("cal_quarter"), col("member_state"))
   }
+
+  /** Q4 — fine revenue and collection over the fines→payments subdomain
+    * (ref 08_InsertFines.sql's inspection queries, generalized): per
+    * (year, fine type) billed vs collected amounts, collection rate, and
+    * the average days from fine to payment for collected fines. One
+    * shuffle on the (year, type) grain; payments join is payment-id keyed
+    * with the (small) payment side broadcast by stats. */
+  def q4FineRevenue(fines: DataFrame, payments: DataFrame, p: Params = Params()): DataFrame = {
+    val paid = payments.select(col("payment_id"), col("payment_date"))
+    fines
+      .filter(year(col("fine_date")).between(p.yearFrom, p.yearTo))
+      .join(paid, Seq("payment_id"), "left_outer")
+      .groupBy(year(col("fine_date")).cast("long").as("cal_year"), col("fine_type"))
+      .agg(
+        count(lit(1)).as("n_fines"),
+        sum(col("fine_amount")).cast("double").as("billed"),
+        sum(when(col("fine_status") === "Paid", col("fine_amount")).otherwise(lit(0)))
+          .cast("double").as("collected"),
+        (sum(when(col("fine_status") === "Paid", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("collection_rate"),
+        avg(when(col("payment_date").isNotNull,
+          datediff(col("payment_date"), col("fine_date")))).as("avg_days_to_pay"))
+      .orderBy(col("cal_year"), col("fine_type"))
+  }
 }

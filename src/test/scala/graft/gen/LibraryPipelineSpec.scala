@@ -240,6 +240,26 @@ class LibraryPipelineSpec extends SparkSuite {
     assert(dw.factSales.join(dw.dimDate, Seq("date_key"), "left_anti").count() == 0)
   }
 
+  test("Q4 fine-revenue report: billed covers collected, lag only for paid fines") {
+    val q4 = LibraryReports.q4FineRevenue(derived.fines, derived.payments)
+    val rows = q4.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val billed = r.getAs[Double]("billed")
+      val collected = r.getAs[Double]("collected")
+      assert(collected >= 0 && collected <= billed + 1e-6)
+      val rate = r.getAs[Double]("collection_rate")
+      assert(rate >= 0 && rate <= 1)
+    }
+    // payment lag is non-negative wherever it exists (fineDate ≤ paymentDate)
+    assert(q4.filter(col("avg_days_to_pay") < 0).count() == 0)
+    // only Lost Book fines collect at this scale's lost-first pairing — at
+    // minimum the Lost Book rows must show nonzero collection overall
+    val lostCollected = q4.filter(col("fine_type") === "Lost Book")
+      .agg(sum(col("collected"))).first().getDouble(0)
+    assert(lostCollected > 0)
+  }
+
   test("the three library reports run with sane shapes") {
     val p = LibraryReports.Params(yearFrom = 2005, yearTo = 2010, topN = 3)
     val q1 = LibraryReports.q1GenreSales(dw, p)
