@@ -61,6 +61,9 @@ object LibraryDemo {
     LibraryReports.q3GrossMargin(dw, p).show(12, truncate = false)
     println("=== Q4: fine revenue and collection by type ===")
     LibraryReports.q4FineRevenue(derived.fines, derived.payments, p).show(12, truncate = false)
+    println("=== Q5: staffing utilization by role ===")
+    LibraryReports.q5StaffUtilization(oltp.staff, oltp.shiftSchedules, derived.staffAttendance)
+      .show(12, truncate = false)
 
     spark.stop()
   }

@@ -164,4 +164,25 @@ object LibraryReports {
           datediff(col("payment_date"), col("fine_date")))).as("avg_days_to_pay"))
       .orderBy(col("cal_year"), col("fine_type"))
   }
+
+  /** Q5 — staffing utilization per (role, year): scheduled shifts,
+    * absence and late rates (trg_auto_mark_late statuses), and worked
+    * hours with the reference's truncated-hour arithmetic. Attendance ⋈
+    * schedule is keyed on schedule_id; staff/shift lookups broadcast
+    * (bounded dims). One shuffle on the (role, year) grain. */
+  def q5StaffUtilization(staff: DataFrame, schedules: DataFrame, attendance: DataFrame): DataFrame =
+    attendance
+      .join(schedules.select("schedule_id", "staff_id", "shift_date"), Seq("schedule_id"))
+      .join(broadcast(staff.select("staff_id", "staff_role")), Seq("staff_id"))
+      .groupBy(col("staff_role"), year(col("shift_date")).cast("long").as("cal_year"))
+      .agg(
+        count(lit(1)).as("n_shifts"),
+        (sum(when(col("attendance_status") === "Absent", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("absence_rate"),
+        (sum(when(col("attendance_status") === "Late", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("late_rate"),
+        sum(when(col("actual_end_time").isNotNull,
+          (unix_micros(col("actual_end_time")) - unix_micros(col("actual_start_time"))) / lit(3600000000L))
+          .otherwise(lit(0L)).cast("long")).as("worked_hours"))
+      .orderBy(col("staff_role"), col("cal_year"))
 }

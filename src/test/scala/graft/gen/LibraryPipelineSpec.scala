@@ -260,6 +260,18 @@ class LibraryPipelineSpec extends SparkSuite {
     assert(lostCollected > 0)
   }
 
+  test("Q5 staffing utilization: all roles covered, rates in range, hours positive") {
+    val q5 = LibraryReports.q5StaffUtilization(oltp.staff, oltp.shiftSchedules, derived.staffAttendance)
+    val rows = q5.collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("manager", "assistant", "librarian", "security", "cleaner"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("absence_rate") >= 0 && r.getAs[Double]("absence_rate") <= 0.1)
+      assert(r.getAs[Double]("late_rate") > 0 && r.getAs[Double]("late_rate") < 1)
+      assert(r.getAs[Long]("worked_hours") > 0)
+    }
+  }
+
   test("the three library reports run with sane shapes") {
     val p = LibraryReports.Params(yearFrom = 2005, yearTo = 2010, topN = 3)
     val q1 = LibraryReports.q1GenreSales(dw, p)
