@@ -202,6 +202,30 @@ object AggOps {
         .select("yr", "qtr", "g_yr", "g_qtr", "spend")
     },
 
+    // ── agg_cube_grouping: full CUBE grouping sets with GROUPING ids —
+    // all four (priority × status) slices in one pass (Expand + single
+    // shuffle), the complement of ROLLUP's prefix hierarchy.
+    OpQuery.checked(
+      "agg_cube_grouping",
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(col("o_orderpriority"), col("o_orderstatus"), Norm.dec(col("o_totalprice")).as("p"))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("p")).cast("double").as("spend"))
+        .select("o_orderpriority", "o_orderstatus", "g_pri", "g_status", "n", "spend")
+    },
+
     // ── agg_percentile: exact percentiles per group — Spark `percentile`
     // and DuckDB `quantile_cont` both use linear interpolation over the
     // sorted values, so the doubles match bit-for-bit.
