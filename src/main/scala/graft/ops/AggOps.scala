@@ -293,6 +293,42 @@ object AggOps {
         .withColumn("delta", col("rev") - col("prev_rev"))
     },
 
+    // ── win_rank_family: the ranking-function family beyond ROW_NUMBER —
+    // dense_rank, ntile quartiles, percent_rank, cume_dist per market
+    // segment over customer spend. Total order (spend desc, custkey)
+    // keeps every function cross-engine deterministic; one shuffle on the
+    // segment, all four functions share the same window sort.
+    OpQuery.checked(
+      "win_rank_family",
+      """WITH per_cust AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_custkey)
+        |SELECT c_mktsegment, c_custkey,
+        |       CAST(spend_dec AS DOUBLE) AS spend,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM per_cust
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_dec DESC, c_custkey)""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCust = t.orders
+        .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend_dec"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("spend_dec").desc, col("c_custkey"))
+      perCust.select(
+        col("c_mktsegment"), col("c_custkey"),
+        col("spend_dec").cast("double").as("spend"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+
     // ── win_whole_partition: aggregate OVER () — share of grand total
     // (ref 02_InsertMembers.sql:225) on revenue per nation.
     OpQuery.checked(
