@@ -1,6 +1,8 @@
 package graft.algo
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation over an undirected edge
@@ -40,17 +42,17 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    val sc = edges.sparkSession.sparkContext
     // localCheckpoint persists its RDD outside the CacheManager, so
-    // Dataset.unpersist can't release superseded generations — track the
-    // persisted-RDD ids each checkpoint creates and unpersist them
-    // directly once the following generation has materialized.
-    def snapshotIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    var before = snapshotIds
+    // Dataset.unpersist can't release superseded generations. The
+    // checkpointed Dataset's analyzed plan is a LogicalRDD wrapping the
+    // persisted RDD — hold that RDD directly and unpersist it once the
+    // following generation has materialized. (An earlier version diffed
+    // sc.getPersistentRDDs snapshots, which could sweep up — and evict —
+    // RDDs persisted concurrently by other queries on the shared context.)
     var gen = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"), lit(false).as("changed"))
       .localCheckpoint(true)
-    var genIds = snapshotIds -- before
+    var genRdd = checkpointRdd(gen)
     var done   = false
     var i      = 0
     while (!done && i < maxIter) {
@@ -58,7 +60,6 @@ object ConnectedComponents {
         .join(gen.select("id", "label"), sym("b") === col("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("label")).as("nbr_label"))
-      before = snapshotIds
       val next = gen
         .join(nbrMin, gen("id") === nbrMin("nid"), "left_outer")
         .select(
@@ -68,14 +69,27 @@ object ConnectedComponents {
         .localCheckpoint(true) // the round's single job; truncates lineage
       // free the superseded generation — `next` is fully materialized, so
       // nothing live references the old labels anymore.
-      val nextIds = snapshotIds -- before
-      genIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      genIds = nextIds
+      genRdd.foreach(_.unpersist(false))
+      genRdd = checkpointRdd(next)
       gen = next
       i += 1
       if (i % checkEvery == 0 || i >= maxIter)
         done = gen.where(col("changed")).isEmpty // limit-1 probe on materialized data
     }
+    // the edge artifact is only read while iterating — release it now. The
+    // final generation stays persisted (it backs the returned frame);
+    // callers that outlive the result should release(result) when done.
+    checkpointRdd(sym).foreach(_.unpersist(false))
     gen.select(col("id"), col("label").as("component"))
   }
+
+  /** The persisted RDD backing a localCheckpoint'd Dataset (or a frame
+    * derived from one): the first LogicalRDD leaf in the analyzed plan. */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  /** Release the checkpointed labels backing a [[components]] result once
+    * the caller has fully consumed it. */
+  def release(result: DataFrame): Unit =
+    checkpointRdd(result).foreach(_.unpersist(false))
 }

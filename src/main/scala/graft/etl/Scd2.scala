@@ -45,7 +45,14 @@ object Scd2 {
   /** Like [[apply]], but each output row carries [[ActionCol]] ∈
     * ('keep' | 'close' | 'open') so callers can post-process the new
     * current versions — e.g. assign them fresh surrogate keys
-    * ([[IncrementalLoad]]). */
+    * ([[IncrementalLoad]]).
+    *
+    * Single pass: each joined row is tagged with the action(s) it expands
+    * to — ['keep'] for untouched rows, ['close','open'] for a superseded
+    * current version — then exploded and projected conditionally on the
+    * tag. One join, one projection, no cache (an earlier three-branch
+    * union needed a cached join and leaked one cache entry per
+    * incremental load into the shared session). */
   def applyTagged(dim: DataFrame, changes: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], changeDate: String): DataFrame = {
     val chg = changes.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
 
@@ -54,36 +61,32 @@ object Scd2 {
       .map(c => !(col(c) <=> col(s"__chg_$c"))) // null-safe inequality
       .reduce(_ || _)
 
-    // cached: three branches (keep/close/open) consume this join — without
-    // the cache the dim⋈changes join executes three times per apply.
-    val joined = dim.join(broadcast(chg), joinCond, "left_outer").cache()
-
     val isCurrentAndChanged = col("curr_ind") === "Y" && col(s"__chg_${keyCols.head}").isNotNull && differs
 
-    val dimCols = dim.columns.map(col).toIndexedSeq
+    val action = col(ActionCol)
+    val tagged = dim.join(broadcast(chg), joinCond, "left_outer")
+      .withColumn(ActionCol, explode(
+        when(isCurrentAndChanged, array(lit("close"), lit("open"))).otherwise(array(lit("keep")))))
 
-    // 1. rows untouched (historic rows, or current rows with no real change)
-    val untouched = joined.filter(!isCurrentAndChanged)
-      .select(dimCols: _*).withColumn(ActionCol, lit("keep"))
+    val outCols = dim.columns.map { c =>
+      val out = c match {
+        case _ if trackedCols.contains(c) =>
+          when(action === "open", col(s"__chg_$c")).otherwise(col(c))
+        case "effective_date" =>
+          when(action === "open", lit(changeDate).cast("date")).otherwise(col(c))
+        case "expiration_date" =>
+          when(action === "open", lit(EndOfTime).cast("date"))
+            .when(action === "close", date_sub(lit(changeDate).cast("date"), 1))
+            .otherwise(col(c))
+        case "curr_ind" =>
+          when(action === "open", lit("Y"))
+            .when(action === "close", lit("N"))
+            .otherwise(col(c))
+        case _ => col(c)
+      }
+      out.as(c)
+    }.toIndexedSeq
 
-    // 2. close the superseded current version
-    val closed = joined
-      .filter(isCurrentAndChanged)
-      .withColumn("expiration_date", date_sub(lit(changeDate).cast("date"), 1))
-      .withColumn("curr_ind", lit("N"))
-      .select(dimCols: _*).withColumn(ActionCol, lit("close"))
-
-    // 3. append the new current version with the changed attributes
-    val opened = joined
-      .filter(isCurrentAndChanged)
-      .select(dim.columns.map {
-        case c if trackedCols.contains(c) => col(s"__chg_$c").as(c)
-        case "effective_date"             => lit(changeDate).cast("date").as("effective_date")
-        case "expiration_date"            => lit(EndOfTime).cast("date").as("expiration_date")
-        case "curr_ind"                   => lit("Y").as("curr_ind")
-        case c                            => col(c)
-      }.toIndexedSeq: _*).withColumn(ActionCol, lit("open"))
-
-    untouched.unionByName(closed).unionByName(opened)
+    tagged.select(outCols :+ action.as(ActionCol): _*)
   }
 }

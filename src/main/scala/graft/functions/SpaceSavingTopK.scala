@@ -80,9 +80,12 @@ case class SpaceSavingTopK(
   }
 
   override def merge(b1: SpaceSavingBuffer, b2: SpaceSavingBuffer): SpaceSavingBuffer = {
-    // feed the larger summary with the smaller for fewer evictions
-    b2.items.foreach { case (item, (c, e)) => b1.offer(capacity, item, c, e) }
-    b1
+    // feed the larger summary with the smaller for fewer evictions (every
+    // insert into a near-empty base would evict, inflating max_err); the
+    // framework stores whichever buffer we return back into the agg row
+    val (base, other) = if (b1.items.size >= b2.items.size) (b1, b2) else (b2, b1)
+    other.items.foreach { case (item, (c, e)) => base.offer(capacity, item, c, e) }
+    base
   }
 
   override def eval(buf: SpaceSavingBuffer): Any = {

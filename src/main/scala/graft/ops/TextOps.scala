@@ -31,13 +31,21 @@ object TextOps {
 
   /** Shared shingle artifact: (doc_id, text, shingles), cached once and
     * reused by every dedup/fingerprint op (Spark's CacheManager matches the
-    * cached subplan inside each derived query). In a production pipeline
+    * cached subplan inside each derived query, so repeated calls share ONE
+    * entry per dir rather than accumulating). In a production pipeline
     * this is a persisted parquet artifact — shingling 100 TB once, not once
-    * per consumer — and the cache models exactly that. */
+    * per consumer — and the cache models exactly that. A long-lived session
+    * that is done with a corpus calls [[release]] to return the storage. */
   private def docBase(spark: org.apache.spark.sql.SparkSession, dir: String) =
     tables(spark, dir).documents
       .select(col("doc_id"), col("text"), expr(shingleArr).as("shingles"))
       .cache()
+
+  /** Unpersist the shared per-corpus artifacts ([[docBase]]/[[fpBase]]). */
+  def release(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    fpBase(spark, dir).unpersist(false)
+    docBase(spark, dir).unpersist(false)
+  }
 
   /** Shared fingerprint artifact: (doc_id, h = md5(text), f1, f2) — the
     * tiny (4 × 32-byte) table every candidate-pair join shuffles on. */

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: state is keyed by (band, band_hash) — the stream shuffles
   * 16-byte band keys, never text — and each band's state is a bounded
-  * FIFO of recent (doc_id, signature) entries (`MaxPerBand`), so state
-  * stays O(buckets × MaxPerBand × 16 longs) on an unbounded stream. Near
-  * dups overwhelmingly collide while close together in ingest order
-  * (re-crawls, mirrored posts), which is what a bounded recency window
-  * catches; the periodic batch pass remains the completeness backstop.
+  * FIFO of recent (doc_id, signature) entries (`MaxPerBand`). Per-key
+  * size alone does not bound TOTAL state: distinct content keeps minting
+  * new band keys forever, so idle band buckets are expired with a
+  * processing-time timeout (`IdleTimeoutMs`) — total state is
+  * O(bands touched in the recency window × MaxPerBand × 16 longs) on an
+  * unbounded stream. Near dups overwhelmingly collide while close
+  * together in ingest order (re-crawls, mirrored posts), which is what a
+  * bounded recency window catches; the periodic batch pass remains the
+  * completeness backstop.
   */
 object DocsStream {
 
@@ -26,6 +30,7 @@ object DocsStream {
   val RowsPerBand = 4
   val MaxPerBand = 64
   val MinAgree = 8 // of 16 minhashes ⇒ est. Jaccard ≥ 0.5
+  val IdleTimeoutMs: Long = 10 * 60 * 1000L // expire band buckets idle this long
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -61,25 +66,33 @@ object DocsStream {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(d => (d.band, d.band_hash))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (key: (Int, Long), in: Iterator[BandedDoc], state: GroupState[BandState]) => {
-          var seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val out  = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-          // deterministic processing order within the micro-batch
-          in.toArray.sortBy(_.doc_id).foreach { d =>
-            seen.foreach { s =>
-              if (s.doc_id != d.doc_id) {
-                var agree = 0
-                var i = 0
-                while (i < s.sig.length) { if (s.sig(i) == d.sig(i)) agree += 1; i += 1 }
-                if (agree >= MinAgree)
-                  out += NearDupPair(math.min(s.doc_id, d.doc_id), math.max(s.doc_id, d.doc_id), key._1, agree)
+          if (state.hasTimedOut) {
+            // band bucket saw no arrivals for IdleTimeoutMs — drop it so
+            // total state stays bounded by the active-band working set
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out  = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            // deterministic processing order within the micro-batch
+            in.toArray.sortBy(_.doc_id).foreach { d =>
+              seen.foreach { s =>
+                if (s.doc_id != d.doc_id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < s.sig.length) { if (s.sig(i) == d.sig(i)) agree += 1; i += 1 }
+                  if (agree >= MinAgree)
+                    out += NearDupPair(math.min(s.doc_id, d.doc_id), math.max(s.doc_id, d.doc_id), key._1, agree)
+                }
               }
+              seen = (DocSig(d.doc_id, d.sig) :: seen).take(MaxPerBand) // FIFO recency window
             }
-            seen = (DocSig(d.doc_id, d.sig) :: seen).take(MaxPerBand) // FIFO recency window
+            state.update(BandState(seen))
+            state.setTimeoutDuration(IdleTimeoutMs)
+            out.iterator
           }
-          state.update(BandState(seen))
-          out.iterator
         })
   }
 

@@ -17,23 +17,34 @@ class DocsStreamSpec extends SparkSuite {
     (4L, "another unrelated short text entirely", "en", "s", 38L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  /** With ProcessingTimeTimeout the stateful operator always schedules a
+    * future timeout batch, so the stream never quiesces and
+    * processAllAvailable would block forever — await the condition with a
+    * deadline instead. All input files exist before start, so the file
+    * source packs them into one micro-batch: once any row is visible,
+    * the whole delivery has committed. */
+  private def awaitUntil(what: String, timeoutMs: Long = 120000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200)
+    assert(cond, s"not observed within ${timeoutMs}ms: $what")
+  }
+
   test("streaming near-dup emits the same pairs as the batch LSH on the same corpus") {
     val staged = java.nio.file.Files.createTempDirectory("graft_docs_stream").toString
     corpus.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
 
     val q = DocsStream.start(spark, staged, "neardup_test")
     try {
-      q.processAllAvailable()
+      awaitUntil("exact-dup pair (0,1) with 16/16 agreement") {
+        spark.table("neardup_test")
+          .filter(col("a_id") === 0L && col("b_id") === 1L && col("n_agree") === 16)
+          .limit(1).count() == 1
+      }
       val streamed = spark.table("neardup_test")
         .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
       assert(streamed.contains((0L, 1L))) // exact dup agrees on all 16 hashes
       // no pair among the unrelated docs
       assert(streamed.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))))
-      // agreement counts are consistent: exact dup agrees on 16/16
-      val full = spark.table("neardup_test")
-        .filter(col("a_id") === 0L && col("b_id") === 1L)
-        .select(max("n_agree")).as[Int].collect().head
-      assert(full == 16)
     } finally q.stop()
   }
 
@@ -44,7 +55,9 @@ class DocsStreamSpec extends SparkSuite {
 
     val q = DocsStream.start(spark, staged, "neardup_redeliver")
     try {
-      q.processAllAvailable()
+      awaitUntil("re-delivered corpus emits pairs") {
+        spark.table("neardup_redeliver").limit(1).count() == 1
+      }
       val pairs = spark.table("neardup_redeliver").select("a_id", "b_id").as[(Long, Long)].collect()
       assert(pairs.forall { case (a, b) => a < b }) // never a self-pair, ordered ids
     } finally q.stop()
