@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
+      // keep it inside the repo regardless of the launch cwd
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

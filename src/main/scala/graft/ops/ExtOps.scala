@@ -1,0 +1,376 @@
+package graft.ops
+
+import graft.{Norm, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 extension operators: the remaining analytic-SQL surface
+  * (as-of join, first/last/nth window values, median + deterministic
+  * mode, set operations, unpivot, stratified sampling, bucketed-table
+  * co-located joins) plus two more training-data text ops (tf-idf term
+  * ranking, PII redaction).
+  *
+  * Scale posture follows the repo rules: windows partition on high-
+  * cardinality keys, joins on corpus-sized sides are shuffle joins on
+  * small keys, per-row text work is codegen'd projections, and the one
+  * deliberately-physical demo (`io_bucketed_join`) shows the bucketing
+  * path that removes the join shuffle entirely at 100 TB.
+  */
+object ExtOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── join_asof: for every click, the latest view of the same user at
+    // or before it (the reference's closest analog is the range joins of
+    // 13_InsertSalesAndOrders.sql:43; as-of is its streaming-world
+    // generalization). NOT a pair join: the idiomatic scale shape is
+    // union + running max over (user, time) — one shuffle on user_id and
+    // zero per-user pair blowup, where an equi-join with ts<=ts would go
+    // quadratic inside heavy users.
+    OpQuery.checked(
+      "join_asof",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ts
+        |  FROM ev)
+        |SELECT event_id, user_id, ts, asof_view_ts
+        |FROM w WHERE event_type = 'click'""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .filter(col("event_type").isin("view", "click"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "view", col("ts")).as("view_ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_view_ts", max(col("view_ts")).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_view_ts"))
+    },
+
+    // ── win_first_last: FIRST_VALUE / LAST_VALUE / NTH_VALUE over the
+    // full partition frame (SURVEY §2.5 noted frames unused by the
+    // reference; this is the standard frame-dependent value family).
+    // Total order inside the partition (date, key) makes every value
+    // deterministic; the frame must be explicit — the default frame ends
+    // at CURRENT ROW and would break last_value in both engines.
+    OpQuery.checked(
+      "win_first_last",
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_orderdate) OVER w AS first_order_ts,
+        |  last_value(o_orderdate) OVER w AS last_order_ts,
+        |  CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select(
+          col("o_custkey"),
+          first(col("o_orderdate")).over(w).as("first_order_ts"),
+          last(col("o_orderdate")).over(w).as("last_order_ts"),
+          nth_value(col("o_orderkey"), 2).over(w).cast("long").as("second_orderkey"))
+        .distinct()
+    },
+
+    // ── agg_median_mode: exact median + deterministic mode per group.
+    // Median = (lo + hi) / 2 of the middle value(s), summed in DECIMAL
+    // and halved only after the final cast — exact in both engines,
+    // where built-in MEDIAN interpolates in double whose last ulp is not
+    // pinned across engines. Mode = max count with an explicit
+    // alphabetical tiebreak (built-in MODE leaves ties undefined).
+    OpQuery.checked(
+      "agg_median_mode",
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderpriority,
+        |         CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |              + sum(CASE WHEN rn = (n + 2) // 2 THEN v END) AS DOUBLE) / 2 AS median_price
+        |  FROM r GROUP BY o_orderpriority),
+        |cnt AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT o_orderpriority, o_orderstatus, n,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus) AS rn
+        |  FROM cnt)
+        |SELECT m.o_orderpriority, median_price,
+        |       p.o_orderstatus AS mode_status, CAST(p.n AS BIGINT) AS mode_n
+        |FROM med m JOIN pick p ON m.o_orderpriority = p.o_orderpriority AND p.rn = 1""".stripMargin
+    ) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val wOrd = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy("o_orderpriority")
+      val med = orders
+        .select(
+          col("o_orderpriority"), Norm.dec(col("o_totalprice")).as("v"),
+          row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(((sum(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+          + sum(when(col("rn") === expr("(n + 2) div 2"), col("v")))).cast("double") / 2)
+          .as("median_price"))
+      val pick = orders.groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority").orderBy(col("n").desc, col("o_orderstatus"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority").as("p2"), col("o_orderstatus").as("mode_status"), col("n").as("mode_n"))
+      med.join(pick, col("o_orderpriority") === col("p2"))
+        .select(col("o_orderpriority"), col("median_price"), col("mode_status"), col("mode_n"))
+    },
+
+    // ── setop_family: INTERSECT / EXCEPT / UNION in one tagged result —
+    // customer retention between two years (the set-op surface SURVEY
+    // §2.7 records as absent from the reference SQL).
+    OpQuery.checked(
+      "setop_family",
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin
+    ) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      def custsIn(yr: Int) = orders
+        .filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+      val a = custsIn(1995)
+      val b = custsIn(1996)
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_1995")))
+        .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
+        .select(col("tag"), col("o_custkey"))
+    },
+
+    // ── unpivot_measures: wide → long melt of numeric measures
+    // (Dataset.unpivot; Catalyst Expand — one pass, no shuffle).
+    OpQuery.checked(
+      "unpivot_measures",
+      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).part
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "measure", "value")
+    },
+
+    // ── sample_stratified: per-stratum Bernoulli rates off the same
+    // deterministic multiplicative hash as `sample_random` — downsample
+    // the dominant class, keep the rare one (the class-balance step of a
+    // training-data pipeline). Pure filter: pushes to the scan, no
+    // shuffle before the summarizing agg.
+    OpQuery.checked(
+      "sample_stratified",
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |WHERE ((o_orderkey % 2147483648) * 2654435761) % 1000 <
+        |      CASE o_orderstatus WHEN 'F' THEN 20 WHEN 'O' THEN 100 ELSE 500 END
+        |GROUP BY o_orderstatus""".stripMargin
+    ) { (spark, dir) =>
+      val rate = when(col("o_orderstatus") === "F", 20L)
+        .when(col("o_orderstatus") === "O", 100L)
+        .otherwise(500L)
+      Tables(spark, dir).orders
+        .filter(Norm.hashBucket(col("o_orderkey"), 1000) < rate)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── io_bucketed_join: both sides written bucketed on the join key,
+    // then joined — the physical layout that deletes the join's shuffle
+    // exchange at 100 TB (each bucket pair joins locally). The write is
+    // part of the demo: bucket metadata only exists through the catalog
+    // (saveAsTable), not bare parquet paths.
+    OpQuery.checked(
+      "io_bucketed_join",
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      // a fresh session's in-memory catalog has forgotten the managed
+      // table, but its warehouse directory survives — clear both or
+      // saveAsTable refuses the existing location
+      def reset(name: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      reset("graft_orders_bucketed")
+      reset("graft_lineitem_bucketed")
+      t.orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_orders_bucketed")
+      t.lineitem.select("l_orderkey", "l_extendedprice").write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_lineitem_bucketed")
+      spark.table("graft_lineitem_bucketed")
+        .join(spark.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // ── text_tfidf: top-3 terms per document by tf-idf. Rank order is
+    // (tf DESC, df ASC, term ASC) — integer-exact and identical across
+    // engines (ordering by the double tf·idf value itself would hinge on
+    // the last ulp of ln); the rounded tf-idf score rides along as a
+    // display column. Corpus size N enters as a broadcast 1-row agg, not
+    // a driver-side count.
+    OpQuery.checked(
+      "text_tfidf",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term, tf, df,
+        |         round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6) AS tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM scored WHERE rn <= 3""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term") // shuffle on term — tiny keys, corpus-safe
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+          col("rn").cast("long").as("rn"))
+    },
+
+    // ── text_pii_redact: regex PII scrubbing — the compliance pass every
+    // training corpus needs. The synthetic corpus carries no PII, so a
+    // deterministic contact line is appended per document first; the op
+    // then counts and redacts emails/phones. Pure projection (codegen'd
+    // regex), no shuffle. Regexes stay in the Java∩RE2 common dialect.
+    OpQuery.checked(
+      "text_pii_redact",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |         concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS VARCHAR),
+        |                '@mail.example.com or +1-555-',
+        |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |                      '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM seeded""".stripMargin
+    ) { (spark, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables(spark, dir).documents
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 40), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")).as("text"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+            .as("redacted"))
+    },
+
+    // ── events_retention_cohort: classic cohort retention — users
+    // grouped by first-activity week, counted per subsequent activity
+    // week. Two shuffles (first-touch agg on user_id, matrix agg on the
+    // tiny cohort grain); the user⋈first-touch join stays on user_id, so
+    // at 100 TB it reuses the first agg's partitioning.
+    OpQuery.checked(
+      "events_retention_cohort",
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id,
+        |         date_trunc('week', CAST(e.ts AS DATE)) AS aw,
+        |         date_trunc('week', f.fd) AS cw
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT CAST(cw AS DATE) AS cohort_week,
+        |       CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_no,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.select(col("user_id"), to_date(col("ts")).as("d"))
+      val firsts = ev.groupBy("user_id").agg(min(col("d")).as("fd"))
+      ev.join(firsts, "user_id")
+        .select(col("user_id"), trunc(col("d"), "week").as("aw"), trunc(col("fd"), "week").as("cw"))
+        .distinct()
+        .groupBy(col("cw").as("cohort_week"), expr("datediff(aw, cw) div 7").cast("long").as("week_no"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ── agg_corr_stats: sample stddev + Pearson correlation per group,
+    // derived from exact DECIMAL power sums (Σx, Σx², Σxy) and only then
+    // combined in double — the built-in STDDEV/CORR stream doubles whose
+    // partition fold order is nondeterministic at 32+ partitions, this
+    // form is order-independent (decimal addition commutes exactly) and
+    // still one partial+final hash aggregation.
+    OpQuery.checked(
+      "agg_corr_stats",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp2,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spq
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       CAST(n AS BIGINT) AS n,
+        |       sqrt((n * sq2 - sq * sq) / (n * (n - 1))) AS stddev_qty,
+        |       sqrt((n * sp2 - sp * sp) / (n * (n - 1))) AS stddev_price,
+        |       (n * spq - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)) AS corr_qty_price
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      val q = Norm.dec(col("l_quantity"))
+      val p = Norm.dec(col("l_extendedprice"))
+      val s = Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(p).cast("double").as("sp"),
+          sum(q * q).cast("double").as("sq2"),
+          sum(p * p).cast("double").as("sp2"),
+          sum(q * p).cast("double").as("spq"))
+      val n = col("n")
+      s.select(
+        col("l_returnflag"),
+        n.cast("long").as("n"),
+        sqrt((n * col("sq2") - col("sq") * col("sq")) / (n * (n - lit(1)))).as("stddev_qty"),
+        sqrt((n * col("sp2") - col("sp") * col("sp")) / (n * (n - lit(1)))).as("stddev_price"),
+        ((n * col("spq") - col("sq") * col("sp")) /
+          (sqrt(n * col("sq2") - col("sq") * col("sq")) * sqrt(n * col("sp2") - col("sp") * col("sp"))))
+          .as("corr_qty_price"))
+    }
+  )
+}

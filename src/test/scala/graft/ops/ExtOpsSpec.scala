@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan-shape and resource checks for the round-3 extension ops (value
+  * correctness is the DuckDB gate, replicated by tools/check.py). */
+class ExtOpsSpec extends SparkSuite {
+
+  test("io_bucketed_join joins the bucketed tables without shuffling them") {
+    // at sf0.001 AQE broadcasts the tiny orders side, hiding the bucketed
+    // path this test is about — disable broadcast to see the large-scale plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      checkBucketedPlan()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def checkBucketedPlan(): Unit = {
+    val df = SparkEntry.queries("io_bucketed_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join of the bucketed tables:\n$plan")
+    // everything under the join reads bucket-partitioned files — the only
+    // exchange in the whole plan is the one feeding the final groupBy,
+    // which sits ABOVE the join in the printed tree
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join inputs were re-shuffled:\n$belowJoin")
+  }
+
+  test("join_asof emits one row per click and no pair blowup plan") {
+    val df = SparkEntry.queries("join_asof")(spark, sf0001)
+    val clicks = graft.Tables(spark, sf0001).events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(df.count() == clicks, "as-of join must preserve the probe side 1:1")
+    // the scale-safe shape is union + running max — a join-based as-of
+    // would show a Join node here
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"),
+      "as-of should be window-based, not a pair join")
+  }
+
+  test("connected components frees every checkpoint it creates") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val before = sc.getPersistentRDDs.keySet
+    val res = graft.algo.ConnectedComponents.components(edges)
+    assert(res.count() == 7)
+    val added = sc.getPersistentRDDs.keySet -- before
+    // the edge artifact and all superseded generations are unpersisted
+    // inside the loop; only the final generation may remain
+    assert(added.size <= 1, s"leaked checkpoint generations: $added")
+    graft.algo.ConnectedComponents.release(res)
+    assert(sc.getPersistentRDDs.keySet.intersect(added).isEmpty,
+      "release() must free the final generation")
+  }
+}
