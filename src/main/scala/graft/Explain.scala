@@ -14,13 +14,15 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val keys  = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_genre_sales", "join_inner_equi", "filter_basic", "sim_cosine_topk",
-                         "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans")
+                         "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans",
+                         "join_asof", "io_bucketed_join", "text_tfidf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     keys.foreach {

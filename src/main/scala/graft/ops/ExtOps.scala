@@ -215,7 +215,7 @@ object ExtOps {
       }
       reset("graft_orders_bucketed")
       reset("graft_lineitem_bucketed")
-      t.orders.write.mode("overwrite")
+      t.orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_orders_bucketed")
       t.lineitem.select("l_orderkey", "l_extendedprice").write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_lineitem_bucketed")

@@ -122,6 +122,42 @@ object EventsStream {
       .start()
   }
 
+  // ── stream-stream interval join ────────────────────────────────────────
+
+  /** Watermarked stream-stream self-join: attribute each click to the
+    * views of the same user in the preceding 10 minutes. The time-bound
+    * join condition plus both-side watermarks let Spark expire join
+    * state — each side buffers at most (watermark + interval) of data
+    * per user, the bounded-state requirement for an unbounded stream.
+    * One shuffle per side on user_id. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(
+        clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("interval 10 minutes"))
+      .select(
+        col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** Start the attribution join from a parquet directory into a memory
+    * sink. */
+  def startAttribution(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    clickAttribution(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── foreachBatch + MERGE sink ──────────────────────────────────────────
 
   /** Continuous refresh of a parquet aggregate table: each micro-batch's

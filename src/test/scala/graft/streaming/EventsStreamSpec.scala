@@ -71,6 +71,33 @@ class EventsStreamSpec extends SparkSuite {
     assert(got2.except(expected).count() == 0)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_attr_spec").toString
+    val events = Tables(spark, sf0001).events
+    events.coalesce(2).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startAttribution(spark, staged, "attr_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_test")
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val batch = views.join(
+        clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("interval 10 minutes"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.count() > 0, "expected at least one attributed click in the window")
+      // every attributed pair respects the 10-minute window
+      assert(streamed.filter(
+        col("click_ts") < col("view_ts") ||
+          col("click_ts") > col("view_ts") + expr("interval 10 minutes")).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch equivalent") {
     // stage events as TimestampType parquet (source table is TIMESTAMP(NANOS))
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_spec").toString
