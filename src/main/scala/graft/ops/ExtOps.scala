@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Norm, Tables}
+import graft.etl.Scd2
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,6 +372,54 @@ object ExtOps {
         ((n * col("spq") - col("sq") * col("sp")) /
           (sqrt(n * col("sq2") - col("sq") * col("sq")) * sqrt(n * col("sp2") - col("sp") * col("sp"))))
           .as("corr_qty_price"))
+    },
+
+    // ── scd2_asof_lookup: point-in-time join — every order sees the dim
+    // version that was current ON ITS OWN DATE (the whole point of SCD2:
+    // 1995 revenue stays under the 1995 segment even after the customer
+    // moved). Same versioned dim as `etl_scd2_apply`; the join is an
+    // equi-join on the business key with the validity-window filter
+    // applied post-match — ≤2 versions per key, so no blowup, and at
+    // 100 TB it shuffles once on the key like any fact⋈dim join.
+    OpQuery.checked(
+      "scd2_asof_lookup",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         DATE '1992-01-01' AS effective_date,
+        |         DATE '9999-12-31' AS expiration_date
+        |  FROM customer),
+        |chg AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+        |scd AS (
+        |  SELECT d.* FROM dim d LEFT JOIN chg c USING (c_custkey)
+        |  WHERE c.c_custkey IS NULL OR d.c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.effective_date, DATE '1996-05-31'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, 'MACHINERY', DATE '1996-06-01', DATE '9999-12-31'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY')
+        |SELECT s.c_mktsegment AS segment_asof,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders o
+        |  JOIN scd s ON o.o_custkey = s.c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) BETWEEN s.effective_date AND s.expiration_date
+        |GROUP BY s.c_mktsegment, year(o.o_orderdate)""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val c = t.customer
+      val dim = Scd2.initial(c.select("c_custkey", "c_mktsegment"), "1992-01-01")
+      val changes = c
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+      val scd = Scd2.apply(dim, changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
+      t.orders
+        .join(scd,
+          col("o_custkey") === col("c_custkey") &&
+            to_date(col("o_orderdate")).between(col("effective_date"), col("expiration_date")))
+        .groupBy(col("c_mktsegment").as("segment_asof"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
     }
   )
 }
