@@ -116,6 +116,66 @@ object MultimodalOps {
         .select(
           col("doc_id"), col("n_bytes"), col("bin").cast("long").as("bin"), col("byte_count"),
           round(col("byte_count").cast("double") / greatest(col("n_bytes"), lit(1L)), 6).as("weight"))
+    },
+
+    // ── multimodal_resize: fit the (stub-)decoded image into a 224×224
+    // box preserving aspect ratio, and stride-resample the payload to the
+    // reduced pixel budget. All geometry is integer arithmetic (BIGINT
+    // multiply, floor divide) so the oracle checks it exactly; the byte
+    // resample itself runs in the same mapPartitions extractor boundary
+    // as multimodal_features (narrow map, no shuffle) and its output
+    // length must land exactly on the checked ((n-1)/stride)+1 formula.
+    OpQuery.checked(
+      "multimodal_resize",
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |         octet_length(CAST(text AS BLOB)) AS n,
+        |         100 + octet_length(CAST(text AS BLOB)) % 800 AS w,
+        |         100 + (octet_length(CAST(text AS BLOB)) * 7) % 600 AS h
+        |  FROM documents),
+        |geo AS (
+        |  SELECT doc_id, n, w, h,
+        |         CASE WHEN w >= h THEN 224 ELSE greatest(1, (w * 224) // h) END AS new_w,
+        |         CASE WHEN w >= h THEN greatest(1, (h * 224) // w) ELSE 224 END AS new_h
+        |  FROM meta),
+        |st AS (
+        |  SELECT *, greatest(1, (w * h) // (new_w * new_h)) AS stride FROM geo)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS orig_w, CAST(h AS BIGINT) AS orig_h,
+        |       CAST(new_w AS BIGINT) AS new_w, CAST(new_h AS BIGINT) AS new_h,
+        |       CAST(stride AS BIGINT) AS stride,
+        |       CAST((n - 1) // stride + 1 AS BIGINT) AS n_bytes_out
+        |FROM st""".stripMargin
+    ) { (spark, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("orig_w", LongType, nullable = false),
+        StructField("orig_h", LongType, nullable = false),
+        StructField("new_w", LongType, nullable = false),
+        StructField("new_h", LongType, nullable = false),
+        StructField("stride", LongType, nullable = false),
+        StructField("resized", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val src = Tables(spark, dir).documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val id      = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n       = payload.length.toLong
+          val w       = 100L + n % 800L
+          val h       = 100L + (n * 7L) % 600L
+          val newW    = if (w >= h) 224L else math.max(1L, w * 224L / h)
+          val newH    = if (w >= h) math.max(1L, h * 224L / w) else 224L
+          val stride  = math.max(1L, (w * h) / (newW * newH))
+          // the actual media op this stubs: decode → scale → re-encode;
+          // here a stride byte-resample with the same size contract
+          val out = Array.range(0, n.toInt, stride.toInt).map(payload(_))
+          Row(id, w, h, newW, newH, stride, out)
+        }
+      }(enc)
+        .select(
+          col("doc_id"), col("orig_w"), col("orig_h"), col("new_w"), col("new_h"), col("stride"),
+          octet_length(col("resized")).cast("long").as("n_bytes_out"))
     }
   )
 }
