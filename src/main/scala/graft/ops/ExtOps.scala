@@ -420,6 +420,73 @@ object ExtOps {
             to_date(col("o_orderdate")).between(col("effective_date"), col("expiration_date")))
         .groupBy(col("c_mktsegment").as("segment_asof"), year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── dedup_fuzzy_editdist: edit-distance near-dup verification on
+    // blocked candidate pairs — the character-level complement of the
+    // token-level Jaccard dedup. Blocking key = md5 of the 32-char
+    // prefix (re-crawls and copy-paste dups share openings), so the
+    // self-join shuffles 16-byte keys, never O(n²) pairs; Levenshtein
+    // runs only inside blocks. Threshold: distance ≤ 20% of the longer
+    // text.
+    OpQuery.checked(
+      "dedup_fuzzy_editdist",
+      """WITH blocked AS (
+        |  SELECT doc_id, text, md5(substring(text, 1, 32)) AS bk FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) * 5 <= greatest(length(a.text), length(b.text))""".stripMargin
+    ) { (spark, dir) =>
+      val blocked = Tables(spark, dir).documents
+        .select(col("doc_id"), col("text"), md5(substring(col("text"), 1, 32)).as("bk"))
+      val a = blocked.select(col("doc_id").as("a_id"), col("text").as("a_text"), col("bk"))
+      val b = blocked.select(col("doc_id").as("b_id"), col("text").as("b_text"), col("bk").as("bk2"))
+      a.join(b, col("bk") === col("bk2") && col("a_id") < col("b_id"))
+        .withColumn("edit_dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+        .filter(col("edit_dist") * 5 <= greatest(length(col("a_text")), length(col("b_text"))))
+        .select(col("a_id"), col("b_id"), col("edit_dist"))
+    },
+
+    // ── events_anomaly_zscore: daily event-type volumes flagged by
+    // z-score against the type's own distribution. Mean/stddev come from
+    // exact decimal power sums (order-independent — see agg_corr_stats),
+    // combined in double only at the end; the daily-counts grain is tiny,
+    // so the stats side broadcasts back onto it.
+    OpQuery.checked(
+      "events_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS k,
+        |         CAST(sum(CAST(n AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(n AS DECIMAL(18,2)) * CAST(n AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM daily GROUP BY event_type)
+        |SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+        |       (d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1))) AS z,
+        |       CASE WHEN abs((d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1)))) > 2
+        |            THEN 1 ELSE 0 END AS is_anomaly
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type""".stripMargin
+    ) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val nd = Norm.dec(col("n"))
+      val stats = daily.groupBy(col("event_type").as("et"))
+        .agg(
+          count(lit(1)).cast("double").as("k"),
+          sum(nd).cast("double").as("s1"),
+          sum(nd * nd).cast("double").as("s2"))
+      val k  = col("k")
+      val z  = (col("n") - col("s1") / k) /
+        sqrt((k * col("s2") - col("s1") * col("s1")) / (k * (k - lit(1))))
+      daily.join(broadcast(stats), col("event_type") === col("et"))
+        .select(
+          col("event_type"), col("day"), col("n"),
+          z.as("z"),
+          when(abs(z) > 2, 1L).otherwise(0L).as("is_anomaly"))
     }
   )
 }
