@@ -487,6 +487,67 @@ object ExtOps {
           col("event_type"), col("day"), col("n"),
           z.as("z"),
           when(abs(z) > 2, 1L).otherwise(0L).as("is_anomaly"))
+    },
+
+    // ── events_hopping_window: overlapping (hopping) windows — 1-hour
+    // width sliding by 15 minutes, the batch analog of the streaming
+    // window(ts, width, slide) path. Spark's window() expands each event
+    // into its width/slide = 4 covering windows (Expand, partition-local)
+    // before one aggregation shuffle; the oracle replays the same
+    // epoch-aligned start arithmetic in integer microseconds.
+    OpQuery.checked(
+      "events_hopping_window",
+      """WITH hopped AS (
+        |  SELECT event_type,
+        |         make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS window_start,
+        |         value
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM hopped GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+    },
+
+    // ── sql_api_report: the same engine surface through spark.sql —
+    // testdata registered as temp views, the quarterly-genre report shape
+    // (ref LQY_query1.txt:39-65) written as SQL text. Catalyst plans the
+    // SQL and the DataFrame DSL identically; this pins the SQL entry
+    // point a reference user would reach for first.
+    OpQuery.checked(
+      "sql_api_report",
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |       CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+        |       p.p_type AS genre,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p   ON l.l_partkey = p.p_partkey
+        |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996
+        |GROUP BY year(o.o_orderdate), quarter(o.o_orderdate), p.p_type""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("g_lineitem")
+      t.orders.createOrReplaceTempView("g_orders")
+      t.part.createOrReplaceTempView("g_part")
+      spark.sql(
+        """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+          |       CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+          |       p.p_type AS genre,
+          |       CAST(count(*) AS BIGINT) AS n_lines,
+          |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM g_lineitem l
+          |  JOIN g_orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN g_part p   ON l.l_partkey = p.p_partkey
+          |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996
+          |GROUP BY year(o.o_orderdate), quarter(o.o_orderdate), p.p_type""".stripMargin)
     }
   )
 }
