@@ -548,6 +548,42 @@ object ExtOps {
           |  JOIN g_part p   ON l.l_partkey = p.p_partkey
           |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996
           |GROUP BY year(o.o_orderdate), quarter(o.o_orderdate), p.p_type""".stripMargin)
+    },
+
+    // ── io_partition_overwrite_dynamic: restate ONE partition of a
+    // year-partitioned fact table without touching the others — dynamic
+    // partition overwrite, the idempotent-incremental-load primitive at
+    // 100 TB (a day's restatement rewrites a day, not the table). Full
+    // load, then a corrected 1996 restatement (even order keys only);
+    // the final state must show 1996 halved and every other year intact.
+    OpQuery.checked(
+      "io_partition_overwrite_dynamic",
+      """WITH finalstate AS (
+        |  SELECT * FROM orders WHERE year(o_orderdate) <> 1996
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE year(o_orderdate) = 1996 AND o_orderkey % 2 = 0)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM finalstate GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val path = s"/root/repo/target/graft_dyn_overwrite_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val orders = Tables(spark, dir).orders.withColumn("yr", year(col("o_orderdate")))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // initial full load (static overwrite semantics are fine here too)
+        orders.write.partitionBy("yr").mode("overwrite").parquet(path)
+        // restated 1996: dynamic mode replaces ONLY the yr=1996 directory
+        orders.filter(col("yr") === 1996 && col("o_orderkey") % 2 === 0)
+          .write.partitionBy("yr").mode("overwrite").parquet(path)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.read.parquet(path)
+        .groupBy(col("yr").cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
     }
   )
 }
