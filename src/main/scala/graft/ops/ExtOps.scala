@@ -440,12 +440,24 @@ object ExtOps {
     ) { (spark, dir) =>
       val blocked = Tables(spark, dir).documents
         .select(col("doc_id"), col("text"), md5(substring(col("text"), 1, 32)).as("bk"))
+      // hash-distribute the probe side on the block key: the quadratic
+      // Levenshtein verify then runs one block per task slot instead of
+      // inside the scan's single input partition (documents is one file
+      // at test SF; at 100 TB this is the same bk-shuffle the join needs)
       val a = blocked.select(col("doc_id").as("a_id"), col("text").as("a_text"), col("bk"))
+        .repartition(col("bk"))
       val b = blocked.select(col("doc_id").as("b_id"), col("text").as("b_text"), col("bk").as("bk2"))
-      a.join(b, col("bk") === col("bk2") && col("a_id") < col("b_id"))
-        .withColumn("edit_dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
-        .filter(col("edit_dist") * 5 <= greatest(length(col("a_text")), length(col("b_text"))))
-        .select(col("a_id"), col("b_id"), col("edit_dist"))
+      val maxLen = greatest(length(col("a_text")), length(col("b_text"))).cast("long")
+      a.join(b, col("bk") === col("bk2"))
+        // conjunct order matters: id order and the length-difference bound
+        // (levenshtein >= |lenA-lenB|, so this drops only sure-fails)
+        // short-circuit before the O(len^2) distance runs
+        .filter(
+          col("a_id") < col("b_id") &&
+            abs(length(col("a_text")) - length(col("b_text"))).cast("long") * 5 <= maxLen &&
+            levenshtein(col("a_text"), col("b_text")).cast("long") * 5 <= maxLen)
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
     },
 
     // ── events_anomaly_zscore: daily event-type volumes flagged by
