@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's own session extensions (year()-predicate pushdown
+      // rewrite + range-lookup planner strategy) run in the measured path
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
@@ -46,11 +49,15 @@ object Bench {
         // a failed query must not masquerade as a fast healthy timing
         (name, if (failed) -1.0 else times.min, failed)
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON short enough for the
+    // driver's bounded tail capture — round 2's full-precision line got
+    // head-truncated and failed to parse driver-side
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedKeys = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedKeys,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedKeys,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

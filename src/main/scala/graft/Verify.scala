@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's own session extensions (year()-predicate pushdown
+      // rewrite + range-lookup planner strategy) are part of the surface
+      // under test — the checked results must hold with them active
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")

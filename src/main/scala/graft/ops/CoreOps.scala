@@ -17,7 +17,7 @@ object CoreOps {
   /** Scratch dir for ops that demonstrate physical write paths
     * (insert_select / delete_all). Unique per sfDir so sf0.01 verify and
     * sf0.1 bench never read each other's output. */
-  private def scratch(dir: String, name: String): String = {
+  private[ops] def scratch(dir: String, name: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_scratch/$tag/$name"
   }

@@ -133,8 +133,10 @@ object ExtOps {
     // §2.7 records as absent from the reference SQL).
     OpQuery.checked(
       "setop_family",
-      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
         |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
         |UNION ALL
         |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
@@ -142,8 +144,13 @@ object ExtOps {
         |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin
     ) { (spark, dir) =>
       val orders = Tables(spark, dir).orders
+      // raw date ranges, not year(col) == yr: the range form reaches the
+      // parquet scan as a pushed filter (house rule — year() predicates
+      // read every row-group)
       def custsIn(yr: Int) = orders
-        .filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+        .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("date")
+          && col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("date"))
+        .select("o_custkey").distinct()
       val a = custsIn(1995)
       val b = custsIn(1996)
       a.intersect(b).withColumn("tag", lit("both"))
@@ -228,10 +235,13 @@ object ExtOps {
 
     // ── text_tfidf: top-3 terms per document by tf-idf. Rank order is
     // (tf DESC, df ASC, term ASC) — integer-exact and identical across
-    // engines (ordering by the double tf·idf value itself would hinge on
-    // the last ulp of ln); the rounded tf-idf score rides along as a
-    // display column. Corpus size N enters as a broadcast 1-row agg, not
-    // a driver-side count.
+    // engines. The checked output carries the exact integer factors
+    // (tf, df, n_docs) from which tf·idf = tf·ln(n_docs/df) is derivable;
+    // the double score itself stays OUT of the hashed contract because
+    // the last ulp of ln (and the round-at-6-decimals boundary on it) is
+    // engine-dependent — the determinism doctrine every checked op here
+    // follows. Corpus size N enters as a broadcast 1-row agg, not a
+    // driver-side count.
     OpQuery.checked(
       "text_tfidf",
       """WITH terms AS (
@@ -241,11 +251,11 @@ object ExtOps {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT doc_id, tf.term AS term, tf, df,
-        |         round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6) AS tfidf,
+        |         (SELECT count(*) FROM documents) AS n_docs,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, tf.term ASC) AS rn
         |  FROM tf JOIN df USING (term))
-        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
-        |       CAST(rn AS BIGINT) AS rn
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(n_docs AS BIGINT) AS n_docs, CAST(rn AS BIGINT) AS rn
         |FROM scored WHERE rn <= 3""".stripMargin
     ) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
@@ -257,11 +267,10 @@ object ExtOps {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "term") // shuffle on term — tiny keys, corpus-safe
         .crossJoin(broadcast(nDocs))
-        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)))
         .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("n_docs"),
           col("rn").cast("long").as("rn"))
     },
 
@@ -294,8 +303,8 @@ object ExtOps {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")).as("text"))
         .select(
           col("doc_id"),
-          regexp_count(col("text"), lit(emailRe)).as("n_emails"),
-          regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
           regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
             .as("redacted"))
     },
@@ -478,9 +487,10 @@ object ExtOps {
         |  FROM daily GROUP BY event_type)
         |SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
         |       (d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1))) AS z,
-        |       CASE WHEN abs((d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1)))) > 2
-        |            THEN 1 ELSE 0 END AS is_anomaly
-        |FROM daily d JOIN stats s ON d.event_type = s.event_type""".stripMargin
+        |       CAST(CASE WHEN abs((d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1)))) > 2
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |WHERE k > 1""".stripMargin
     ) { (spark, dir) =>
       val daily = Tables(spark, dir).events
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -494,7 +504,10 @@ object ExtOps {
       val k  = col("k")
       val z  = (col("n") - col("s1") / k) /
         sqrt((k * col("s2") - col("s1") * col("s1")) / (k * (k - lit(1))))
+      // k > 1 drops singleton groups whose denominator is 0 — a NaN/Inf z
+      // has no pinned cross-engine representation in the hash compare
       daily.join(broadcast(stats), col("event_type") === col("et"))
+        .filter(k > 1)
         .select(
           col("event_type"), col("day"), col("n"),
           z.as("z"),
@@ -542,7 +555,7 @@ object ExtOps {
         |FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN part p   ON l.l_partkey = p.p_partkey
-        |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996
+        |WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1997-01-01'
         |GROUP BY year(o.o_orderdate), quarter(o.o_orderdate), p.p_type""".stripMargin
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -558,7 +571,7 @@ object ExtOps {
           |FROM g_lineitem l
           |  JOIN g_orders o ON l.l_orderkey = o.o_orderkey
           |  JOIN g_part p   ON l.l_partkey = p.p_partkey
-          |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996
+          |WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1997-01-01'
           |GROUP BY year(o.o_orderdate), quarter(o.o_orderdate), p.p_type""".stripMargin)
     },
 
@@ -571,23 +584,32 @@ object ExtOps {
     OpQuery.checked(
       "io_partition_overwrite_dynamic",
       """WITH finalstate AS (
-        |  SELECT * FROM orders WHERE year(o_orderdate) <> 1996
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate < DATE '1996-01-01' OR o_orderdate >= DATE '1997-01-01'
         |  UNION ALL
-        |  SELECT * FROM orders WHERE year(o_orderdate) = 1996 AND o_orderkey % 2 = 0)
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |    AND o_orderkey % 2 = 0)
         |SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM finalstate GROUP BY 1""".stripMargin
     ) { (spark, dir) =>
-      val path = s"/root/repo/target/graft_dyn_overwrite_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val path = CoreOps.scratch(dir, "dyn_overwrite")
       val orders = Tables(spark, dir).orders.withColumn("yr", year(col("o_orderdate")))
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
         // initial full load (static overwrite semantics are fine here too)
         orders.write.partitionBy("yr").mode("overwrite").parquet(path)
-        // restated 1996: dynamic mode replaces ONLY the yr=1996 directory
-        orders.filter(col("yr") === 1996 && col("o_orderkey") % 2 === 0)
+        // restated 1996: dynamic mode replaces ONLY the yr=1996 directory.
+        // The restatement filters the SOURCE on the raw date range (pushed
+        // to the scan) — filtering the derived yr column would collapse to
+        // year(o_orderdate)=1996, which cannot prune and rescans every year
+        orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
+            && col("o_orderdate") < lit("1997-01-01").cast("date")
+            && col("o_orderkey") % 2 === 0)
           .write.partitionBy("yr").mode("overwrite").parquet(path)
       } finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -596,6 +618,126 @@ object ExtOps {
       spark.read.parquet(path)
         .groupBy(col("yr").cast("long").as("yr"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── agg_grouping_sets: arbitrary GROUPING SETS — the general form
+    // that ROLLUP (prefix hierarchy) and CUBE (all subsets) special-case.
+    // The set list here ((pri,status),(status),()) is expressible by
+    // neither: it skips the (pri) level. One Expand + one shuffle, same
+    // physical shape as cube/rollup; per-column GROUPING flags avoid the
+    // engine-specific grouping_id bit order.
+    OpQuery.checked(
+      "agg_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(col("o_orderpriority"), col("o_orderstatus"), Norm.dec(col("o_totalprice")).as("p"))
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("p")).cast("double").as("spend"))
+        .select("o_orderpriority", "o_orderstatus", "g_pri", "g_status", "n", "spend")
+    },
+
+    // ── join_dpp_prune: dynamic partition pruning — the fact side is a
+    // year-partitioned layout and the year filter arrives through a JOIN
+    // (ship years carrying ≥90% of the peak year's line count), so static
+    // pruning can't help; Spark plans a dynamicpruningexpression on the
+    // fact scan that reuses the dim side's broadcast and opens ONLY the
+    // matching year directories. At 100 TB this is the difference between
+    // reading the busy years and reading the table. (The dim derivation
+    // deliberately ends in a comparison Filter: Catalyst's PartitionPruning
+    // rule only injects DPP when the filtering side has a likely-selective
+    // predicate — a LIMIT-based top-k would not qualify.) The oracle
+    // replays the same selection relationally.
+    OpQuery.checked(
+      "join_dpp_prune",
+      """WITH cnt AS (
+        |  SELECT year(l_shipdate) AS sel_yr, count(*) AS n FROM lineitem GROUP BY 1),
+        |sel AS (
+        |  SELECT sel_yr FROM cnt WHERE n * 10 >= (SELECT max(n) FROM cnt) * 9)
+        |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders o JOIN sel s ON year(o.o_orderdate) = s.sel_yr
+        |GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      val path = CoreOps.scratch(dir, "dpp_fact")
+      val t = Tables(spark, dir)
+      t.orders.withColumn("yr", year(col("o_orderdate")))
+        .write.partitionBy("yr").mode("overwrite").parquet(path)
+      val cnts = t.lineitem
+        .groupBy(year(col("l_shipdate")).as("sel_yr")).agg(count(lit(1)).as("n"))
+      cnts.createOrReplaceTempView("g_dpp_cnt")
+      // the threshold enters as a scalar subquery so the comparison stays
+      // a Filter NODE in the dim plan (a cross-join formulation fuses the
+      // predicate into the join condition, and PartitionPruning then sees
+      // no selective filter and skips DPP)
+      val sel = spark.sql(
+        "SELECT sel_yr FROM g_dpp_cnt WHERE n * 10 >= (SELECT max(n) FROM g_dpp_cnt) * 9")
+      spark.read.parquet(path)
+        .join(broadcast(sel), col("yr") === col("sel_yr"))
+        .groupBy(col("yr").cast("long").as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── io_compact_small_files: the table-maintenance primitive — a
+    // fragmented table (48 small files here; millions at 100 TB, where
+    // per-file open/footer costs and NameNode pressure dominate scans) is
+    // rewritten into few right-sized files with coalesce(), which merges
+    // inputs WITHOUT a shuffle (each output task just reads ~12 files).
+    // The checked result proves the rewrite is lossless; the file-count
+    // drop itself is asserted in ExtOpsSpec.
+    OpQuery.checked(
+      "io_compact_small_files",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      val frag      = CoreOps.scratch(dir, "compact_src")
+      val compacted = CoreOps.scratch(dir, "compact_out")
+      val ev = Tables(spark, dir).events.select("event_id", "event_type", "value")
+      ev.repartition(48).write.mode("overwrite").parquet(frag)
+      spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compacted)
+      spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
+    },
+
+    // ── agg_histogram: fixed-width value histogram per event type — the
+    // distribution-profiling pass of a data-quality pipeline. Bin =
+    // floor(value / width): IEEE division and floor are exactly rounded
+    // in both engines, so bin edges are deterministic (no width_bucket,
+    // which DuckDB lacks). Pure projection + one aggregation shuffle on
+    // the tiny (type, bin) grain.
+    OpQuery.checked(
+      "agg_histogram",
+      """SELECT event_type,
+        |       CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(
+          col("event_type"),
+          floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Norm.dec6(col("value"))).cast("double").as("bin_value"))
     }
   )
 }

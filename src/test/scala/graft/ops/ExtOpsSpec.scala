@@ -40,6 +40,41 @@ class ExtOpsSpec extends SparkSuite {
       "as-of should be window-based, not a pair join")
   }
 
+  test("io_compact_small_files reduces the file count without losing rows") {
+    val df = SparkEntry.queries("io_compact_small_files")(spark, sf0001)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+    assert(total == graft.Tables(spark, sf0001).events.count(),
+      "compaction must be lossless")
+    def files(name: String) = {
+      val p = new java.io.File(CoreOps.scratch(sf0001, name))
+      p.listFiles((_, n) => n.endsWith(".parquet")).length
+    }
+    assert(files("compact_src") == 48, "fragmented layout should have 48 files")
+    assert(files("compact_out") <= 4, "compaction should leave at most 4 files")
+  }
+
+  test("join_dpp_prune plans a dynamic pruning filter on the partitioned scan") {
+    val df = SparkEntry.queries("join_dpp_prune")(spark, sf0001)
+    assert(df.count() > 0)
+    // the partition filter must be the runtime (join-derived) kind — a
+    // static filter can't know the top-2 ship years
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the yr-partitioned fact scan:\n$plan")
+  }
+
+  test("agg_grouping_sets emits exactly the three requested slices") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("agg_grouping_sets")(spark, sf0001)
+    // (pri,status) detail + (status) subtotal + () grand total — and no
+    // (pri)-only level, which neither rollup nor cube could skip
+    assert(df.filter(col("g_pri") === 0 && col("g_status") === 0).count() > 0)
+    assert(df.filter(col("g_pri") === 1 && col("g_status") === 0).count() > 0)
+    assert(df.filter(col("g_pri") === 1 && col("g_status") === 1).count() == 1)
+    assert(df.filter(col("g_pri") === 0 && col("g_status") === 1).count() == 0,
+      "the (priority)-only slice was not requested and must not appear")
+  }
+
   test("connected components frees every checkpoint it creates") {
     import spark.implicits._
     val sc = spark.sparkContext
