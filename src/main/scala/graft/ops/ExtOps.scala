@@ -717,6 +717,74 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── text_contamination: train/benchmark overlap detection — the
+    // decontamination pass every LLM training corpus needs (flag training
+    // documents sharing word 8-grams with the held-out benchmark set;
+    // cf. the n-gram collision checks of the GPT-3/Llama reports). The
+    // benchmark split is the deterministic doc_id hash (5%), grams join
+    // on md5 keys — a plain shuffle join, never a corpus broadcast — and
+    // the per-doc contamination evidence is two count-distincts in one
+    // aggregation.
+    OpQuery.checked(
+      "text_contamination",
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(gr) AS gh FROM (
+        |    SELECT doc_id,
+        |           unnest(list_distinct(list_transform(
+        |             range(1, greatest(len(ws) - 7, 1) + 1),
+        |             i -> array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS gr
+        |    FROM w)),
+        |bench AS (SELECT doc_id AS bench_id, gh FROM g
+        |          WHERE (doc_id % 2147483648) * 2654435761 % 100 < 5),
+        |train AS (SELECT doc_id, gh FROM g
+        |          WHERE (doc_id % 2147483648) * 2654435761 % 100 >= 5)
+        |SELECT t.doc_id,
+        |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+        |       CAST(count(DISTINCT t.gh) AS BIGINT) AS n_shared_grams
+        |FROM train t JOIN bench b USING (gh)
+        |GROUP BY t.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val grams = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(ws) - 7, 1)), i -> concat_ws(' ', slice(ws, i, 8))))"
+        )).as("gr"))
+        .select(col("doc_id"), md5(col("gr")).as("gh"))
+      val bench = grams.filter(Norm.hashBucket(col("doc_id"), 100) < 5)
+        .select(col("doc_id").as("bench_id"), col("gh"))
+      val train = grams.filter(Norm.hashBucket(col("doc_id"), 100) >= 5)
+      train.join(bench, "gh") // shuffle on 32-byte gram hashes
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("bench_id")).as("n_bench_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+    },
+
+    // ── text_domain_quota: per-source quota sampling — cap every source
+    // domain at 50 documents, picked by the deterministic doc-hash order
+    // (the curation step that stops one crawl domain from dominating the
+    // mix). One window shuffle on source; the quota filter is
+    // WindowGroupLimit-eligible, so ranks stop computing at 50 per group.
+    OpQuery.checked(
+      "text_domain_quota",
+      """SELECT source, doc_id,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (doc_id % 2147483648) * 2654435761 % 100000, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(Norm.hashBucket(col("doc_id"), 100000), col("doc_id"))))
+        .filter(col("rn") <= 50)
+        .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+    },
+
     // ── agg_histogram: fixed-width value histogram per event type — the
     // distribution-profiling pass of a data-quality pipeline. Bin =
     // floor(value / width): IEEE division and floor are exactly rounded

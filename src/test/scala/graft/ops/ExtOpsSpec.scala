@@ -75,6 +75,25 @@ class ExtOpsSpec extends SparkSuite {
       "the (priority)-only slice was not requested and must not appear")
   }
 
+  test("text_domain_quota ranks via WindowGroupLimit and respects the cap") {
+    import org.apache.spark.sql.functions.{col, max}
+    val df = SparkEntry.queries("text_domain_quota")(spark, sf0001)
+    assert(df.agg(max(col("rn"))).head.getLong(0) <= 50)
+    // the rn <= 50 filter must reach the window operator as a group limit
+    // (ranks beyond 50 are never computed — the at-scale win)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "quota filter should plan as WindowGroupLimit")
+  }
+
+  test("text_contamination splits bench and train disjointly") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("text_contamination")(spark, sf0001)
+    // flagged docs are train docs — none may be in the 5% bench split
+    val inBench = df.filter(
+      graft.Norm.hashBucket(col("doc_id"), 100) < 5).count()
+    assert(inBench == 0, "a benchmark doc may never be flagged as train-side")
+  }
+
   test("connected components frees every checkpoint it creates") {
     import spark.implicits._
     val sc = spark.sparkContext
