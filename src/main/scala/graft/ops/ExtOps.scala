@@ -717,6 +717,36 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── io_sorted_layout: range-clustered table layout — the write-side
+    // optimization that makes parquet min/max (zone-map) skipping work.
+    // repartitionByRange + sortWithinPartitions gives each file/row-group
+    // a narrow l_shipdate span, so a ship-date range scan reads ~1/8 of
+    // the data instead of every row-group (at 100 TB, clustering on the
+    // dominant filter column is the cheapest 10× any table gets; the
+    // file-span property is asserted in ExtOpsSpec). The query result is
+    // layout-independent — the oracle checks losslessness.
+    OpQuery.checked(
+      "io_sorted_layout",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+        |GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val path = CoreOps.scratch(dir, "sorted_layout")
+      Tables(spark, dir).lineitem
+        .select("l_shipdate", "l_returnflag", "l_extendedprice")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("date")
+          && col("l_shipdate") < lit("1995-09-01").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // ── text_contamination: train/benchmark overlap detection — the
     // decontamination pass every LLM training corpus needs (flag training
     // documents sharing word 8-grams with the held-out benchmark set;

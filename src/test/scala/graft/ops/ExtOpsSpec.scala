@@ -94,6 +94,28 @@ class ExtOpsSpec extends SparkSuite {
     assert(inBench == 0, "a benchmark doc may never be flagged as train-side")
   }
 
+  test("io_sorted_layout clusters each file to a narrow shipdate span") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    SparkEntry.queries("io_sorted_layout")(spark, sf0001).count()
+    val path = CoreOps.scratch(sf0001, "sorted_layout")
+    def spanSecs(r: org.apache.spark.sql.Row): Long = {
+      val zone = java.time.ZoneOffset.UTC
+      r.getAs[java.time.LocalDateTime](1).toEpochSecond(zone) -
+        r.getAs[java.time.LocalDateTime](0).toEpochSecond(zone)
+    }
+    val globalSpan = spanSecs(
+      spark.read.parquet(path).agg(min("l_shipdate"), max("l_shipdate")).head)
+    val files = new java.io.File(path).listFiles((_, n) => n.endsWith(".parquet"))
+    // range clustering must leave most files covering a small slice of
+    // the global range — that tightness is what zone-map skipping uses
+    val narrow = files.count { f =>
+      spanSecs(spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_shipdate"), max("l_shipdate")).head) * 4 < globalSpan
+    }
+    assert(narrow >= files.length - 2,
+      s"only $narrow of ${files.length} files are range-clustered")
+  }
+
   test("connected components frees every checkpoint it creates") {
     import spark.implicits._
     val sc = spark.sparkContext
