@@ -717,6 +717,29 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── agg_pivot_api: the Dataset.pivot path (agg_conditional_pivot is
+    // the manual CASE form). Values are passed EXPLICITLY — at scale the
+    // values-less overload runs an extra distinct-collect job over the
+    // pivot column and caps at spark.sql.pivotMaxValues; a known domain
+    // should always be declared. Missing (priority, status) cells are
+    // NULL in both the pivot and the ELSE-less CASE.
+    OpQuery.checked(
+      "agg_pivot_api",
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_p
+        |FROM orders GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Norm.dsum(col("o_totalprice")))
+        .withColumnRenamed("F", "spend_f")
+        .withColumnRenamed("O", "spend_o")
+        .withColumnRenamed("P", "spend_p")
+    },
+
     // ── io_sorted_layout: range-clustered table layout — the write-side
     // optimization that makes parquet min/max (zone-map) skipping work.
     // repartitionByRange + sortWithinPartitions gives each file/row-group
