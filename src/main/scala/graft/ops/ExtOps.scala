@@ -775,9 +775,11 @@ object ExtOps {
     // documents sharing word 8-grams with the held-out benchmark set;
     // cf. the n-gram collision checks of the GPT-3/Llama reports). The
     // benchmark split is the deterministic doc_id hash (5%), grams join
-    // on md5 keys — a plain shuffle join, never a corpus broadcast — and
-    // the per-doc contamination evidence is two count-distincts in one
-    // aggregation.
+    // on md5 keys with NO broadcast hint — statistics pick the strategy,
+    // and they pick well at every scale: a benchmark suite is bounded
+    // (thousands of docs), so its gram set broadcasts legitimately, while
+    // the training-corpus side always streams. The per-doc contamination
+    // evidence is two count-distincts in one aggregation.
     OpQuery.checked(
       "text_contamination",
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
