@@ -22,23 +22,30 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same planner configuration as Verify/Bench — this tool must show
+      // the plans the measured path actually runs (the year_rule_demo /
+      // range_join_demo keys still print their own before/after contrast
+      // from a rule-free child session)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     keys.foreach {
       case "year_rule_demo" =>
-        // graft.plans.YearPredicateRewrite before/after: the year() filter
-        // becomes a pushed scan range once the rule is installed.
+        // graft.plans.YearPredicateRewrite (active via spark.sql.extensions):
+        // the analyzed plan still holds the year() predicate, the optimized
+        // plan holds the rewritten raw date range the scan can push.
         import org.apache.spark.sql.functions.{col, year}
         val orders = Tables(spark, sfDir).orders
-        println("\n========== year_rule_demo (rule OFF) ==========")
-        orders.filter(year(col("o_orderdate")).between(1995, 1996)).explain("formatted")
-        graft.plans.YearPredicateRewrite.install(spark)
-        println("\n========== year_rule_demo (rule ON) ==========")
-        orders.filter(year(col("o_orderdate")).between(1995, 1996)).explain("formatted")
+        val q = orders.filter(year(col("o_orderdate")).between(1995, 1996))
+        println("\n========== year_rule_demo (analyzed: year() predicate) ==========")
+        println(q.queryExecution.analyzed.toString)
+        println("========== year_rule_demo (optimized: pushed date range) ==========")
+        q.explain("formatted")
       case "range_join_demo" =>
-        // graft.plans.RangeLookupJoinStrategy before/after: the interval
-        // join's BroadcastNestedLoop becomes the binary-search operator.
+        // graft.plans.RangeLookupJoinStrategy (active via
+        // spark.sql.extensions): the interval join that would otherwise
+        // plan as BroadcastNestedLoop is the binary-search operator.
         import org.apache.spark.sql.functions.{col, count, lit, to_date}
         import spark.implicits._
         val windows = Seq(("1995-01-01", "1995-06-30", "H1"), ("1995-07-01", "1995-12-31", "H2"))
@@ -47,11 +54,7 @@ object Explain {
         def q = Tables(spark, sfDir).orders
           .join(windows, to_date(col("o_orderdate")).between(col("win_start"), col("win_end")))
           .groupBy("label").agg(count(lit(1)).as("n"))
-        println("\n========== range_join_demo (strategy OFF) ==========")
-        q.explain()
-        q.show()
-        graft.plans.RangeLookupJoin.install(spark)
-        println("\n========== range_join_demo (strategy ON) ==========")
+        println("\n========== range_join_demo (RangeLookupJoinExec planned) ==========")
         q.explain()
         q.show()
       case k =>

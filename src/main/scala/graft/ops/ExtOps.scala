@@ -145,8 +145,10 @@ object ExtOps {
     ) { (spark, dir) =>
       val orders = Tables(spark, dir).orders
       // raw date ranges, not year(col) == yr: the range form reaches the
-      // parquet scan as a pushed filter (house rule — year() predicates
-      // read every row-group)
+      // parquet scan as a pushed filter in ANY session — the installed
+      // YearPredicateRewrite rule would rescue a year() predicate where
+      // the graft extensions are active, but library code shouldn't
+      // depend on that
       def custsIn(yr: Int) = orders
         .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("date")
           && col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("date"))
@@ -490,7 +492,7 @@ object ExtOps {
         |       CAST(CASE WHEN abs((d.n - s1 / k) / sqrt((k * s2 - s1 * s1) / (k * (k - 1)))) > 2
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM daily d JOIN stats s ON d.event_type = s.event_type
-        |WHERE k > 1""".stripMargin
+        |WHERE k > 1 AND (k * s2 - s1 * s1) > 0""".stripMargin
     ) { (spark, dir) =>
       val daily = Tables(spark, dir).events
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -504,10 +506,14 @@ object ExtOps {
       val k  = col("k")
       val z  = (col("n") - col("s1") / k) /
         sqrt((k * col("s2") - col("s1") * col("s1")) / (k * (k - lit(1))))
-      // k > 1 drops singleton groups whose denominator is 0 — a NaN/Inf z
-      // has no pinned cross-engine representation in the hash compare
+      // drop groups whose z is undefined: singletons (k=1) AND flat
+      // groups with zero variance (all daily counts equal ⇒ z = 0/0) —
+      // a NaN/Inf has no pinned cross-engine representation in the hash
+      // compare. The variance term is IEEE-exact in both engines (the
+      // power sums arrive through exact decimal addition).
+      val variance = k * col("s2") - col("s1") * col("s1")
       daily.join(broadcast(stats), col("event_type") === col("et"))
-        .filter(k > 1)
+        .filter(k > 1 && variance > 0)
         .select(
           col("event_type"), col("day"), col("n"),
           z.as("z"),
@@ -603,9 +609,10 @@ object ExtOps {
         // initial full load (static overwrite semantics are fine here too)
         orders.write.partitionBy("yr").mode("overwrite").parquet(path)
         // restated 1996: dynamic mode replaces ONLY the yr=1996 directory.
-        // The restatement filters the SOURCE on the raw date range (pushed
-        // to the scan) — filtering the derived yr column would collapse to
-        // year(o_orderdate)=1996, which cannot prune and rescans every year
+        // The restatement filters the SOURCE on the raw date range so the
+        // scan prunes in any session; filtering the derived yr column
+        // would collapse to year(o_orderdate)=1996, pushable only where
+        // the YearPredicateRewrite extension happens to be installed
         orders
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
             && col("o_orderdate") < lit("1997-01-01").cast("date")
