@@ -724,6 +724,43 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── events_session_window_api: Spark's native session_window operator
+    // (events_sessionize is the hand-rolled gaps-and-islands form; this is
+    // the built-in merging-window aggregation, the same operator the
+    // streaming path uses). Semantics: a session absorbs the next event
+    // iff next_ts - prev_ts < gap, and closes at last_event + gap — the
+    // oracle replays exactly that with a lag/cumsum island id. One shuffle
+    // on user_id.
+    OpQuery.checked(
+      "events_session_window_api",
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Norm.dec6(col("value"))).cast("double").as("session_value"))
+        .select(
+          col("user_id"), col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("n_events"), col("session_value"))
+    },
+
     // ── agg_pivot_api: the Dataset.pivot path (agg_conditional_pivot is
     // the manual CASE form). Values are passed EXPLICITLY — at scale the
     // values-less overload runs an extra distinct-collect job over the
