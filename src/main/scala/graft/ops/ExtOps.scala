@@ -724,6 +724,33 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── fn_array_pack: the higher-order array-function family — transform
+    // / filter / aggregate / exists over the embedding vectors, mirroring
+    // DuckDB's list_* functions. All lambdas run inside codegen as
+    // partition-local array loops (zero shuffle); folds go left-to-right
+    // in both engines and every float enters arithmetic through an exact
+    // float→double cast, so the doubles match bit-for-bit.
+    OpQuery.checked(
+      "fn_array_pack",
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum') AS l1,
+        |       list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS vmax,
+        |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos,
+        |       CAST(CASE WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.99)) > 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS has_hot
+        |FROM embeddings""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (a, x) -> a + x)").as("l1"),
+          expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST('-Infinity' AS DOUBLE), (a, x) -> greatest(a, x))").as("vmax"),
+          expr("CAST(size(filter(embedding, x -> CAST(x AS DOUBLE) > 0D)) AS BIGINT)").as("n_pos"),
+          expr("CAST(CASE WHEN exists(embedding, x -> CAST(x AS DOUBLE) > 0.99D) THEN 1 ELSE 0 END AS BIGINT)").as("has_hot"))
+    },
+
     // ── events_session_window_api: Spark's native session_window operator
     // (events_sessionize is the hand-rolled gaps-and-islands form; this is
     // the built-in merging-window aggregation, the same operator the
