@@ -724,6 +724,82 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── io_csv_permissive: malformed-record ingestion — PERMISSIVE mode
+    // keeps every successfully-parsed field, nulls the unconvertible one,
+    // and captures the raw line in the corrupt-record column (the
+    // quarantine pattern: bad rows are routed, never dropped silently or
+    // allowed to kill a 100 TB load). The fixture is an 8-line literal CSV
+    // (driver-side write of a test vector, not data-plane); the oracle is
+    // the PERMISSIVE contract itself as a VALUES table — note the empty
+    // field (row 6/7) parses to NULL without being corrupt, while the
+    // unconvertible tokens (rows 3/4) null their field AND flag the line.
+    OpQuery.checked(
+      "io_csv_permissive",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(10.5 AS DOUBLE), 'alpha', CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(20.25 AS DOUBLE), 'beta', CAST(0 AS BIGINT)),
+        |  (CAST(NULL AS BIGINT), CAST(30.0 AS DOUBLE), 'gamma', CAST(1 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(NULL AS DOUBLE), 'delta', CAST(1 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(50.0 AS DOUBLE), 'epsilon', CAST(0 AS BIGINT)),
+        |  (CAST(NULL AS BIGINT), CAST(60.5 AS DOUBLE), 'zeta', CAST(0 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(NULL AS DOUBLE), 'eta', CAST(0 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(80.0 AS DOUBLE), 'theta', CAST(0 AS BIGINT))
+        |) t(id, v, tag, is_corrupt)""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      val path = CoreOps.scratch(dir, "csv_permissive")
+      val lines = Seq(
+        "1,10.5,alpha", "2,20.25,beta", "bad_id,30.0,gamma", "4,not_a_number,delta",
+        "5,50.0,epsilon", ",60.5,zeta", "7,,eta", "8,80.0,theta")
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath.resolveSibling(f.getName + ".csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType),
+        StructField("tag", StringType), StructField("_bad", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path + ".csv")
+        .select(
+          col("id"), col("v"), col("tag"),
+          when(col("_bad").isNotNull, 1L).otherwise(0L).as("is_corrupt"))
+    },
+
+    // ── io_schema_evolution: widening append — a v2 writer adds a column
+    // the v1 files lack (the lakehouse reality: producers evolve before
+    // history is rewritten). mergeSchema reconciles the footers at read
+    // time and v1 rows surface NULL for the new column; the aggregation
+    // buckets them as LEGACY. At 100 TB the alternative (rewriting history
+    // to add a column) is exactly what this avoids.
+    OpQuery.checked(
+      "io_schema_evolution",
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+        |  WHERE o_orderdate < DATE '1996-01-01'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
+        |SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM unioned GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val path = CoreOps.scratch(dir, "schema_evo")
+      val orders = Tables(spark, dir).orders
+      orders.filter(col("o_orderdate") < lit("1996-01-01").cast("date"))
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
+          && col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(path)
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
     // ── fn_array_pack: the higher-order array-function family — transform
     // / filter / aggregate / exists over the embedding vectors, mirroring
     // DuckDB's list_* functions. All lambdas run inside codegen as
