@@ -122,6 +122,33 @@ object EventsStream {
       .start()
   }
 
+  // ── stream-static enrichment join ──────────────────────────────────────
+
+  /** Enrich the event stream with a STATIC dimension: the batch side is
+    * re-planned each micro-batch (so a slowly-refreshed dim table is
+    * picked up on refresh) and broadcasts when small. No watermark and no
+    * join state — a static join never buffers the stream side, which is
+    * what makes it the right shape for firehose-scale enrichment; the
+    * stateful alternatives (stream-stream join, mapGroupsWithState
+    * lookup) pay state-store costs a static dim never needs. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Start stream-static enrichment into a memory sink; the dim is the
+    * distinct user set of `dimSourceDir` hashed into 4 segments. */
+  def startEnrich(spark: SparkSession, sourceDir: String, dimSourceDir: String,
+                  queryName: String): StreamingQuery = {
+    val dim = spark.read.schema(eventSchema).parquet(dimSourceDir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("S"), pmod(col("user_id"), lit(4))))
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    enrichWithDim(src, dim).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── stream-stream interval join ────────────────────────────────────────
 
   /** Watermarked stream-stream self-join: attribute each click to the

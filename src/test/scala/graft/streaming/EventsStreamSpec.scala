@@ -98,6 +98,26 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins every event to its dim segment") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_enrich_spec").toString
+    val events = Tables(spark, sf0001).events
+    events.coalesce(2).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startEnrich(spark, staged, staged, "enrich_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+      // 1:1 with the stream side (static join buffers nothing, drops nothing)
+      assert(streamed.count() == events.count())
+      // every event got a segment, and it is the hash the dim derivation uses
+      assert(streamed.filter(col("segment").isNull).count() == 0)
+      val bad = streamed
+        .filter(col("segment") =!= concat(lit("S"), pmod(col("user_id"), lit(4))))
+        .count()
+      assert(bad == 0, "segment must match the dim derivation for every row")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch equivalent") {
     // stage events as TimestampType parquet (source table is TIMESTAMP(NANOS))
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_spec").toString
