@@ -830,16 +830,18 @@ object ExtOps {
     // ── events_session_window_api: Spark's native session_window operator
     // (events_sessionize is the hand-rolled gaps-and-islands form; this is
     // the built-in merging-window aggregation, the same operator the
-    // streaming path uses). Semantics: a session absorbs the next event
-    // iff next_ts - prev_ts < gap, and closes at last_event + gap — the
-    // oracle replays exactly that with a lag/cumsum island id. One shuffle
-    // on user_id.
+    // streaming path uses). Semantics: each event spans [t, t+gap) and
+    // sessions MERGE while the next event starts at or before the current
+    // end — so a new session begins only when next_ts - prev_ts is
+    // STRICTLY greater than the gap (an exactly-30-minute gap still
+    // merges). The oracle replays that boundary with a lag/cumsum island
+    // id. One shuffle on user_id.
     OpQuery.checked(
       "events_session_window_api",
       """WITH o AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (

@@ -124,15 +124,20 @@ object EventsStream {
 
   // ── stream-static enrichment join ──────────────────────────────────────
 
-  /** Enrich the event stream with a STATIC dimension: the batch side is
-    * re-planned each micro-batch (so a slowly-refreshed dim table is
-    * picked up on refresh) and broadcasts when small. No watermark and no
+  /** Enrich the event stream with a STATIC dimension. No watermark and no
     * join state — a static join never buffers the stream side, which is
     * what makes it the right shape for firehose-scale enrichment; the
     * stateful alternatives (stream-stream join, mapGroupsWithState
-    * lookup) pay state-store costs a static dim never needs. */
+    * lookup) pay state-store costs a static dim never needs.
+    *
+    * The dim's file listing is pinned when the DataFrame is created: to
+    * pick up a refreshed dim table, re-create the dim DataFrame (or call
+    * `spark.catalog.refreshByPath`) and restart the query — this join
+    * does NOT see files that appear under the dim path mid-stream. No
+    * broadcast hint: statistics choose broadcast for dim-sized sides and
+    * fall back to a shuffle join when the dim outgrows the threshold. */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), Seq("user_id"), "left")
+    events.join(dim, Seq("user_id"), "left")
 
   /** Start stream-static enrichment into a memory sink; the dim is the
     * distinct user set of `dimSourceDir` hashed into 4 segments. */
