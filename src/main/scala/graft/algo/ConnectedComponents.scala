@@ -83,6 +83,63 @@ object ConnectedComponents {
     gen.select(col("id"), col("label").as("component"))
   }
 
+  /** Alternative loop: two-phase star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Alternating
+    * large-star / small-star transforms converge in O(log² n) rounds
+    * REGARDLESS of component diameter — the extreme-scale path where the
+    * min-label loop above (O(diameter) rounds) degrades on chain-like
+    * graphs. Dup clusters are near-cliques, so [[components]] stays the
+    * default; this is the documented escape hatch. Same checkpoint /
+    * unpersist discipline: one materialization per round plus two
+    * single-row signature aggregations for the fixed-point probe.
+    *
+    * @return (id, component) for every node in `edges`, component = min
+    *         node id — identical contract to [[components]]. */
+  def componentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical orientation (x, y) with y < x
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("x"), least(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .localCheckpoint(true)
+    var eRdd = checkpointRdd(e)
+    // edge-set fixed point probe: (count, order-independent hash XOR —
+    // ANSI-safe where a 64-bit hash SUM would overflow)
+    def sig(df: DataFrame) =
+      df.agg(count(lit(1)), expr("bit_xor(xxhash64(x, y))")).head()
+    var done = false
+    var i    = 0
+    while (!done && i < maxIter) {
+      // large-star: every node connects its LARGER neighbors to the min
+      // of its closed neighborhood
+      val sym = e.select(col("x").as("n"), col("y").as("w"))
+        .unionByName(e.select(col("y").as("n"), col("x").as("w")))
+      val mins = sym.groupBy("n").agg(min(col("w")).as("mn"))
+      val large = sym.join(mins, "n")
+        .filter(col("w") > col("n"))
+        .select(col("w").as("x"), least(col("mn"), col("n")).as("y"))
+        .distinct()
+      // small-star: every node connects its smaller neighbors (and
+      // itself) to the min of that set
+      val smins = large.groupBy("x").agg(min(col("y")).as("m"))
+      val next = large.join(smins, "x")
+        .select(col("y").as("x"), col("m").as("y"))
+        .filter(col("x") =!= col("y"))
+        .unionByName(smins.select(col("x"), col("m").as("y")))
+        .distinct()
+        .localCheckpoint(true) // the round's materialization
+      done = sig(next) == sig(e)
+      eRdd.foreach(_.unpersist(false))
+      eRdd = checkpointRdd(next)
+      e = next
+      i += 1
+    }
+    // fixed point: e is a star per component (every edge points at the
+    // component min); roots only appear on the y side
+    e.select(col("x").as("id"), col("y").as("component"))
+      .unionByName(
+        e.select(col("y").as("id")).distinct().withColumn("component", col("id")))
+  }
+
   /** The persisted RDD backing a localCheckpoint'd Dataset (or a frame
     * derived from one): the first LogicalRDD leaf in the analyzed plan. */
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =

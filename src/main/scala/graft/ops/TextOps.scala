@@ -59,6 +59,73 @@ object TextOps {
   private def duckMinFp(salt: String): String =
     s"list_aggregate(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> md5('$salt' || substr(text, CAST(i AS INT), 8))), 'min')"
 
+  /** Shared oracle for both cluster ops: the DuckDB recursive-CTE fixpoint
+    * of the same exact+near edge set, component = min doc_id. */
+  private lazy val clusterOracle: String =
+    s"""WITH RECURSIVE fp AS (
+       |  SELECT doc_id, md5(text) AS h, ${duckMinFp("s1")} AS f1, ${duckMinFp("s2")} AS f2,
+       |         list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8))) AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM fp a JOIN fp b ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM sym
+       |  UNION
+       |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       |       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+
+  /** Shared cluster pipeline: build the verified dup-edge list, resolve
+    * components with the given algorithm, emit (doc_id, cluster_id,
+    * is_canonical) for every document.
+    *
+    * Candidate-pair joins run over the 4×32-byte fingerprint artifact
+    * only — the shingle arrays never ride through a self-join shuffle.
+    * Shingles are fetched just for the (few) candidate pairs; AQE
+    * broadcasts the tiny candidate side at runtime. */
+  private def clusterWith(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val docs = tables(spark, dir).documents
+    val sh   = docBase(spark, dir).select(col("doc_id"), col("shingles"))
+    val fp   = fpBase(spark, dir)
+    val exact = fp.as("a").join(fp.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    val near = fp.as("a").join(fp.as("b"),
+      col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac",
+        col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a"), col("b"))
+    // the verified edge list is tiny (near-dup pairs only) — cache it so
+    // the CC loop's seed checkpoint doesn't replay the verify pipeline.
+    val edges = exact.unionByName(near).distinct().cache()
+    val comp  = cc(edges)
+    docs.select("doc_id")
+      .join(comp, docs("doc_id") === comp("id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"),
+        when(coalesce(col("component"), col("doc_id")) === col("doc_id"), 1L).otherwise(0L).as("is_canonical"))
+  }
+
   val ops: Seq[OpQuery] = Seq(
     // ── text_langid: n-gram-marker language ID — per-language function-word
     // counts, argmax with fixed tie preference. Pure projection (no shuffle).
@@ -249,62 +316,18 @@ object TextOps {
     // document with its cluster id and canonical flag. The DuckDB oracle
     // computes the same fixpoint with a recursive CTE — both sides
     // converge to component = min doc_id, so results hash-match.
-    OpQuery.checked(
-      "dedup_cluster",
-      s"""WITH RECURSIVE fp AS (
-         |  SELECT doc_id, md5(text) AS h, ${duckMinFp("s1")} AS f1, ${duckMinFp("s2")} AS f2,
-         |         list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8))) AS sh
-         |  FROM documents),
-         |edges AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id
-         |  FROM fp a JOIN fp b ON a.f1 = b.f1 AND a.f2 = b.f2 AND a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-         |reach AS (
-         |  SELECT a AS id, b AS r FROM sym
-         |  UNION
-         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id),
-         |comp AS (
-         |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
-         |       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_canonical
-         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
-    ) { (spark, dir) =>
-      // Candidate-pair joins run over the 4×32-byte fingerprint artifact
-      // only — the shingle arrays never ride through a self-join shuffle.
-      // Shingles are fetched just for the (few) candidate pairs; AQE
-      // broadcasts the tiny candidate side at runtime.
-      val docs = tables(spark, dir).documents
-      val sh   = docBase(spark, dir).select(col("doc_id"), col("shingles"))
-      val fp   = fpBase(spark, dir)
-      val exact = fp.as("a").join(fp.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      val near = fp.as("a").join(fp.as("b"),
-        col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
-        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jac",
-          col("n_inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("a"), col("b"))
-      // the verified edge list is tiny (near-dup pairs only) — cache it so
-      // the CC loop's seed checkpoint doesn't replay the verify pipeline.
-      val edges = exact.unionByName(near).distinct().cache()
-      val comp  = graft.algo.ConnectedComponents.components(edges)
-      docs.select("doc_id")
-        .join(comp, docs("doc_id") === comp("id"), "left_outer")
-        .select(
-          col("doc_id"),
-          coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"),
-          when(coalesce(col("component"), col("doc_id")) === col("doc_id"), 1L).otherwise(0L).as("is_canonical"))
+    OpQuery.checked("dedup_cluster", clusterOracle) { (spark, dir) =>
+      clusterWith(spark, dir, graft.algo.ConnectedComponents.components(_))
+    },
+
+    // ── dedup_cluster_star: the same pairs→groups contract resolved with
+    // the two-phase star-contraction loop (Kiveris et al. SoCC'14,
+    // `ConnectedComponents.componentsStar`) — O(log² n) rounds regardless
+    // of component diameter, the extreme-scale path where min-label
+    // propagation's O(diameter) degrades. Identical output, identical
+    // oracle: the algorithm swap is the only difference.
+    OpQuery.checked("dedup_cluster_star", clusterOracle) { (spark, dir) =>
+      clusterWith(spark, dir, graft.algo.ConnectedComponents.componentsStar(_))
     },
 
     // ── text_ngram_freq: corpus-level n-gram frequency — top-20 word

@@ -53,4 +53,22 @@ object ConnectedComponentsProps extends Properties("graft.algo.cc") {
       .as[(Long, Long)].collect().toMap
     Prop(got.values.toSet == Set(0L) && got.keySet == (0L to 12L).toSet)
   }
+
+  property("star contraction equals the union-find on random graphs") =
+    Prop.forAll(edgeListGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = ConnectedComponents.componentsStar(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(edges)
+      }
+    }
+
+  property("star contraction resolves a long chain in few rounds") = {
+    // the O(log² n) case the default O(diameter) loop is slow on: a
+    // 40-node chain must still land every node on component 0
+    val chain = (0L until 40L).map(i => (i, i + 1)).toList
+    val got = ConnectedComponents.componentsStar(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    Prop(got.values.toSet == Set(0L) && got.keySet == (0L to 40L).toSet)
+  }
 }
