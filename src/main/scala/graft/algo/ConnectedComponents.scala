@@ -96,6 +96,12 @@ object ConnectedComponents {
     * @return (id, component) for every node in `edges`, component = min
     *         node id — identical contract to [[components]]. */
   def componentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // node universe BEFORE dropping self-loops: a node appearing only in
+    // (v, v) edges must still come back as (v, v), matching components()
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
     // canonical orientation (x, y) with y < x
     var e = edges
       .select(greatest(col("a"), col("b")).as("x"), least(col("a"), col("b")).as("y"))
@@ -103,11 +109,13 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var eRdd = checkpointRdd(e)
     // edge-set fixed point probe: (count, order-independent hash XOR —
-    // ANSI-safe where a 64-bit hash SUM would overflow)
+    // ANSI-safe where a 64-bit hash SUM would overflow). The previous
+    // round's signature is carried over, so each round pays ONE probe job.
     def sig(df: DataFrame) =
       df.agg(count(lit(1)), expr("bit_xor(xxhash64(x, y))")).head()
-    var done = false
-    var i    = 0
+    var prevSig = sig(e)
+    var done    = false
+    var i       = 0
     while (!done && i < maxIter) {
       // large-star: every node connects its LARGER neighbors to the min
       // of its closed neighborhood
@@ -127,17 +135,23 @@ object ConnectedComponents {
         .unionByName(smins.select(col("x"), col("m").as("y")))
         .distinct()
         .localCheckpoint(true) // the round's materialization
-      done = sig(next) == sig(e)
+      val nextSig = sig(next)
+      done = nextSig == prevSig
+      prevSig = nextSig
       eRdd.foreach(_.unpersist(false))
       eRdd = checkpointRdd(next)
       e = next
       i += 1
     }
-    // fixed point: e is a star per component (every edge points at the
-    // component min); roots only appear on the y side
-    e.select(col("x").as("id"), col("y").as("component"))
-      .unionByName(
-        e.select(col("y").as("id")).distinct().withColumn("component", col("id")))
+    // At the fixed point e is a star per component (each non-root has
+    // exactly one edge to the component min). If maxIter ran out first, a
+    // node can still carry several outgoing edges — collapse to the min
+    // so the contract (one row per id) degrades gracefully, exactly like
+    // an unconverged components() run.
+    val star = if (done) e else e.groupBy(col("x")).agg(min(col("y")).as("y"))
+    nodes
+      .join(star, nodes("id") === star("x"), "left_outer")
+      .select(col("id"), coalesce(col("y"), col("id")).as("component"))
   }
 
   /** The persisted RDD backing a localCheckpoint'd Dataset (or a frame
@@ -145,8 +159,12 @@ object ConnectedComponents {
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
 
-  /** Release the checkpointed labels backing a [[components]] result once
-    * the caller has fully consumed it. */
+  /** Release every checkpointed RDD backing a [[components]] /
+    * [[componentsStar]] result once the caller has fully consumed it
+    * (componentsStar results are backed by TWO checkpoints: the node
+    * universe and the final edge generation). */
   def release(result: DataFrame): Unit =
-    checkpointRdd(result).foreach(_.unpersist(false))
+    result.queryExecution.analyzed
+      .collect { case lr: LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(false))
 }

@@ -71,4 +71,20 @@ object ConnectedComponentsProps extends Properties("graft.algo.cc") {
       .as[(Long, Long)].collect().toMap
     Prop(got.values.toSet == Set(0L) && got.keySet == (0L to 40L).toSet)
   }
+
+  property("star contraction keeps self-loop-only nodes (contract parity)") = {
+    val edges = List((5L, 5L), (1L, 2L))
+    val got = ConnectedComponents.componentsStar(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    Prop(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
+  property("star contraction degrades to one row per node when maxIter is hit") = {
+    // a chain too deep for one round: the result may be unconverged but
+    // must never emit duplicate or contradictory rows for a node
+    val chain = (0L until 10L).map(i => (i, i + 1)).toList
+    val rows = ConnectedComponents.componentsStar(chain.toDF("a", "b"), maxIter = 1)
+      .as[(Long, Long)].collect()
+    Prop(rows.map(_._1).distinct.length == rows.length && rows.length == 11)
+  }
 }
