@@ -724,6 +724,29 @@ object ExtOps {
           sum(Norm.dec6(col("value"))).cast("double").as("total_value"))
     },
 
+    // ── join_hint_shuffle_hash: explicit join-strategy hint — the Spark
+    // analog of the reference dialect's optimizer-hint culture (Oracle
+    // /*+ USE_HASH */). hint("shuffle_hash") keeps the big⋈big join a
+    // hash join (no sort phase on either side) where the planner's
+    // default would sort-merge; the right call when one side fits a
+    // partition's hash table and neither side is pre-sorted. The hint
+    // changes the physical plan only — results are checked identical.
+    OpQuery.checked(
+      "join_hint_shuffle_hash",
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.select("l_orderkey", "l_extendedprice")
+        .join(t.orders.select("o_orderkey", "o_orderstatus").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // ── io_csv_permissive: malformed-record ingestion — PERMISSIVE mode
     // keeps every successfully-parsed field, nulls the unconvertible one,
     // and captures the raw line in the corrupt-record column (the

@@ -116,6 +116,19 @@ class ExtOpsSpec extends SparkSuite {
       s"only $narrow of ${files.length} files are range-clustered")
   }
 
+  test("join_hint_shuffle_hash plans a ShuffledHashJoin, not a sort-merge") {
+    // disable auto-broadcast so the hint (not the tiny test SF) decides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_hint_shuffle_hash")(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"hint should force a shuffled hash join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connected components frees every checkpoint it creates") {
     import spark.implicits._
     val sc = spark.sparkContext
