@@ -63,8 +63,13 @@ object Scd2 {
 
     val isCurrentAndChanged = col("curr_ind") === "Y" && col(s"__chg_${keyCols.head}").isNotNull && differs
 
+    // No broadcast hint: the change set is OFTEN small (daily deltas) but
+    // can be dim-sized (full-snapshot diff loads) — a hard hint would then
+    // force a dim-sized broadcast. AQE broadcasts the small case at
+    // runtime from observed sizes; the big case gets the shuffle join it
+    // needs. Plan and contract stay in agreement for both regimes.
     val action = col(ActionCol)
-    val tagged = dim.join(broadcast(chg), joinCond, "left_outer")
+    val tagged = dim.join(chg, joinCond, "left_outer")
       .withColumn(ActionCol, explode(
         when(isCurrentAndChanged, array(lit("close"), lit("open"))).otherwise(array(lit("keep")))))
 

@@ -16,10 +16,28 @@ object CoreOps {
 
   /** Scratch dir for ops that demonstrate physical write paths
     * (insert_select / delete_all). Unique per sfDir so sf0.01 verify and
-    * sf0.1 bench never read each other's output. */
+    * sf0.1 bench never read each other's output, AND unique per JVM run
+    * (pid + start nanos) so consecutive bench runs never inherit each
+    * other's files or page-cache state — IO op timings measure THIS run's
+    * write+read, not whatever a previous process left warm in the OS
+    * cache. A shutdown hook removes the run's subtree. */
+  private lazy val runRoot: String = {
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/run_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    root.mkdirs()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }
+    root.getAbsolutePath
+  }
+
   private[ops] def scratch(dir: String, name: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/$tag/$name"
+    s"$runRoot/$tag/$name"
   }
 
   val ops: Seq[OpQuery] = Seq(

@@ -246,7 +246,7 @@ object EtlOps {
         |WHERE year(o_orderdate) IN (1995, 1996)
         |GROUP BY 1, 2""".stripMargin
     ) { (spark, dir) =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_scratch/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_by_year"
+      val path = CoreOps.scratch(dir, "orders_by_year")
       Tables(spark, dir).orders
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)

@@ -465,10 +465,15 @@ object ExtOps {
         // short-circuit before the O(len^2) distance runs
         .filter(
           col("a_id") < col("b_id") &&
-            abs(length(col("a_text")) - length(col("b_text"))).cast("long") * 5 <= maxLen &&
-            levenshtein(col("a_text"), col("b_text")).cast("long") * 5 <= maxLen)
-        .select(col("a_id"), col("b_id"),
-          levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
+            abs(length(col("a_text")) - length(col("b_text"))).cast("long") * 5 <= maxLen)
+        // compute the distance ONCE behind a Generate barrier: a plain
+        // withColumn alias would be substituted back into the threshold
+        // filter by predicate pushdown, evaluating the O(len²) distance
+        // twice (Filter and Project don't share subexpressions)
+        .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"),
+          explode(array(levenshtein(col("a_text"), col("b_text")).cast("long"))).as("edit_dist"))
+        .filter(col("edit_dist") * 5 <= maxLen)
+        .select(col("a_id"), col("b_id"), col("edit_dist"))
     },
 
     // ── events_anomaly_zscore: daily event-type volumes flagged by

@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+/** Plan-shape regression tests for the flagship reports and the scale-
+  * sensitive ops: the rules that make these queries safe at 100 TB are
+  * asserted against the physical plan, so a future edit that re-introduces
+  * a corpus-side broadcast (or an un-pruned scan) fails CI instead of
+  * becoming a cluster incident.
+  */
+class PlanQualitySpec extends SparkSuite {
+
+  /** Tables that grow with the data (facts / corpora) — broadcasting their
+    * raw rows is never acceptable; broadcasting a grain-reducing AGGREGATE
+    * of them (e.g. the distinct-genre universe in q2) is bounded and fine. */
+  private val factTables = Seq("lineitem", "orders", "documents", "embeddings", "events")
+
+  /** BroadcastExchange subtrees that scan a fact table without any
+    * aggregation in between — the unbounded-broadcast anti-pattern. */
+  private def corpusBroadcasts(p: SparkPlan): Seq[String] =
+    p.collect { case b: BroadcastExchangeExec => b }.flatMap { b =>
+      val aggregated = b.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+        case _ => false
+      }
+      if (aggregated) Nil
+      else b.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+      }.flatten.filter(path => factTables.exists(path.contains))
+    }
+
+  /** Static planner: AQE + statistics-broadcast off, so every remaining
+    * BroadcastExchange comes from a hard-coded hint — exactly the set that
+    * would survive a 100× scale-up where statistics stop electing
+    * broadcasts on their own. */
+  private def withStaticPlanner[T](f: => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
+  test("flagships q1/q2/q3 carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      for (q <- Seq("q1_genre_sales", "q2_primary_genre_spend", "q3_gross_margin")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
+  test("dedup family carries no corpus-side broadcast hint") {
+    withStaticPlanner {
+      for (q <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_fuzzy_editdist", "dedup_embedding_cosine")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
+  test("join_dpp_prune scan actually carries a dynamic-pruning expression") {
+    val df = graft.SparkEntry.queries("join_dpp_prune")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "partitioned-fact scan lost its dynamicpruningexpression — DPP regressed")
+  }
+
+  test("dedup_fuzzy_editdist computes levenshtein exactly once") {
+    val df = graft.SparkEntry.queries("dedup_fuzzy_editdist")(spark, sf001)
+    val n = "levenshtein".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(n == 1, s"expected a single levenshtein in the optimized plan, found $n")
+  }
+}
