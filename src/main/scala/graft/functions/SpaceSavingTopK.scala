@@ -80,12 +80,28 @@ case class SpaceSavingTopK(
   }
 
   override def merge(b1: SpaceSavingBuffer, b2: SpaceSavingBuffer): SpaceSavingBuffer = {
-    // feed the larger summary with the smaller for fewer evictions (every
-    // insert into a near-empty base would evict, inflating max_err); the
-    // framework stores whichever buffer we return back into the agg row
-    val (base, other) = if (b1.items.size >= b2.items.size) (b1, b2) else (b2, b1)
-    other.items.foreach { case (item, (c, e)) => base.offer(capacity, item, c, e) }
-    base
+    // Mergeable-summaries algebra (Agarwal et al., SIGMOD'12): an item
+    // absent from one FULL summary may still have occurred up to that
+    // summary's minimum count in its stream — credit that bound as both
+    // count and error, then keep the top `capacity` counters. This keeps
+    // est ≥ true and est − err ≤ true under ANY merge order; the earlier
+    // fold-into-base merge could undercount an item evicted on one side.
+    // The framework stores whichever buffer we return back into the agg
+    // row, so returning a fresh buffer is fine.
+    val m1 = if (b1.items.size >= capacity) b1.byCount.head._1 else 0L
+    val m2 = if (b2.items.size >= capacity) b2.byCount.head._1 else 0L
+    val union = (b1.items.keySet ++ b2.items.keySet).toSeq.map { item =>
+      val (c1, e1) = b1.items.getOrElse(item, (m1, m1))
+      val (c2, e2) = b2.items.getOrElse(item, (m2, m2))
+      item -> (c1 + c2, e1 + e2)
+    }
+    val merged = new SpaceSavingBuffer
+    union.sortBy { case (item, (c, _)) => (-c, item) }.take(capacity).foreach {
+      case (item, (c, e)) =>
+        merged.items(item) = (c, e)
+        merged.byCount.add((c, item))
+    }
+    merged
   }
 
   override def eval(buf: SpaceSavingBuffer): Any = {

