@@ -451,21 +451,19 @@ object ExtOps {
     ) { (spark, dir) =>
       val blocked = Tables(spark, dir).documents
         .select(col("doc_id"), col("text"), md5(substring(col("text"), 1, 32)).as("bk"))
-      // hash-distribute the probe side on the block key: the quadratic
-      // Levenshtein verify then runs one block per task slot instead of
-      // inside the scan's single input partition (documents is one file
-      // at test SF; at 100 TB this is the same bk-shuffle the join needs)
-      val a = blocked.select(col("doc_id").as("a_id"), col("text").as("a_text"), col("bk"))
-        .repartition(col("bk"))
-      val b = blocked.select(col("doc_id").as("b_id"), col("text").as("b_text"), col("bk").as("bk2"))
+      // skew-guarded block self-join: boilerplate openings put unbounded
+      // doc counts into ONE prefix block, and the quadratic Levenshtein
+      // verify would run inside that single task — BlockedPairs splits a
+      // hot block into bounded triangular cells with the same pair set
       val maxLen = greatest(length(col("a_text")), length(col("b_text"))).cast("long")
-      a.join(b, col("bk") === col("bk2"))
-        // conjunct order matters: id order and the length-difference bound
-        // (levenshtein >= |lenA-lenB|, so this drops only sure-fails)
-        // short-circuit before the O(len^2) distance runs
-        .filter(
-          col("a_id") < col("b_id") &&
-            abs(length(col("a_text")) - length(col("b_text"))).cast("long") * 5 <= maxLen)
+      BlockedPairs.pairs(blocked, Seq("bk"), "doc_id", BlockedPairs.DefaultCap)
+        .select(
+          col("a.doc_id").as("a_id"), col("a.text").as("a_text"),
+          col("b.doc_id").as("b_id"), col("b.text").as("b_text"))
+        // the length-difference bound (levenshtein >= |lenA-lenB|, so it
+        // drops only sure-fails) short-circuits before the O(len^2)
+        // distance runs
+        .filter(abs(length(col("a_text")) - length(col("b_text"))).cast("long") * 5 <= maxLen)
         // compute the distance ONCE behind a Generate barrier: a plain
         // withColumn alias would be substituted back into the threshold
         // filter by predicate pushdown, evaluating the O(len²) distance

@@ -101,11 +101,17 @@ object TextOps {
     val docs = tables(spark, dir).documents
     val sh   = docBase(spark, dir).select(col("doc_id"), col("shingles"))
     val fp   = fpBase(spark, dir)
-    val exact = fp.as("a").join(fp.as("b"),
-      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-    val near = fp.as("a").join(fp.as("b"),
-      col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
+    // exact-dup edges as a STAR (group-min → member), not all pairs: the
+    // component structure is identical, but a content replicated m times
+    // contributes m−1 edges instead of m(m−1)/2 — the all-pairs form is
+    // quadratic in exactly the hot-duplicate case dedup exists for
+    val exact = fp
+      .withColumn("root", min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("a"), col("doc_id").as("b"))
+    // near-dup candidates through the skew-guarded block join
+    val near = BlockedPairs
+      .pairs(fp.select("doc_id", "f1", "f2"), Seq("f1", "f2"), "doc_id", BlockedPairs.DefaultCap)
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
@@ -294,9 +300,10 @@ object TextOps {
       // at runtime when the candidate side turns out tiny — its call.
       val sh = docBase(spark, dir)
       val fp = fpBase(spark, dir)
-      val cand = fp.select("doc_id", "f1", "f2").as("a")
-        .join(fp.select("doc_id", "f1", "f2").as("b"),
-          col("a.f1") === col("b.f1") && col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id"))
+      // skew-guarded band self-join (common boilerplate ⇒ hot fingerprint
+      // blocks): BlockedPairs caps per-cell pair counts, same pair set
+      val cand = BlockedPairs
+        .pairs(fp.select("doc_id", "f1", "f2"), Seq("f1", "f2"), "doc_id", BlockedPairs.DefaultCap)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), "a_id")
@@ -578,12 +585,12 @@ object TextOps {
         col("doc_id"),
         explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', md5(concat_ws('|', slice(sig, b*4+1, 4)))))")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
-      // shuffle joins on (band, band_hash) / doc_id — all sides are
-      // corpus-sized, so no broadcast hints (AQE decides at runtime).
-      val pairs = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-            && col("a.doc_id") < col("b.doc_id"))
+      // skew-guarded shuffle joins on (band, band_hash) / doc_id — all
+      // sides are corpus-sized, so no broadcast hints (AQE decides at
+      // runtime); BlockedPairs bounds hot LSH buckets (common boilerplate
+      // collapses many docs into one band hash).
+      val pairs = BlockedPairs
+        .pairs(banded, Seq("band", "band_hash"), "doc_id", BlockedPairs.DefaultCap)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       pairs
@@ -630,12 +637,10 @@ object TextOps {
         col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.slice").as("slice"), col("x.sv").as("slice_val"))
-      // shuffle join on (slice, slice_val) — both sides corpus-sized, no
-      // broadcast hint.
-      sliced.as("a")
-        .join(sliced.as("b"),
-          col("a.slice") === col("b.slice") && col("a.slice_val") === col("b.slice_val")
-            && col("a.doc_id") < col("b.doc_id"))
+      // skew-guarded shuffle join on (slice, slice_val) — both sides
+      // corpus-sized, no broadcast hint; BlockedPairs bounds hot slices
+      // (near-identical corpora collapse many docs into one 16-bit value).
+      BlockedPairs.pairs(sliced, Seq("slice", "slice_val"), "doc_id", BlockedPairs.DefaultCap)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .dropDuplicates("a_id", "b_id")
