@@ -1,0 +1,75 @@
+package graft.gen
+
+import graft.SparkSuite
+import graft.etl.Fingerprint
+
+/** Golden-hash pin for the seeded generators (SURVEY §5.5): at seed 42 /
+  * scale 0.1 every generated table must fold to exactly the hash pinned
+  * here. Unlike the volume/ratio invariants in LibraryPipelineSpec, this
+  * locks the full content — any change to a generator's draw order,
+  * column set, or arithmetic shows up as a hash diff, which is the point:
+  * "same seed ⇒ identical dataset" is now an asserted contract, not a
+  * convention.
+  *
+  * The hashes are order-independent ([[graft.etl.Fingerprint]]), so a
+  * different partitioning or shuffle layout does NOT break them — only a
+  * genuine content change does. If a generator changes intentionally,
+  * re-pin by running with -Dgraft.golden.print=true and copying the
+  * printed table.
+  */
+class LibraryGoldenHashSpec extends SparkSuite {
+
+  private lazy val oltp = LibraryTables.generate(spark, scale = 0.1, seed = 42)
+
+  private lazy val tables: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "members"          -> oltp.members,
+    "book_titles"      -> oltp.bookTitles,
+    "book_copies"      -> oltp.bookCopies,
+    "suppliers"        -> oltp.suppliers,
+    "discounts"        -> oltp.discounts,
+    "borrowed_books"   -> oltp.borrowedBooks,
+    "sales_orders"     -> oltp.salesOrders,
+    "sales_details"    -> oltp.salesDetails,
+    "purchase_orders"  -> oltp.purchaseOrders,
+    "purchase_details" -> oltp.purchaseDetails,
+    "fines"            -> oltp.fines,
+    "payments"         -> oltp.payments,
+    "staff"            -> oltp.staff,
+    "shifts"           -> oltp.shifts,
+    "shift_schedules"  -> oltp.shiftSchedules,
+    "staff_attendance" -> oltp.staffAttendance)
+
+  // Pinned (rows, fold) per table at seed 42 / scale 0.1.
+  private val golden: Map[String, (Long, Long)] = Map(
+    "members" -> (750L, 1190103569819139740L),
+    "book_titles" -> (900L, 2088282688281882570L),
+    "book_copies" -> (4500L, 7014606578394057570L),
+    "suppliers" -> (15L, 3105342987757276249L),
+    "discounts" -> (64L, 6241270446506893982L),
+    "borrowed_books" -> (187812L, 2496864308661818578L),
+    "sales_orders" -> (55010L, 7021766838001626985L),
+    "sales_details" -> (192136L, 8064068716355199639L),
+    "purchase_orders" -> (480L, 3768003969643497706L),
+    "purchase_details" -> (4053L, 2341233061016261628L),
+    "fines" -> (23571L, 850802529675782314L),
+    "payments" -> (3774L, 7152430086190635767L),
+    "staff" -> (11L, 4540214441417149469L),
+    "shifts" -> (11L, 7481058985822885628L),
+    "shift_schedules" -> (57387L, 2226100898115399330L),
+    "staff_attendance" -> (57387L, 3735372719394492288L))
+
+  test("seed 42 at scale 0.1 reproduces the pinned content hashes") {
+    val actual = tables.map { case (name, df) => name -> Fingerprint.tableHash(df) }
+    if (sys.props.get("graft.golden.print").contains("true") || golden.isEmpty) {
+      actual.foreach { case (name, (n, fold)) =>
+        info(s""""$name" -> (${n}L, ${fold}L),""")
+      }
+    }
+    assert(golden.nonEmpty, "golden map is unpinned — run with -Dgraft.golden.print=true and pin")
+    actual.foreach { case (name, got) =>
+      assert(golden(name) == got,
+        s"$name content drifted: expected ${golden(name)}, got $got — " +
+          "generator output changed; re-pin only if the change is intentional")
+    }
+  }
+}

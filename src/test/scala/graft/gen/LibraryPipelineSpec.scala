@@ -171,16 +171,14 @@ class LibraryPipelineSpec extends SparkSuite {
   test("validation rules: bb_member_valid, BookOrders_DiscDate, MANAGE_BOOK_DETAILS over generated data") {
     import graft.etl.Validation
     // trg_bb_member_valid: borrow date inside [registration, expire] of an existing member
-    val borrowsJ = oltp.borrowedBooks.join(
-      oltp.members.select("member_id", "registration_date", "expire_date"), Seq("member_id"), "left_outer")
-    val bbReport = Validation.report(borrowsJ, "borrowed_books", Seq(
-      Validation.Rule("member_exists", col("registration_date").isNotNull),
-      Validation.Rule("borrow_in_membership",
-        col("borrow_date").between(col("registration_date"), col("expire_date")))))
+    val bbReport = Validation.bbMemberValid(oltp.borrowedBooks, oltp.members)
       .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bbReport("member_and_date_present")._2 == 0) // generator never emits null keys
     assert(bbReport("member_exists")._2 == 0) // generator FKs are sound
     // random member×date pairing ⇒ some out-of-window borrows exist and are counted
-    val expected = borrowsJ.filter(!col("borrow_date").between(col("registration_date"), col("expire_date"))).count()
+    val expected = oltp.borrowedBooks
+      .join(oltp.members.select("member_id", "registration_date", "expire_date"), Seq("member_id"))
+      .filter(!col("borrow_date").between(col("registration_date"), col("expire_date"))).count()
     assert(bbReport("borrow_in_membership")._2 == expected && expected > 0)
 
     // trg_BookOrders_DiscDate: discounted sales must fall inside the discount window
@@ -191,18 +189,16 @@ class LibraryPipelineSpec extends SparkSuite {
       Validation.Rule("discount_active_on_sale", col("start_date").isNotNull)))
       .collect().head
     assert(discReport.getLong(3) == 0)
-    // order-level discountId (BookOrders schema): carried id must be active
-    // on the order's sales date — the trigger's exact predicate
-    val withDisc = oltp.salesOrders.filter(col("discount_id").isNotNull)
-      .join(oltp.discounts.select("discount_id", "start_date", "end_date"), Seq("discount_id"))
-    assert(withDisc.count() > 0)
-    assert(withDisc.filter(!col("sales_date").between(col("start_date"), col("end_date"))).count() == 0)
+    // order-level discountId (BookOrders schema): carried id must exist and
+    // be active on the order's sales date — the trigger's exact predicates
+    val orderReport = Validation.bookOrdersDiscDate(oltp.salesOrders, oltp.discounts)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(orderReport("discount_exists")._1 > 0) // some orders carry a discount
+    assert(orderReport("discount_exists")._2 == 0)
+    assert(orderReport("discount_active_on_sale")._2 == 0)
 
     // TRG_MANAGE_BOOK_DETAILS: year/price/popularity domains
-    val btReport = Validation.report(oltp.bookTitles, "book_titles", Seq(
-      Validation.Rule("year_not_future", col("publication_year") <= 2024),
-      Validation.Rule("positive_prices", col("sales_price") >= 0 && col("purchase_price") >= 0),
-      Validation.Rule("popularity_range", col("popularity").between(1.0, 5.0))))
+    val btReport = Validation.manageBookDetails(oltp.bookTitles, asOfYear = 2024)
       .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
     assert(btReport("year_not_future") == 0 && btReport("positive_prices") == 0)
     // generator draws popularity 0.0–5.0, so the 1.0 floor catches some —
