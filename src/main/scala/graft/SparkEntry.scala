@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every implemented operator demo, in registration order. */
   val all: Seq[OpQuery] =
     CoreOps.ops ++ JoinOps.ops ++ AggOps.ops ++ EtlOps.ops ++ graft.queries.ReportQueries.ops ++
-      TextOps.ops ++ SimOps.ops ++ EventsOps.ops ++ MultimodalOps.ops ++ ExtOps.ops
+      TextOps.ops ++ SimOps.ops ++ EventsOps.ops ++ MultimodalOps.ops ++ ExtOps.ops ++
+      PipelineOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q1 is the designated minimum end-to-end slice (SURVEY §7.5): star

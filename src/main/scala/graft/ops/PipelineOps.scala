@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data pipeline operators: corpus quality gating
+  * (Gopher-style repetition/stopword signals), token-budget sequence
+  * packing, cross-source priority dedup, deterministic hash-based
+  * train/val/test splits, and unigram-frequency document scoring.
+  *
+  * All five are oracle-checked: every signal is built from integer
+  * counts and single int/int divisions so Spark and DuckDB produce
+  * bit-identical doubles (see fn_array_pack's float-parity note —
+  * the same discipline, applied to text stats).
+  *
+  * Scale posture: everything here is a per-row codegen'd projection, a
+  * map-side-combined aggregate, or a window over a bounded composite
+  * key. The only shuffles are on (doc-key) grains the operator
+  * genuinely needs; nothing materializes the corpus on the driver.
+  */
+object PipelineOps {
+
+  val ops: Seq[OpQuery] = Seq(
+    // ── text_gopher_quality: the repetition + stopword quality gate of
+    // Gopher/MassiveText (Rae et al. 2021, §A1.1) as one codegen'd
+    // projection — word count, mean word length, duplicate-word
+    // fraction, stopword fraction, and the keep verdict. No shuffle at
+    // all: at 100 TB this runs scan-speed and the verdict column
+    // partitions the corpus for every downstream op. Ratios are
+    // int/int single divisions ⇒ engine-exact.
+    OpQuery.checked(
+      "text_gopher_quality",
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         str_split_regex(trim(text), '\s+') AS words,
+        |         CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS BIGINT) AS word_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(words) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(words)) AS BIGINT) AS distinct_words,
+        |         word_chars,
+        |         CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, lang, n_words, distinct_words,
+        |       word_chars / n_words AS mean_word_len,
+        |       (n_words - distinct_words) / n_words AS dup_word_frac,
+        |       stop_hits / n_words AS stop_frac,
+        |       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |                  AND word_chars / n_words BETWEEN 3 AND 10
+        |                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          expr("split(trim(text), '\\\\s+')").as("words"),
+          length(regexp_replace(trim(col("text")), "\\s", "")).cast("long").as("word_chars"))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("words")).cast("long").as("n_words"),
+          size(array_distinct(col("words"))).cast("long").as("distinct_words"),
+          col("word_chars"),
+          expr("CAST(size(filter(words, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)")
+            .as("stop_hits"))
+        .select(
+          col("doc_id"), col("lang"), col("n_words"), col("distinct_words"),
+          (col("word_chars") / col("n_words")).as("mean_word_len"),
+          ((col("n_words") - col("distinct_words")) / col("n_words")).as("dup_word_frac"),
+          (col("stop_hits") / col("n_words")).as("stop_frac"),
+          when(col("n_words").between(50, 100000)
+            && (col("word_chars") / col("n_words")).between(3, 10)
+            && col("stop_hits") >= 2, 1L).otherwise(0L).as("keep"))
+    },
+
+    // ── text_seqlen_pack: pack documents into fixed token-budget shards
+    // (the pretraining sequence-packing step). The scalable shape is
+    // two-level: a deterministic bucket key (doc_id % B) bounds every
+    // packing partition, then a running token sum within (lang, bucket)
+    // assigns shard = floor(tokens-before / budget). Parallelism is
+    // langs × B regardless of corpus size — raise B for 100 TB and the
+    // window never sees an unbounded partition; there is exactly one
+    // shuffle (the window's) plus the final tiny per-shard rollup.
+    OpQuery.checked(
+      "text_seqlen_pack",
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS bucket,
+        |         CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, bucket, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM t)
+        |SELECT lang, bucket, tokens_before // 512 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c
+        |GROUP BY lang, bucket, shard""".stripMargin
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(4L)).as("bucket"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+        .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("shard", expr("tokens_before DIV 512"))
+        .groupBy("lang", "bucket", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("first_doc"))
+    },
+
+    // ── dedup_source_priority: cross-source exact dedup that keeps ONE
+    // canonical copy per boilerplate key, chosen by source priority
+    // (lower src number wins) with doc_id as the deterministic
+    // tie-break — the "prefer wikipedia over commoncrawl" rule of
+    // corpus assembly. One shuffle on the 40-char prefix key; the
+    // per-key window partition is the duplicate group itself, so its
+    // size is the duplication factor, not the corpus. Group sizes are
+    // carried so downstream weighting can up-sample canonical docs.
+    OpQuery.checked(
+      "dedup_source_priority",
+      """WITH k AS (
+        |  SELECT doc_id, lang, source,
+        |         substr(text, 1, 40) AS prefix_key,
+        |         CAST(substr(source, 4) AS INT) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, prefix_key,
+        |         row_number() OVER (PARTITION BY prefix_key ORDER BY priority, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY prefix_key) AS group_n
+        |  FROM k)
+        |SELECT doc_id, lang, source, prefix_key, CAST(group_n AS BIGINT) AS group_n
+        |FROM r WHERE rn = 1""".stripMargin
+    ) { (spark, dir) =>
+      val keyed = Tables(spark, dir).documents
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("prefix_key"),
+          substring(col("source"), 4, 10).cast("int").as("priority"))
+      val byKey = Window.partitionBy("prefix_key")
+      keyed
+        .withColumn("rn", row_number().over(byKey.orderBy("priority", "doc_id")))
+        .withColumn("group_n", count(lit(1)).over(byKey).cast("long"))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "prefix_key", "group_n")
+    },
+
+    // ── sample_hash_split: deterministic train/val/test assignment from
+    // md5(doc_id) — the split survives re-runs, repartitions, and
+    // incremental corpus growth (a doc's split never changes), which
+    // `rand()` cannot promise. Pure projection + map-side-combined
+    // rollup: zero-shuffle assignment, one tiny aggregate. The hex
+    // thresholds give ~5% test / ~5% val / ~90% train.
+    OpQuery.checked(
+      "sample_hash_split",
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+        |              ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang""".stripMargin
+    ) { (spark, dir) =>
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables(spark, dir).documents
+        .select(
+          col("lang"), col("n_chars"),
+          when(bucket < "0d", "test").when(bucket < "1a", "val").otherwise("train").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    },
+
+    // ── text_unigram_score: unigram-frequency document scoring (the
+    // cheap stand-in for perplexity filtering: documents whose tokens
+    // are corpus-rare score low). Two map-side-combined aggregates and
+    // one shuffle join on the token key; the vocabulary aggregate is
+    // zipfian-skewed by nature, which is exactly the AQE skew-join
+    // case, and the per-doc rollup returns to doc grain. Scores stay
+    // engine-exact: BIGINT sums + one int/int division.
+    OpQuery.checked(
+      "text_unigram_score",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+        |SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f.cnt) AS BIGINT) AS freq_sum,
+        |       sum(f.cnt) / count(*) AS avg_token_freq
+        |FROM toks t JOIN freq f ON t.tok = f.tok
+        |GROUP BY t.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum("cnt").as("freq_sum"),
+          (sum("cnt") / count(lit(1))).as("avg_token_freq"))
+    })
+}

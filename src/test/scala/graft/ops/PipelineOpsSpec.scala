@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the round-4 pipeline ops (value
+  * parity with DuckDB is the oracle gate, replicated by tools/check.py). */
+class PipelineOpsSpec extends SparkSuite {
+
+  test("text_gopher_quality: signals are consistent and keep applies the gate") {
+    val df = SparkEntry.queries("text_gopher_quality")(spark, sf0001).cache()
+    assert(df.count() == Tables(spark, sf0001).documents.count(),
+      "quality gate must score every document")
+    // signal domains
+    assert(df.filter(col("dup_word_frac") < 0 || col("dup_word_frac") > 1).count() == 0)
+    assert(df.filter(col("stop_frac") < 0 || col("stop_frac") > 1).count() == 0)
+    assert(df.filter(col("distinct_words") > col("n_words")).count() == 0)
+    // keep == the documented predicate, row by row
+    val inconsistent = df.filter(
+      (col("keep") === 1) =!=
+        (col("n_words").between(50, 100000) && col("mean_word_len").between(3, 10)
+          && (col("stop_frac") * col("n_words")) >= 2))
+    assert(inconsistent.count() == 0, "keep flag must equal its published predicate")
+    // the gate must actually split the corpus (word-salad docs vary in stopwords)
+    val keeps = df.groupBy("keep").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keeps.keySet == Set(0L, 1L), s"expected both verdicts, got $keeps")
+    // zero-shuffle projection: no Exchange anywhere in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "quality scoring must stay a scan-speed projection")
+    df.unpersist()
+  }
+
+  test("text_seqlen_pack: shards respect the token budget and partition bounds") {
+    val df = SparkEntry.queries("text_seqlen_pack")(spark, sf0001).cache()
+    // every document lands in exactly one shard
+    val docs = Tables(spark, sf0001).documents.count()
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs)
+    // a shard only overflows 512 by its LAST doc (tokens_before < 512·(shard+1)
+    // for every member) — so shard_tokens < 512 + max doc size; with ~60-token
+    // docs, anything over 2× budget means the running sum broke
+    assert(df.filter(col("shard_tokens") > 1024).count() == 0,
+      "a shard absorbed more than budget + one document")
+    // shards are dense per (lang, bucket): 0..max with no holes
+    val holes = df.groupBy("lang", "bucket")
+      .agg(countDistinct("shard").as("n"), max("shard").as("mx"))
+      .filter(col("n") =!= col("mx") + 1)
+    assert(holes.count() == 0, "shard ids must be dense per packing partition")
+    df.unpersist()
+  }
+
+  test("dedup_source_priority: one winner per key, lowest source number wins") {
+    val df = SparkEntry.queries("dedup_source_priority")(spark, sf0001).cache()
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("prefix_key"),
+        substring(col("source"), 4, 10).cast("int").as("priority")).cache()
+    // exactly one representative per distinct prefix key
+    assert(df.count() == docs.select("prefix_key").distinct().count())
+    assert(df.select("prefix_key").distinct().count() == df.count())
+    // the winner carries the minimum priority of its group
+    val minPrio = docs.groupBy("prefix_key").agg(min("priority").as("min_prio"))
+    val winners = df.join(docs.select(col("doc_id"), col("priority")), "doc_id")
+      .join(minPrio, "prefix_key")
+    assert(winners.filter(col("priority") =!= col("min_prio")).count() == 0,
+      "a lower-priority source beat a higher-priority one")
+    // group sizes add back up to the corpus
+    assert(df.agg(sum("group_n")).head.getLong(0) == docs.count())
+    docs.unpersist(); df.unpersist()
+  }
+
+  test("sample_hash_split: deterministic, exhaustive, and ~90/5/5") {
+    val df = SparkEntry.queries("sample_hash_split")(spark, sf0001).cache()
+    val docs = Tables(spark, sf0001).documents.count()
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs, "every doc gets a split")
+    val bySplit = df.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train").toDouble / docs > 0.8, s"train share collapsed: $bySplit")
+    assert(bySplit.getOrElse("test", 0L) + bySplit.getOrElse("val", 0L) > 0,
+      s"holdout splits empty at n=$docs: $bySplit")
+    // determinism: a re-run assigns identical splits (no rand() anywhere)
+    val again = SparkEntry.queries("sample_hash_split")(spark, sf0001)
+    assert(df.except(again).count() == 0 && again.except(df).count() == 0)
+    df.unpersist()
+  }
+
+  test("text_unigram_score: frequencies weight every token and scores stay in range") {
+    val df = SparkEntry.queries("text_unigram_score")(spark, sf0001).cache()
+    val docs = Tables(spark, sf0001).documents.count()
+    assert(df.count() == docs)
+    // avg_token_freq is bounded by [1, total tokens] and freq_sum/n_tokens exactly
+    val bad = df.filter(
+      col("avg_token_freq") < 1 ||
+        col("avg_token_freq") =!= col("freq_sum") / col("n_tokens"))
+    assert(bad.count() == 0)
+    // a doc of corpus-common tokens outscores one of rare tokens: the
+    // max-avg doc must use tokens with higher average count than the min-avg doc
+    val mx = df.agg(max("avg_token_freq"), min("avg_token_freq")).head()
+    assert(mx.getDouble(0) > mx.getDouble(1), "scores must discriminate documents")
+    df.unpersist()
+  }
+}
