@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Norm, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,5 +211,56 @@ object PipelineOps {
           count(lit(1)).as("n_tokens"),
           sum("cnt").as("freq_sum"),
           (sum("cnt") / count(lit(1))).as("avg_token_freq"))
+    },
+
+    // ── text_contamination_bloom: benchmark decontamination with a native
+    // Bloom prefilter (graft.functions.BloomFilter) in front of the exact
+    // verify join. Same semantics as text_contamination's 8-gram
+    // containment, different physical strategy: the benchmark's distinct
+    // gram set (bounded by suite size, not corpus size) aggregates into
+    // one 128 KiB bitset via a mergeable TypedImperativeAggregate, the
+    // driver ships it back as a literal, and the corpus side probes it
+    // INSIDE whole-stage codegen before any exchange — so the shuffle
+    // carries only candidate grams (exact matches + the sized FP rate),
+    // not the corpus. Bloom FPs never reach the output: survivors still
+    // exact-join the bench gram set, which is why the result is
+    // engine-neutral and the oracle is plain containment SQL. The one
+    // collect is the bitset itself — fixed 128 KiB at any corpus scale.
+    OpQuery.checked(
+      "text_contamination_bloom",
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(gr) AS gh FROM (
+        |    SELECT doc_id,
+        |           unnest(list_distinct(list_transform(
+        |             range(1, greatest(len(ws) - 7, 1) + 1),
+        |             i -> array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS gr
+        |    FROM w)),
+        |bench AS (SELECT DISTINCT gh FROM g
+        |          WHERE (doc_id % 2147483648) * 2654435761 % 100 < 5),
+        |train AS (SELECT doc_id, gh FROM g
+        |          WHERE (doc_id % 2147483648) * 2654435761 % 100 >= 5)
+        |SELECT t.doc_id,
+        |       CAST(count(DISTINCT t.gh) AS BIGINT) AS n_shared_grams
+        |FROM train t JOIN bench b USING (gh)
+        |GROUP BY t.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.BloomFilter.register(spark)
+      val grams = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(ws) - 7, 1)), i -> concat_ws(' ', slice(ws, i, 8))))"
+        )).as("gr"))
+        .select(col("doc_id"), md5(col("gr")).as("gh"))
+      val benchGh = grams.filter(Norm.hashBucket(col("doc_id"), 100) < 5)
+        .select("gh").distinct()
+      val bloom = benchGh
+        .agg(expr("bloom_build(gh, 1048576, 5)").as("bf"))
+        .head().getAs[Array[Byte]](0)
+      grams.filter(Norm.hashBucket(col("doc_id"), 100) >= 5)
+        .filter(call_function("bloom_contains", lit(bloom), col("gh"), lit(5)))
+        .join(benchGh, "gh")
+        .groupBy("doc_id")
+        .agg(countDistinct("gh").as("n_shared_grams"))
     })
 }
