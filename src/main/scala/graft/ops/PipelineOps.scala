@@ -262,5 +262,50 @@ object PipelineOps {
         .join(benchGh, "gh")
         .groupBy("doc_id")
         .agg(countDistinct("gh").as("n_shared_grams"))
+    },
+
+    // ── io_zorder_layout: Morton-curve (Z-order) clustering — the
+    // multi-column generalization of io_sorted_layout. Both filter dims
+    // scale to rank-space bytes (min/max bounds: one tiny agg here;
+    // table statistics at 100 TB), interleave via the codegen'd
+    // bit_interleave expression, and one range shuffle on the curve
+    // position writes files whose zone maps are narrow in BOTH
+    // l_shipdate and l_suppkey — so either dimension's predicates skip
+    // row groups, where a single-key sort serves only its leading
+    // column (the file-pruning advantage is asserted in ZOrderSpec).
+    // The query result is layout-independent; the oracle checks the
+    // two-sided box predicate losslessly.
+    OpQuery.checked(
+      "io_zorder_layout",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey BETWEEN 5 AND 8
+        |  AND l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+        |GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.ZOrder.register(spark)
+      val path = CoreOps.scratch(dir, "zorder_layout")
+      val src = Tables(spark, dir).lineitem
+        .select("l_shipdate", "l_suppkey", "l_returnflag", "l_extendedprice")
+        .withColumn("day", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long"))
+        .withColumn("supp", col("l_suppkey").cast("long"))
+      val b = src.agg(min("day"), max("day"), min("supp"), max("supp")).head()
+      def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        if (hi > lo) floor(((c - lit(lo)) * 255) / lit(hi - lo)).cast("long") else lit(0L)
+      src
+        .withColumn("z", call_function("bit_interleave",
+          scaled(col("day"), b.getLong(0), b.getLong(1)),
+          scaled(col("supp"), b.getLong(2), b.getLong(3))))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("l_suppkey").between(5, 8)
+          && col("l_shipdate") >= lit("1995-06-01").cast("date")
+          && col("l_shipdate") < lit("1995-09-01").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("l_extendedprice")).as("revenue"))
     })
 }

@@ -82,6 +82,40 @@ class PipelineOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("io_zorder_layout: z files prune on the secondary dimension where 1-D sort cannot") {
+    // run the op once so the z-clustered files exist
+    SparkEntry.queries("io_zorder_layout")(spark, sf0001).collect()
+    val zPath = CoreOps.scratch(sf0001, "zorder_layout")
+
+    // a shipdate-sorted layout of the same data, same file count
+    val sortedPath = java.nio.file.Files.createTempDirectory("graft_zorder_cmp").toString
+    Tables(spark, sf0001).lineitem
+      .select("l_shipdate", "l_suppkey", "l_returnflag", "l_extendedprice")
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(sortedPath)
+
+    // a suppkey-only predicate: how many files hold matching rows?
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("l_suppkey").between(5, 8))
+        .select(input_file_name()).distinct().count()
+    def filesTotal(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+
+    val (zTouched, zTotal) = (filesTouched(zPath), filesTotal(zPath))
+    val (sTouched, sTotal) = (filesTouched(sortedPath), filesTotal(sortedPath))
+    // the 1-D shipdate sort scatters every suppkey across ~all files…
+    assert(sTouched >= sTotal - 1, s"expected no suppkey clustering, got $sTouched/$sTotal")
+    // …while the curve confines the suppkey range to a strict subset
+    assert(zTouched < sTouched,
+      s"z-order must prune secondary-dim files: z=$zTouched/$zTotal sorted=$sTouched/$sTotal")
+    // 5..8 of 10 suppkeys straddles the rank-space midpoint, so the box
+    // spans both supp half-tiles — still must stay well under full scan
+    assert(zTouched <= zTotal * 2 / 3,
+      s"a 4-suppkey box should cluster into ≤ 2/3 of the z files: $zTouched/$zTotal")
+  }
+
   test("text_unigram_score: frequencies weight every token and scores stay in range") {
     val df = SparkEntry.queries("text_unigram_score")(spark, sf0001).cache()
     val docs = Tables(spark, sf0001).documents.count()
