@@ -120,10 +120,13 @@ object PipelineOps {
     // canonical copy per boilerplate key, chosen by source priority
     // (lower src number wins) with doc_id as the deterministic
     // tie-break — the "prefer wikipedia over commoncrawl" rule of
-    // corpus assembly. One shuffle on the 40-char prefix key; the
-    // per-key window partition is the duplicate group itself, so its
-    // size is the duplication factor, not the corpus. Group sizes are
-    // carried so downstream weighting can up-sample canonical docs.
+    // corpus assembly. Deliberately an AGGREGATION (min over a
+    // lexicographic struct + count), not a row_number window: partial
+    // aggregation combines map-side, so a boilerplate key shared by
+    // millions of docs costs one counter per task instead of shipping
+    // every duplicate row into a single window partition — the hot-key
+    // guard the blocked dedups need, for free. Group sizes are carried
+    // so downstream weighting can up-sample canonical docs.
     OpQuery.checked(
       "dedup_source_priority",
       """WITH k AS (
@@ -139,17 +142,20 @@ object PipelineOps {
         |SELECT doc_id, lang, source, prefix_key, CAST(group_n AS BIGINT) AS group_n
         |FROM r WHERE rn = 1""".stripMargin
     ) { (spark, dir) =>
-      val keyed = Tables(spark, dir).documents
+      Tables(spark, dir).documents
         .select(
           col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 40).as("prefix_key"),
           substring(col("source"), 4, 10).cast("int").as("priority"))
-      val byKey = Window.partitionBy("prefix_key")
-      keyed
-        .withColumn("rn", row_number().over(byKey.orderBy("priority", "doc_id")))
-        .withColumn("group_n", count(lit(1)).over(byKey).cast("long"))
-        .filter(col("rn") === 1)
-        .select("doc_id", "lang", "source", "prefix_key", "group_n")
+        .groupBy("prefix_key")
+        .agg(
+          // struct min = lexicographic (priority, doc_id) — the window's
+          // ORDER BY, computed with map-side partials instead
+          min(struct(col("priority"), col("doc_id"), col("lang"), col("source"))).as("w"),
+          count(lit(1)).as("group_n"))
+        .select(
+          col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+          col("w.source").as("source"), col("prefix_key"), col("group_n"))
     },
 
     // ── sample_hash_split: deterministic train/val/test assignment from

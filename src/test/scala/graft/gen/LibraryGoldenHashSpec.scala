@@ -58,6 +58,40 @@ class LibraryGoldenHashSpec extends SparkSuite {
     "shift_schedules" -> (57387L, 2226100898115399330L),
     "staff_attendance" -> (57387L, 3735372719394492288L))
 
+  // Downstream of the generators: trigger derivations + star-schema load.
+  // Surrogate keys are dense row_numbers over ordered natural keys and
+  // every draw is (seed, id)-pure, so these layers pin too — locking the
+  // full LibraryGen → Derivations → InitialLoad pipeline, not just its
+  // inputs.
+  private lazy val derived = graft.etl.Derivations.applyAll(oltp, asOf = "2024-06-30")
+  private lazy val dw      = graft.etl.InitialLoad(spark, derived)
+
+  private lazy val dwTables: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "derived_members"     -> derived.members,
+    "derived_book_copies" -> derived.bookCopies,
+    "derived_fines"       -> derived.fines,
+    "derived_payments"    -> derived.payments,
+    "dim_date"            -> dw.dimDate,
+    "dim_members"         -> dw.dimMembers,
+    "dim_book"            -> dw.dimBook,
+    "dim_suppliers"       -> dw.dimSuppliers,
+    "fact_sales"          -> dw.factSales,
+    "fact_borrowing"      -> dw.factBorrowing,
+    "fact_purchase"       -> dw.factPurchase)
+
+  private val goldenDw: Map[String, (Long, Long)] = Map(
+    "derived_members" -> (750L, 1637203024151552174L),
+    "derived_book_copies" -> (4500L, 2897461143129625178L),
+    "derived_fines" -> (23571L, 5274054668040972127L),
+    "derived_payments" -> (3774L, 4894429696764042109L),
+    "dim_date" -> (8036L, 471469302086918918L),
+    "dim_members" -> (750L, 8971446299707448205L),
+    "dim_book" -> (900L, 6951984272463295519L),
+    "dim_suppliers" -> (15L, 4093492895571776633L),
+    "fact_sales" -> (192136L, 4818248658841870744L),
+    "fact_borrowing" -> (187807L, 2586345690507489177L),
+    "fact_purchase" -> (4053L, 8785682105948840930L))
+
   test("seed 42 at scale 0.1 reproduces the pinned content hashes") {
     val actual = tables.map { case (name, df) => name -> Fingerprint.tableHash(df) }
     if (sys.props.get("graft.golden.print").contains("true") || golden.isEmpty) {
@@ -70,6 +104,21 @@ class LibraryGoldenHashSpec extends SparkSuite {
       assert(golden(name) == got,
         s"$name content drifted: expected ${golden(name)}, got $got — " +
           "generator output changed; re-pin only if the change is intentional")
+    }
+  }
+
+  test("derivations + star-schema load reproduce the pinned content hashes") {
+    val actual = dwTables.map { case (name, df) => name -> Fingerprint.tableHash(df) }
+    if (sys.props.get("graft.golden.print").contains("true") || goldenDw.isEmpty) {
+      actual.foreach { case (name, (n, fold)) =>
+        info(s""""$name" -> (${n}L, ${fold}L),""")
+      }
+    }
+    assert(goldenDw.nonEmpty, "goldenDw map is unpinned — run with -Dgraft.golden.print=true and pin")
+    actual.foreach { case (name, got) =>
+      assert(goldenDw(name) == got,
+        s"$name content drifted: expected ${goldenDw(name)}, got $got — " +
+          "pipeline output changed; re-pin only if the change is intentional")
     }
   }
 }

@@ -64,6 +64,12 @@ class PipelineOpsSpec extends SparkSuite {
       "a lower-priority source beat a higher-priority one")
     // group sizes add back up to the corpus
     assert(df.agg(sum("group_n")).head.getLong(0) == docs.count())
+    // skew posture: the canonical pick must be an aggregation (map-side
+    // partials absorb hot boilerplate keys), never a row_number window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-key-unsafe window in dedup plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"expected a partial aggregate before the shuffle:\n$plan")
     docs.unpersist(); df.unpersist()
   }
 
