@@ -60,6 +60,27 @@ object DocsStream {
       .as[BandedDoc]
   }
 
+  /** Ingest-side benchmark decontamination: drop arriving documents that
+    * share any word 8-gram with the benchmark Bloom bitset (built once,
+    * batch-side, by `bloom_build` — see text_contamination_bloom). The
+    * filter is STATELESS: the bitset rides along as a literal inside
+    * whole-stage codegen, so the probe costs no state store, no
+    * watermark, and no shuffle — the shape that keeps a firehose
+    * ingest path at scan speed. Bloom false positives (at the sized FP
+    * rate) drop a clean doc; false negatives never happen, so nothing
+    * contaminated slips through — the right asymmetry for training
+    * corpora, where benchmark leakage costs more than a lost document.
+    */
+  def decontaminate(docs: DataFrame, bloom: Array[Byte], numHashes: Int): DataFrame = {
+    graft.functions.BloomFilter.register(docs.sparkSession)
+    // same gram shape as the batch ops (text_contamination*)
+    val grams = expr("array_distinct(transform(" +
+      "sequence(1, greatest(size(split(text, ' ')) - 7, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 8))))")
+    docs.filter(!exists(grams,
+      gram => call_function("bloom_contains", lit(bloom), md5(gram), lit(numHashes))))
+  }
+
   /** Stateful pair emission: compare each arriving doc against the band's
     * recent members, emit pairs agreeing on ≥ MinAgree of 16 minhashes. */
   def nearDupPairs(docs: Dataset[BandedDoc]): Dataset[NearDupPair] = {

@@ -62,4 +62,29 @@ class DocsStreamSpec extends SparkSuite {
       assert(pairs.forall { case (a, b) => a < b }) // never a self-pair, ordered ids
     } finally q.stop()
   }
+
+  test("streaming decontamination drops exactly the docs sharing benchmark 8-grams") {
+    graft.functions.BloomFilter.register(spark)
+    // benchmark = doc 0's gram set; doc 1 (exact dup) shares every gram,
+    // while doc 2's one changed word sits inside ALL of its 8-grams
+    // (14-word text ⇒ every gram spans word 8), so 2 is clean at 8-gram
+    // granularity — the n-gram decontamination contract exactly
+    val bench = corpus.filter(col("doc_id") === 0L)
+      .select(explode(expr("array_distinct(transform(" +
+        "sequence(1, greatest(size(split(text, ' ')) - 7, 1)), " +
+        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8)))))")).as("gh"))
+    val bloom = bench.agg(expr("bloom_build(gh, 131072, 5)")).head().getAs[Array[Byte]](0)
+
+    val staged = java.nio.file.Files.createTempDirectory("graft_docs_decon").toString
+    corpus.filter(col("doc_id") > 0L).coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val src = spark.readStream.schema(DocsStream.docSchema).parquet(staged)
+    val q = DocsStream.decontaminate(src, bloom, 5)
+      .writeStream.outputMode("append").format("memory").queryName("decon_test").start()
+    try {
+      q.processAllAvailable() // stateless filter: the stream quiesces normally
+      val kept = spark.table("decon_test").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L, 4L),
+        s"expected contaminated doc 1 dropped and clean 2,3,4 kept, got $kept")
+    } finally q.stop()
+  }
 }
