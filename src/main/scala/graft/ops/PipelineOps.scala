@@ -313,5 +313,34 @@ object PipelineOps {
           && col("l_shipdate") < lit("1995-09-01").cast("date"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // ── io_nested_prune: nested-schema pruning — events re-laid-out as
+    // structs (meta{user_id, event_type} / payload{props, value}), then
+    // a query touching two leaves. The scan must read ONLY those leaf
+    // columns (`ReadSchema` carries the pruned struct — asserted in
+    // PipelineOpsSpec): at 100 TB the difference between reading
+    // payload.value and deserializing the whole payload struct (with
+    // its heavy props string) is the scan cost itself. Columnar formats
+    // store each leaf separately; pruning is free — IF the plan asks
+    // for leaves, which flattening-then-projecting does not.
+    OpQuery.checked(
+      "io_nested_prune",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      val path = CoreOps.scratch(dir, "nested_prune")
+      Tables(spark, dir).events
+        .select(
+          col("event_id"), col("ts"),
+          struct(col("user_id"), col("event_type")).as("meta"),
+          struct(col("props"), col("value")).as("payload"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(col("meta.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("payload.value")).as("total_value"))
     })
 }

@@ -122,6 +122,43 @@ class PipelineOpsSpec extends SparkSuite {
       s"a 4-suppkey box should cluster into ≤ 2/3 of the z files: $zTouched/$zTotal")
   }
 
+  test("adversarial skew: one-token corpus keeps unigram scoring exact") {
+    import spark.implicits._
+    // 2,000 docs of the SAME 50-token text: the vocabulary collapses to a
+    // single token key, so the frequency join is total skew — the case a
+    // window-based count dies on and the partial-agg + AQE shape survives
+    val staged = java.nio.file.Files.createTempDirectory("graft_skew_docs").toString
+    val text = Seq.fill(50)("spark").mkString(" ")
+    (0L until 2000L).map(i => (i, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val scored = SparkEntry.queries("text_unigram_score")(spark, staged).cache()
+    assert(scored.count() == 2000)
+    // freq("spark") = 100,000 ⇒ every doc: n_tokens=50, freq_sum=5e6
+    val bad = scored.filter(
+      col("n_tokens") =!= 50L || col("freq_sum") =!= 5000000L
+        || col("avg_token_freq") =!= 100000.0)
+    assert(bad.count() == 0, "skewed vocabulary changed the exact counts")
+    scored.unpersist()
+    // the quality gate on the same corpus: pure repetition is caught
+    val q = SparkEntry.queries("text_gopher_quality")(spark, staged)
+    assert(q.filter(col("dup_word_frac") < 0.9).count() == 0)
+    assert(q.filter(col("keep") === 1).count() == 0, "pure repetition must not pass the gate")
+  }
+
+  test("io_nested_prune: the scan reads only the two touched leaves") {
+    val df = SparkEntry.queries("io_nested_prune")(spark, sf0001)
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // pruned: the struct leaves we touch survive…
+    assert(scan.contains("event_type") && scan.contains("value"),
+      s"expected the touched leaves in ReadSchema: $scan")
+    // …and the untouched heavy leaves are gone from the scan entirely
+    assert(!scan.contains("props") && !scan.contains("user_id"),
+      s"nested pruning regressed — scan reads untouched leaves: $scan")
+  }
+
   test("text_unigram_score: frequencies weight every token and scores stay in range") {
     val df = SparkEntry.queries("text_unigram_score")(spark, sf0001).cache()
     val docs = Tables(spark, sf0001).documents.count()
