@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.etl.Scd2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Continuous SCD2 dimension maintenance from a change stream — the
+  * streaming form of the reference's Type-2 subsequent load
+  * (06_Type2_DimMembers.sql): each micro-batch of change records closes
+  * superseded versions, opens new ones, and appends brand-new business
+  * keys, all through the same [[graft.etl.Scd2]] single-pass engine the
+  * batch path uses.
+  *
+  * Contract: rows carry a `change_date` (yyyy-MM-dd string) and at most
+  * one change per (business key, change_date); a batch may span several
+  * dates — they apply in ascending order, so replays and out-of-order
+  * file arrivals inside a batch stay deterministic.
+  *
+  * Scale shape: dimensions are bounded by definition (the reference's
+  * dims are thousands of rows; even a 100 TB warehouse's dims fit in
+  * memory), so the target snapshots driver-side per batch exactly like
+  * the aggregate-grain merge sink — the FACT-sized path never goes
+  * through this operator. A transactional table format's MERGE would
+  * replace the snapshot-overwrite; the SCD2 semantics are unchanged.
+  */
+object Scd2Stream {
+
+  /** Start maintaining `targetDir` as an SCD2 dim from parquet change
+    * files appearing under `sourceDir`. */
+  def startScd2Sink(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      schema: StructType,
+      keyCols: Seq[String],
+      trackedCols: Seq[String]): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val dates = batch.select("change_date").distinct()
+          .collect().map(_.getString(0)).sorted
+        // snapshot the (dim-sized) target into memory so no lazy scan
+        // races the overwrite below
+        var dim: DataFrame = try {
+          val d = sp.read.parquet(targetDir)
+          sp.createDataFrame(d.collectAsList(), d.schema)
+        } catch { case _: Throwable => null }
+        for (date <- dates) {
+          val chg = batch.filter(col("change_date") === date).drop("change_date")
+          dim = if (dim == null) {
+            Scd2.initial(chg, date)
+          } else {
+            val existing = dim.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+            val fresh = chg.join(existing, keyCols, "left_anti")
+            Scd2.apply(dim, chg, keyCols, trackedCols, date)
+              .unionByName(Scd2.initial(fresh, date))
+          }
+        }
+        if (dim != null) {
+          dim.write.mode("overwrite").parquet(targetDir)
+          sp.catalog.refreshByPath(targetDir)
+        }
+      }
+      .start()
+  }
+}
