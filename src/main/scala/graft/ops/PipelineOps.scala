@@ -342,5 +342,27 @@ object PipelineOps {
       spark.read.parquet(path)
         .groupBy(col("meta.event_type").as("event_type"))
         .agg(count(lit(1)).as("n"), Norm.dsum(col("payload.value")).as("total_value"))
+    },
+
+    // ── agg_bitmap_distinct: exact distinct users per event type through
+    // the native bitmap aggregate (graft.functions.BitmapDistinct) —
+    // fixed-size partials merged by OR, vs COUNT(DISTINCT)'s shuffle of
+    // every distinct value. The oracle is plain COUNT(DISTINCT): the
+    // bitmap is exact on its dense domain, so the results are equal by
+    // construction, making a native sketch oracle-checkable for once.
+    OpQuery.checked(
+      "agg_bitmap_distinct",
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.BitmapDistinct.register(spark)
+      Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(
+          expr("bitmap_distinct(user_id, 2097152)").as("n_users"),
+          count(lit(1)).as("n_events"))
     })
 }
