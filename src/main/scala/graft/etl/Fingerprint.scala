@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
 object Fingerprint {
 
   /** (rowCount, contentHash). Column order matters (it changes the
-    * per-row hash), row order does not. The per-row hashes sum as
-    * decimal(38,0) (a plain long sum would trip ANSI overflow) and wrap
-    * to a stable Long driver-side. */
+    * per-row hash), row order does not. Each column contributes an
+    * is-null sentinel alongside its value: xxhash64 skips null inputs,
+    * so without the sentinel (a=1, b=null) and (a=null, b=1) would hash
+    * identically and a value-shifted-between-columns bug would slip the
+    * pin. The per-row hashes sum as decimal(38,0) (a plain long sum
+    * would trip ANSI overflow) and wrap to a stable Long driver-side. */
   def tableHash(df: DataFrame): (Long, Long) = {
+    val sentinelled = df.columns.toIndexedSeq.flatMap(c => Seq(isnull(col(c)), col(c)))
     val h = df
-      .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .select(xxhash64(sentinelled: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
       .agg(count(lit(1)).as("n"), coalesce(sum("h"), lit(java.math.BigDecimal.ZERO)).as("fold"))
       .head()
     val fold = h.getDecimal(1).toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(63)).longValueExact()

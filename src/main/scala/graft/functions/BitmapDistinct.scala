@@ -35,6 +35,15 @@ case class BitmapDistinct(
   override def prettyName: String = "bitmap_distinct"
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_distinct needs an integral key, got $other")
+    }
+
   override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
 
   override def update(buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
@@ -72,9 +81,12 @@ object BitmapDistinct {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmap_distinct",
-      exprs => BitmapDistinct(exprs(0), exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(s"maxBits must be an int literal, got $other")
-      }).toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 2, s"bitmap_distinct(col, maxBits) takes 2 args, got ${exprs.length}")
+        BitmapDistinct(exprs(0), exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(s"maxBits must be an int literal, got $other")
+        }).toAggregateExpression()
+      },
       "built-in")
 }

@@ -88,6 +88,12 @@ case class BloomFilterBuild(
   override def prettyName: String = "bloom_build"
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_build needs a STRING item, got ${child.dataType}")
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](numBits / 8)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -125,6 +131,12 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains needs (BINARY, STRING), got (${left.dataType}, ${right.dataType})")
+
   override def nullSafeEval(bloom: Any, item: Any): Any =
     BloomProbe.contains(bloom.asInstanceOf[Array[Byte]], numHashes, item.asInstanceOf[UTF8String])
 
@@ -147,12 +159,18 @@ object BloomFilter {
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",
-      exprs => BloomFilterBuild(exprs(0), lit(exprs(1), "numBits"), lit(exprs(2), "numHashes"))
-        .toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 3, s"bloom_build(col, numBits, numHashes) takes 3 args, got ${exprs.length}")
+        BloomFilterBuild(exprs(0), lit(exprs(1), "numBits"), lit(exprs(2), "numHashes"))
+          .toAggregateExpression()
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_contains",
-      exprs => BloomMightContain(exprs(0), exprs(1), lit(exprs(2), "numHashes")),
+      exprs => {
+        require(exprs.length == 3, s"bloom_contains(bloom, col, numHashes) takes 3 args, got ${exprs.length}")
+        BloomMightContain(exprs(0), exprs(1), lit(exprs(2), "numHashes"))
+      },
       "built-in")
   }
 }

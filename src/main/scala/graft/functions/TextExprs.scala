@@ -192,10 +192,16 @@ case class MinMd5Multi(left: Expression, right: Expression)
     case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<string>, int), got ($l, $r)")
   }
 
+  // salts depend only on the (literal) salt count — build once per
+  // expression instance, not once per row
+  @transient private lazy val saltTable = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def saltsFor(n: Int): Array[Array[Byte]] =
+    saltTable.computeIfAbsent(n, m => Array.tabulate(m)(k => s"s${k + 1}".getBytes))
+
   override def nullSafeEval(shingles: Any, nSalts: Any): Any = {
     val arr  = shingles.asInstanceOf[ArrayData]
     val n    = nSalts.asInstanceOf[Int]
-    val salts = Array.tabulate(n)(k => s"s${k + 1}".getBytes)
+    val salts = saltsFor(n)
     val md    = java.security.MessageDigest.getInstance("MD5")
     val best  = new Array[String](n)
     var i = 0

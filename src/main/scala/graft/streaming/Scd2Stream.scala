@@ -43,12 +43,19 @@ object Scd2Stream {
         val sp = batch.sparkSession
         val dates = batch.select("change_date").distinct()
           .collect().map(_.getString(0)).sorted
+        // Bootstrap ONLY when the target genuinely doesn't exist yet; a
+        // transient read failure on an existing target must fail the batch
+        // (and be retried) — falling through to the bootstrap path would
+        // overwrite and destroy the dimension's history.
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
         // snapshot the (dim-sized) target into memory so no lazy scan
         // races the overwrite below
-        var dim: DataFrame = try {
+        var dim: DataFrame = if (!fs.exists(new org.apache.hadoop.fs.Path(targetDir))) null
+        else {
           val d = sp.read.parquet(targetDir)
           sp.createDataFrame(d.collectAsList(), d.schema)
-        } catch { case _: Throwable => null }
+        }
         for (date <- dates) {
           val chg = batch.filter(col("change_date") === date).drop("change_date")
           dim = if (dim == null) {

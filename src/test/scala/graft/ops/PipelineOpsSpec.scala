@@ -15,11 +15,13 @@ class PipelineOpsSpec extends SparkSuite {
     assert(df.filter(col("dup_word_frac") < 0 || col("dup_word_frac") > 1).count() == 0)
     assert(df.filter(col("stop_frac") < 0 || col("stop_frac") > 1).count() == 0)
     assert(df.filter(col("distinct_words") > col("n_words")).count() == 0)
-    // keep == the documented predicate, row by row
+    // keep == the documented predicate, row by row; reconstruct the
+    // integer stop_hits with round() — a bare stop_frac * n_words float
+    // round-trip lands at 1.999… for many (2, n) pairs
     val inconsistent = df.filter(
       (col("keep") === 1) =!=
         (col("n_words").between(50, 100000) && col("mean_word_len").between(3, 10)
-          && (col("stop_frac") * col("n_words")) >= 2))
+          && round(col("stop_frac") * col("n_words")).cast("long") >= 2))
     assert(inconsistent.count() == 0, "keep flag must equal its published predicate")
     // the gate must actually split the corpus (word-salad docs vary in stopwords)
     val keeps = df.groupBy("keep").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -33,18 +35,23 @@ class PipelineOpsSpec extends SparkSuite {
   test("text_seqlen_pack: shards respect the token budget and partition bounds") {
     val df = SparkEntry.queries("text_seqlen_pack")(spark, sf0001).cache()
     // every document lands in exactly one shard
-    val docs = Tables(spark, sf0001).documents.count()
-    assert(df.agg(sum("n_docs")).head.getLong(0) == docs)
+    val src = Tables(spark, sf0001).documents
+      .select(expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+    assert(df.agg(sum("n_docs")).head.getLong(0) == src.count())
     // a shard only overflows 512 by its LAST doc (tokens_before < 512·(shard+1)
-    // for every member) — so shard_tokens < 512 + max doc size; with ~60-token
-    // docs, anything over 2× budget means the running sum broke
-    assert(df.filter(col("shard_tokens") > 1024).count() == 0,
+    // for every member) — so shard_tokens < 512 + the largest document,
+    // bounded from the DATA, not an assumed doc size
+    val maxDoc = src.agg(max("n_tokens")).head.getLong(0)
+    assert(df.filter(col("shard_tokens") >= 512 + maxDoc).count() == 0,
       "a shard absorbed more than budget + one document")
-    // shards are dense per (lang, bucket): 0..max with no holes
-    val holes = df.groupBy("lang", "bucket")
-      .agg(countDistinct("shard").as("n"), max("shard").as("mx"))
-      .filter(col("n") =!= col("mx") + 1)
-    assert(holes.count() == 0, "shard ids must be dense per packing partition")
+    // shards are dense per (lang, bucket): 0..max with no holes — valid
+    // only while no single doc jumps multiple 512 boundaries
+    if (maxDoc < 512) {
+      val holes = df.groupBy("lang", "bucket")
+        .agg(countDistinct("shard").as("n"), max("shard").as("mx"))
+        .filter(col("n") =!= col("mx") + 1)
+      assert(holes.count() == 0, "shard ids must be dense per packing partition")
+    }
     df.unpersist()
   }
 
