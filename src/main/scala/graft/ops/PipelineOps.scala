@@ -344,6 +344,47 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), Norm.dsum(col("payload.value")).as("total_value"))
     },
 
+    // ── dedup_incremental: dedup an ARRIVING batch against the corpus
+    // already ingested — the production shape, where re-scanning 100 TB
+    // per delivery is off the table. The historical side reduces to its
+    // narrow content-hash index (one md5 column — at scale this is the
+    // pre-built, bucketed index the ingest job maintains); the batch
+    // left-anti joins it, then collapses its own internal duplicates
+    // with the same skew-immune struct-min aggregation as
+    // dedup_source_priority. Corpus split = deterministic doc-id hash
+    // (80% existing / 20% arriving).
+    OpQuery.checked(
+      "dedup_incremental",
+      """WITH hashed AS (
+        |  SELECT doc_id, lang, source, md5(text) AS h,
+        |         (doc_id % 2147483648) * 2654435761 % 100 AS b
+        |  FROM documents),
+        |existing AS (SELECT DISTINCT h FROM hashed WHERE b < 80),
+        |arriving AS (SELECT doc_id, lang, source, h FROM hashed WHERE b >= 80),
+        |fresh AS (
+        |  SELECT a.* FROM arriving a LEFT JOIN existing e USING (h)
+        |  WHERE e.h IS NULL)
+        |SELECT min(doc_id) AS doc_id,
+        |       min(lang) AS lang, min(source) AS source, h,
+        |       CAST(count(*) AS BIGINT) AS batch_copies
+        |FROM fresh GROUP BY h""".stripMargin
+    ) { (spark, dir) =>
+      val hashed = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"),
+          graft.Norm.hashBucket(col("doc_id"), 100).as("b"))
+      val existing = hashed.filter(col("b") < 80).select("h").distinct()
+      val arriving = hashed.filter(col("b") >= 80).drop("b")
+      arriving
+        .join(existing, Seq("h"), "left_anti")
+        .groupBy("h")
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          min(col("lang")).as("lang"),
+          min(col("source")).as("source"),
+          count(lit(1)).as("batch_copies"))
+        .select("doc_id", "lang", "source", "h", "batch_copies")
+    },
+
     // ── agg_bitmap_distinct: exact distinct users per event type through
     // the native bitmap aggregate (graft.functions.BitmapDistinct) —
     // fixed-size partials merged by OR, vs COUNT(DISTINCT)'s shuffle of

@@ -153,6 +153,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(q.filter(col("keep") === 1).count() == 0, "pure repetition must not pass the gate")
   }
 
+  test("dedup_incremental: arriving docs dedup against history and within the batch") {
+    import spark.implicits._
+    // constructed corpus with real cross-split collisions: 200 docs over
+    // 60 distinct texts, split 80/20 by the op's own doc-id hash
+    val staged = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val docs = (0L until 200L).map(i => (i, s"text body ${i % 60}", "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$staged/documents.parquet")
+
+    val out = SparkEntry.queries("dedup_incremental")(spark, staged).cache()
+    val hashed = docs.select(col("doc_id"), col("text"),
+      graft.Norm.hashBucket(col("doc_id"), 100).as("b"))
+    val existingTexts = hashed.filter(col("b") < 80).select("text").distinct()
+    val arriving = hashed.filter(col("b") >= 80)
+    // survivors = arriving texts never seen in history, one row per text
+    val expectedTexts = arriving.select("text").distinct()
+      .except(existingTexts)
+    assert(out.count() == expectedTexts.count(), "one survivor per genuinely-new text")
+    // every survivor's batch_copies equals that text's multiplicity in the batch
+    val mult = arriving.groupBy("text").count()
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(mult, "text")
+    assert(joined.filter(col("batch_copies") =!= col("count")).count() == 0)
+    // and nothing that history already had survives
+    assert(out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(existingTexts, Seq("text"), "left_semi").count() == 0)
+    out.unpersist()
+  }
+
   test("io_nested_prune: the scan reads only the two touched leaves") {
     val df = SparkEntry.queries("io_nested_prune")(spark, sf0001)
     assert(df.count() > 0)
