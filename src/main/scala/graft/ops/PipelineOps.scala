@@ -385,6 +385,41 @@ object PipelineOps {
         .select("doc_id", "lang", "source", "h", "batch_copies")
     },
 
+    // ── fn_json_shred: parse-once JSON shredding — semi-structured props
+    // parse with an explicit schema (from_json, no sampling job) into a
+    // typed struct column, land shredded in parquet, and every
+    // downstream read touches the TYPED column: the re-read plan
+    // contains no JSON parsing at all (spec-asserted). At 100 TB this
+    // is the difference between parsing the JSON once at ingest and
+    // re-parsing it in every query — and the shredded struct leaves
+    // prune like any other column (io_nested_prune). The oracle
+    // re-derives the same aggregates via DuckDB's JSON extraction.
+    OpQuery.checked(
+      "fn_json_shred",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      val path = CoreOps.scratch(dir, "json_shred")
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))).as("p"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"))
+    },
+
     // ── agg_bitmap_distinct: exact distinct users per event type through
     // the native bitmap aggregate (graft.functions.BitmapDistinct) —
     // fixed-size partials merged by OR, vs COUNT(DISTINCT)'s shuffle of

@@ -195,6 +195,24 @@ class PipelineOpsSpec extends SparkSuite {
       s"nested pruning regressed — scan reads untouched leaves: $scan")
   }
 
+  test("fn_json_shred: the re-read plan parses no JSON and prunes to the typed leaf") {
+    val df = SparkEntry.queries("fn_json_shred")(spark, sf0001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // parse-once: the query over the shredded table must not re-parse
+    assert(!plan.contains("from_json"), s"query re-parses JSON:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("p:struct<k:bigint"), s"typed struct leaf missing from scan: $scan")
+    // exactness: shredded aggregate equals parsing at query time
+    val direct = Tables(spark, sf0001).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        min(get_json_object(col("props"), "$.k").cast("long")).as("min_k"),
+        max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+    assert(df.except(direct).count() == 0 && direct.except(df).count() == 0)
+  }
+
   test("text_unigram_score: frequencies weight every token and scores stay in range") {
     val df = SparkEntry.queries("text_unigram_score")(spark, sf0001).cache()
     val docs = Tables(spark, sf0001).documents.count()
