@@ -363,11 +363,12 @@ object PipelineOps {
         |arriving AS (SELECT doc_id, lang, source, h FROM hashed WHERE b >= 80),
         |fresh AS (
         |  SELECT a.* FROM arriving a LEFT JOIN existing e USING (h)
-        |  WHERE e.h IS NULL)
-        |SELECT min(doc_id) AS doc_id,
-        |       min(lang) AS lang, min(source) AS source, h,
-        |       CAST(count(*) AS BIGINT) AS batch_copies
-        |FROM fresh GROUP BY h""".stripMargin
+        |  WHERE e.h IS NULL),
+        |winners AS (
+        |  SELECT h, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_copies
+        |  FROM fresh GROUP BY h)
+        |SELECT w.doc_id, f.lang, f.source, w.h, w.batch_copies
+        |FROM winners w JOIN fresh f ON f.doc_id = w.doc_id""".stripMargin
     ) { (spark, dir) =>
       val hashed = Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"),
@@ -378,11 +379,14 @@ object PipelineOps {
         .join(existing, Seq("h"), "left_anti")
         .groupBy("h")
         .agg(
-          min(col("doc_id")).as("doc_id"),
-          min(col("lang")).as("lang"),
-          min(col("source")).as("source"),
+          // struct-min: doc_id leads, so lang/source come from the SAME
+          // winning row — independent per-column mins would stitch a
+          // chimera record out of different duplicates
+          min(struct(col("doc_id"), col("lang"), col("source"))).as("w"),
           count(lit(1)).as("batch_copies"))
-        .select("doc_id", "lang", "source", "h", "batch_copies")
+        .select(
+          col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+          col("w.source").as("source"), col("h"), col("batch_copies"))
     },
 
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props

@@ -51,7 +51,12 @@ object SimOps {
     * k-means op (bench loops, verify, specs) releases the previous
     * invocation's cache entry before registering a new one, so the
     * shared session never accumulates duplicate corpus-sized caches —
-    * the leak class ADVICE r2 flagged on Scd2's per-load cache. */
+    * the leak class ADVICE r2 flagged on Scd2's per-load cache.
+    * Assumes the harness's sequential execution (Verify/Bench run ops
+    * one at a time): an unpersist under a concurrently-executing prior
+    * plan would deoptimize it to a re-scan, never corrupt it. The last
+    * entry stays cached until the next invocation — one bounded frame,
+    * by design. */
   private var lastEmbCache: Option[DataFrame] = None
   private def cachedEmb(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     synchronized {

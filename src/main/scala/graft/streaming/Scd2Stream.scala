@@ -43,15 +43,20 @@ object Scd2Stream {
         val sp = batch.sparkSession
         val dates = batch.select("change_date").distinct()
           .collect().map(_.getString(0)).sorted
-        // Bootstrap ONLY when the target genuinely doesn't exist yet; a
-        // transient read failure on an existing target must fail the batch
-        // (and be retried) — falling through to the bootstrap path would
-        // overwrite and destroy the dimension's history.
-        val fs = new org.apache.hadoop.fs.Path(targetDir)
-          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // Bootstrap ONLY when no committed data exists yet: path missing,
+        // or present without any committed part file (a first write that
+        // died mid-job leaves exactly that — bootstrapping again is the
+        // correct recovery, since no history was ever committed). Once
+        // committed parquet IS present, a read failure must fail the
+        // batch (and be retried) — falling through to the bootstrap path
+        // would overwrite and destroy the dimension's history.
+        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = tgt.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val hasCommittedData = fs.exists(tgt) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(tgt, "*.parquet")).nonEmpty
         // snapshot the (dim-sized) target into memory so no lazy scan
         // races the overwrite below
-        var dim: DataFrame = if (!fs.exists(new org.apache.hadoop.fs.Path(targetDir))) null
+        var dim: DataFrame = if (!hasCommittedData) null
         else {
           val d = sp.read.parquet(targetDir)
           sp.createDataFrame(d.collectAsList(), d.schema)

@@ -158,7 +158,10 @@ class PipelineOpsSpec extends SparkSuite {
     // constructed corpus with real cross-split collisions: 200 docs over
     // 60 distinct texts, split 80/20 by the op's own doc-id hash
     val staged = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
-    val docs = (0L until 200L).map(i => (i, s"text body ${i % 60}", "en", "src0", 12L))
+    // lang/source vary per doc so a chimera (fields stitched from
+    // different duplicates) would break the winner-row assertions below
+    val docs = (0L until 200L).map(i =>
+      (i, s"text body ${i % 60}", s"l${i % 3}", s"src${i % 7}", 12L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$staged/documents.parquet")
 
@@ -176,6 +179,13 @@ class PipelineOpsSpec extends SparkSuite {
     val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
       .join(mult, "text")
     assert(joined.filter(col("batch_copies") =!= col("count")).count() == 0)
+    // the winner is a REAL row: its lang/source must match its doc_id's
+    val winners = out.join(
+      docs.select(col("doc_id"), col("lang").as("src_lang"), col("source").as("src_source")),
+      "doc_id")
+    assert(winners.filter(
+      col("lang") =!= col("src_lang") || col("source") =!= col("src_source")).count() == 0,
+      "survivor fields stitched from different duplicate rows")
     // and nothing that history already had survives
     assert(out.join(docs.select(col("doc_id"), col("text")), "doc_id")
       .join(existingTexts, Seq("text"), "left_semi").count() == 0)
