@@ -389,6 +389,40 @@ object PipelineOps {
           col("w.source").as("source"), col("h"), col("batch_copies"))
     },
 
+    // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection (the
+    // Oracle 12c row-pattern clause the reference's dialect ships, re-
+    // expressed for Spark): per user, the event stream collapses to an
+    // ordered initial-letter string and the funnel PATTERN (V C* P) —
+    // view, any clicks, purchase, strictly contiguous — counts via
+    // non-overlapping regex. One shuffle on user_id; the per-key
+    // sequence is user-session-bounded (sessionize first when a key's
+    // history is unbounded). collect_list merges partials map-side;
+    // array_sort imposes the (ts, event_id) total order either engine
+    // would use, so the regex sees identical strings.
+    OpQuery.checked(
+      "win_pattern_match",
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, '(vc*p)', 1)) AS BIGINT) AS n_funnels
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i"))
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, i))), x -> x.i), '')"
+        ).as("seq"))
+        .select(
+          col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          size(expr("regexp_extract_all(seq, '(vc*p)', 1)")).cast("long").as("n_funnels"))
+    },
+
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props
     // parse with an explicit schema (from_json, no sampling job) into a
     // typed struct column, land shredded in parquet, and every

@@ -205,6 +205,44 @@ class PipelineOpsSpec extends SparkSuite {
       s"nested pruning regressed — scan reads untouched leaves: $scan")
   }
 
+  test("win_pattern_match: funnel counts equal a hand-walked scan of each sequence") {
+    val df = SparkEntry.queries("win_pattern_match")(spark, sf0001).cache()
+    val events = Tables(spark, sf0001).events
+    assert(df.count() == events.select("user_id").distinct().count())
+    assert(df.agg(sum("seq_len")).head.getLong(0) == events.count(),
+      "every event contributes exactly one letter")
+    // independent verification: rebuild each user's sequence driver-side
+    // and count v c* p matches with a hand-rolled walk (no regex)
+    val seqs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.sortBy { r =>
+          val t = r.getTimestamp(1).toInstant
+          (t.getEpochSecond, t.getNano.toLong, r.getLong(2))
+        }.map(_.getString(3)).mkString
+      }
+    def walkCount(s: String): Long = {
+      var n = 0L; var i = 0
+      while (i < s.length) {
+        if (s(i) == 'v') {
+          var j = i + 1
+          while (j < s.length && s(j) == 'c') j += 1
+          if (j < s.length && s(j) == 'p') { n += 1; i = j + 1 } else i += 1
+        } else i += 1
+      }
+      n
+    }
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    seqs.foreach { case (u, s) =>
+      assert(got(u) == walkCount(s), s"user $u: regex=${got(u)} walk=${walkCount(s)} seq=$s")
+    }
+    assert(got.values.sum > 0, "fixture should contain at least one funnel")
+    df.unpersist()
+  }
+
   test("fn_json_shred: the re-read plan parses no JSON and prunes to the typed leaf") {
     val df = SparkEntry.queries("fn_json_shred")(spark, sf0001)
     assert(df.count() > 0)
