@@ -389,6 +389,43 @@ object PipelineOps {
           col("w.source").as("source"), col("h"), col("batch_copies"))
     },
 
+    // ── text_mixture_weights: training-mixture reweighting — per-language
+    // token shares vs a uniform target, and the sampling weight that
+    // rebalances the corpus to it (the data-mixing step of pretraining
+    // corpus assembly; cf. the sampling-proportion tables of the public
+    // LLM reports). One map-side-combined rollup to language grain, then
+    // arithmetic on a handful of rows — the weights table is dims-sized
+    // at any corpus scale and broadcasts to the sampler for free.
+    // Divisions chain int/int → double in the same order both engines,
+    // so the doubles match bit-for-bit.
+    OpQuery.checked(
+      "text_mixture_weights",
+      """WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM stats)
+        |SELECT s.lang, s.n_docs, s.n_tokens,
+        |       s.n_tokens / t.total_tokens AS actual_share,
+        |       (t.total_tokens / t.n_langs) / s.n_tokens AS sample_weight
+        |FROM stats s CROSS JOIN tot t""".stripMargin
+    ) { (spark, dir) =>
+      val stats = Tables(spark, dir).documents
+        .select(col("lang"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      val tot = stats.agg(
+        sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_langs"))
+      stats.crossJoin(tot).select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("total_tokens")).as("actual_share"),
+        ((col("total_tokens") / col("n_langs")) / col("n_tokens")).as("sample_weight"))
+    },
+
     // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection (the
     // Oracle 12c row-pattern clause the reference's dialect ships, re-
     // expressed for Spark): per user, the event stream collapses to an

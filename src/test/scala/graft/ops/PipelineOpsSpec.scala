@@ -205,6 +205,27 @@ class PipelineOpsSpec extends SparkSuite {
       s"nested pruning regressed — scan reads untouched leaves: $scan")
   }
 
+  test("text_mixture_weights: shares sum to 1 and weights rebalance to uniform") {
+    val df = SparkEntry.queries("text_mixture_weights")(spark, sf0001).cache()
+    val rows = df.collect()
+    assert(rows.length == df.select("lang").distinct().count())
+    // shares partition the corpus
+    assert(math.abs(rows.map(_.getAs[Double]("actual_share")).sum - 1.0) < 1e-9)
+    // applying the weights makes every language contribute the same
+    // expected token mass: weight × n_tokens is constant across langs
+    val masses = rows.map(r => r.getAs[Double]("sample_weight") * r.getAs[Long]("n_tokens"))
+    assert((masses.max - masses.min) / masses.max < 1e-9,
+      s"weights do not rebalance to uniform: ${masses.mkString(",")}")
+    // under-represented languages up-weight, over-represented down-weight
+    rows.foreach { r =>
+      val share = r.getAs[Double]("actual_share")
+      val w = r.getAs[Double]("sample_weight")
+      assert((share < 1.0 / rows.length) == (w > 1.0) || math.abs(w - 1.0) < 1e-9,
+        s"lang ${r.getString(0)}: share=$share weight=$w")
+    }
+    df.unpersist()
+  }
+
   test("win_pattern_match: funnel counts equal a hand-walked scan of each sequence") {
     val df = SparkEntry.queries("win_pattern_match")(spark, sf0001).cache()
     val events = Tables(spark, sf0001).events
