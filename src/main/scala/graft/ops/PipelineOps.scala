@@ -389,6 +389,62 @@ object PipelineOps {
           col("w.source").as("source"), col("h"), col("batch_copies"))
     },
 
+    // ── dedup_containment: asymmetric near-dup detection — documents
+    // mostly CONTAINED in another (quotes, partial mirrors, embedded
+    // reposts), which symmetric Jaccard under-scores when sizes differ.
+    // containment(A→B) = |shingles(A)∩shingles(B)| / |shingles(A)| over
+    // the 8-word-gram inverted index, with the standard stop-shingle cut
+    // (document frequency 2..20): df=1 grams can't pair, and high-df
+    // boilerplate grams are exactly the hot keys that would explode the
+    // self-join at 100 TB — dropping them bounds every gram's pair
+    // fan-out by df², which the cap makes ≤400. One shuffle on gram
+    // hash, one on the pair key; integer counts + one division keep it
+    // engine-exact.
+    OpQuery.checked(
+      "dedup_containment",
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, md5(gr) AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(ws) - 7, 1) + 1),
+        |      i -> array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS gr
+        |    FROM w)),
+        |df AS (SELECT gh, count(*) AS c FROM g GROUP BY gh),
+        |keep AS (SELECT g.doc_id, g.gh FROM g JOIN df USING (gh) WHERE df.c BETWEEN 2 AND 20),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a_grams FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+        |          FROM keep a JOIN keep b USING (gh)
+        |          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.shared, s.a_grams,
+        |       p.shared / s.a_grams AS containment
+        |FROM pairs p JOIN sizes s ON s.doc_id = p.a_id
+        |WHERE p.shared / s.a_grams >= 0.8""".stripMargin
+    ) { (spark, dir) =>
+      val grams = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(ws) - 7, 1)), i -> concat_ws(' ', slice(ws, i, 8))))"
+        )).as("gr"))
+        .select(col("doc_id"), md5(col("gr")).as("gh"))
+        .distinct()
+      val df = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      val keep = grams.join(df.filter(col("c").between(2, 20)), "gh")
+      // denominator = the doc's FULL distinct gram count: the df cut only
+      // bounds the pair join, it must not shrink |A| (else a doc whose
+      // unique grams were all df=1 would look fully contained everywhere)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("a_grams"))
+      val pairs = keep.select(col("gh"), col("doc_id").as("a_id"))
+        .join(keep.select(col("gh"), col("doc_id").as("b_id")), "gh")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumn("containment", col("shared") / col("a_grams"))
+        .filter(col("containment") >= 0.8)
+        .select("a_id", "b_id", "shared", "a_grams", "containment")
+    },
+
     // ── text_mixture_weights: training-mixture reweighting — per-language
     // token shares vs a uniform target, and the sampling weight that
     // rebalances the corpus to it (the data-mixing step of pretraining

@@ -205,6 +205,27 @@ class PipelineOpsSpec extends SparkSuite {
       s"nested pruning regressed — scan reads untouched leaves: $scan")
   }
 
+  test("dedup_containment: flags a constructed embedded document asymmetrically") {
+    import spark.implicits._
+    // B embeds A verbatim inside extra text: containment(A→B) = 1, but
+    // containment(B→A) is low — the asymmetry Jaccard misses. Shingle df
+    // stays ≥2 only for the shared region, and a filler doc C shares none.
+    val staged = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val core = (1 to 30).map(i => s"w$i").mkString(" ")
+    val extra = (1 to 60).map(i => s"x$i").mkString(" ")
+    Seq(
+      (1L, core, "en", "src0", core.length.toLong),
+      (2L, s"$extra $core", "en", "src1", 10L),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "src2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val out = SparkEntry.queries("dedup_containment")(spark, staged)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    assert(out.get((1L, 2L)).contains(1.0), s"A⊆B must score 1.0, got $out")
+    assert(!out.contains((2L, 1L)), "B→A is low-containment and must not pass the 0.8 gate")
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L }, "unrelated doc paired")
+  }
+
   test("text_mixture_weights: shares sum to 1 and weights rebalance to uniform") {
     val df = SparkEntry.queries("text_mixture_weights")(spark, sf0001).cache()
     val rows = df.collect()
