@@ -93,7 +93,7 @@ object PipelineOps {
         |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM t)
-        |SELECT lang, bucket, tokens_before // 512 AS shard,
+        |SELECT lang, bucket, CAST(tokens_before // 512 AS BIGINT) AS shard,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |       CAST(min(doc_id) AS BIGINT) AS first_doc
@@ -146,7 +146,7 @@ object PipelineOps {
         .select(
           col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 40).as("prefix_key"),
-          substring(col("source"), 4, 10).cast("int").as("priority"))
+          expr("substring(source, 4)").cast("int").as("priority"))
         .groupBy("prefix_key")
         .agg(
           // struct min = lexicographic (priority, doc_id) — the window's

@@ -54,11 +54,34 @@ for name in sorted(oracle):
     ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     try:
         import pandas as pd
-        # exact compare; dtypes may differ (int32 vs int64) -> compare values
+
+        # Dtype FAMILY must match: the driver's value hash is dtype-
+        # sensitive (int64 1 != float64 1.0), so an oracle column that
+        # DuckDB widened (e.g. windowed sum(BIGINT) -> HUGEINT, rendered
+        # float64 by pandas) against a Spark int64 must FAIL here even
+        # though numpy == would coerce and pass. int32 vs int64 is fine
+        # (same family); int vs float is the driver-visible failure.
+        def family(dt):
+            k = dt.kind
+            if k in "iu":
+                return "int"
+            if k == "f":
+                return "float"
+            if k == "b":
+                return "bool"
+            if k == "M":
+                return "datetime"
+            return "other"
+
         eq = True
         detail = ""
         for c in gs.columns:
             a, b = gs[c], ws[c]
+            fa, fb = family(a.dtype), family(b.dtype)
+            if fa != fb:
+                eq = False
+                detail += f" col {c} dtype family mismatch: spark={a.dtype} duckdb={b.dtype};"
+                continue
             try:
                 same = (a.isna() == b.isna()).all() and (a.dropna().values == b.dropna().values).all()
             except Exception:
