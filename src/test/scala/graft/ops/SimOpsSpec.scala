@@ -23,4 +23,58 @@ class SimOpsSpec extends SparkSuite {
     assert(total > 0)
     assert(recall >= 0.5, s"IVF recall@5 degraded: $hits/$total = $recall")
   }
+
+  test("ivf-pq recall@5 is at least the unquantized IVF's at equal nprobe") {
+    val exactTop = graft.SparkEntry.queries("sim_topk_ivf_kmeans")(spark, sf001)
+      .select("query_id", "neighbor_id").cache()
+    val total = exactTop.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      exactTop.join(top, Seq("query_id", "neighbor_id")).count().toDouble / total
+    }
+    val ivfRecall = recallOf(SimOps.ivfKmeansApprox(spark, sf001))
+    val pqRecall  = recallOf(SimOps.ivfPqApprox(spark, sf001))
+    assert(total > 0)
+    // the int8 shortlist + exact re-rank must not lose neighbors the
+    // unquantized scan of the same probed cells would have found
+    assert(pqRecall >= ivfRecall,
+      s"PQ recall@5 below unquantized IVF at equal nprobe: pq=$pqRecall ivf=$ivfRecall")
+    exactTop.unpersist()
+  }
+
+  test("semantic dedup cluster branch finds only true drops, with bounded recall loss") {
+    import spark.implicits._
+    graft.functions.VecExprs.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val pairCos = round(expr("vec_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")), 6)
+    val exactDrops = emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(pairCos >= 0.35)
+      .select(col("b.vec_id").as("drop_id")).distinct()
+      .as[Long].collect().toSet
+    val centDf = SimOps.trainCentroidsDf(spark, emb)
+    // the op's production branch: redundant top-3 cell assignment
+    val clustered = emb.join(SimOps.assignCells(emb, centDf, topR = 3), Seq("vec_id"))
+    val clusterDrops = clustered.as("a")
+      .join(clustered.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(pairCos >= 0.35)
+      .select(col("b.vec_id").as("drop_id")).distinct()
+      .as[Long].collect().toSet
+    // soundness: a cell-confined pair is an all-pairs pair — never a false drop
+    assert(clusterDrops.subsetOf(exactDrops),
+      s"cluster branch dropped non-duplicates: ${clusterDrops -- exactDrops}")
+    // recall: near-duplicate embeddings mostly co-cluster under the
+    // redundant assignment (0.83 measured at seed-stable sf0.01; the
+    // single-cell assignment sits at ~0.35 on this no-planted-dup corpus)
+    assert(exactDrops.nonEmpty)
+    val recall = clusterDrops.size.toDouble / exactDrops.size
+    assert(recall >= 0.7, s"cluster-branch drop recall degraded: ${clusterDrops.size}/${exactDrops.size}")
+  }
 }
