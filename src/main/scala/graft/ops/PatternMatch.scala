@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable MATCH_RECOGNIZE analog (the Oracle 12c row-pattern clause the
+  * reference's dialect ships — `MATCH_RECOGNIZE ... PATTERN (...) DEFINE
+  * ...` — re-expressed for Spark; ref usage surface: analytic reports,
+  * e.g. Queries/Q1_Top_Genres.sql's windowed funnels would be the
+  * natural caller).
+  *
+  * The DEFINE clause maps each row to a one-character symbol (an
+  * arbitrary classifier Column — a `when` chain, a map lookup, a
+  * substring); the PATTERN clause is a plain regex over the per-key
+  * symbol string, counted non-overlapping left-to-right — the same
+  * greedy semantics MATCH_RECOGNIZE's `AFTER MATCH SKIP PAST LAST ROW`
+  * produces.
+  *
+  * Scale shape: ONE shuffle on the partition key; collect_list merges
+  * partials map-side; array_sort imposes the total (orderCols) order so
+  * both engines' regex sees identical strings. The per-key sequence must
+  * be bounded by contract (sessionize first when a key's history is
+  * unbounded — events_sessionize is the upstream op for that).
+  */
+object PatternMatch {
+
+  /** Count non-overlapping `pattern` matches per `key` over the symbol
+    * string formed by `symbol` (must emit exactly one character per row)
+    * ordered by `orderCols`. Returns (key, seq_len, n_matches).
+    */
+  def count(
+      events: DataFrame,
+      key: String,
+      orderCols: Seq[String],
+      symbol: Column,
+      pattern: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must impose a total per-key order")
+    val ordStruct = struct((orderCols.map(col) :+ symbol.as("i")): _*)
+    events
+      .groupBy(col(key))
+      .agg(expr_sortedSeq(ordStruct).as("seq"))
+      .select(
+        col(key),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(1))).cast("long").as("n_matches"))
+  }
+
+  /** collect_list → array_sort → symbol projection → join, as one
+    * aggregate expression (partials merge map-side). */
+  private def expr_sortedSeq(ordStruct: Column): Column =
+    array_join(transform(array_sort(collect_list(ordStruct)), x => x.getField("i")), "")
+}

@@ -482,16 +482,15 @@ object PipelineOps {
         ((col("total_tokens") / col("n_langs")) / col("n_tokens")).as("sample_weight"))
     },
 
-    // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection (the
-    // Oracle 12c row-pattern clause the reference's dialect ships, re-
-    // expressed for Spark): per user, the event stream collapses to an
-    // ordered initial-letter string and the funnel PATTERN (V C* P) —
-    // view, any clicks, purchase, strictly contiguous — counts via
-    // non-overlapping regex. One shuffle on user_id; the per-key
-    // sequence is user-session-bounded (sessionize first when a key's
-    // history is unbounded). collect_list merges partials map-side;
-    // array_sort imposes the (ts, event_id) total order either engine
-    // would use, so the regex sees identical strings.
+    // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection
+    // through the reusable [[PatternMatch]] analog: per user, the event
+    // stream collapses to an ordered symbol string (DEFINE = initial
+    // letter of event_type) and the funnel PATTERN (V C* P) — view, any
+    // clicks, purchase, strictly contiguous — counts via non-overlapping
+    // regex. PatternMatch.count owns the scale shape (one user_id
+    // shuffle, map-side partials, session-bounded keys by contract); a
+    // second pattern over the same classifier is exercised in
+    // PipelineOpsSpec.
     OpQuery.checked(
       "win_pattern_match",
       """WITH s AS (
@@ -503,17 +502,12 @@ object PipelineOps {
         |       CAST(len(regexp_extract_all(seq, '(vc*p)', 1)) AS BIGINT) AS n_funnels
         |FROM s""".stripMargin
     ) { (spark, dir) =>
-      Tables(spark, dir).events
-        .select(col("user_id"), col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("i"))
-        .groupBy("user_id")
-        .agg(expr(
-          "array_join(transform(array_sort(collect_list(struct(ts, event_id, i))), x -> x.i), '')"
-        ).as("seq"))
-        .select(
-          col("user_id"),
-          length(col("seq")).cast("long").as("seq_len"),
-          size(expr("regexp_extract_all(seq, '(vc*p)', 1)")).cast("long").as("n_funnels"))
+      PatternMatch.count(
+        Tables(spark, dir).events,
+        key = "user_id", orderCols = Seq("ts", "event_id"),
+        symbol = substring(col("event_type"), 1, 1),
+        pattern = "(vc*p)")
+        .withColumnRenamed("n_matches", "n_funnels")
     },
 
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props

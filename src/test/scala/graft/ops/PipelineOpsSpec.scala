@@ -285,6 +285,47 @@ class PipelineOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("PatternMatch generalizes: a second pattern over a custom classifier") {
+    val events = Tables(spark, sf0001).events
+    // DEFINE: a coarser two-class alphabet (purchase vs anything else);
+    // PATTERN: at least two non-purchases then a purchase — different
+    // classifier AND different regex than the shipped funnel op
+    val df = PatternMatch.count(
+      events, key = "user_id", orderCols = Seq("ts", "event_id"),
+      symbol = when(col("event_type") === "purchase", "p").otherwise("o"),
+      pattern = "(oo+p)").cache()
+    assert(df.count() == events.select("user_id").distinct().count())
+    // independent driver-side walk with the same greedy non-overlap rule
+    val seqs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", "p").otherwise("o").as("i"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.sortBy { r =>
+          val t = r.getTimestamp(1).toInstant
+          (t.getEpochSecond, t.getNano.toLong, r.getLong(2))
+        }.map(_.getString(3)).mkString
+      }
+    def walkCount(s: String): Long = {
+      var n = 0L; var i = 0
+      while (i < s.length) {
+        if (s(i) == 'o') {
+          var j = i
+          while (j < s.length && s(j) == 'o') j += 1
+          if (j - i >= 2 && j < s.length && s(j) == 'p') { n += 1; i = j + 1 } else i = j
+        } else i += 1
+      }
+      n
+    }
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    seqs.foreach { case (u, s) =>
+      assert(got(u) == walkCount(s), s"user $u: regex=${got(u)} walk=${walkCount(s)} seq=$s")
+    }
+    assert(got.values.sum > 0, "fixture should contain at least one oo+p match")
+    df.unpersist()
+  }
+
   test("fn_json_shred: the re-read plan parses no JSON and prunes to the typed leaf") {
     val df = SparkEntry.queries("fn_json_shred")(spark, sf0001)
     assert(df.count() > 0)

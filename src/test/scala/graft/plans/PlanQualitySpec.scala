@@ -69,6 +69,27 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("round-4/5 pipeline ops carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      // (the sim_* ANN ops are exempt by design: they broadcast the BOUNDED
+      // query batch — a filter of the corpus, capped/chunked by contract —
+      // while their corpus side stays on the shuffle path)
+      for (q <- Seq("dedup_containment", "dedup_incremental", "text_unigram_score",
+        "dedup_semantic")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
+  test("dedup_incremental picks winners by aggregation, not a window") {
+    val df = graft.SparkEntry.queries("dedup_incremental")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"hot-key-unsafe window in dedup_incremental plan:\n$plan")
+  }
+
   test("join_dpp_prune scan actually carries a dynamic-pruning expression") {
     val df = graft.SparkEntry.queries("join_dpp_prune")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
