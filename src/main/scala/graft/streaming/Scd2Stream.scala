@@ -41,6 +41,20 @@ object Scd2Stream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
+        // Enforce the documented contract instead of trusting it: a
+        // duplicate (business key, change_date) in one delivery would
+        // silently mint duplicate open versions through Scd2.initial /
+        // Scd2.apply. Fail the batch loudly — the retry surfaces the
+        // producer bug instead of corrupting the dimension. (One tiny
+        // extra aggregate per batch; deliveries are dim-bounded.)
+        val dup = batch
+          .groupBy((keyCols :+ "change_date").map(col).toIndexedSeq: _*)
+          .count().filter(col("count") > 1)
+          .limit(5).collect()
+        if (dup.nonEmpty)
+          throw new IllegalStateException(
+            "Scd2Stream contract violation: duplicate (key, change_date) rows in one delivery: " +
+              dup.mkString("; "))
         val dates = batch.select("change_date").distinct()
           .collect().map(_.getString(0)).sorted
         // Bootstrap ONLY when no committed data exists yet: path missing,

@@ -87,4 +87,45 @@ class DocsStreamSpec extends SparkSuite {
         s"expected contaminated doc 1 dropped and clean 2,3,4 kept, got $kept")
     } finally q.stop()
   }
+
+  test("replay equivalence on real input files: streamed decontamination == batch") {
+    graft.functions.BloomFilter.register(spark)
+    // the bitset the oracle-checked op (text_contamination_bloom) builds:
+    // benchmark = the hash-bucketed 5% of documents, 8-gram md5 universe
+    val docsPath = s"$sf0001/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val grams = batchDocs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(ws) - 7, 1)), i -> concat_ws(' ', slice(ws, i, 8))))"
+      )).as("gr"))
+      .select(col("doc_id"), md5(col("gr")).as("gh"))
+    val bloom = grams.filter(graft.Norm.hashBucket(col("doc_id"), 100) < 5)
+      .select("gh").distinct()
+      .agg(expr("bloom_build(gh, 1048576, 5)")).head().getAs[Array[Byte]](0)
+
+    // the SAME transform driven by the streaming and the batch reader
+    // over the SAME files must keep the same documents (byte-copied into
+    // a directory: the streaming file source wants a dir, not one file)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_decon_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), streamDir.resolve("documents.parquet"))
+    val src = spark.readStream.schema(DocsStream.docSchema).parquet(streamDir.toString)
+    val q = DocsStream.decontaminate(src, bloom, 5)
+      .writeStream.outputMode("append").format("memory").queryName("decon_replay").start()
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.table("decon_replay").select("doc_id").as[Long].collect().toSet
+      val batchKept = DocsStream.decontaminate(batchDocs, bloom, 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, "stream and batch keep sets diverged on identical input")
+      // and the oracle-checked batch op's contaminated docs are all gone:
+      // the Bloom has no false negatives, so nothing flagged survives
+      val contaminated = graft.SparkEntry.queries("text_contamination_bloom")(spark, sf0001)
+        .select("doc_id").as[Long].collect().toSet
+      assert(contaminated.nonEmpty, "fixture should flag at least one contaminated doc")
+      assert(streamKept.intersect(contaminated).isEmpty,
+        s"contaminated docs survived decontamination: ${streamKept.intersect(contaminated)}")
+    } finally q.stop()
+  }
 }

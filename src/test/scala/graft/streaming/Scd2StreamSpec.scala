@@ -73,4 +73,59 @@ class Scd2StreamSpec extends SparkSuite {
     assert(dim.count() == 1, "replay minted a spurious version")
     assert(dim.filter($"curr_ind" === "Y" && $"city" === "Melaka").count() == 1)
   }
+
+  test("duplicate (key, change_date) rows in one delivery fail the batch loudly") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_dup").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_dt").toString + "/dim"
+    // same member, same date, two conflicting cities in ONE delivery
+    Seq((9L, "Ipoh", "2024-04-01"), (9L, "Kuantan", "2024-04-01"))
+      .toDF("member_id", "city", "change_date")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"))
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("contract violation") ||
+        Option(e.getCause).exists(_.getMessage.contains("contract violation")))
+    } finally q.stop()
+    // nothing was committed to the dimension
+    assert(!new java.io.File(target).exists() ||
+      spark.read.parquet(target).isEmpty)
+  }
+
+  test("replay equivalence on real input files: stream == the oracle-checked etl_scd2_apply") {
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType),
+      StructField("change_date", StringType)))
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_real").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_rt2").toString + "/dim"
+
+    // delivery 1: the full customer dim as day-one changes (bootstrap)
+    cust.withColumn("change_date", lit("1992-01-01"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = Scd2Stream.startScd2Sink(spark, staged, target, custSchema,
+      keyCols = Seq("c_custkey"), trackedCols = Seq("c_mktsegment"))
+    try {
+      q.processAllAvailable()
+      // delivery 2: the exact change set of the oracle-checked batch op —
+      // every 10th customer moves to MACHINERY on 1996-06-01
+      cust.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_mktsegment", lit("MACHINERY"))
+        .withColumn("change_date", lit("1996-06-01"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(target)
+    val batch = graft.SparkEntry.queries("etl_scd2_apply")(spark, sf0001)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "streamed SCD2 dim must equal the batch op on the same inputs")
+  }
 }
