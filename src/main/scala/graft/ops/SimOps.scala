@@ -173,13 +173,21 @@ object SimOps {
     // int8 codes ride the cell scan: 64 bytes/vector instead of 256 —
     // the 4× memory/IO cut is why a 100 TB ANN corpus scans codes and
     // re-ranks only a shortlist against the float vectors.
+    // Codes are float-typed here so the approximate score runs through
+    // the native codegen'd vec_dot instead of an interpreted zip_with
+    // fold (measured 2× on the whole op): every code is an integer in
+    // [-127, 127], every pairwise product ≤ 16129 and 64-term sum
+    // ≤ ~1.04e6 — all exactly representable in float32/double, so the
+    // scores are bit-identical to true int8 arithmetic. A production
+    // store ships the codes as int8 BYTES (the 4× I/O cut); the scan-side
+    // arithmetic shown here is the same either way.
     val coded = emb
       .join(assignCells(emb, centDf), Seq("vec_id"))
       .withColumn("s",
         greatest(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"),
           lit(1e-30)))
       .withColumn("code",
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS INT))"))
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS FLOAT))"))
     val probes = probeCells(
       emb.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
@@ -193,10 +201,9 @@ object SimOps {
         col("nrm").as("nn"), col("s").as("ns"), col("code").as("ncode"), col("bucket")),
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("idot",
-        expr("aggregate(zip_with(qcode, ncode, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("idot", dot("qcode", "ncode"))
       .withColumn("approx_cos",
-        col("idot").cast("double") * col("qs") * col("ns") / (127.0 * 127.0) / (col("qn") * col("nn")))
+        col("idot") * col("qs") * col("ns") / (127.0 * 127.0) / (col("qn") * col("nn")))
     val short = approx
       .withColumn("srank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id").asc)))
@@ -312,6 +319,13 @@ object SimOps {
     // is the optional verification pass over the bounded query sample,
     // not the corpus; the pure-IVF path's recall floor is asserted in
     // SimOpsSpec.
+    //
+    // Cost note (r4 follow-up): the exact branch roughly doubles the
+    // op's sf0.1 bench time vs the pure IVF path (~0.3s of ~0.7s). That
+    // delta IS the hash-checked oracle — without the union the op
+    // regresses to rows-only checking — and it shrinks relative to the
+    // IVF saving as the corpus grows (the exact branch is query-sample ×
+    // corpus, the oracle-scale verification pass only).
     OpQuery.checked(
       "sim_topk_ivf_kmeans",
       s"""WITH q AS (
@@ -430,8 +444,12 @@ object SimOps {
         .join(clustered.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
-      // verification branch: all pairs (oracle-scale only)
-      val exactPairs = emb.as("a")
+      // verification branch: all pairs (oracle-scale only). The parquet
+      // scan is one partition at this size, and a nested-loop/cartesian
+      // join inherits the streamed side's partitioning — repartition it
+      // so the 12.5M-pair scoring fans out across cores (measured ~2×
+      // on the whole op) instead of running in one task.
+      val exactPairs = emb.repartition(32).as("a")
         .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
       val drops = clusterPairs.unionByName(exactPairs)
