@@ -482,6 +482,52 @@ object PipelineOps {
         ((col("total_tokens") / col("n_langs")) / col("n_tokens")).as("sample_weight"))
     },
 
+    // ── text_boilerplate_strip: cross-document boilerplate removal (the
+    // RefinedWeb/CCNet line-dedup step, block-granular): tile each doc
+    // into non-overlapping 8-word blocks, count each block's document
+    // frequency, and strip blocks appearing verbatim in ≥2 documents —
+    // headers, footers, navigation chrome at web scale. Emits per doc
+    // the block count, stripped count, and surviving token budget.
+    //
+    // Scale shape: linear, not pairwise — the df aggregate has map-side
+    // partials, and the index join back is 1:1 per block occurrence (a
+    // block shared by a million docs joins each occurrence to ONE df
+    // row — no fan-out), so unlike pair-building dedups this needs no
+    // blocking cap. Two shuffles (block hash, doc_id), both on natural
+    // grains; only (doc_id, 16-byte hash) rides them.
+    OpQuery.checked(
+      "text_boilerplate_strip",
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(gr) AS bh FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(list_filter(list_transform(range(1, len(ws)+1, 8),
+        |             i -> ws[CAST(i AS INT):CAST(i AS INT)+7]),
+        |             x -> len(x) = 8), x -> array_to_string(x, ' '))) AS gr
+        |    FROM w)),
+        |f AS (SELECT bh, count(DISTINCT doc_id) AS df FROM b GROUP BY bh)
+        |SELECT b.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       CAST((count(*) - sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)) * 8 AS BIGINT) AS clean_tokens
+        |FROM b JOIN f USING (bh)
+        |GROUP BY b.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val blocks = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(filter(transform(sequence(1, size(ws), 8), i -> slice(ws, i, 8)), b -> size(b) = 8), b -> concat_ws(' ', b))"
+        )).as("gr"))
+        .select(col("doc_id"), md5(col("gr")).as("bh"))
+      val dfreq = blocks.groupBy("bh").agg(countDistinct("doc_id").as("df"))
+      blocks.join(dfreq, "bh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"),
+          ((count(lit(1)) - sum(when(col("df") >= 2, 1L).otherwise(0L))) * 8).as("clean_tokens"))
+    },
+
     // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection
     // through the reusable [[PatternMatch]] analog: per user, the event
     // stream collapses to an ordered symbol string (DEFINE = initial

@@ -285,6 +285,33 @@ class PipelineOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("text_boilerplate_strip: counts are consistent and flagged blocks truly recur") {
+    val df = SparkEntry.queries("text_boilerplate_strip")(spark, sf0001).cache()
+    // internal consistency of every row
+    assert(df.filter(col("n_boiler") > col("n_blocks")).count() == 0)
+    assert(df.filter(col("clean_tokens") =!= (col("n_blocks") - col("n_boiler")) * 8).count() == 0)
+    // total block count equals an independent tiling of the corpus
+    val expectedBlocks = Tables(spark, sf0001).documents
+      .select(expr("size(split(text, ' ')) DIV 8").as("nb"))
+      .agg(sum("nb")).head.getLong(0)
+    assert(df.agg(sum("n_blocks")).head.getLong(0) == expectedBlocks,
+      "every full 8-word block must be tiled exactly once")
+    // the corpus actually contains cross-doc boilerplate, and flagging is
+    // symmetric: total flagged occurrences exceed the distinct flagged
+    // blocks (each boilerplate block is stripped from >= 2 docs)
+    val boiler = df.agg(sum("n_boiler")).head.getLong(0)
+    assert(boiler > 0, "fixture should contain recurring blocks")
+    val blocks = Tables(spark, sf0001).documents
+      .select(col("doc_id"), explode(expr(
+        "transform(filter(transform(sequence(1, size(split(text, ' ')), 8), i -> slice(split(text, ' '), i, 8)), b -> size(b) = 8), b -> concat_ws(' ', b))"
+      )).as("gr"))
+    val distinctBoiler = blocks.groupBy("gr")
+      .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2).count()
+    assert(boiler >= 2 * distinctBoiler,
+      s"flagged occurrences ($boiler) must cover every doc of each of the $distinctBoiler recurring blocks")
+    df.unpersist()
+  }
+
   test("PatternMatch generalizes: a second pattern over a custom classifier") {
     val events = Tables(spark, sf0001).events
     // DEFINE: a coarser two-class alphabet (purchase vs anything else);
