@@ -439,10 +439,13 @@ object SimOps {
       // single-cell — asserted in SimOpsSpec) at 3× assignment rows
       val clustered = emb.join(assignCells(emb, centDf, topR = 3), Seq("vec_id"))
       val pairCos = round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6)
-      // production branch: pairs only within a k-means cell
-      val clusterPairs = clustered.as("a")
-        .join(clustered.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      // production branch: pairs only within a k-means cell, through the
+      // skew-guarded triangular sub-split — k-means cells are exactly the
+      // hot-block hazard (a dense region puts a huge fraction of the
+      // corpus in ONE cell), so the same BlockedPairs guard the LSH/
+      // prefix dedups use caps every cell's pair fan-out here too
+      val clusterPairs = BlockedPairs
+        .pairs(clustered, Seq("bucket"), "vec_id", BlockedPairs.DefaultCap)
         .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
       // verification branch: all pairs (oracle-scale only). The parquet
       // scan is one partition at this size, and a nested-loop/cartesian
