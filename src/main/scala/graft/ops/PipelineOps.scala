@@ -556,6 +556,36 @@ object PipelineOps {
         .withColumnRenamed("n_matches", "n_funnels")
     },
 
+    // ── win_pattern_abandon: the same PatternMatch engine under a second
+    // DEFINE + PATTERN — a four-class alphabet (view/click/purchase/
+    // other) and the interrupted-funnel shape (V C* O): a view and its
+    // click run terminated by a non-purchase event. Together with
+    // win_pattern_match this oracle-checks the analog's two moving parts
+    // (classifier and pattern) independently.
+    OpQuery.checked(
+      "win_pattern_abandon",
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' ELSE 'o' END,
+        |                    '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, '(vc*o)', 1)) AS BIGINT) AS n_abandoned
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      PatternMatch.count(
+        Tables(spark, dir).events,
+        key = "user_id", orderCols = Seq("ts", "event_id"),
+        symbol = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("o"),
+        pattern = "(vc*o)")
+        .withColumnRenamed("n_matches", "n_abandoned")
+    },
+
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props
     // parse with an explicit schema (from_json, no sampling job) into a
     // typed struct column, land shredded in parquet, and every
