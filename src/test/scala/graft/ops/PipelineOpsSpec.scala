@@ -353,6 +353,27 @@ class PipelineOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("win_pattern_abandon: abandonment counts are bounded by views and disjoint from conversions") {
+    val events = Tables(spark, sf0001).events
+    val abandoned = SparkEntry.queries("win_pattern_abandon")(spark, sf0001).cache()
+    assert(abandoned.count() == events.select("user_id").distinct().count())
+    assert(abandoned.agg(sum("seq_len")).head.getLong(0) == events.count())
+    // every match consumes exactly one view: per user, abandoned runs
+    // (and abandoned + converted runs combined) can never exceed views
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+    val funnels = SparkEntry.queries("win_pattern_match")(spark, sf0001)
+      .select(col("user_id"), col("n_funnels"))
+    val joined = abandoned.join(views, Seq("user_id"), "left")
+      .join(funnels, Seq("user_id"))
+      .na.fill(0L, Seq("n_views"))
+    assert(joined.filter(col("n_abandoned") + col("n_funnels") > col("n_views")).count() == 0,
+      "pattern matches exceeded available views — runs must be disjoint")
+    assert(abandoned.agg(sum("n_abandoned")).head.getLong(0) > 0,
+      "fixture should contain at least one interrupted funnel")
+    abandoned.unpersist()
+  }
+
   test("fn_json_shred: the re-read plan parses no JSON and prunes to the typed leaf") {
     val df = SparkEntry.queries("fn_json_shred")(spark, sf0001)
     assert(df.count() > 0)
