@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+/** Randomized semantics checks for the MATCH_RECOGNIZE analog: the
+  * distributed collect_list → array_sort → regex pipeline must agree
+  * with a driver-side reference implementation (plain Scala sort +
+  * java.util.regex) on arbitrary event streams and patterns.
+  */
+object PatternMatchProps extends Properties("graft.ops.patternmatch") {
+
+  private lazy val spark = graft.SparkSuite.session
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  // a handful of funnel-ish patterns with distinct shapes
+  private val patterns = Seq("(vc*p)", "(vp)", "(oo+p)", "(v[cp]*o)", "(p+)")
+
+  private val streamGen: Gen[(List[(Long, Long, String)], String)] = for {
+    n   <- Gen.choose(1, 60)
+    pat <- Gen.oneOf(patterns)
+    es  <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 20L)
+      s <- Gen.oneOf("v", "c", "p", "o")
+    } yield (u, t, s))
+  } yield (es, pat)
+
+  property("distributed pattern counts equal the single-threaded reference") =
+    Prop.forAll(streamGen) { case (es, pat) =>
+      es.nonEmpty ==> {
+        // unique event ids make the (ts, event_id) order total in both paths
+        val rows = es.zipWithIndex.map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+        val df = rows.toDF("user_id", "ts", "event_id", "sym")
+        val got = PatternMatch.count(df, "user_id", Seq("ts", "event_id"), col("sym"), pat)
+          .select("user_id", "seq_len", "n_matches")
+          .as[(Long, Long, Long)].collect()
+          .map { case (u, l, m) => u -> ((l, m)) }.toMap
+
+        val want = rows.groupBy(_._1).map { case (u, rs) =>
+          val seq = rs.sortBy(r => (r._2, r._3)).map(_._4).mkString
+          u -> ((seq.length.toLong, pat.r.findAllIn(seq).length.toLong))
+        }
+        (got == want) :| s"pattern=$pat got=$got want=$want"
+      }
+    }
+}
