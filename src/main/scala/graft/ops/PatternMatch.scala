@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Reusable MATCH_RECOGNIZE analog (the Oracle 12c row-pattern clause the
   * reference's dialect ships — `MATCH_RECOGNIZE ... PATTERN (...) DEFINE
-  * ...` — re-expressed for Spark; ref usage surface: analytic reports,
-  * e.g. Queries/Q1_Top_Genres.sql's windowed funnels would be the
-  * natural caller).
+  * ...` — re-expressed for Spark; ref usage surface: the analytic
+  * reports, e.g. LQY_query1.txt:39-111's per-genre ranked windows, are
+  * the dialect surface whose sequential form this clause serves).
   *
   * The DEFINE clause maps each row to a one-character symbol (an
   * arbitrary classifier Column — a `when` chain, a map lookup, a
@@ -26,7 +26,9 @@ object PatternMatch {
 
   /** Count non-overlapping `pattern` matches per `key` over the symbol
     * string formed by `symbol` (must emit exactly one character per row)
-    * ordered by `orderCols`. Returns (key, seq_len, n_matches).
+    * ordered by `orderCols`. The pattern is a plain regex — whole
+    * matches (group 0) are counted, so no capture group is required.
+    * Returns (key, seq_len, n_matches).
     */
   def count(
       events: DataFrame,
@@ -42,7 +44,7 @@ object PatternMatch {
       .select(
         col(key),
         length(col("seq")).cast("long").as("seq_len"),
-        size(regexp_extract_all(col("seq"), lit(pattern), lit(1))).cast("long").as("n_matches"))
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0))).cast("long").as("n_matches"))
   }
 
   /** collect_list → array_sort → symbol projection → join, as one

@@ -530,29 +530,36 @@ object PipelineOps {
 
     // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection
     // through the reusable [[PatternMatch]] analog: per user, the event
-    // stream collapses to an ordered symbol string (DEFINE = initial
-    // letter of event_type) and the funnel PATTERN (V C* P) — view, any
-    // clicks, purchase, strictly contiguous — counts via non-overlapping
-    // regex. PatternMatch.count owns the scale shape (one user_id
-    // shuffle, map-side partials, session-bounded keys by contract); a
-    // second pattern over the same classifier is exercised in
+    // stream collapses to an ordered symbol string (DEFINE = an explicit
+    // classifier mapping view/click/purchase to v/c/p and EVERYTHING
+    // else to 'x', so new event types can never alias into the funnel
+    // alphabet) and the funnel PATTERN (V C* P) — view, any clicks,
+    // purchase, strictly contiguous — counts via non-overlapping regex.
+    // PatternMatch.count owns the scale shape (one user_id shuffle,
+    // map-side partials, session-bounded keys by contract); a second
+    // pattern over a different classifier is exercised in
     // PipelineOpsSpec.
     OpQuery.checked(
       "win_pattern_match",
       """WITH s AS (
         |  SELECT user_id,
-        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' ELSE 'x' END,
+        |                    '' ORDER BY ts, event_id) AS seq
         |  FROM events GROUP BY user_id)
         |SELECT user_id,
         |       CAST(length(seq) AS BIGINT) AS seq_len,
-        |       CAST(len(regexp_extract_all(seq, '(vc*p)', 1)) AS BIGINT) AS n_funnels
+        |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
         |FROM s""".stripMargin
     ) { (spark, dir) =>
       PatternMatch.count(
         Tables(spark, dir).events,
         key = "user_id", orderCols = Seq("ts", "event_id"),
-        symbol = substring(col("event_type"), 1, 1),
-        pattern = "(vc*p)")
+        symbol = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x"),
+        pattern = "vc*p")
         .withColumnRenamed("n_matches", "n_funnels")
     },
 
@@ -572,7 +579,7 @@ object PipelineOps {
         |  FROM events GROUP BY user_id)
         |SELECT user_id,
         |       CAST(length(seq) AS BIGINT) AS seq_len,
-        |       CAST(len(regexp_extract_all(seq, '(vc*o)', 1)) AS BIGINT) AS n_abandoned
+        |       CAST(len(regexp_extract_all(seq, 'vc*o')) AS BIGINT) AS n_abandoned
         |FROM s""".stripMargin
     ) { (spark, dir) =>
       PatternMatch.count(
@@ -582,7 +589,7 @@ object PipelineOps {
           .when(col("event_type") === "click", "c")
           .when(col("event_type") === "purchase", "p")
           .otherwise("o"),
-        pattern = "(vc*o)")
+        pattern = "vc*o")
         .withColumnRenamed("n_matches", "n_abandoned")
     },
 

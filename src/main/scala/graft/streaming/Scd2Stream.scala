@@ -41,21 +41,33 @@ object Scd2Stream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
+        // Bit-identical duplicate rows are harmless (a restart or backlog
+        // can coalesce several individually-valid deliveries into one
+        // micro-batch, replaying the same change file twice) — drop them
+        // BEFORE the contract check so only genuinely conflicting rows
+        // trip it.
+        val changes = batch.dropDuplicates()
         // Enforce the documented contract instead of trusting it: a
-        // duplicate (business key, change_date) in one delivery would
-        // silently mint duplicate open versions through Scd2.initial /
-        // Scd2.apply. Fail the batch loudly — the retry surfaces the
-        // producer bug instead of corrupting the dimension. (One tiny
-        // extra aggregate per batch; deliveries are dim-bounded.)
-        val dup = batch
+        // duplicate (business key, change_date) with CONFLICTING tracked
+        // values would silently mint duplicate open versions through
+        // Scd2.initial / Scd2.apply. Fail the batch loudly — the retry
+        // surfaces the producer bug instead of corrupting the dimension.
+        // (One tiny extra aggregate per batch; deliveries are
+        // dim-bounded.) Note this failure is not retryable by design:
+        // the checkpoint replays the same files, so recovery requires an
+        // operator to remove or correct the offending source files —
+        // which is the right outcome, because no ordering of two
+        // different same-day values for one key is defensible.
+        val dup = changes
           .groupBy((keyCols :+ "change_date").map(col).toIndexedSeq: _*)
           .count().filter(col("count") > 1)
           .limit(5).collect()
         if (dup.nonEmpty)
           throw new IllegalStateException(
-            "Scd2Stream contract violation: duplicate (key, change_date) rows in one delivery: " +
+            "Scd2Stream contract violation: conflicting (key, change_date) rows in one delivery " +
+              "(remove or fix the offending source files; retry alone cannot succeed): " +
               dup.mkString("; "))
-        val dates = batch.select("change_date").distinct()
+        val dates = changes.select("change_date").distinct()
           .collect().map(_.getString(0)).sorted
         // Bootstrap ONLY when no committed data exists yet: path missing,
         // or present without any committed part file (a first write that
@@ -76,7 +88,7 @@ object Scd2Stream {
           sp.createDataFrame(d.collectAsList(), d.schema)
         }
         for (date <- dates) {
-          val chg = batch.filter(col("change_date") === date).drop("change_date")
+          val chg = changes.filter(col("change_date") === date).drop("change_date")
           dim = if (dim == null) {
             Scd2.initial(chg, date)
           } else {

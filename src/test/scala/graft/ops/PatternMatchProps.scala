@@ -17,8 +17,11 @@ object PatternMatchProps extends Properties("graft.ops.patternmatch") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(15)
 
-  // a handful of funnel-ish patterns with distinct shapes
-  private val patterns = Seq("(vc*p)", "(vp)", "(oo+p)", "(v[cp]*o)", "(p+)")
+  // a handful of funnel-ish patterns with distinct shapes — half without
+  // a capture group, because the engine counts whole matches (group 0)
+  // and must accept a genuinely plain regex
+  private val patterns = Seq("(vc*p)", "(vp)", "(oo+p)", "(v[cp]*o)", "(p+)",
+    "vc*p", "oo+p", "v[cp]*o", "p+", "vp?o")
 
   private val streamGen: Gen[(List[(Long, Long, String)], String)] = for {
     n   <- Gen.choose(1, 60)

@@ -254,10 +254,14 @@ class PipelineOpsSpec extends SparkSuite {
     assert(df.agg(sum("seq_len")).head.getLong(0) == events.count(),
       "every event contributes exactly one letter")
     // independent verification: rebuild each user's sequence driver-side
-    // and count v c* p matches with a hand-rolled walk (no regex)
+    // with the op's own explicit classifier and count v c* p matches
+    // with a hand-rolled walk (no regex)
     val seqs = events
       .select(col("user_id"), col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("i"))
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x").as("i"))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (u, rows) =>

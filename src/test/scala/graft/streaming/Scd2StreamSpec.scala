@@ -95,6 +95,24 @@ class Scd2StreamSpec extends SparkSuite {
       spark.read.parquet(target).isEmpty)
   }
 
+  test("bit-identical duplicate rows in one coalesced delivery are harmless") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_bitdup").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_bt").toString + "/dim"
+    // a restart/backlog can coalesce two individually-valid deliveries
+    // carrying the SAME rows into one micro-batch — that must not trip
+    // the conflicting-values guard (it would be a poison pill: the
+    // checkpoint replays the same files on every retry)
+    Seq((5L, "Sibu", "2024-05-01"), (5L, "Sibu", "2024-05-01"))
+      .toDF("member_id", "city", "change_date")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"))
+    try q.processAllAvailable() finally q.stop()
+    val dim = spark.read.parquet(target)
+    assert(dim.count() == 1, "bit-identical duplicates must collapse to one version")
+    assert(dim.filter($"curr_ind" === "Y" && $"city" === "Sibu").count() == 1)
+  }
+
   test("replay equivalence on real input files: stream == the oracle-checked etl_scd2_apply") {
     val custSchema = StructType(Seq(
       StructField("c_custkey", LongType),
