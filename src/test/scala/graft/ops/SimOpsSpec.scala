@@ -46,6 +46,30 @@ class SimOpsSpec extends SparkSuite {
     exactTop.unpersist()
   }
 
+  test("true-PQ (m=8 codebooks, ADC) recall@5 matches the scalar-int8 path at equal nprobe/shortlist") {
+    val exactTop = graft.SparkEntry.queries("sim_topk_ivf_kmeans")(spark, sf001)
+      .select("query_id", "neighbor_id").cache()
+    val total = exactTop.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      exactTop.join(top, Seq("query_id", "neighbor_id")).count().toDouble / total
+    }
+    val int8Recall = recallOf(SimOps.ivfPqApprox(spark, sf001))
+    val pq8Recall  = recallOf(SimOps.ivfPq8Approx(spark, sf001))
+    assert(total > 0)
+    // 32× compression must not cost recall on this corpus: the 8×256
+    // codebooks + exact shortlist re-rank recover every neighbor the
+    // 4×-compressed scalar-int8 scan finds (both are bounded above by
+    // the same nprobe cell coverage)
+    assert(pq8Recall >= int8Recall,
+      s"PQ8 recall@5 below scalar-int8 at equal nprobe/shortlist: pq8=$pq8Recall int8=$int8Recall")
+    exactTop.unpersist()
+  }
+
   test("semantic dedup cluster branch finds only true drops, with bounded recall loss") {
     import spark.implicits._
     graft.functions.VecExprs.register(spark)

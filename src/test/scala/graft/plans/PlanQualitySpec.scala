@@ -83,6 +83,38 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("sim_* query-batch broadcasts are capped by construction") {
+    // The ANN ops broadcast the query batch — a filter of the embeddings
+    // corpus. That is only scale-safe because querySample hard-caps it
+    // (QueryCap top-k by id); this asserts the cap is IN THE PLAN for
+    // every embeddings-scanning broadcast subtree, so the
+    // bounded-broadcast claim is structural, not a comment.
+    withStaticPlanner {
+      for (q <- Seq("sim_cosine_topk", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+        "sim_topk_ivf_pq", "sim_topk_ivf_pq8")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val uncapped = df.queryExecution.executedPlan
+          .collect { case b: BroadcastExchangeExec => b }
+          .filter { b =>
+            val scansEmbeddings = b.exists {
+              case s: FileSourceScanExec =>
+                s.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+              case _ => false
+            }
+            val capped = b.exists {
+              case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+              case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+              case _: org.apache.spark.sql.execution.CollectLimitExec => true
+              case _ => false
+            }
+            scansEmbeddings && !capped
+          }
+        assert(uncapped.isEmpty,
+          s"$q broadcasts an uncapped slice of the embeddings corpus:\n${uncapped.mkString("\n")}")
+      }
+    }
+  }
+
   test("dedup_incremental picks winners by aggregation, not a window") {
     val df = graft.SparkEntry.queries("dedup_incremental")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
