@@ -47,6 +47,40 @@ object PatternMatch {
         size(regexp_extract_all(col("seq"), lit(pattern), lit(0))).cast("long").as("n_matches"))
   }
 
+  /** ONE ROW PER MATCH with MEASURES — the Oracle 12c
+    * `MATCH_RECOGNIZE ... MEASURES match_number(), ... ONE ROW PER MATCH`
+    * analog: every non-overlapping match of `pattern` (same greedy
+    * left-to-right semantics as [[count]]) emits a row
+    * (key, match_no, matched, match_len), where `match_no` numbers the
+    * key's matches in sequence order, `matched` is the matched symbol
+    * string (the per-row classifier trace, MATCH_RECOGNIZE's
+    * `classifier()` concatenated over the match), and `match_len` is the
+    * number of events the match consumed. Keys with no match emit
+    * nothing, exactly like ONE ROW PER MATCH.
+    *
+    * Scale shape: identical to [[count]] — one shuffle on the partition
+    * key, map-side-merged collect_list partials — plus a narrow
+    * posexplode of the per-key match array (bounded by the per-key
+    * sequence contract). */
+  def measures(
+      events: DataFrame,
+      key: String,
+      orderCols: Seq[String],
+      symbol: Column,
+      pattern: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must impose a total per-key order")
+    val ordStruct = struct((orderCols.map(col) :+ symbol.as("i")): _*)
+    events
+      .groupBy(col(key))
+      .agg(expr_sortedSeq(ordStruct).as("seq"))
+      .select(col(key), posexplode(regexp_extract_all(col("seq"), lit(pattern), lit(0))))
+      .select(
+        col(key),
+        (col("pos") + 1).cast("long").as("match_no"),
+        col("col").as("matched"),
+        length(col("col")).cast("long").as("match_len"))
+  }
+
   /** collect_list → array_sort → symbol projection → join, as one
     * aggregate expression (partials merge map-side). */
   private def expr_sortedSeq(ordStruct: Column): Column =

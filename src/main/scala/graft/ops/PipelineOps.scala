@@ -593,6 +593,43 @@ object PipelineOps {
         .withColumnRenamed("n_matches", "n_abandoned")
     },
 
+    // ── win_pattern_measures: MATCH_RECOGNIZE's ONE ROW PER MATCH +
+    // MEASURES surface (the reference dialect's 12c analog) — funnels
+    // usually need "which match, over which events", not just "how
+    // many". Each non-overlapping V C* P match emits (user_id, match_no,
+    // matched, match_len): match_number(), the concatenated classifier
+    // trace, and the event count the match consumed. Same engine and
+    // scale shape as win_pattern_match (PatternMatch.measures); the
+    // oracle re-derives the per-match rows from the same regex via
+    // DuckDB's zipped unnests.
+    OpQuery.checked(
+      "win_pattern_measures",
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' ELSE 'x' END,
+        |                    '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(seq, 'vc*p') AS ms FROM s)
+        |SELECT user_id,
+        |       CAST(match_no AS BIGINT) AS match_no,
+        |       matched,
+        |       CAST(length(matched) AS BIGINT) AS match_len
+        |FROM (SELECT user_id,
+        |             unnest(generate_series(1, len(ms))) AS match_no,
+        |             unnest(ms) AS matched
+        |      FROM m)""".stripMargin
+    ) { (spark, dir) =>
+      PatternMatch.measures(
+        Tables(spark, dir).events,
+        key = "user_id", orderCols = Seq("ts", "event_id"),
+        symbol = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x"),
+        pattern = "vc*p")
+    },
+
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props
     // parse with an explicit schema (from_json, no sampling job) into a
     // typed struct column, land shredded in parquet, and every

@@ -51,4 +51,23 @@ object PatternMatchProps extends Properties("graft.ops.patternmatch") {
         (got == want) :| s"pattern=$pat got=$got want=$want"
       }
     }
+
+  property("distributed per-match MEASURES rows equal the single-threaded reference") =
+    Prop.forAll(streamGen) { case (es, pat) =>
+      es.nonEmpty ==> {
+        val rows = es.zipWithIndex.map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+        val df = rows.toDF("user_id", "ts", "event_id", "sym")
+        val got = PatternMatch.measures(df, "user_id", Seq("ts", "event_id"), col("sym"), pat)
+          .select("user_id", "match_no", "matched", "match_len")
+          .as[(Long, Long, String, Long)].collect().toSet
+
+        val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+          val seq = rs.sortBy(r => (r._2, r._3)).map(_._4).mkString
+          pat.r.findAllIn(seq).toList.zipWithIndex.map { case (m, i) =>
+            (u, (i + 1).toLong, m, m.length.toLong)
+          }
+        }.toSet
+        (got == want) :| s"pattern=$pat got=$got want=$want"
+      }
+    }
 }
