@@ -247,6 +247,66 @@ object AggOps {
           expr("percentile(l_extendedprice, 0.9)").cast("double").as("price_p90"))
     },
 
+    // ── agg_quantile_sketch: the 100 TB quantile — agg_percentile's
+    // exact sort cannot run on a column that does not fit the cluster;
+    // the production path streams a mergeable KLL-style sketch
+    // (graft.functions.KllQuantiles: O(k·log n) memory, map-side
+    // partials, level-wise merge). Oracle gate, sketch-verifying
+    // variant of the ANN union template: the emitted quantile `q` is
+    // the EXACT discrete value-at-rank (engine-neutral: it is a stored
+    // double picked by integer rank arithmetic, no interpolation), and
+    // the sketch branch stays in the executed plan because the emitted
+    // `within_eps` column is computed FROM its estimates — the true
+    // rank of every sketch estimate must land within ε=0.05 of its
+    // target, or the row hash-fails the driver compare. The exact
+    // branch (full per-group sort) and the rank-audit join are the
+    // oracle-scale verification passes; at 100 TB only the sketch
+    // branch runs.
+    OpQuery.checked(
+      "agg_quantile_sketch",
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+        |n AS (SELECT g, count(*) AS n FROM t GROUP BY g),
+        |p AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                     CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p),
+        |tg AS (SELECT g, n.n, p.p,
+        |              greatest(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS r
+        |       FROM n CROSS JOIN p),
+        |rk AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rnk FROM t)
+        |SELECT tg.g, tg.p, rk.x AS q, TRUE AS within_eps
+        |FROM tg JOIN rk ON rk.g = tg.g AND rk.rnk = tg.r""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.KllQuantiles.register(spark)
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      val eps = 0.05
+      val t = Tables(spark, dir).lineitem
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      // sketch branch: one streaming pass, O(k·log n) state per group
+      val est = t.groupBy("g")
+        .agg(expr(s"kll_quantiles(x, 256, ${probs.mkString(", ")})").as("est"),
+          count(lit(1)).as("n"))
+        .select(col("g"), col("n"), posexplode(col("est")))
+        .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "est_v")
+      // in-plan audit of the sketch's error bound: true rank of each
+      // estimate vs its target quantile (oracle-scale pass)
+      val audited = t.join(est, Seq("g"))
+        .groupBy("g", "p_idx", "n", "est_v")
+        .agg(sum(when(col("x") <= col("est_v"), 1L).otherwise(0L)).as("r_est"))
+        .withColumn("p", element_at(typedlit(probs), col("p_idx") + 1))
+        .withColumn("within_eps",
+          abs(col("r_est").cast("double") / col("n") - col("p")) <= eps)
+      // exact branch: discrete value-at-rank r = ceil(p·n), clamped ≥ 1
+      val targets = t.groupBy("g").agg(count(lit(1)).as("n"))
+        .select(col("g"), col("n"), posexplode(typedlit(probs)))
+        .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "p")
+        .withColumn("r", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      val exact = t
+        .withColumn("rnk", row_number().over(Window.partitionBy("g").orderBy("x")))
+        .join(targets, Seq("g")).filter(col("rnk") === col("r"))
+        .select(col("g"), col("p_idx"), col("p"), col("x").as("q"))
+      exact.join(audited.select("g", "p_idx", "within_eps"), Seq("g", "p_idx"))
+        .select(col("g"), col("p"), col("q"), col("within_eps"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.
