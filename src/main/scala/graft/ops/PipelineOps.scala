@@ -186,6 +186,44 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     },
 
+    // ── sample_weighted: weighted sampling WITHOUT replacement that
+    // materializes the mixture text_mixture_weights only computes —
+    // deterministic A-ES (Efraimidis & Spirakis 2006: keep the k items
+    // maximizing u^(1/w)), with u derived from md5(doc_id) instead of
+    // rand() so the sample survives re-runs and repartitions (the
+    // sample_hash_split trick), and the ordering done on the monotone
+    // equivalent ln(u)/w — u is exactly (hex64(md5)+1)/2^32 in both
+    // engines, so the ranking is engine-stable. Weight = n_chars: long
+    // documents are proportionally more likely to survive, which is the
+    // token-mass-preserving sampling a training mixture wants. Top-k per
+    // lang stratum via row_number → Catalyst plans a WindowGroupLimit
+    // (per-partition top-k before the shuffle): zero extra shuffles
+    // beyond the stratum key, no driver state, any corpus size.
+    OpQuery.checked(
+      "sample_weighted",
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |            / 4294967296.0) / n_chars AS aes
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY aes DESC, doc_id ASC) AS rn
+        |  FROM s)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 10""".stripMargin
+    ) { (spark, dir) =>
+      val u = (expr("conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("long") + 1) /
+        lit(4294967296.0)
+      Tables(spark, dir).documents
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("aes"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("aes").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rn"))
+    },
+
     // ── text_unigram_score: unigram-frequency document scoring (the
     // cheap stand-in for perplexity filtering: documents whose tokens
     // are corpus-rare score low). Two map-side-combined aggregates and

@@ -247,6 +247,38 @@ class PipelineOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("sample_weighted: inclusion probability increases with weight (A-ES property)") {
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents.select("doc_id", "n_chars").cache()
+    val n = docs.count()
+    val k = (n / 5).toInt // 20% sample per trial
+    // 64 independent trials: re-derive u from a salted md5 each time —
+    // the deterministic sampler's analog of re-running with a new seed
+    val salts = (0 until 64).toDF("salt")
+    val trials = docs.crossJoin(salts)
+      .withColumn("u",
+        (expr("conv(substr(md5(concat(cast(doc_id as string), '_', cast(salt as string))), 1, 8), 16, 10)")
+          .cast("long") + 1) / lit(4294967296.0))
+      .withColumn("aes", log(col("u")) / col("n_chars"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("salt")
+          .orderBy(col("aes").desc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+    val inclusion = trials.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+    val byQuartile = docs.join(inclusion, Seq("doc_id"), "left").na.fill(0L, Seq("n_sel"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("q").agg(avg("n_sel").as("rate"))
+      .orderBy("q").select("rate").as[Double].collect()
+    assert(byQuartile.length == 4)
+    // heavier documents must be selected strictly more often, quartile
+    // over quartile — the defining A-ES property
+    byQuartile.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi > lo, s"inclusion rate not increasing with weight: ${byQuartile.mkString(",")}")
+    }
+    docs.unpersist()
+  }
+
   test("win_pattern_match: funnel counts equal a hand-walked scan of each sequence") {
     val df = SparkEntry.queries("win_pattern_match")(spark, sf0001).cache()
     val events = Tables(spark, sf0001).events
