@@ -110,7 +110,7 @@ object SimOps {
   /** Train the coarse quantizer on a deterministic hash-sample
     * (id-ordered, bounded driver set — O(k × oversample) regardless of
     * corpus size) and return the broadcastable centroid frame. */
-  private[ops] def trainCentroidsDf(
+  private[graft] def trainCentroidsDf(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame = {
     val sample = emb
       .filter(graft.Norm.hashBucket(col("vec_id"), 10) === 0)
@@ -132,7 +132,7 @@ object SimOps {
     * by dedup_semantic to catch near-dup pairs that straddle a cell
     * boundary at the cost of R× assignment rows). topR is bounded by K,
     * so the per-vector window partition is K rows — never skewed. */
-  private[ops] def assignCells(emb: DataFrame, centDf: DataFrame, topR: Int = 1): DataFrame = {
+  private[graft] def assignCells(emb: DataFrame, centDf: DataFrame, topR: Int = 1): DataFrame = {
     val scoredCells = emb
       .crossJoin(broadcast(centDf))
       .select(col("vec_id"), col("centroid_id"), (dot("embedding", "cvec") / col("nrm")).as("cdot"))
