@@ -115,6 +115,16 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("sample_weighted plans its per-stratum top-k as a WindowGroupLimit") {
+    val df = graft.SparkEntry.queries("sample_weighted")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank<=k filter must push into a WindowGroupLimit so each
+    // partition keeps k rows per stratum BEFORE the shuffle — the
+    // difference between a reservoir and a full sort at 100 TB
+    assert(plan.contains("WindowGroupLimit"),
+      s"A-ES top-k lost its WindowGroupLimit:\n$plan")
+  }
+
   test("dedup_incremental picks winners by aggregation, not a window") {
     val df = graft.SparkEntry.queries("dedup_incremental")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
