@@ -150,15 +150,18 @@ object SimOps {
         .select(col("vec_id"), col("centroid_id").as("bucket"))
   }
 
-  /** Queries probe their `NProbe` best cells: (query_id, qe, qn, bucket). */
+  /** Queries probe their `NProbe` best cells:
+    * (query_id, qe, qn, bucket, qc_dot) — qc_dot = q·c of the probed
+    * centroid, which the residual ADC path adds back to its scores. */
   private[ops] def probeCells(queries: DataFrame, centDf: DataFrame): DataFrame =
     queries
       .crossJoin(broadcast(centDf))
-      .withColumn("cdot", dot("qe", "cvec") / col("qn"))
+      .withColumn("qc_dot", dot("qe", "cvec"))
+      .withColumn("cdot", col("qc_dot") / col("qn"))
       .withColumn("probe_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdot").desc, col("centroid_id").asc)))
       .filter(col("probe_rank") <= NProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qe"), col("qn"), col("centroid_id").as("bucket"), col("qc_dot"))
 
   /** The pure IVF branch: trained coarse quantizer, nprobe probing, scores
     * over probed cells only. Exposed for the recall-floor assertion in
@@ -230,37 +233,63 @@ object SimOps {
       round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim"))
   }
 
-  // ── True product quantization (Jégou et al., TPAMI 2011): the vector
-  // splits into PqM subvectors of PqDim dims; each subvector quantizes to
-  // one of PqK codebook entries trained per-subspace with Euclidean
+  // ── True product quantization with residual encoding — the full
+  // IVFADC of Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011): what each vector stores is the PQ code of its
+  // RESIDUAL x̂ − c(x̂) from the assigned coarse centroid, not of x̂
+  // itself — residuals have far smaller per-subspace variance, so the
+  // same 8×256 codebooks spend their entries on a tighter distribution.
+  // The vector splits into PqM subvectors of PqDim dims; each quantizes
+  // to one of PqK codebook entries trained per-subspace with Euclidean
   // Lloyd's. A full vector's code is PqM bytes — packed below into ONE
-  // BIGINT (8 bytes/vector vs 256 for float32: 32× compression, the real
-  // 100 TB ANN memory story; the scalar-int8 path above stops at 4×).
+  // BIGINT (8 bytes/vector vs 256 for float32: 32× compression, the
+  // real 100 TB ANN memory story; the scalar-int8 path above stops at
+  // 4×). Scan-side: q·x̂ ≈ q·c (known per probed cell) + ADC(q, code).
   private val PqM = 8; private val PqK = 256
   private val PqDim = 64 / PqM
   private val PqIters = 12
 
-  /** Unit-normalized float32 view of the embedding — PQ quantizes THIS
-    * (cos(q,x) = q·x̂ / ‖q‖, so encoding x̂ makes the corpus norm drop out
-    * of the scan entirely AND tightens the per-subspace distribution the
-    * codebooks must cover — measurably better codebooks than raw-vector
-    * PQ on this corpus). */
+  /** Unit-normalized float32 view of the embedding — the quantized
+    * target is x̂ (cos(q,x) = q·x̂ / ‖q‖), so the corpus norm drops out
+    * of the scan entirely. */
   private def unitVec(embCol: String, nrmCol: String): Column =
     expr(s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / $nrmCol AS FLOAT))")
 
-  /** Train the PqM per-subspace codebooks on the bounded driver sample
-    * (unit-normalized subvectors; Euclidean Lloyd's — subvector magnitude
-    * still matters WITHIN the unit vector, so the spherical variant is
-    * wrong here). Returns (sub_j, code_id, cvec, cnorm2); cnorm2 is
-    * computed from the float32-rounded centroid the executors will
-    * actually dot against, so the encode-time argmin is exact. */
+  /** Residual view of the corpus under the frozen coarse quantizer:
+    * (vec_id, bucket, v = x̂ − c_bucket), float32. One broadcast join of
+    * K centroid rows — a narrow map over the corpus. */
+  private def residualVecs(emb: DataFrame, centDf: DataFrame): DataFrame =
+    emb
+      .join(assignCells(emb, centDf), Seq("vec_id"))
+      .join(broadcast(centDf.withColumnRenamed("centroid_id", "bucket")), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        expr(s"zip_with(${unitVecSql("embedding", "nrm")}, cvec, (a, b) -> CAST(a - b AS FLOAT))")
+          .as("v"))
+
+  private def unitVecSql(embCol: String, nrmCol: String): String =
+    s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / $nrmCol AS FLOAT))"
+
+  /** Train the PqM per-subspace codebooks on the bounded driver sample's
+    * RESIDUALS under `cents` (the float32 coarse centroids, so training
+    * subtracts exactly what the executors will); Euclidean Lloyd's —
+    * residual magnitude matters, so the spherical variant is wrong here.
+    * Returns (sub_j, code_id, cvec, cnorm2); cnorm2 is computed from
+    * the float32-rounded codebook entry the executors will actually dot
+    * against, so the encode-time argmin is exact. */
   private[ops] def trainPqCodebooksDf(
-      spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      centDf: DataFrame): DataFrame = {
+    val cents = centDf.orderBy("centroid_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val sample = emb
       .filter(graft.Norm.hashBucket(col("vec_id"), 2) === 0)
       .orderBy("vec_id").limit(SampleCap)
       .select(unitVec("embedding", "nrm").as("u")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { u =>
+        val c = cents(graft.algo.KMeans.nearest(cents, u))
+        u.indices.map(i => u(i) - c(i).toFloat.toDouble).toArray
+      }
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -280,30 +309,36 @@ object SimOps {
     books.toDF("sub_j", "code_id", "cvec", "cnorm2")
   }
 
-  /** Distributed PQ encoding — the one-time index build. Relational
-    * argmin: each of the N×PqM subvectors joins the broadcast codebook
-    * (PqM×PqK rows) and keeps its min-distance entry via a struct-min
-    * aggregate, so the blowup lives inside the codegen'd
-    * broadcast-join → partial-agg pipeline and the shuffle carries only
-    * N×PqM narrow rows. ‖x−c‖² argmin ≡ argmin(‖c‖² − 2x·c) — ‖x‖² is
-    * constant per subvector and drops out. The PqM byte codes then pack
-    * into a single BIGINT: `pqword = Σ code_j << 8j`. */
-  private[ops] def pqEncode(emb: DataFrame, books: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"), unitVec("embedding", "nrm").as("u"))
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), j -> slice(u, j * $PqDim + 1, $PqDim))")))
+  /** Distributed PQ encoding of an arbitrary float-vector column
+    * (vec_id, v) — the one-time index build. Relational argmin: each of
+    * the N×PqM subvectors joins the broadcast codebook (PqM×PqK rows)
+    * and keeps its min-distance entry via a struct-min aggregate, so
+    * the blowup lives inside the codegen'd broadcast-join → partial-agg
+    * pipeline and the shuffle carries only N×PqM narrow rows.
+    * ‖x−c‖² argmin ≡ argmin(‖c‖² − 2x·c) — ‖x‖² is constant per
+    * subvector and drops out. The PqM byte codes then pack into a
+    * single BIGINT: `pqword = Σ code_j << 8j`. */
+  private[ops] def pqEncode(vecs: DataFrame, books: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // carryCols (functionally dependent on vec_id, e.g. the assigned
+    // bucket) ride the two aggregations as extra grouping keys, so the
+    // caller needs no second assignment pass
+    val carry = carryCols.map(col)
+    vecs
+      .select(col("vec_id") +: carry :+ posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(v, j * $PqDim + 1, $PqDim))")): _*)
       .withColumnRenamed("pos", "sub_j").withColumnRenamed("col", "svec")
       .join(broadcast(books), Seq("sub_j"))
-      .select(col("vec_id"), col("sub_j"),
-        (col("cnorm2") - lit(2.0) * dot("svec", "cvec")).as("dist"), col("code_id"))
-      .groupBy("vec_id", "sub_j")
+      .select(col("vec_id") +: carry :+ col("sub_j") :+
+        (col("cnorm2") - lit(2.0) * dot("svec", "cvec")).as("dist") :+ col("code_id"): _*)
+      .groupBy(col("vec_id") +: carry :+ col("sub_j"): _*)
       .agg(min(struct(col("dist"), col("code_id"))).as("m"))
-      .groupBy("vec_id")
+      .groupBy(col("vec_id") +: carry: _*)
       .agg(collect_list(struct(col("sub_j"), col("m.code_id").as("code"))).as("cl"))
-      .select(col("vec_id"), expr(
+      .select(col("vec_id") +: carry :+ expr(
         "aggregate(array_sort(cl), 0L, (acc, x) -> acc + shiftleft(CAST(x.code AS BIGINT), 8 * x.sub_j))")
-        .as("pqword"))
+        .as("pqword"): _*)
+  }
 
   /** Per-query ADC lookup tables: LUT(query, j, c) = q_j · codebook[j][c].
     * Q×PqM×PqK rows — bounded by QueryCap, so broadcastable. */
@@ -315,42 +350,44 @@ object SimOps {
       .join(broadcast(books), Seq("sub_j"))
       .select(col("query_id"), col("sub_j"), col("code_id"), dot("qsub", "cvec").as("pdot"))
 
-  /** The pure IVF-PQ8 branch (sim_topk_ivf_pq8's engine path): probed
-    * cells are scanned reading ONLY (id, pqword, norm) — 8 code bytes
-    * per vector — scored by ADC (unpack each byte, look its partial dot
-    * up in the query's table, sum), shortlisted per query, and only the
-    * shortlist fetches float vectors for the exact re-rank. Exposed for
-    * the recall assertion in SimOpsSpec. */
+  /** The pure IVFADC branch (sim_topk_ivf_pq8's engine path): probed
+    * cells are scanned reading ONLY (id, pqword) — 8 residual-code
+    * bytes per vector — scored by q·c (known per probed cell) plus the
+    * residual ADC sum (unpack each byte, look its partial dot up in the
+    * query's table), shortlisted per query, and only the shortlist
+    * fetches float vectors for the exact re-rank. Exposed for the
+    * recall assertion in SimOpsSpec. */
   private[ops] def ivfPq8Approx(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
     val centDf = trainCentroidsDf(spark, emb)
-    val books = trainPqCodebooksDf(spark, emb)
-    val coded = assignCells(emb, centDf).join(pqEncode(emb, books), Seq("vec_id"))
+    val books = trainPqCodebooksDf(spark, emb, centDf)
+    val coded = pqEncode(residualVecs(emb, centDf), books, carryCols = Seq("bucket"))
     val q = querySample(emb, 25)
     val probes = probeCells(q, centDf)
     val lut = pqLut(q, books)
     // ADC scan: candidates are (query, neighbor) pairs from probed cells
-    // — the corpus side carries ONLY (id, bucket, pqword), the codes
-    // encode the unit vector so no norm rides the scan; each candidate
-    // unpacks its 8 code bytes, joins the broadcast LUT, and sums the 8
-    // partial dots with map-side combine — the shuffle carries one row
-    // per candidate pair.
-    val adc = probes.select(col("query_id"), col("qn"), col("bucket"))
+    // — the corpus side carries ONLY (id, bucket, pqword); the codes
+    // encode the residual from the cell centroid, whose q·c term rides
+    // in from the probe side (qc_dot), so no norm and no float vector
+    // touches the scan. Each candidate unpacks its 8 code bytes, joins
+    // the broadcast LUT, and sums the 8 partial dots with map-side
+    // combine — the shuffle carries one row per candidate pair.
+    val adc = probes.select(col("query_id"), col("qn"), col("qc_dot"), col("bucket"))
       .join(coded.select(col("vec_id").as("neighbor_id"), col("bucket"), col("pqword")),
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qn"), col("neighbor_id"),
+      .select(col("query_id"), col("qn"), col("qc_dot"), col("neighbor_id"),
         posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
           "j -> named_struct('sub_j', j, 'code_id', CAST(shiftright(pqword, 8 * j) & 255 AS INT)))")))
-      .select(col("query_id"), col("qn"), col("neighbor_id"),
+      .select(col("query_id"), col("qn"), col("qc_dot"), col("neighbor_id"),
         col("col.sub_j").as("sub_j"), col("col.code_id").as("code_id"))
       .join(broadcast(lut), Seq("query_id", "sub_j", "code_id"))
-      .groupBy("query_id", "qn", "neighbor_id")
+      .groupBy("query_id", "qn", "qc_dot", "neighbor_id")
       .agg(sum("pdot").as("adc_dot"))
     val short = adc
-      .withColumn("approx_cos", col("adc_dot") / col("qn"))
+      .withColumn("approx_cos", (col("qc_dot") + col("adc_dot")) / col("qn"))
       .withColumn("srank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id").asc)))
       .filter(col("srank") <= shortlist)
@@ -571,11 +608,12 @@ object SimOps {
     // in the executed plan. SimOpsSpec asserts the pure path's recall@5
     // ≥ the scalar-int8 path's at equal nprobe/shortlist.
     //
-    // Cost note (sf0.1 bench ~2.9 s, the suite's most expensive op —
-    // deliberate): ~0.6 s codebook training (driver, parallel across
-    // subspaces, corpus-size-independent) + ~1.4 s corpus encode (the
-    // ONE-TIME index build: a linear broadcast-join argmin whose
-    // shuffle carries only N×8 narrow rows) + the exact-union
+    // Cost note (sf0.1 bench ~3-4 s, the suite's most expensive op —
+    // deliberate, and stage-count-bound at this tiny corpus rather than
+    // data-bound): ~1 s driver-side trainings (coarse + codebooks,
+    // corpus-size-independent; subspace fits run in parallel), the
+    // ONE-TIME corpus encode (a linear broadcast-join argmin whose
+    // shuffle carries only N×8 narrow rows), and the exact-union
     // verification branch (query-sample × corpus, oracle-scale only).
     // The recurring 100 TB cost is just the ADC cell scan — 8 bytes a
     // vector — plus 64 float fetches per query.
