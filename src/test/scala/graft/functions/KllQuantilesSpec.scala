@@ -45,6 +45,25 @@ class KllQuantilesSpec extends SparkSuite {
     assert(err <= 0.05, s"KLL rank error after range-partitioned merge: $err")
   }
 
+  test("rank error holds at 1M rows of sorted input (worst case for compaction)") {
+    KllQuantiles.register(spark)
+    // range() delivers each partition fully sorted — the adversarial
+    // input for a compacting summary (every compaction keeps alternate
+    // elements of a sorted run) — and values 1..n make the true rank of
+    // an estimate the estimate itself, so no verification join is needed
+    val n = 1000000L
+    val est = spark.range(1, n + 1)
+      .select(lit("g").as("g"), col("id").cast("double").as("x"))
+      .groupBy("g")
+      .agg(expr(s"kll_quantiles(x, 256, ${probs.mkString(", ")})").as("est"))
+      .select(posexplode(col("est")))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    est.foreach { case (i, v) =>
+      val err = math.abs(v / n - probs(i))
+      assert(err <= 0.05, s"p=${probs(i)}: estimate $v rank error $err at n=$n")
+    }
+  }
+
   test("a group below compactor capacity is answered exactly") {
     KllQuantiles.register(spark)
     import spark.implicits._
