@@ -126,10 +126,12 @@ case class KllQuantiles(
     b1
   }
 
-  override def eval(buf: KllBuffer): Any = {
-    require(!buf.isEmpty, "kll_quantiles over an empty group")
-    new GenericArrayData(probs.map(buf.quantile).toArray[Any])
-  }
+  override def eval(buf: KllBuffer): Any =
+    // a GROUP BY never yields an empty group, but a global aggregate
+    // over an empty relation does — answer with an empty estimate array
+    // (the SpaceSavingTopK convention) instead of throwing
+    if (buf.isEmpty) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(probs.map(buf.quantile).toArray[Any])
 
   override def serialize(buf: KllBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

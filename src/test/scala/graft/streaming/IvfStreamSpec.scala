@@ -45,14 +45,20 @@ class IvfStreamSpec extends SparkSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
       "streamed cell assignment must equal the batch path under the frozen quantizer")
 
-    // the layout IS cell-partitioned: bucket=<cell> directories on disk,
-    // so a probed-cell scan partition-prunes instead of reading the index
-    val cellDirs = new java.io.File(target).listFiles().filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("bucket=")).toSeq
+    // the layout IS cell-partitioned (batch=<id>/bucket=<cell>): each
+    // delivery owns an overwrite-idempotent batch directory, and within
+    // it one directory per occupied cell, so a probed-cell scan
+    // partition-prunes on bucket instead of reading the index
+    val batchDirs = new java.io.File(target).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    assert(batchDirs.size == 2, s"expected one directory per delivery: $batchDirs")
+    val cellDirs = batchDirs.flatMap(_.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")))
     assert(cellDirs.nonEmpty, "expected bucket=<cell> partition directories")
     val distinctCells = streamed.select("bucket").distinct().count()
-    assert(cellDirs.size == distinctCells,
-      s"one directory per occupied cell: dirs=${cellDirs.size} cells=$distinctCells")
+    assert(cellDirs.distinct.size == distinctCells,
+      s"cell directories must cover exactly the occupied cells: " +
+        s"dirs=${cellDirs.distinct.size} cells=$distinctCells")
     centDf.unpersist()
   }
 }
