@@ -399,6 +399,68 @@ object EtlOps {
           sum(col("is_late")).cast("long").as("late_days"),
           sum(col("worked_hours")).cast("long").as("week_hours"))
         .withColumn("over_40", (col("week_hours") > 40).cast("long"))
+    },
+
+    // ── etl_table_diff: snapshot reconciliation — classify every key of
+    // two table versions as added / removed / changed, the audit step
+    // after any reference reload (06_IncrementalLoading.sql re-derives
+    // the DW from OLTP; this op is how you prove two derivations agree).
+    // The 100 TB shape: each side is projected to (key, md5 row-hash)
+    // BEFORE the join, so the full-outer shuffle carries 8+32 bytes per
+    // row instead of the whole record, and the classification is a
+    // null-pattern projection on the co-partitioned result. md5 over a
+    // '|'-joined rendering is bit-identical across engines (doubles are
+    // deliberately excluded from the hash — float rendering is not
+    // portable; at 100 TB you'd hash a Decimal rendering instead). The
+    // "new" snapshot is derived deterministically from orders: keys
+    // %97=0 dropped, %89=0 re-prioritized, %101=0 re-keyed as inserts.
+    OpQuery.checked(
+      "etl_table_diff",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)) AS h
+        |  FROM orders),
+        |new AS (
+        |  SELECT o_orderkey AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |                       CASE WHEN o_orderkey % 89 = 0 THEN reverse(o_orderpriority)
+        |                            ELSE o_orderpriority END)) AS h
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)) AS h
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT COALESCE(old.k, new.k) AS o_orderkey,
+        |       CASE WHEN old.k IS NULL THEN 'added'
+        |            WHEN new.k IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS diff_kind
+        |FROM old FULL OUTER JOIN new ON new.k = old.k
+        |WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h""".stripMargin
+    ) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      def rowHash(priority: org.apache.spark.sql.Column) =
+        md5(concat_ws("|",
+          col("o_custkey").cast("string"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).cast("string"), priority))
+      val old = orders.select(col("o_orderkey").as("k"), rowHash(col("o_orderpriority")).as("h"))
+      val newSnap = orders
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          rowHash(when(col("o_orderkey") % 89 === 0, reverse(col("o_orderpriority")))
+            .otherwise(col("o_orderpriority"))).as("h"))
+        .unionAll(orders
+          .filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"), rowHash(col("o_orderpriority")).as("h")))
+      old.as("old").join(newSnap.as("new"), col("new.k") === col("old.k"), "full_outer")
+        .filter(col("old.k").isNull || col("new.k").isNull || col("old.h") =!= col("new.h"))
+        .select(
+          coalesce(col("old.k"), col("new.k")).as("o_orderkey"),
+          when(col("old.k").isNull, "added")
+            .when(col("new.k").isNull, "removed")
+            .otherwise("changed").as("diff_kind"))
     }
   )
 }

@@ -116,6 +116,54 @@ object EventsOps {
           max(col("ts_ms")).cast("long").as("session_end_ms"))
     },
 
+    // ── win_islands: gaps-and-islands — consecutive purchase-day runs
+    // per user via the row_number-difference trick (day_num - rn is
+    // constant within a consecutive run). The classic DW streak /
+    // coverage-hole analysis (reference analog: the LQY reports'
+    // per-member activity grain, LQY_query2.txt). Day numbers are
+    // integer datediffs from a fixed epoch so the island key is exact
+    // integer arithmetic in both engines. The only event-volume shuffle
+    // is the (user, day) pre-aggregation, which combines map-side — a
+    // hot user costs one counter per day per task. Everything after it
+    // (the row_number window and the island rollup) moves per-day rows,
+    // bounded by users × calendar span regardless of corpus size, and
+    // the window partition is days-per-user, never raw events.
+    OpQuery.checked(
+      "win_islands",
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_num,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, day_num, n_events,
+        |         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island_key
+        |  FROM d)
+        |SELECT user_id,
+        |       DATE '2024-01-01' + CAST(min(day_num) AS INT) AS start_day,
+        |       DATE '2024-01-01' + CAST(max(day_num) AS INT) AS end_day,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id, island_key""".stripMargin
+    ) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      Tables(spark, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("island_key", col("day_num") - row_number().over(byUser))
+        .groupBy("user_id", "island_key")
+        .agg(
+          date_add(lit("2024-01-01").cast("date"), min(col("day_num")).cast("int")).as("start_day"),
+          date_add(lit("2024-01-01").cast("date"), max(col("day_num")).cast("int")).as("end_day"),
+          count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("n_events"))
+        .drop("island_key")
+    },
+
     // ── events_json_props: semi-structured property extraction — regex
     // field pull from the JSON props column, aggregated per event type.
     OpQuery.checked(

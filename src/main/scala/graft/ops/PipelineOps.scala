@@ -74,6 +74,90 @@ object PipelineOps {
             && col("stop_hits") >= 2, 1L).otherwise(0L).as("keep"))
     },
 
+    // ── text_repetition_topngram: the OTHER half of the Gopher
+    // repetition gate (Rae et al. 2021, §A1.1) — the fraction of the
+    // document consumed by its single most frequent 2-gram / 3-gram
+    // (text_gopher_quality covers the duplicate-word fraction). Grams
+    // are built inside the array column (no self-join), counted with a
+    // hash aggregation whose partial combine absorbs repetitive docs
+    // map-side, and the per-doc argmax is a struct-min aggregation
+    // (count desc, gram asc tie-break) — window-free, so a pathological
+    // doc never pins a window partition. Cost is linear in corpus
+    // tokens: two shuffles carrying (doc_id, gram) pairs, then a 1:1
+    // co-partitioned join of the two gram sizes. Fractions are
+    // long/long single divisions ⇒ engine-exact. Thresholds tuned to
+    // the synthetic corpus (occurrence fraction, not Gopher's
+    // char fraction — documented deviation).
+    OpQuery.checked(
+      "text_repetition_topngram",
+      """WITH w AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS ws
+        |  FROM documents WHERE len(str_split(trim(text), ' ')) >= 4),
+        |g2 AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         unnest(list_transform(generate_series(1, len(ws)-1),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM w),
+        |c2 AS (
+        |  SELECT doc_id, n_words, gram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT doc_id, n_words, gram AS top2_gram, cnt AS top2_cnt
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY cnt DESC, gram) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |g3 AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws)-2),
+        |                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM w),
+        |c3 AS (
+        |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM g3 GROUP BY 1, 2),
+        |t3 AS (
+        |  SELECT doc_id, gram AS top3_gram, cnt AS top3_cnt
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY cnt DESC, gram) AS rn FROM c3)
+        |  WHERE rn = 1)
+        |SELECT t2.doc_id, n_words, top2_gram, top2_cnt,
+        |       top2_cnt / (n_words - 1) AS top2_frac,
+        |       top3_gram, top3_cnt,
+        |       top3_cnt / (n_words - 2) AS top3_frac,
+        |       CAST(CASE WHEN top2_cnt / (n_words - 1) <= 0.04
+        |                  AND top3_cnt / (n_words - 2) <= 0.025
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM t2 JOIN t3 ON t3.doc_id = t2.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), expr("split(trim(text), ' ')").as("ws"))
+        .filter(size(col("ws")) >= 4)
+      def topGram(n: Int, prefix: String) = {
+        val gramExpr =
+          s"""transform(sequence(1, size(ws) - ${n - 1}),
+             |          i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"""
+            .stripMargin
+        docs
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+            explode(expr(gramExpr)).as("gram"))
+          .groupBy("doc_id", "n_words", "gram")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id", "n_words")
+          .agg(min(struct((-col("cnt")).as("neg"), col("gram").as("g"))).as("top"))
+          .select(col("doc_id"), col("n_words"),
+            col("top.g").as(s"${prefix}_gram"), (-col("top.neg")).as(s"${prefix}_cnt"))
+      }
+      topGram(2, "top2")
+        .join(topGram(3, "top3").drop("n_words"), Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_words"), col("top2_gram"), col("top2_cnt"),
+          (col("top2_cnt") / (col("n_words") - 1)).as("top2_frac"),
+          col("top3_gram"), col("top3_cnt"),
+          (col("top3_cnt") / (col("n_words") - 2)).as("top3_frac"),
+          when((col("top2_cnt") / (col("n_words") - 1)) <= 0.04
+            && (col("top3_cnt") / (col("n_words") - 2)) <= 0.025, 1L)
+            .otherwise(0L).as("keep"))
+    },
+
     // ── text_seqlen_pack: pack documents into fixed token-budget shards
     // (the pretraining sequence-packing step). The scalable shape is
     // two-level: a deterministic bucket key (doc_id % B) bounds every
