@@ -139,6 +139,35 @@ class PlanQualitySpec extends SparkSuite {
       "partitioned-fact scan lost its dynamicpruningexpression — DPP regressed")
   }
 
+  test("join_bloom_runtime_filter probes the bitset below the fact exchange") {
+    // static planner: the AQE wrapper hides the tree from collect(), and
+    // the dim must not silently become a broadcast at test scale
+    val plan = withStaticPlanner {
+      val df = graft.SparkEntry.queries("join_bloom_runtime_filter")(spark, sf001)
+      df.queryExecution.executedPlan
+    }
+    assert(plan.toString.contains("SortMergeJoin"),
+      "the op models the non-broadcastable dim regime — the join must stay merge")
+    // structural: the bloom probe lives in the fact SCAN stage — its own
+    // subtree reaches the parquet scan with no exchange in between, and
+    // at least one shuffle sits strictly ABOVE it (so the probe reduces
+    // shuffle input, not shuffle output)
+    val probes = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("bloom_contains") => f
+    }
+    assert(probes.nonEmpty, "bloom_contains filter vanished from the physical plan")
+    val probe = probes.head
+    assert(probe.collect { case s: FileSourceScanExec => s }.nonEmpty
+      && !probe.children.mkString.contains("Exchange"),
+      "probe must sit directly on the fact scan")
+    val above = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.collect { case f if f eq probe => f }.nonEmpty => e
+    }
+    assert(above.nonEmpty, "no shuffle above the probe — the reduction buys nothing")
+  }
+
   test("dedup_fuzzy_editdist computes levenshtein exactly once") {
     val df = graft.SparkEntry.queries("dedup_fuzzy_editdist")(spark, sf001)
     val n = "levenshtein".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
