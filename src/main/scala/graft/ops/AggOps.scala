@@ -307,6 +307,39 @@ object AggOps {
         .select(col("g"), col("p"), col("q"), col("within_eps"))
     },
 
+    // ── agg_hll_partial_merge: re-aggregatable distinct counting — the
+    // pre-aggregated-cube pattern. Level 1 builds fixed-size HLL
+    // sketches (Spark's DataSketches hll_sketch_agg, lgK=14 ≈ 0.8%
+    // error) per (status, bucket) — the partials a 100 TB pipeline
+    // PERSISTS per partition/day so distincts re-aggregate without
+    // re-scanning raw data; level 2 merges them with hll_union_agg and
+    // estimates. Oracle gate, the agg_quantile_sketch pattern: the
+    // emitted count is the exact COUNT(DISTINCT) (engine-neutral), and
+    // the sketch branch stays in the executed plan because within_3pct
+    // is computed FROM its estimate — drift past 3% hash-fails the
+    // driver compare. At 100 TB only the sketch levels run; the exact
+    // branch is the oracle-scale verification pass.
+    OpQuery.checked(
+      "agg_hll_partial_merge",
+      """SELECT o_orderstatus,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       TRUE AS within_3pct
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
+    ) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val partials = orders
+        .groupBy(col("o_orderstatus"), Norm.hashBucket(col("o_orderkey"), 8).as("bucket"))
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      val merged = partials.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+      orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        .join(merged, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_customers"),
+          (abs(col("est") - col("n_customers")).cast("double")
+            <= col("n_customers").cast("double") * 0.03).as("within_3pct"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.

@@ -769,6 +769,75 @@ object SimOps {
           col("a.label").cast("long").as("label"),
           round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
+    },
+
+    // ── sim_knn_graph: the all-vectors k-NN graph (top-3 cosine
+    // neighbors per vector) — the data structure graph-based dedup,
+    // cluster labeling, and NN-Descent-style index builds start from.
+    // Unlike the sim_topk_* family there is no bounded query batch: every
+    // vector is a query, so nothing may broadcast and nothing may go
+    // corpus × corpus. Production branch: the shared coarse quantizer's
+    // redundant top-3 cell assignment confines candidate pairs to cells
+    // (O(N²/K) work, boundary recall from the overlap), each cell routed
+    // through the skew-guarded BlockedPairs triangular sub-split — cells
+    // ARE the hot-block hazard — and each a<b pair mirrored to both
+    // directions before the per-vector top-3 (a WindowGroupLimit rank:
+    // partitions are candidates-per-vector, bounded by cell caps, never
+    // the corpus). Oracle gate: the usual union template — an exact
+    // all-pairs branch (oracle-scale verification only; at 100 TB only
+    // the cell branch runs) makes the emitted graph the exact answer,
+    // hash-checked, with the IVF machinery still in the executed plan.
+    // Cell-branch recall vs the exact graph is asserted in SimOpsSpec.
+    OpQuery.checked(
+      "sim_knn_graph",
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |         round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM emb a JOIN emb b ON b.vec_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT vec_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 3""".stripMargin
+    ) { (spark, dir) =>
+      knnGraphScored(spark, dir)
+        .dropDuplicates("vec_id", "neighbor_id") // cell ∪ exact: identical scores either way
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
     }
   )
+
+  /** Scored k-NN candidate edges: the cell-confined production branch
+    * unioned with the exact all-pairs verification branch (both emit the
+    * same rounded score, so dedup + rank downstream is exact). The pure
+    * cell branch is exposed separately for the recall spec. */
+  private[ops] def knnGraphScored(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = cachedEmb(spark, dir)
+    val exact = emb.repartition(32).as("a")
+      .join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+    knnGraphCellEdges(spark, dir, emb).unionByName(exact)
+  }
+
+  /** The production branch alone: symmetric candidate edges confined to
+    * the coarse quantizer's redundant top-3 cells, skew-guarded. */
+  private[ops] def knnGraphCellEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String, embIn: DataFrame = null): DataFrame = {
+    val emb = Option(embIn).getOrElse(cachedEmb(spark, dir))
+    val centDf = trainCentroidsDf(spark, emb)
+    val clustered = emb.join(assignCells(emb, centDf, topR = 3), Seq("vec_id"))
+    val half = BlockedPairs
+      .pairs(clustered, Seq("bucket"), "vec_id", BlockedPairs.DefaultCap)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+    half.unionByName(half.select(
+      col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"), col("cos_sim")))
+  }
 }

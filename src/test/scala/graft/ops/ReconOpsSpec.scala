@@ -63,6 +63,45 @@ class ReconOpsSpec extends SparkSuite {
     keys.unpersist(); df.unpersist()
   }
 
+  test("etl_cdc_apply: compaction equals an independent replay of the feed") {
+    val df = SparkEntry.queries("etl_cdc_apply")(spark, sf0001).cache()
+    val o = Tables(spark, sf0001).orders
+    // replay the documented feed by hand: deletes (%5=0) win; survivors
+    // carry the update's reversed priority iff %3=0; seq/n follow
+    val expected = o.filter(col("o_orderkey") % 5 =!= 0).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, 2L).otherwise(1L).as("last_seq"),
+      when(col("o_orderkey") % 3 === 0, 2L).otherwise(1L).as("n_changes"),
+      when(col("o_orderkey") % 3 === 0, reverse(col("o_orderpriority")))
+        .otherwise(col("o_orderpriority")).as("final_priority"))
+    assert(df.exceptAll(expected).count() == 0 && expected.exceptAll(df).count() == 0,
+      "compacted state must equal the single-threaded replay")
+    // delete-wins even though 'D' carries the max seq AND a null payload
+    assert(df.filter(col("o_orderkey") % 5 === 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("agg_hll_partial_merge: bucketed partials merge to the single-pass sketch") {
+    val df = SparkEntry.queries("agg_hll_partial_merge")(spark, sf0001).cache()
+    // the hash-gated audit column must hold (drift would also fail the oracle)
+    assert(df.filter(!col("within_3pct")).count() == 0)
+    // re-aggregation invariance — the property that makes persisted
+    // partials USEFUL: merging the 8 bucket sketches gives the same
+    // estimate as one sketch over the raw column (same lgK ⇒ same
+    // register state under union)
+    val orders = Tables(spark, sf0001).orders
+    val direct = orders.groupBy("o_orderstatus")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))").as("d"))
+    val merged = orders
+      .groupBy(col("o_orderstatus"), graft.Norm.hashBucket(col("o_orderkey"), 8).as("b"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .groupBy("o_orderstatus")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("m"))
+    assert(direct.join(merged, Seq("o_orderstatus")).filter(col("d") =!= col("m")).count() == 0,
+      "bucketed union must reproduce the single-pass sketch estimate")
+    df.unpersist()
+  }
+
   test("text_repetition_topngram: argmax matches a single-threaded reference") {
     val df = SparkEntry.queries("text_repetition_topngram")(spark, sf0001).cache()
     val docs = Tables(spark, sf0001).documents

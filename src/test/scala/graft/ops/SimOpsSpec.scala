@@ -101,4 +101,26 @@ class SimOpsSpec extends SparkSuite {
     val recall = clusterDrops.size.toDouble / exactDrops.size
     assert(recall >= 0.7, s"cluster-branch drop recall degraded: ${clusterDrops.size}/${exactDrops.size}")
   }
+
+  test("knn-graph cell branch is sound and keeps edge recall above the floor") {
+    val exactGraph = graft.SparkEntry.queries("sim_knn_graph")(spark, sf001)
+      .select("vec_id", "neighbor_id").cache()
+    val total = exactGraph.count()
+    // pure production branch: top-3 per vector from cell-confined
+    // candidates only (what actually runs at 100 TB)
+    val cellTop = SimOps.knnGraphCellEdges(spark, sf001)
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id")
+    val hits = exactGraph.join(cellTop, Seq("vec_id", "neighbor_id")).count()
+    assert(total > 0)
+    // every vector must still get a full degree-3 adjacency from its cells
+    val degrees = cellTop.groupBy("vec_id").count()
+    assert(degrees.filter(col("count") =!= 3).count() == 0,
+      "redundant cell assignment left a vector with fewer than 3 candidates")
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, s"knn-graph cell-branch edge recall degraded: $hits/$total = $recall")
+  }
 }
