@@ -461,6 +461,57 @@ object EtlOps {
           when(col("old.k").isNull, "added")
             .when(col("new.k").isNull, "removed")
             .otherwise("changed").as("diff_kind"))
+    },
+
+    // ── etl_cdc_apply: ordered-changelog compaction — collapse a CDC
+    // feed (insert / update / delete events with a per-key sequence)
+    // into the final table state, the apply step of any log-shipped
+    // replication into the lakehouse. The reference's incremental load
+    // re-derives state from OLTP (06_IncrementalLoading.sql); this is
+    // the event-sourced equivalent. The winner per key is a struct-MAX
+    // AGGREGATION on (seq, op, payload), not a window: partial
+    // aggregation combines map-side, so a hot key with millions of
+    // updates costs one struct per task instead of shipping its whole
+    // history into a single window partition — and delete-wins falls
+    // out of ordinary max semantics. The feed is derived
+    // deterministically from orders (every key inserts; %3=0 updates;
+    // %5=0 deletes last).
+    OpQuery.checked(
+      "etl_cdc_apply",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+        |         o_orderpriority AS pri FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', reverse(o_orderpriority)
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', CAST(NULL AS VARCHAR)
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+        |         count(*) OVER (PARTITION BY k) AS n_changes
+        |  FROM ch)
+        |SELECT k AS o_orderkey, CAST(seq AS BIGINT) AS last_seq,
+        |       CAST(n_changes AS BIGINT) AS n_changes, pri AS final_priority
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+    ) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val changes = orders
+        .select(col("o_orderkey").as("k"), lit(1L).as("seq"), lit("I").as("op"),
+          col("o_orderpriority").as("pri"))
+        .unionAll(orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
+            reverse(col("o_orderpriority")).as("pri")))
+        .unionAll(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("string").as("pri")))
+      changes
+        .groupBy("k")
+        .agg(max(struct(col("seq"), col("op"), col("pri"))).as("last"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last.op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("last.seq").as("last_seq"),
+          col("n_changes"), col("last.pri").as("final_priority"))
     }
   )
 }

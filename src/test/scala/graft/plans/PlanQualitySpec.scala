@@ -83,6 +83,20 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("round-6 ops carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      // sim_knn_graph included deliberately: it has NO bounded query batch
+      // (every vector is a query), so unlike the sim_topk_* family nothing
+      // at all may broadcast from the embeddings corpus without aggregation
+      for (q <- Seq("win_islands", "etl_table_diff", "etl_cdc_apply",
+        "text_repetition_topngram", "sim_knn_graph", "agg_hll_partial_merge")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
   test("sim_* query-batch broadcasts are capped by construction") {
     // The ANN ops broadcast the query batch — a filter of the embeddings
     // corpus. That is only scale-safe because querySample hard-caps it
