@@ -340,6 +340,28 @@ object AggOps {
             <= col("n_customers").cast("double") * 0.03).as("within_3pct"))
     },
 
+    // ── agg_distinct_overlap: pairwise audience overlap — how many
+    // customers appear in BOTH of two order-status segments, for every
+    // segment pair (the set-intersection analytics theta sketches
+    // approximate; exact here, and exactly scalable): dedup to the
+    // (segment, entity) grain FIRST with a map-side-combining distinct,
+    // then self-join on the entity key — co-partitioned, and the
+    // per-entity fan-out is bounded by segments², never by row count.
+    OpQuery.checked(
+      "agg_distinct_overlap",
+      """WITH su AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders)
+        |SELECT a.st AS status_a, b.st AS status_b,
+        |       CAST(count(*) AS BIGINT) AS n_both
+        |FROM su a JOIN su b ON b.c = a.c AND a.st < b.st
+        |GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      val su = Tables(spark, dir).orders
+        .select(col("o_orderstatus").as("st"), col("o_custkey").as("c")).distinct()
+      su.as("a").join(su.as("b"), col("b.c") === col("a.c") && col("a.st") < col("b.st"))
+        .groupBy(col("a.st").as("status_a"), col("b.st").as("status_b"))
+        .agg(count(lit(1)).as("n_both"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.

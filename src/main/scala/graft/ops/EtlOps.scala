@@ -411,27 +411,35 @@ object EtlOps {
     // null-pattern projection on the co-partitioned result. md5 over a
     // '|'-joined rendering is bit-identical across engines (doubles are
     // deliberately excluded from the hash — float rendering is not
-    // portable; at 100 TB you'd hash a Decimal rendering instead). The
+    // portable; at 100 TB you'd hash a Decimal rendering instead); each
+    // field coalesces to a 0x01 sentinel first, so a NULL can never
+    // shift fields and collide two different rows (concat_ws silently
+    // drops NULLs — the classic diff-hash bug). The
     // "new" snapshot is derived deterministically from orders: keys
     // %97=0 dropped, %89=0 re-prioritized, %101=0 re-keyed as inserts.
     OpQuery.checked(
       "etl_table_diff",
       """WITH old AS (
         |  SELECT o_orderkey AS k,
-        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)) AS h
+        |         md5(concat_ws('|', coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                       coalesce(o_orderstatus, chr(1)),
+        |                       coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1)),
+        |                       coalesce(o_orderpriority, chr(1)))) AS h
         |  FROM orders),
         |new AS (
         |  SELECT o_orderkey AS k,
-        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
-        |                       CASE WHEN o_orderkey % 89 = 0 THEN reverse(o_orderpriority)
-        |                            ELSE o_orderpriority END)) AS h
+        |         md5(concat_ws('|', coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                       coalesce(o_orderstatus, chr(1)),
+        |                       coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1)),
+        |                       coalesce(CASE WHEN o_orderkey % 89 = 0 THEN reverse(o_orderpriority)
+        |                                     ELSE o_orderpriority END, chr(1)))) AS h
         |  FROM orders WHERE o_orderkey % 97 <> 0
         |  UNION ALL
         |  SELECT o_orderkey + 10000000 AS k,
-        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)) AS h
+        |         md5(concat_ws('|', coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                       coalesce(o_orderstatus, chr(1)),
+        |                       coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1)),
+        |                       coalesce(o_orderpriority, chr(1)))) AS h
         |  FROM orders WHERE o_orderkey % 101 = 0)
         |SELECT COALESCE(old.k, new.k) AS o_orderkey,
         |       CASE WHEN old.k IS NULL THEN 'added'
@@ -443,8 +451,10 @@ object EtlOps {
       val orders = Tables(spark, dir).orders
       def rowHash(priority: org.apache.spark.sql.Column) =
         md5(concat_ws("|",
-          col("o_custkey").cast("string"), col("o_orderstatus"),
-          to_date(col("o_orderdate")).cast("string"), priority))
+          coalesce(col("o_custkey").cast("string"), lit("\u0001")),
+          coalesce(col("o_orderstatus"), lit("\u0001")),
+          coalesce(to_date(col("o_orderdate")).cast("string"), lit("\u0001")),
+          coalesce(priority, lit("\u0001"))))
       val old = orders.select(col("o_orderkey").as("k"), rowHash(col("o_orderpriority")).as("h"))
       val newSnap = orders
         .filter(col("o_orderkey") % 97 =!= 0)

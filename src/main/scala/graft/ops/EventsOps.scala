@@ -164,6 +164,40 @@ object EventsOps {
         .drop("island_key")
     },
 
+    // ── events_markov_transitions: the journey transition matrix —
+    // bigram counts of consecutive event types per user, with row-
+    // normalized probabilities. The per-user lag window is bounded by
+    // events-per-user (bucket by (user, day) at 100 TB, as sessionize
+    // documents); the transition count is a map-side-combining hash agg
+    // whose output grain is event-type², so the normalizing window runs
+    // on a constant-size frame no matter the corpus. p is a single
+    // BIGINT/BIGINT division ⇒ engine-exact (the window sum is cast
+    // back to BIGINT before dividing — DuckDB widens to HUGEINT).
+    OpQuery.checked(
+      "events_markov_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+        |FROM c""".stripMargin
+    ) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byFrom = Window.partitionBy(col("from_type"))
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n") / sum(col("n")).over(byFrom).cast("long"))
+    },
+
     // ── events_json_props: semi-structured property extraction — regex
     // field pull from the JSON props column, aggregated per event type.
     OpQuery.checked(

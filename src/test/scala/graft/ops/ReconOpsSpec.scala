@@ -102,6 +102,37 @@ class ReconOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("events_markov_transitions: rows normalize and transitions are conserved") {
+    val df = SparkEntry.queries("events_markov_transitions")(spark, sf0001).cache()
+    val ev = Tables(spark, sf0001).events
+    // conservation: every event except each user's first is a transition
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.agg(sum("n")).head.getLong(0) == expected,
+      "transition counts must partition the non-initial events")
+    // each from-row of the matrix is a probability distribution
+    val rows = df.groupBy("from_type").agg(sum("p").as("sp")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"row ${r.getString(0)} does not normalize: ${r.getDouble(1)}"))
+    assert(df.filter(col("p") <= 0 || col("p") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("agg_distinct_overlap: intersections match set arithmetic per pair") {
+    val df = SparkEntry.queries("agg_distinct_overlap")(spark, sf0001).cache()
+    val o = Tables(spark, sf0001).orders
+    def segment(st: String) = o.filter(col("o_orderstatus") === st)
+      .select("o_custkey").distinct()
+    // recompute every emitted pair with plain set intersection
+    df.collect().foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, "pairs must be emitted once, ordered")
+      val expected = segment(a).intersect(segment(b)).count()
+      assert(n == expected, s"overlap($a,$b)=$n, set intersection says $expected")
+      assert(n <= math.min(segment(a).count(), segment(b).count()))
+    }
+    df.unpersist()
+  }
+
   test("text_repetition_topngram: argmax matches a single-threaded reference") {
     val df = SparkEntry.queries("text_repetition_topngram")(spark, sf0001).cache()
     val docs = Tables(spark, sf0001).documents

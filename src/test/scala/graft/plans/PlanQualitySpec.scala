@@ -89,7 +89,8 @@ class PlanQualitySpec extends SparkSuite {
       // (every vector is a query), so unlike the sim_topk_* family nothing
       // at all may broadcast from the embeddings corpus without aggregation
       for (q <- Seq("win_islands", "etl_table_diff", "etl_cdc_apply",
-        "text_repetition_topngram", "sim_knn_graph", "agg_hll_partial_merge")) {
+        "text_repetition_topngram", "sim_knn_graph", "agg_hll_partial_merge",
+        "events_markov_transitions", "agg_distinct_overlap")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
