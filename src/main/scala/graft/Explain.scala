@@ -15,7 +15,8 @@ object Explain {
     val keys  = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_genre_sales", "join_inner_equi", "filter_basic", "sim_cosine_topk",
                          "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans",
-                         "join_asof", "io_bucketed_join", "text_tfidf", "join_dpp_prune", "setop_family")
+                         "join_asof", "io_bucketed_join", "text_tfidf", "join_dpp_prune", "setop_family",
+                         "join_bloom_runtime_filter", "sim_knn_graph", "etl_table_diff")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -96,6 +96,53 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming journey transitions ──────────────────────────────────────
+
+  final case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  final case class TransState(lastTsMs: Long, lastEventId: Long, lastType: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event-type transitions — the incremental feed of the batch
+    * `events_markov_transitions` matrix: each arriving event emits one
+    * (from, to) bigram against its user's previous event, held in state.
+    * State per user is one (ts, id, type) triple — bounded regardless of
+    * volume — and the stream shuffles once on user_id. Within a delivery
+    * events sort by (ts, event_id), the batch op's exact order; across
+    * deliveries the transition links to whatever state holds, so the
+    * replay-equivalence contract is in-order delivery per user (the same
+    * delivery contract the SCD2 sink documents — late events are the
+    * watermark domain, not this operator's). */
+  def transitions(events: Dataset[EvT]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EvT], state: GroupState[TransState]) => {
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var st     = state.getOption
+          val out    = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          sorted.foreach { e =>
+            st.foreach(s => out += Transition(userId, s.lastType, e.event_type))
+            st = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Start the transition feed from a parquet directory into a memory
+    * sink. */
+  def startTransitions(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id", "event_type").as[EvT]
+    transitions(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

@@ -24,6 +24,27 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions replay to the batch markov matrix on real input files") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_trans_spec").toString
+    // in-order delivery per the documented contract: one time-sorted file
+    Tables(spark, sf0001).events
+      .orderBy("ts", "event_id").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startTransitions(spark, staged, "trans_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("trans_test")
+        .groupBy("from_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.SparkEntry.queries("events_markov_transitions")(spark, sf0001)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed transition counts diverge from the batch matrix: " +
+          s"onlyStream=${streamed.keySet -- batch.keySet} onlyBatch=${batch.keySet -- streamed.keySet}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
