@@ -403,7 +403,7 @@ object EtlOps {
 
     // ── etl_table_diff: snapshot reconciliation — classify every key of
     // two table versions as added / removed / changed, the audit step
-    // after any reference reload (06_IncrementalLoading.sql re-derives
+    // after any reference reload (07_SubsequentLoading.sql re-derives
     // the DW from OLTP; this op is how you prove two derivations agree).
     // The 100 TB shape: each side is projected to (key, md5 row-hash)
     // BEFORE the join, so the full-outer shuffle carries 8+32 bytes per
@@ -477,7 +477,7 @@ object EtlOps {
     // feed (insert / update / delete events with a per-key sequence)
     // into the final table state, the apply step of any log-shipped
     // replication into the lakehouse. The reference's incremental load
-    // re-derives state from OLTP (06_IncrementalLoading.sql); this is
+    // re-derives state from OLTP (07_SubsequentLoading.sql); this is
     // the event-sourced equivalent. The winner per key is a struct-MAX
     // AGGREGATION on (seq, op, payload), not a window: partial
     // aggregation combines map-side, so a hot key with millions of
