@@ -331,7 +331,7 @@ object AggOps {
         .groupBy(col("o_orderstatus"), Norm.hashBucket(col("o_orderkey"), 8).as("bucket"))
         .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
       val merged = partials.groupBy("o_orderstatus")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
       orders.groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("n_customers"))
         .join(merged, Seq("o_orderstatus"))

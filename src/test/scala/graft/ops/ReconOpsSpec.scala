@@ -96,7 +96,7 @@ class ReconOpsSpec extends SparkSuite {
       .groupBy(col("o_orderstatus"), graft.Norm.hashBucket(col("o_orderkey"), 8).as("b"))
       .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
       .groupBy("o_orderstatus")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("m"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("m"))
     assert(direct.join(merged, Seq("o_orderstatus")).filter(col("d") =!= col("m")).count() == 0,
       "bucketed union must reproduce the single-pass sketch estimate")
     df.unpersist()
