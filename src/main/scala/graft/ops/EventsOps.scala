@@ -172,12 +172,18 @@ object EventsOps {
     // whose output grain is event-type², so the normalizing window runs
     // on a constant-size frame no matter the corpus. p is a single
     // BIGINT/BIGINT division ⇒ engine-exact (the window sum is cast
-    // back to BIGINT before dividing — DuckDB widens to HUGEINT).
+    // back to BIGINT before dividing — DuckDB widens to HUGEINT). The
+    // oracle orders by the MICROSECOND-truncated timestamp (CAST from
+    // the parquet's nanosecond type) so both engines resolve ties at
+    // the same precision before the event_id tiebreak — Spark truncates
+    // to micros on read, and without the cast DuckDB would break
+    // sub-microsecond "ties" by nanos that Spark cannot see.
     OpQuery.checked(
       "events_markov_transitions",
       """WITH seq AS (
         |  SELECT event_type,
-        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
         |  FROM events),
         |c AS (
         |  SELECT prev_type AS from_type, event_type AS to_type,

@@ -99,31 +99,44 @@ object EventsStream {
   // ── streaming journey transitions ──────────────────────────────────────
 
   final case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
-  final case class TransState(lastTsMs: Long, lastEventId: Long, lastType: String)
+  final case class TransState(lastMicros: Long, lastEventId: Long, lastType: String)
   final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Full-precision epoch micros — the granularity Spark timestamps carry.
+    * getTime alone is MILLIS and would collapse sub-ms orderings that the
+    * batch op's (ts, event_id) window sort distinguishes. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming event-type transitions — the incremental feed of the batch
     * `events_markov_transitions` matrix: each arriving event emits one
     * (from, to) bigram against its user's previous event, held in state.
-    * State per user is one (ts, id, type) triple — bounded regardless of
-    * volume — and the stream shuffles once on user_id. Within a delivery
-    * events sort by (ts, event_id), the batch op's exact order; across
-    * deliveries the transition links to whatever state holds, so the
-    * replay-equivalence contract is in-order delivery per user (the same
-    * delivery contract the SCD2 sink documents — late events are the
-    * watermark domain, not this operator's). */
+    * State per user is one (micros, id, type) triple — bounded regardless
+    * of volume — and the stream shuffles once on user_id. Within a
+    * delivery events sort by (micros, event_id), the batch op's exact
+    * order; across deliveries an event that regresses behind the stored
+    * state is LATE and is dropped deterministically (the watermark-style
+    * choice: a deterministic drop beats silently emitting a backwards
+    * bigram the batch op would never produce), so replay equivalence
+    * holds exactly under in-order delivery per user — the same delivery
+    * contract the SCD2 sink documents. */
   def transitions(events: Dataset[EvT]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[EvT], state: GroupState[TransState]) => {
-          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
           var st     = state.getOption
           val out    = scala.collection.mutable.ArrayBuffer.empty[Transition]
           sorted.foreach { e =>
-            st.foreach(s => out += Transition(userId, s.lastType, e.event_type))
-            st = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            val m = tsMicros(e.ts)
+            val late = st.exists(s =>
+              s.lastMicros > m || (s.lastMicros == m && s.lastEventId >= e.event_id))
+            if (!late) {
+              st.foreach(s => out += Transition(userId, s.lastType, e.event_type))
+              st = Some(TransState(m, e.event_id, e.event_type))
+            } // else: regressed behind state (earlier delivery) — dropped
           }
           st.foreach(state.update)
           out.iterator

@@ -117,7 +117,11 @@ class SimOpsSpec extends SparkSuite {
     val hits = exactGraph.join(cellTop, Seq("vec_id", "neighbor_id")).count()
     assert(total > 0)
     // every vector must still get a full degree-3 adjacency from its cells
+    // (count the vectors too — a vector with ZERO candidates contributes
+    // no degree row at all and would otherwise pass vacuously)
     val degrees = cellTop.groupBy("vec_id").count()
+    assert(degrees.count() == exactGraph.select("vec_id").distinct().count(),
+      "some vector produced no cell-confined candidates at all")
     assert(degrees.filter(col("count") =!= 3).count() == 0,
       "redundant cell assignment left a vector with fewer than 3 candidates")
     val recall = hits.toDouble / total
