@@ -156,6 +156,41 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming windowed heavy hitters ──────────────────────────────────
+
+  /** Windowed streaming heavy hitters — the same mergeable SpaceSaving
+    * TypedImperativeAggregate the batch text_heavy_hitters op uses,
+    * running unchanged inside a watermarked 6-hour tumbling window over
+    * the event property values. This is the point of building sketches
+    * as mergeable aggregates: streaming state per window is the fixed
+    * O(capacity) counter summary, partials combine map-side within each
+    * micro-batch, and the watermark retires window state — bounded
+    * memory at any event rate. Per-item estimates are merge-order-
+    * dependent (documented on the batch op too); the replay-equivalence
+    * spec checks the order-independent guarantees instead: summary size
+    * and guaranteed-heavy membership match the batch aggregation. */
+  def windowedTopK(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "6 hours").as("w"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("k_prop"))
+      .groupBy("w")
+      .agg(expr("spacesaving_topk(k_prop, 32, 32)").as("top"))
+      .select(col("w.start").as("window_start"), col("top"))
+
+  /** Start the windowed top-k sketch from a parquet directory into a
+    * memory sink (complete mode: the sink always holds the final summary
+    * per window). */
+  def startWindowedTopK(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    graft.functions.SpaceSavingTopK.register(spark)
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    windowedTopK(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

@@ -45,6 +45,40 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters keep the SpaceSaving guarantees per window") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_hh_spec").toString
+    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    graft.functions.SpaceSavingTopK.register(spark)
+    val q = EventsStream.startWindowedTopK(spark, staged, "hh_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_test")
+        .select(col("window_start"), col("top.item").as("items"), size(col("top")).as("n_tracked"))
+        .collect().map(r => r.getTimestamp(0) -> (r.getSeq[String](1).toSet, r.getInt(2))).toMap
+      // batch reference: exact per-window counts on the same files
+      val exact = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"),
+          regexp_extract(col("props"), "([0-9]+)", 1).as("k_prop"))
+        .groupBy("ws", "k_prop").count()
+        .collect().groupBy(_.getTimestamp(0))
+      assert(streamed.keySet == exact.keySet, "window grids must match")
+      exact.foreach { case (ws, rows) =>
+        val (items, nTracked) = streamed(ws)
+        val universe = rows.length
+        val total = rows.map(_.getLong(2)).sum
+        // order-independent summary size: min(capacity, universe)
+        assert(nTracked == math.min(32, universe),
+          s"window $ws tracked $nTracked of universe $universe")
+        // SpaceSaving guarantee: every item with count > total/capacity
+        // is in the summary, regardless of merge order
+        val mustHave = rows.filter(_.getLong(2) > total / 32).map(_.getString(1)).toSet
+        assert(mustHave.subsetOf(items),
+          s"window $ws lost guaranteed-heavy items: ${mustHave -- items}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
