@@ -17,7 +17,17 @@ import scala.collection.mutable.ArrayBuffer
   * merge associatively (the KLL/MRL compactor family — Karnin, Lang,
   * Liberty, FOCS'16; Manku, Rajagopalan, Lindsay, SIGMOD'98 — in the
   * uniform-capacity variant, with DETERMINISTIC alternating compaction
-  * instead of coin flips so runs reproduce).
+  * instead of coin flips). Determinism caveat, stated precisely: the
+  * alternating flip makes each single-partition compaction sequence
+  * reproducible (no RNG anywhere), but the DISTRIBUTED result still
+  * depends on the order partial sketches arrive at merge() — Spark
+  * fetches shuffle blocks in nondeterministic order, so two runs can
+  * keep different survivor sets. The rank-error bound (±ε per level
+  * mass) holds for every merge order; only which values inside that
+  * bound survive varies. Consumers must treat estimates as
+  * bound-guaranteed, not run-reproducible — which is why
+  * agg_quantile_sketch emits the EXACT value-at-rank and audits the
+  * estimates against ε in-plan instead of hashing them.
   *
   * Structure: level i holds values of weight 2^i, at most `k` per level.
   * A full level sorts, keeps every other element (the survivor offset

@@ -253,9 +253,7 @@ object JoinOps {
       val t = Tables(spark, dir)
       val dim = t.customer.filter(col("c_nationkey") < 5)
         .select(col("c_custkey"), col("c_nationkey").cast("long"))
-      val bloom = dim
-        .agg(expr("bloom_build(CAST(c_custkey AS STRING), 1048576, 5)").as("bf"))
-        .head().getAs[Array[Byte]](0)
+      val bloom = bloomBitset(dim, dir)
       t.orders
         .filter(call_function("bloom_contains",
           lit(bloom), col("o_custkey").cast("string"), lit(5)))
@@ -265,4 +263,17 @@ object JoinOps {
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("revenue"))
     }
   )
+
+  /** Memoized dim-key bitset, one per testdata dir (the cachedEmb
+    * convention): the bloom build is an eager collect — a real job — and
+    * without memoization every construction of the DataFrame (Explain,
+    * plan specs, bench warmup) would re-run it. One fixed 128 KiB entry
+    * per dir ever seen — two in practice (sf0.001 / sf0.01). */
+  private val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
+  private def bloomBitset(dim: org.apache.spark.sql.DataFrame, dir: String): Array[Byte] =
+    synchronized {
+      bloomCache.getOrElseUpdate(dir, dim
+        .agg(expr("bloom_build(CAST(c_custkey AS STRING), 1048576, 5)").as("bf"))
+        .head().getAs[Array[Byte]](0))
+    }
 }

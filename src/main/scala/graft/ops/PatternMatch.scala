@@ -35,17 +35,12 @@ object PatternMatch {
       key: String,
       orderCols: Seq[String],
       symbol: Column,
-      pattern: String): DataFrame = {
-    require(orderCols.nonEmpty, "orderCols must impose a total per-key order")
-    val ordStruct = struct((orderCols.map(col) :+ symbol.as("i")): _*)
-    events
-      .groupBy(col(key))
-      .agg(expr_sortedSeq(ordStruct).as("seq"))
+      pattern: String): DataFrame =
+    seqDf(events, key, orderCols, symbol)
       .select(
         col(key),
         length(col("seq")).cast("long").as("seq_len"),
         size(regexp_extract_all(col("seq"), lit(pattern), lit(0))).cast("long").as("n_matches"))
-  }
 
   /** ONE ROW PER MATCH with MEASURES — the Oracle 12c
     * `MATCH_RECOGNIZE ... MEASURES match_number(), ... ONE ROW PER MATCH`
@@ -67,22 +62,28 @@ object PatternMatch {
       key: String,
       orderCols: Seq[String],
       symbol: Column,
-      pattern: String): DataFrame = {
-    require(orderCols.nonEmpty, "orderCols must impose a total per-key order")
-    val ordStruct = struct((orderCols.map(col) :+ symbol.as("i")): _*)
-    events
-      .groupBy(col(key))
-      .agg(expr_sortedSeq(ordStruct).as("seq"))
+      pattern: String): DataFrame =
+    seqDf(events, key, orderCols, symbol)
       .select(col(key), posexplode(regexp_extract_all(col("seq"), lit(pattern), lit(0))))
       .select(
         col(key),
         (col("pos") + 1).cast("long").as("match_no"),
         col("col").as("matched"),
         length(col("col")).cast("long").as("match_len"))
-  }
 
-  /** collect_list → array_sort → symbol projection → join, as one
-    * aggregate expression (partials merge map-side). */
-  private def expr_sortedSeq(ordStruct: Column): Column =
-    array_join(transform(array_sort(collect_list(ordStruct)), x => x.getField("i")), "")
+  /** The shared DEFINE/ORDER step both entry points build on — one
+    * (key, seq) row per key, where seq is the classifier trace in total
+    * (orderCols) order: collect_list → array_sort → symbol projection →
+    * join, as one aggregate expression (partials merge map-side). Any
+    * change to the ordering or classifier contract lands here once, so
+    * count and measures can never disagree on match boundaries. */
+  private def seqDf(
+      events: DataFrame, key: String, orderCols: Seq[String], symbol: Column): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must impose a total per-key order")
+    val ordStruct = struct((orderCols.map(col) :+ symbol.as("i")): _*)
+    events
+      .groupBy(col(key))
+      .agg(array_join(transform(array_sort(collect_list(ordStruct)), x => x.getField("i")), "")
+        .as("seq"))
+  }
 }

@@ -411,7 +411,8 @@ object SimOps {
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qe,
          |         sqrt(${duckDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |  ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${duckDot("q.qe", "e.embedding")}
@@ -455,7 +456,8 @@ object SimOps {
          |            + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
-         |      FROM emb WHERE vec_id % 50 = 0),
+         |      FROM emb WHERE vec_id % 50 = 0
+         |      ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id, q.bucket,
          |         round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos_sim
@@ -521,7 +523,8 @@ object SimOps {
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qe,
          |         sqrt(${duckDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |  ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${duckDot("q.qe", "e.embedding")}
@@ -562,7 +565,8 @@ object SimOps {
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qe,
          |         sqrt(${duckDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |  ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${duckDot("q.qe", "e.embedding")}
@@ -622,7 +626,8 @@ object SimOps {
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qe,
          |         sqrt(${duckDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |  ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${duckDot("q.qe", "e.embedding")}
@@ -842,14 +847,16 @@ object SimOps {
       .join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-    top3(knnGraphCellEdges(spark, dir, emb)).unionByName(top3(exact))
+    top3(knnGraphCellEdges(spark, dir, Some(emb))).unionByName(top3(exact))
   }
 
   /** The production branch alone: symmetric candidate edges confined to
-    * the coarse quantizer's redundant top-3 cells, skew-guarded. */
+    * the coarse quantizer's redundant top-3 cells, skew-guarded.
+    * sharedEmb follows the ivf*Approx helpers' convention. */
   private[ops] def knnGraphCellEdges(
-      spark: org.apache.spark.sql.SparkSession, dir: String, embIn: DataFrame = null): DataFrame = {
-    val emb = Option(embIn).getOrElse(cachedEmb(spark, dir))
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sharedEmb: Option[DataFrame] = None): DataFrame = {
+    val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
     val centDf = trainCentroidsDf(spark, emb)
     val clustered = emb.join(assignCells(emb, centDf, topR = 3), Seq("vec_id"))
     val half = BlockedPairs

@@ -179,13 +179,19 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("top"))
 
   /** Start the windowed top-k sketch from a parquet directory into a
-    * memory sink (complete mode: the sink always holds the final summary
-    * per window). */
+    * memory sink. UPDATE mode, deliberately: complete mode never lets the
+    * watermark evict window state (Spark retains every window's aggregate
+    * forever there), which would contradict the bounded-memory claim
+    * above — in update mode the watermark retires windows and the sink
+    * receives each window's summary as it is revised. A window may
+    * therefore appear once per micro-batch that touched it; readers take
+    * the latest row per window (the test harness stages one time-sorted
+    * file, so each window appears exactly once). */
   def startWindowedTopK(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
     graft.functions.SpaceSavingTopK.register(spark)
     val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
     windowedTopK(src).writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()
