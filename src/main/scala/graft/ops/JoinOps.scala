@@ -261,8 +261,78 @@ object JoinOps {
         .groupBy(col("c_nationkey"),
           date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ── join_interval_overlap: interval×interval overlap join — which
+    // pairs of a supplier's shipments were in transit simultaneously
+    // (interval [ship, ship + quantity-derived transit days]; the
+    // testdata carries only l_shipdate, so the receipt end is derived
+    // deterministically — at the reference's site it is a real column).
+    // This is the temporal-join family member join_range (point-in-
+    // interval lookup) and join_asof (nearest-preceding) don't cover:
+    // BOTH sides are intervals, so there is no equi key and the naive
+    // plan is a per-supplier cartesian. Scale shape: explode each
+    // interval to the months it touches (bounded: transit ≤ 24 days →
+    // ≤ 2 bins/row) and equi-join on (supplier, month) — Catalyst gets
+    // a real shuffle key and the quadratic cost is confined to one
+    // (supplier, month) cell, the same grain-bounding argument as
+    // BlockedPairs. A pair spanning two shared bins would double-count,
+    // so each pair is claimed by exactly ONE bin — the month the overlap
+    // STARTS in (bin = month of greatest(a.s, b.s)): dedup by
+    // construction, no distinct needed. The oracle is the direct
+    // inequality join — binning is pure physical strategy.
+    OpQuery.checked(
+      "join_interval_overlap",
+      """WITH iv AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate AS s,
+        |         l_shipdate + INTERVAL (CAST(l_quantity AS INT) % 21 + 3) DAY AS e
+        |  FROM lineitem)
+        |SELECT a.l_suppkey,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(max(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT) AS max_overlap_days,
+        |       CAST(sum(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT) AS total_overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.l_suppkey = b.l_suppkey
+        | AND (a.l_orderkey < b.l_orderkey OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+        | AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.l_suppkey""".stripMargin
+    ) { (spark, dir) =>
+      val binned = intervalBins(Tables(spark, dir).lineitem)
+      val a = binned.columns.foldLeft(binned)((d, c) => d.withColumnRenamed(c, "a_" + c))
+      val b = binned.columns.foldLeft(binned)((d, c) => d.withColumnRenamed(c, "b_" + c))
+      val ovDays = datediff(least(col("a_e"), col("b_e")), greatest(col("a_s"), col("b_s"))) + 1
+      a.join(b,
+          col("a_l_suppkey") === col("b_l_suppkey") && col("a_bin") === col("b_bin") &&
+            (col("a_l_orderkey") < col("b_l_orderkey") ||
+              (col("a_l_orderkey") === col("b_l_orderkey") &&
+                col("a_l_linenumber") < col("b_l_linenumber"))) &&
+            col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+            col("a_bin") === date_trunc("month", greatest(col("a_s"), col("b_s"))))
+        .groupBy(col("a_l_suppkey").as("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          max(ovDays).cast("long").as("max_overlap_days"),
+          sum(ovDays).cast("long").as("total_overlap_days"))
     }
   )
+
+  /** Shared interval derivation for the overlap join (public so the spec
+    * can compare the binned plan against the direct inequality join on
+    * the same intervals). Note the testdata's (l_orderkey, l_linenumber)
+    * is NOT unique (~25% repeated keys): rows sharing a key count as the
+    * same shipment — the strict `<` pair order never pairs them with
+    * each other — identically in both engines. */
+  def intervals(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineitem.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      col("l_shipdate").as("s"),
+      expr("timestampadd(DAY, cast(l_quantity as int) % 21 + 3, l_shipdate)").as("e"))
+
+  /** [[intervals]] exploded to one row per month the interval touches —
+    * the equi-joinable bin key of the overlap join's physical plan. */
+  def intervalBins(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    intervals(lineitem).withColumn("bin", explode(sequence(
+      date_trunc("month", col("s")), date_trunc("month", col("e")), expr("interval 1 month"))))
 
   /** Memoized dim-key bitset, one per testdata dir (the cachedEmb
     * convention): the bloom build is an eager collect — a real job — and

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for graph_pagerank: exact equality with a
+  * single-threaded integer-PageRank reference on a fixture graph, and
+  * the mass/floor invariants on the real co-purchase graph. (Value
+  * parity with DuckDB is the oracle gate, replicated by tools/check.py.) */
+class GraphOpsSpec extends SparkSuite {
+
+  /** The same integer fixed-point, computed sequentially in plain Scala —
+    * shares nothing with the Spark implementation but the spec. */
+  private def refPageRank(
+      edges: Seq[(Long, Long, Long)], nodes: Seq[Long], iters: Int, r0: Long): Map[Long, Long] = {
+    val base = r0 * 15L / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val mass = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map { case (s, _, w) => (r(s) / outdeg(s)) * w }.sum }
+      r = nodes.map(n => n -> (base + mass.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank equals the single-threaded integer reference on a fixture") {
+    import spark.implicits._
+    // a hub (1), a relay (2), a leaf (3), and an isolated node (4)
+    val fixture = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 3L))
+    val edges = fixture.toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    for (iters <- 1 to 4) {
+      val got = GraphOps.pageRank(edges, nodes, iters, r0 = 1000000L)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == refPageRank(fixture, Seq(1L, 2L, 3L, 4L), iters, 1000000L),
+        s"distributed and sequential fixed-points must agree exactly at iters=$iters")
+    }
+  }
+
+  test("triangles: K4-plus-pendant fixture counts exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + pendant 5-1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val nodes = (1L to 5L).toDF("pk")
+    val got = GraphOps.triangles(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("graph_triangles: oriented plan equals the direct a<b<c enumeration") {
+    val df = SparkEntry.queries("graph_triangles")(spark, sf0001).cache()
+    val li = Tables(spark, sf0001).lineitem.select("l_orderkey", "l_partkey")
+    val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v")).select("u", "v").distinct().cache()
+    // direct enumeration, no orientation — the oracle's plan, in Spark
+    val direct = pairs.toDF("a", "b")
+      .join(pairs.toDF("a", "c"), "a").filter(col("b") < col("c"))
+      .join(pairs.toDF("b", "c"), Seq("b", "c"))
+    val nTri = direct.count()
+    assert(nTri > 0, "the fixture graph must contain triangles")
+    assert(df.agg(sum("n_triangles")).head.getLong(0) == 3L * nTri,
+      "per-node participation must sum to 3 x the triangle count")
+    val directCorners = direct.select(col("a").as("pk"))
+      .union(direct.select(col("b").as("pk")))
+      .union(direct.select(col("c").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("n_direct"))
+    val mismatch = df.join(directCorners, col("part_key") === col("pk"), "left_outer")
+      .filter(coalesce(col("n_direct"), lit(0L)) =!= col("n_triangles"))
+    assert(mismatch.count() == 0, "orientation is physical strategy only")
+    pairs.unpersist(); df.unpersist()
+  }
+
+  test("graph_pagerank: one row per node, base floor, and mass conservation") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sf0001).cache()
+    val nParts = Tables(spark, sf0001).lineitem.select("l_partkey").distinct().count()
+    assert(df.count() == nParts, "every co-purchase node must emit a rank")
+    assert(df.filter(col("rank_score") < 150000000000L).count() == 0,
+      "the damping base is a hard floor for every node")
+    // integer truncation only ever LOSES mass, and loses very little:
+    // total stays within 3% of the initialized N * R0 (dangling mass is
+    // zero here — every node that appears has at least one out-edge)
+    val total = df.agg(sum("rank_score")).head.getLong(0)
+    assert(total <= nParts * 1000000000000L, "rank mass cannot be created")
+    assert(total >= (nParts * 1000000000000L * 97L) / 100L,
+      "truncation loss must stay negligible")
+    df.unpersist()
+  }
+}
