@@ -281,6 +281,11 @@ object JoinOps {
     // STARTS in (bin = month of greatest(a.s, b.s)): dedup by
     // construction, no distinct needed. The oracle is the direct
     // inequality join — binning is pure physical strategy.
+    // Physical shape: BOTH sides are the same fact-sized frame, so the
+    // join must be a shuffle join on the bin key — the merge hint pins
+    // that (without it, statistics see the post-explode side as small at
+    // test SF and broadcast a side that is corpus-sized at 100 TB; the
+    // shuffle also breaks the one-file scan into parallel probe tasks).
     OpQuery.checked(
       "join_interval_overlap",
       """WITH iv AS (
@@ -301,7 +306,7 @@ object JoinOps {
       val a = binned.columns.foldLeft(binned)((d, c) => d.withColumnRenamed(c, "a_" + c))
       val b = binned.columns.foldLeft(binned)((d, c) => d.withColumnRenamed(c, "b_" + c))
       val ovDays = datediff(least(col("a_e"), col("b_e")), greatest(col("a_s"), col("b_s"))) + 1
-      a.join(b,
+      a.join(b.hint("merge"),
           col("a_l_suppkey") === col("b_l_suppkey") && col("a_bin") === col("b_bin") &&
             (col("a_l_orderkey") < col("b_l_orderkey") ||
               (col("a_l_orderkey") === col("b_l_orderkey") &&

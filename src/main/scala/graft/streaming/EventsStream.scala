@@ -197,6 +197,43 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming windowed quantiles ──────────────────────────────────────
+
+  /** Windowed streaming quantiles — the mergeable KLL aggregate the batch
+    * agg_quantile_sketch op uses, running unchanged inside the same
+    * watermarked 6-hour tumbling window as [[windowedTopK]]. Streaming
+    * state per open window is one fixed O(k·log n) sketch, partials
+    * combine map-side within each micro-batch, and the watermark retires
+    * window state — the second demonstration that the sketch family's
+    * mergeability is what buys bounded-state streaming for free. The
+    * per-window estimates depend on merge order (compaction is
+    * randomized-by-structure, documented on the batch op), but the KLL
+    * rank guarantee does NOT: every emitted estimate sits within ε of
+    * its target rank against the window's exact value distribution
+    * regardless of how partials merged — which is exactly what the
+    * replay spec asserts per window. */
+  def windowedQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "6 hours").as("w"), col("value"))
+      .groupBy("w")
+      .agg(expr("kll_quantiles(value, 256, 0.25, 0.5, 0.75, 0.95)").as("q"))
+      .select(col("w.start").as("window_start"), col("q"))
+
+  /** Start the windowed quantile sketch from a parquet directory into a
+    * memory sink — UPDATE mode for the same watermark-eviction reason as
+    * [[startWindowedTopK]]. */
+  def startWindowedQuantiles(spark: SparkSession, sourceDir: String,
+                             queryName: String): StreamingQuery = {
+    graft.functions.KllQuantiles.register(spark)
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    windowedQuantiles(src).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

@@ -88,9 +88,14 @@ class PlanQualitySpec extends SparkSuite {
       // sim_knn_graph included deliberately: it has NO bounded query batch
       // (every vector is a query), so unlike the sim_topk_* family nothing
       // at all may broadcast from the embeddings corpus without aggregation
+      // graph_* and join_interval_overlap likewise: both graph sides and
+      // both interval sides are fact-derived and unbounded — the interval
+      // join carries an explicit merge hint precisely so statistics can
+      // never elect a broadcast that would not survive 100×
       for (q <- Seq("win_islands", "etl_table_diff", "etl_cdc_apply",
         "text_repetition_topngram", "sim_knn_graph", "agg_hll_partial_merge",
-        "events_markov_transitions", "agg_distinct_overlap")) {
+        "events_markov_transitions", "agg_distinct_overlap",
+        "graph_pagerank", "graph_triangles", "join_interval_overlap")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")

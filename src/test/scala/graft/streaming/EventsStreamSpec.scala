@@ -85,6 +85,40 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed quantiles keep the KLL rank guarantee per window") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startWindowedQuantiles(spark, staged, "kllw_test")
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("kllw_test").collect()
+      assert(rows.map(_.getTimestamp(0)).distinct.length == rows.length,
+        "expected a single update per window from the one-file stage")
+      val streamed = rows.map(r => r.getTimestamp(0) -> r.getSeq[Double](1)).toMap
+      // exact per-window value distributions on the same files (the
+      // sketch skips nulls, so the reference must too)
+      val exact = spark.read.parquet(staged)
+        .filter(col("value").isNotNull)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("value"))
+        .collect().groupBy(_.getTimestamp(0))
+        .map { case (ws, rs) => ws -> rs.map(_.getDouble(1)).sorted }
+      assert(streamed.keySet == exact.keySet, "window grids must match")
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      exact.foreach { case (ws, vals) =>
+        val n = vals.length
+        probs.zip(streamed(ws)).foreach { case (p, est) =>
+          // order-independent KLL guarantee: whatever merge order the
+          // micro-batch partials took, the estimate's realized rank must
+          // sit within the batch op's audited ε (+ discretization slack)
+          val rank = vals.count(_ <= est).toDouble / n
+          assert(math.abs(rank - p) <= 0.05 + 1.0 / n,
+            s"window $ws p=$p est=$est realized rank=$rank over n=$n")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
