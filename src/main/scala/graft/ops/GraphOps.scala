@@ -94,12 +94,46 @@ object GraphOps {
         |SELECT pk AS part_key, r AS rank_score FROM r3""".stripMargin
     ) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
-      val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      val nodes = li.select(col("l_partkey").as("pk")).distinct()
-      pageRank(edges, nodes, iters = 3, r0 = 1000000000000L)
+      pageRank(coEdges(li), coNodes(li), iters = 3, r0 = 1000000000000L)
         .select(col("pk").as("part_key"), col("r").as("rank_score"))
+    },
+
+    // ── graph_label_prop: community detection by synchronous label
+    // propagation (Raghavan, Albert & Kumara 2007, "Near linear time
+    // algorithm to detect community structures") over the same weighted
+    // co-purchase graph — each round every node adopts the label with
+    // the largest incoming edge-weight mass, ties broken by the SMALLEST
+    // label so the sync update is a deterministic function of the
+    // previous labeling (classic async LPA is run-order-dependent — that
+    // variant cannot be hash-checked and cannot be distributed without a
+    // coordination story; the deterministic sync form is the one a 100 TB
+    // engine can actually ship). Fixed 2 rounds (convergence is not the
+    // demo; label cascades are). All-BIGINT: weights and label ids only.
+    OpQuery.checked(
+      "graph_label_prop",
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |          GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT l_partkey AS pk FROM li),
+        |l0 AS (SELECT pk, pk AS lbl FROM nodes),
+        |n1 AS (SELECT e.dst AS pk, r.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+        |       FROM edges e JOIN l0 r ON r.pk = e.src GROUP BY 1, 2),
+        |b1 AS (SELECT pk, lbl FROM (
+        |         SELECT pk, lbl, row_number() OVER (PARTITION BY pk ORDER BY wsum DESC, lbl ASC) AS rn
+        |         FROM n1) WHERE rn = 1),
+        |l1 AS (SELECT n.pk, COALESCE(b1.lbl, n.pk) AS lbl FROM nodes n LEFT JOIN b1 ON b1.pk = n.pk),
+        |n2 AS (SELECT e.dst AS pk, r.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+        |       FROM edges e JOIN l1 r ON r.pk = e.src GROUP BY 1, 2),
+        |b2 AS (SELECT pk, lbl FROM (
+        |         SELECT pk, lbl, row_number() OVER (PARTITION BY pk ORDER BY wsum DESC, lbl ASC) AS rn
+        |         FROM n2) WHERE rn = 1),
+        |l2 AS (SELECT n.pk, COALESCE(b2.lbl, n.pk) AS lbl FROM nodes n LEFT JOIN b2 ON b2.pk = n.pk)
+        |SELECT pk AS part_key, CAST(lbl AS BIGINT) AS community FROM l2""".stripMargin
+    ) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+      labelProp(coEdges(li), coNodes(li), iters = 2)
+        .select(col("pk").as("part_key"), col("lbl").as("community"))
     },
 
     // ── graph_triangles: per-node triangle participation over the same
@@ -137,6 +171,43 @@ object GraphOps {
         .select(col("pk").as("part_key"), col("n").as("n_triangles"))
     }
   )
+
+  /** The directed weighted co-purchase edge list: one (src, dst, w) row
+    * per ordered part pair that shares an order, w = co-occurrence count.
+    * Symmetric by construction (both directions emitted), basket-bounded
+    * self-join, map-side-combined weights. */
+  def coEdges(li: DataFrame): DataFrame =
+    li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** One (pk) row per vertex of the co-purchase graph. */
+  def coNodes(li: DataFrame): DataFrame =
+    li.select(col("l_partkey").as("pk")).distinct()
+
+  /** Fixed-iteration synchronous weighted label propagation. Each round,
+    * every node adopts argmax-by-weight over its in-neighbors' current
+    * labels (smallest label on ties); neighborless nodes keep their own.
+    * The argmax is a struct-max AGGREGATION — (wsum, -lbl) max picks
+    * exactly "heaviest, then smallest label" — so the hot-node path is
+    * map-side-combinable, window-free, and skew-safe; the oracle states
+    * the same choice as a row_number window, which is fine single-node
+    * but would sort a celebrity node's whole neighborhood on one task
+    * at cluster scale. Returns (pk, lbl). */
+  def labelProp(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one propagation round")
+    val cached = edges.cache()
+    var labels = nodes.select(col("pk"), col("pk").as("lbl"))
+    for (_ <- 1 to iters) {
+      val best = cached.join(labels.select(col("pk").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
+        .groupBy("dst").agg(max(struct(col("wsum"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("dst").as("pk"), (-col("m.neg")).as("best_lbl"))
+      labels = nodes.join(best, Seq("pk"), "left_outer")
+        .select(col("pk"), coalesce(col("best_lbl"), col("pk")).as("lbl"))
+    }
+    labels
+  }
 
   /** Per-node triangle counts for an undirected graph given as canonical
     * (u < v) edges. Returns (pk, n) for every node in `nodes`, n = 0 for

@@ -39,6 +39,53 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  /** Sequential sync-LPA reference: argmax by (weight, then smallest
+    * label) over in-neighbor labels; neighborless nodes keep their id. */
+  private def refLabelProp(
+      edges: Seq[(Long, Long, Long)], nodes: Seq[Long], iters: Int): Map[Long, Long] = {
+    val byDst = edges.groupBy(_._2)
+    var l = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      l = nodes.map { n =>
+        byDst.get(n) match {
+          case None => n -> n
+          case Some(es) =>
+            val wsums = es.groupBy(e => l(e._1)).map { case (lbl, g) => lbl -> g.map(_._3).sum }
+            n -> wsums.toSeq.maxBy { case (lbl, w) => (w, -lbl) }._1
+        }
+      }.toMap
+    }
+    l
+  }
+
+  test("labelProp equals the single-threaded sync-LPA reference on a fixture") {
+    import spark.implicits._
+    // two cliques bridged by one weak edge; undirected → both directions
+    val und = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L), (4L, 5L, 5L), (3L, 4L, 1L))
+    val fixture = und ++ und.map { case (u, v, w) => (v, u, w) }
+    val edges = fixture.toDF("src", "dst", "w")
+    val nodes = (1L to 6L).toDF("pk") // 6 is isolated
+    for (iters <- 1 to 3) {
+      val got = GraphOps.labelProp(edges, nodes, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLabelProp(fixture, (1L to 6L), iters),
+        s"distributed and sequential sync labelings must agree exactly at iters=$iters")
+    }
+  }
+
+  test("graph_label_prop: total labeling over real node ids") {
+    val df = SparkEntry.queries("graph_label_prop")(spark, sf0001).cache()
+    val nodes = Tables(spark, sf0001).lineitem.select(col("l_partkey").as("pk")).distinct()
+    assert(df.count() == nodes.count(), "every node must carry a community label")
+    // labels can only ever be node ids (they start as ids and propagate)
+    assert(df.join(nodes, col("community") === col("pk"), "left_anti").count() == 0,
+      "a community label must be an existing node id")
+    // the cascades must actually merge something
+    assert(df.select("community").distinct().count() < df.count(),
+      "two propagation rounds over a dense graph must form real communities")
+    df.unpersist()
+  }
+
   test("triangles: K4-plus-pendant fixture counts exactly") {
     import spark.implicits._
     // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + pendant 5-1
