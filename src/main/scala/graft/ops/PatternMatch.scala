@@ -71,12 +71,59 @@ object PatternMatch {
         col("col").as("matched"),
         length(col("col")).cast("long").as("match_len"))
 
-  /** The shared DEFINE/ORDER step both entry points build on — one
+  /** ALL ROWS PER MATCH — the third MATCH_RECOGNIZE output shape: every
+    * EVENT consumed by some match of `pattern` comes back as its own row,
+    * tagged with (match_no, seq_idx), i.e. which match consumed it and
+    * where it sits in the key's total order. Returns the original event
+    * columns plus those two.
+    *
+    * Match offsets are derived without any per-row regex state machine:
+    * `split(seq, pattern)` yields the inter-match segments, and two
+    * running sums over (segment length, match length) reconstruct each
+    * match's start offset — the same arithmetic in both engines, so the
+    * result stays hash-checkable. The per-match rows then explode to
+    * per-position rows and join back to the events on the row_number of
+    * the same (orderCols) total order. `pattern` must not match the
+    * empty string (offset arithmetic needs ≥1 consumed symbol per
+    * match — every funnel-shaped pattern satisfies this).
+    *
+    * Scale shape: the same single key-shuffle as [[count]] for the
+    * sequence build, one window-function pass per key for the offsets
+    * (rows = matches per key, bounded by the sequence contract), and one
+    * co-partitioned join back on (key, seq_idx). */
+  def allRows(
+      events: DataFrame,
+      key: String,
+      orderCols: Seq[String],
+      symbol: Column,
+      pattern: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = seqDf(events, key, orderCols, symbol)
+      .select(col(key), col("seq"),
+        posexplode(regexp_extract_all(col("seq"), lit(pattern), lit(0))))
+      .select(col(key), col("pos"), col("col").as("m"),
+        length(element_at(split(col("seq"), pattern), col("pos") + 1)).as("seg_len"))
+    val w = Window.partitionBy(col(key)).orderBy(col("pos"))
+    val cumSeg = sum(col("seg_len")).over(w) // segments up to AND incl. this match's
+    val cumMatchPrev = coalesce(
+      sum(length(col("m"))).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val perPos = exploded
+      .withColumn("start_pos", (cumSeg + cumMatchPrev + 1).cast("long"))
+      .select(col(key), (col("pos") + 1).cast("long").as("match_no"),
+        explode(sequence(col("start_pos"),
+          col("start_pos") + length(col("m")).cast("long") - 1)).as("seq_idx"))
+    val ev = events.withColumn("seq_idx",
+      row_number().over(Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)).cast("long"))
+    ev.join(perPos, Seq(key, "seq_idx"))
+  }
+
+  /** The shared DEFINE/ORDER step all three entry points build on — one
     * (key, seq) row per key, where seq is the classifier trace in total
     * (orderCols) order: collect_list → array_sort → symbol projection →
     * join, as one aggregate expression (partials merge map-side). Any
     * change to the ordering or classifier contract lands here once, so
-    * count and measures can never disagree on match boundaries. */
+    * count, measures, and allRows can never disagree on match
+    * boundaries. */
   private def seqDf(
       events: DataFrame, key: String, orderCols: Seq[String], symbol: Column): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must impose a total per-key order")

@@ -752,6 +752,59 @@ object PipelineOps {
         pattern = "vc*p")
     },
 
+    // ── win_pattern_allrows: MATCH_RECOGNIZE's third output shape, ALL
+    // ROWS PER MATCH — every event a V C* P match consumed comes back as
+    // its own row tagged (match_no, seq_idx), which is what a funnel
+    // drill-down actually joins on ("show me the events of user X's 2nd
+    // conversion"). Match offsets are rebuilt from split() segment
+    // lengths + two running sums (PatternMatch.allRows) — pure integer
+    // arithmetic both engines evaluate identically, no per-row regex
+    // state machine; the oracle re-derives the same offsets with zipped
+    // unnests and the same two window sums (HUGEINT-cast).
+    OpQuery.checked(
+      "win_pattern_allrows",
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' ELSE 'x' END,
+        |                    '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(seq, 'vc*p') AS ms,
+        |             str_split_regex(seq, 'vc*p') AS segs
+        |      FROM s),
+        |z AS (SELECT user_id,
+        |             unnest(generate_series(1, len(ms))) AS match_no,
+        |             unnest(ms) AS matched,
+        |             unnest(segs[1:len(ms)]) AS seg
+        |      FROM m),
+        |o AS (SELECT user_id, match_no, matched,
+        |             CAST(sum(length(seg)) OVER (PARTITION BY user_id ORDER BY match_no)
+        |                  + COALESCE(sum(length(matched)) OVER (PARTITION BY user_id ORDER BY match_no
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                  + 1 AS BIGINT) AS start_pos
+        |      FROM z),
+        |r AS (SELECT user_id, match_no,
+        |             unnest(generate_series(start_pos, start_pos + length(matched) - 1)) AS seq_idx
+        |      FROM o),
+        |ev AS (SELECT user_id, event_id, event_type,
+        |              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_idx
+        |       FROM events)
+        |SELECT r.user_id, CAST(r.match_no AS BIGINT) AS match_no,
+        |       CAST(r.seq_idx AS BIGINT) AS seq_idx, ev.event_id, ev.event_type
+        |FROM r JOIN ev ON ev.user_id = r.user_id AND ev.seq_idx = r.seq_idx""".stripMargin
+    ) { (spark, dir) =>
+      PatternMatch.allRows(
+        Tables(spark, dir).events,
+        key = "user_id", orderCols = Seq("ts", "event_id"),
+        symbol = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x"),
+        pattern = "vc*p")
+        .select(col("user_id"), col("match_no"), col("seq_idx"),
+          col("event_id"), col("event_type"))
+    },
+
     // ── fn_json_shred: parse-once JSON shredding — semi-structured props
     // parse with an explicit schema (from_json, no sampling job) into a
     // typed struct column, land shredded in parquet, and every

@@ -52,6 +52,29 @@ object PatternMatchProps extends Properties("graft.ops.patternmatch") {
       }
     }
 
+  property("distributed ALL ROWS PER MATCH output equals the single-threaded reference") =
+    Prop.forAll(streamGen) { case (es, pat) =>
+      es.nonEmpty ==> {
+        val rows = es.zipWithIndex.map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+        val df = rows.toDF("user_id", "ts", "event_id", "sym")
+        val got = PatternMatch.allRows(df, "user_id", Seq("ts", "event_id"), col("sym"), pat)
+          .select("user_id", "match_no", "seq_idx", "event_id")
+          .as[(Long, Long, Long, Long)].collect().toSet
+
+        // reference: java.util.regex match spans over the sorted trace,
+        // mapped back to the event at each consumed position
+        val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+          val sorted = rs.sortBy(r => (r._2, r._3))
+          val seq = sorted.map(_._4).mkString
+          pat.r.findAllMatchIn(seq).toList.zipWithIndex.flatMap { case (m, i) =>
+            (m.start until m.end).map(idx =>
+              (u, (i + 1).toLong, (idx + 1).toLong, sorted(idx)._3))
+          }
+        }.toSet
+        (got == want) :| s"pattern=$pat got=${got.size} rows want=${want.size} rows"
+      }
+    }
+
   property("distributed per-match MEASURES rows equal the single-threaded reference") =
     Prop.forAll(streamGen) { case (es, pat) =>
       es.nonEmpty ==> {
