@@ -164,10 +164,7 @@ object GraphOps {
         |  ON cnt.pk = n.pk""".stripMargin
     ) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .filter(col("u") < col("v")).select("u", "v").distinct()
-      val nodes = li.select(col("l_partkey").as("pk")).distinct()
-      triangles(pairs, nodes)
+      triangles(coPairs(li), coNodes(li))
         .select(col("pk").as("part_key"), col("n").as("n_triangles"))
     }
   )
@@ -184,6 +181,12 @@ object GraphOps {
   /** One (pk) row per vertex of the co-purchase graph. */
   def coNodes(li: DataFrame): DataFrame =
     li.select(col("l_partkey").as("pk")).distinct()
+
+  /** The undirected co-purchase edge set in canonical (u < v) form —
+    * the unweighted counterpart of [[coEdges]] the triangle ops need. */
+  def coPairs(li: DataFrame): DataFrame =
+    li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v")).select("u", "v").distinct()
 
   /** Fixed-iteration synchronous weighted label propagation. Each round,
     * every node adopts argmax-by-weight over its in-neighbors' current

@@ -98,6 +98,9 @@ object PatternMatch {
       symbol: Column,
       pattern: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a zero-length match would make sequence(start, start-1) COUNT DOWN
+    // (Spark's descending default) and tag phantom rows — fail fast instead
+    require(!"".matches(pattern), "pattern must not match the empty string")
     val exploded = seqDf(events, key, orderCols, symbol)
       .select(col(key), col("seq"),
         posexplode(regexp_extract_all(col("seq"), lit(pattern), lit(0))))

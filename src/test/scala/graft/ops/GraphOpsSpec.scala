@@ -100,8 +100,7 @@ class GraphOpsSpec extends SparkSuite {
   test("graph_triangles: oriented plan equals the direct a<b<c enumeration") {
     val df = SparkEntry.queries("graph_triangles")(spark, sf0001).cache()
     val li = Tables(spark, sf0001).lineitem.select("l_orderkey", "l_partkey")
-    val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-      .filter(col("u") < col("v")).select("u", "v").distinct().cache()
+    val pairs = GraphOps.coPairs(li).cache()
     // direct enumeration, no orientation — the oracle's plan, in Spark
     val direct = pairs.toDF("a", "b")
       .join(pairs.toDF("a", "c"), "a").filter(col("b") < col("c"))
