@@ -156,6 +156,76 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming funnel pattern matching ─────────────────────────────────
+
+  final case class FunnelState(
+      lastMicros: Long, lastEventId: Long, candidate: Boolean, nMatches: Long)
+  final case class FunnelMatch(user_id: Long, match_no: Long)
+
+  /** Streaming MATCH_RECOGNIZE — the incremental form of the batch
+    * win_pattern_match: each completed V C* P funnel emits (user_id,
+    * match_no) the moment its purchase arrives, against O(1) state per
+    * user (a two-state automaton + the match counter), not a buffered
+    * event history.
+    *
+    * The automaton replays the batch regex scan's leftmost
+    * non-overlapping semantics exactly for this pattern shape: candidacy
+    * opens at a view, survives clicks AND further views (a later view
+    * restarts the candidate window, which consumes the same purchase the
+    * regex's later start position would), closes into a match at a
+    * purchase, and any other symbol resets it. Non-overlap falls out of
+    * the reset-on-match. The equivalence argument is per-pattern — a
+    * general streaming regex needs an NFA state vector; the funnel DFA
+    * is the shape production journeys overwhelmingly use — and the
+    * replay spec holds the count equal to the batch engine's on real
+    * files. Delivery contract and late handling are identical to
+    * [[transitions]]: in-order per user within a delivery, deterministic
+    * drop of regressions. */
+  def funnelMatches(events: Dataset[EvT]): Dataset[FunnelMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EvT], state: GroupState[FunnelState]) => {
+          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st     = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, false, 0L))
+          val out    = scala.collection.mutable.ArrayBuffer.empty[FunnelMatch]
+          sorted.foreach { e =>
+            val m = tsMicros(e.ts)
+            val late = st.lastMicros > m || (st.lastMicros == m && st.lastEventId >= e.event_id)
+            if (!late) {
+              val sym = e.event_type match {
+                case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'; case _ => 'x'
+              }
+              st = sym match {
+                case 'v' => st.copy(lastMicros = m, lastEventId = e.event_id, candidate = true)
+                case 'c' => st.copy(lastMicros = m, lastEventId = e.event_id)
+                case 'p' if st.candidate =>
+                  out += FunnelMatch(userId, st.nMatches + 1)
+                  FunnelState(m, e.event_id, false, st.nMatches + 1)
+                case _ => st.copy(lastMicros = m, lastEventId = e.event_id, candidate = false)
+              }
+            } // else: regressed behind state (earlier delivery) — dropped
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Start the streaming funnel matcher from a parquet directory into a
+    * memory sink. */
+  def startFunnelMatches(spark: SparkSession, sourceDir: String,
+                         queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id", "event_type").as[EvT]
+    funnelMatches(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming windowed heavy hitters ──────────────────────────────────
 
   /** Windowed streaming heavy hitters — the same mergeable SpaceSaving

@@ -85,6 +85,40 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matcher replays to the batch pattern engine on real input files") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    // in-order delivery per the documented contract: one time-sorted file
+    Tables(spark, sf0001).events
+      .orderBy("ts", "event_id").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startFunnelMatches(spark, staged, "funnel_dfa_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_dfa_test").groupBy("user_id")
+        .agg(max("match_no").as("n"), count(lit(1)).as("rows"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // batch reference: the regex engine with the same DEFINE + PATTERN
+      val batch = graft.ops.PatternMatch.count(
+          Tables(spark, sf0001).events, "user_id", Seq("ts", "event_id"),
+          when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .otherwise("x"),
+          "vc*p")
+        .filter(col("n_matches") > 0)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+      assert(batch.nonEmpty, "the fixture must contain completed funnels")
+      assert(streamed.keySet == batch.keySet,
+        "exactly the users the batch engine matches must emit streaming matches")
+      batch.foreach { case (u, n) =>
+        assert(streamed(u) == ((n, n)),
+          s"user $u: batch counts $n matches, stream emitted ${streamed(u)} — " +
+            "match_no must be dense 1..n with one row per match")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed quantiles keep the KLL rank guarantee per window") {
     val staged = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
     Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
