@@ -99,7 +99,12 @@ object PatternMatch {
       pattern: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a zero-length match would make sequence(start, start-1) COUNT DOWN
-    // (Spark's descending default) and tag phantom rows — fail fast instead
+    // (Spark's descending default) and tag phantom rows. Fail fast on the
+    // common foot-gun (a pattern matching the empty string); exotic
+    // zero-width cases a static check can't see (lookaheads matching
+    // mid-string) are additionally neutralized at explode time below —
+    // they stay in the offset arithmetic (their segments still count)
+    // but emit no rows, since they consumed no events.
     require(!"".matches(pattern), "pattern must not match the empty string")
     val exploded = seqDf(events, key, orderCols, symbol)
       .select(col(key), col("seq"),
@@ -113,8 +118,9 @@ object PatternMatch {
     val perPos = exploded
       .withColumn("start_pos", (cumSeg + cumMatchPrev + 1).cast("long"))
       .select(col(key), (col("pos") + 1).cast("long").as("match_no"),
-        explode(sequence(col("start_pos"),
-          col("start_pos") + length(col("m")).cast("long") - 1)).as("seq_idx"))
+        explode(when(length(col("m")) > 0,
+          sequence(col("start_pos"), col("start_pos") + length(col("m")).cast("long") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("seq_idx"))
     val ev = events.withColumn("seq_idx",
       row_number().over(Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)).cast("long"))
     ev.join(perPos, Seq(key, "seq_idx"))

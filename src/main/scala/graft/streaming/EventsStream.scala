@@ -106,7 +106,22 @@ object EventsStream {
     * getTime alone is MILLIS and would collapse sub-ms orderings that the
     * batch op's (ts, event_id) window sort distinguishes. */
   private def tsMicros(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // floorDiv, not /: truncation-toward-zero would order a pre-epoch
+    // timestamp's sub-second part POSITIVE, colliding with post-epoch ones
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The shared per-delivery ordering both stateful feeds sort arrivals
+    * by — the batch ops' exact (ts, event_id) total order. */
+  private def orderedArrivals(evs: Iterator[EvT]): Array[EvT] =
+    evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+
+  /** The shared late-regression predicate: an arrival at (m, id) that is
+    * not strictly after the stored (lastMicros, lastEventId) position is
+    * a re-delivery or out-of-order straggler and is dropped
+    * deterministically — one rule for every stateful feed, so the
+    * delivery contracts cannot drift apart. */
+  private def isLate(lastMicros: Long, lastEventId: Long, m: Long, id: Long): Boolean =
+    lastMicros > m || (lastMicros == m && lastEventId >= id)
 
   /** Streaming event-type transitions — the incremental feed of the batch
     * `events_markov_transitions` matrix: each arriving event emits one
@@ -126,13 +141,12 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[EvT], state: GroupState[TransState]) => {
-          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val sorted = orderedArrivals(evs)
           var st     = state.getOption
           val out    = scala.collection.mutable.ArrayBuffer.empty[Transition]
           sorted.foreach { e =>
             val m = tsMicros(e.ts)
-            val late = st.exists(s =>
-              s.lastMicros > m || (s.lastMicros == m && s.lastEventId >= e.event_id))
+            val late = st.exists(s => isLate(s.lastMicros, s.lastEventId, m, e.event_id))
             if (!late) {
               st.foreach(s => out += Transition(userId, s.lastType, e.event_type))
               st = Some(TransState(m, e.event_id, e.event_type))
@@ -187,12 +201,12 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[EvT], state: GroupState[FunnelState]) => {
-          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val sorted = orderedArrivals(evs)
           var st     = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, false, 0L))
           val out    = scala.collection.mutable.ArrayBuffer.empty[FunnelMatch]
           sorted.foreach { e =>
             val m = tsMicros(e.ts)
-            val late = st.lastMicros > m || (st.lastMicros == m && st.lastEventId >= e.event_id)
+            val late = isLate(st.lastMicros, st.lastEventId, m, e.event_id)
             if (!late) {
               val sym = e.event_type match {
                 case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'; case _ => 'x'
