@@ -166,6 +166,39 @@ object GraphOps {
       val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
       triangles(coPairs(li), coNodes(li))
         .select(col("pk").as("part_key"), col("n").as("n_triangles"))
+    },
+
+    // ── graph_edge_jaccard: tie strength for every co-purchase edge —
+    // common-neighbor count and neighborhood Jaccard (the embeddedness
+    // measure of Easley & Kleinberg ch.3, and the "customers also
+    // bought" similarity primitive). Common neighbors of an ADJACENT
+    // pair are exactly the triangles through the edge, so the counting
+    // rides the degree-oriented triangle enumeration instead of raw
+    // wedge fan-out (Σdeg² — unbounded at a hub); the Jaccard is one
+    // BIGINT/BIGINT division, bit-identical in both engines. Linear
+    // output: one row per edge.
+    OpQuery.checked(
+      "graph_edge_jaccard",
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |canon AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u, greatest(a.l_partkey, b.l_partkey) AS v
+        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS pk FROM canon UNION ALL SELECT v AS pk FROM canon) GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM canon e1 JOIN canon e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN canon e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |sides AS (SELECT a AS u, b AS v FROM tri UNION ALL SELECT a, c FROM tri
+        |          UNION ALL SELECT b, c FROM tri),
+        |common AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common FROM sides GROUP BY 1, 2)
+        |SELECT e.u, e.v, CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+        |       COALESCE(c.n_common, 0) / (du.d + dv.d - COALESCE(c.n_common, 0)) AS jaccard
+        |FROM canon e
+        |LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+        |JOIN deg du ON du.pk = e.u
+        |JOIN deg dv ON dv.pk = e.v""".stripMargin
+    ) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+      edgeJaccard(coPairs(li))
     }
   )
 
@@ -212,16 +245,19 @@ object GraphOps {
     labels
   }
 
-  /** Per-node triangle counts for an undirected graph given as canonical
-    * (u < v) edges. Returns (pk, n) for every node in `nodes`, n = 0 for
-    * triangle-free nodes. Degree-ordered orientation per Suri &
-    * Vassilvitskii bounds the wedge fan-out at hub nodes. */
-  def triangles(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val deg = pairs.select(col("u").as("pk")).union(pairs.select(col("v").as("pk")))
+  /** Per-vertex degree of the canonical (u < v) edge set. */
+  private def degrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("u").as("pk")).union(pairs.select(col("v").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("d"))
+
+  /** One (s, b, c) row per triangle of the canonical (u < v) edge set —
+    * s is the (degree, id)-minimal apex, b < c by id. Degree-ordered
+    * orientation per Suri & Vassilvitskii bounds the wedge fan-out at
+    * hub nodes; each triangle surfaces exactly once. */
+  def triangleList(pairs: DataFrame): DataFrame = {
     val withDeg = pairs
-      .join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
+      .join(degrees(pairs).select(col("pk").as("u"), col("d").as("du")), "u")
+      .join(degrees(pairs).select(col("pk").as("v"), col("d").as("dv")), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     // one oriented edge per undirected edge; cached — the wedge join
     // reads it twice (and at cluster scale it is the persisted artifact)
@@ -231,11 +267,40 @@ object GraphOps {
     val wedges = oriented.toDF("s", "b").join(oriented.toDF("s", "c"), "s")
       .filter(col("b") < col("c"))
     // closure: the third side in canonical (u < v) form is exactly (b, c)
-    val tri = wedges.join(pairs.toDF("b", "c"), Seq("b", "c"))
+    wedges.join(pairs.toDF("b", "c"), Seq("b", "c")).select("s", "b", "c")
+  }
+
+  /** Per-node triangle counts for an undirected graph given as canonical
+    * (u < v) edges. Returns (pk, n) for every node in `nodes`, n = 0 for
+    * triangle-free nodes. */
+  def triangles(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val tri = triangleList(pairs)
     val corners = tri.select(col("s").as("pk"))
       .union(tri.select(col("b").as("pk")))
       .union(tri.select(col("c").as("pk")))
     nodes.join(corners.groupBy("pk").agg(count(lit(1)).as("cnt")), Seq("pk"), "left_outer")
       .select(col("pk"), coalesce(col("cnt"), lit(0L)).cast("long").as("n"))
+  }
+
+  /** Per-edge neighborhood overlap (tie strength): for every canonical
+    * edge, the number of common neighbors — the triangles through the
+    * edge, so the skew-guarded [[triangleList]] does the heavy lifting —
+    * and the neighborhood Jaccard n∩/(deg(u)+deg(v)−n∩). Returns
+    * (u, v, n_common, jaccard). */
+  def edgeJaccard(pairs: DataFrame): DataFrame = {
+    val tri = triangleList(pairs)
+    // each triangle strengthens all three of its sides; s is not
+    // id-ordered against b/c, so those two sides re-canonicalize
+    val sides = tri
+      .select(least(col("s"), col("b")).as("u"), greatest(col("s"), col("b")).as("v"))
+      .union(tri.select(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")))
+      .union(tri.select(col("b").as("u"), col("c").as("v")))
+    val common = sides.groupBy("u", "v").agg(count(lit(1)).as("nc"))
+    val nCommon = coalesce(col("nc"), lit(0L))
+    pairs.join(common, Seq("u", "v"), "left_outer")
+      .join(degrees(pairs).select(col("pk").as("u"), col("d").as("du")), "u")
+      .join(degrees(pairs).select(col("pk").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), nCommon.as("n_common"),
+        (nCommon / (col("du") + col("dv") - nCommon)).as("jaccard"))
   }
 }

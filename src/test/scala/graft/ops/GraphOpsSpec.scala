@@ -119,6 +119,33 @@ class GraphOpsSpec extends SparkSuite {
     pairs.unpersist(); df.unpersist()
   }
 
+  test("edgeJaccard: K4-plus-pendant fixture ties exactly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val got = GraphOps.edgeJaccard(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // deg: 1→4, 2/3/4→3, 5→1; K4 edges carry 2 common neighbors each
+    val want = Map(
+      (1L, 2L) -> ((2L, 0.4)), (1L, 3L) -> ((2L, 0.4)), (1L, 4L) -> ((2L, 0.4)),
+      (2L, 3L) -> ((2L, 0.5)), (2L, 4L) -> ((2L, 0.5)), (3L, 4L) -> ((2L, 0.5)),
+      (1L, 5L) -> ((0L, 0.0)))
+    assert(got == want)
+  }
+
+  test("graph_edge_jaccard: side sums tie back to the triangle count") {
+    val li = Tables(spark, sf0001).lineitem.select("l_orderkey", "l_partkey")
+    val pairs = GraphOps.coPairs(li).cache()
+    val df = GraphOps.edgeJaccard(pairs).cache()
+    assert(df.count() == pairs.count(), "one row per canonical edge")
+    // every triangle strengthens exactly its three sides
+    assert(df.agg(sum("n_common")).head.getLong(0) == 3L * GraphOps.triangleList(pairs).count(),
+      "per-edge common-neighbor counts must sum to 3 x the triangle count")
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0,
+      "neighborhood Jaccard is a [0,1] measure")
+    pairs.unpersist(); df.unpersist()
+  }
+
   test("graph_pagerank: one row per node, base floor, and mass conservation") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sf0001).cache()
     val nParts = Tables(spark, sf0001).lineitem.select("l_partkey").distinct().count()

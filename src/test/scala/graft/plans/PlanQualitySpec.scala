@@ -96,7 +96,7 @@ class PlanQualitySpec extends SparkSuite {
         "text_repetition_topngram", "sim_knn_graph", "agg_hll_partial_merge",
         "events_markov_transitions", "agg_distinct_overlap",
         "graph_pagerank", "graph_triangles", "graph_label_prop",
-        "join_interval_overlap")) {
+        "graph_edge_jaccard", "join_interval_overlap")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
