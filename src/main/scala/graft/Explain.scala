@@ -16,7 +16,8 @@ object Explain {
                 else Seq("q1_genre_sales", "join_inner_equi", "filter_basic", "sim_cosine_topk",
                          "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans",
                          "join_asof", "io_bucketed_join", "text_tfidf", "join_dpp_prune", "setop_family",
-                         "join_bloom_runtime_filter", "sim_knn_graph", "etl_table_diff")
+                         "join_bloom_runtime_filter", "sim_knn_graph", "etl_table_diff",
+                         "graph_pagerank", "graph_triangles", "join_interval_overlap")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

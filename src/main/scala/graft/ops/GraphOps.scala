@@ -255,9 +255,14 @@ object GraphOps {
     * orientation per Suri & Vassilvitskii bounds the wedge fan-out at
     * hub nodes; each triangle surfaces exactly once. */
   def triangleList(pairs: DataFrame): DataFrame = {
-    val withDeg = pairs
-      .join(degrees(pairs).select(col("pk").as("u"), col("d").as("du")), "u")
-      .join(degrees(pairs).select(col("pk").as("v"), col("d").as("dv")), "v")
+    // the edge set feeds four plan arms (two degree joins, the wedge
+    // build, the closure probe) — cache it or the upstream derivation
+    // (a fact self-join) re-runs once per arm
+    val p = pairs.cache()
+    val deg = degrees(p)
+    val withDeg = p
+      .join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     // one oriented edge per undirected edge; cached — the wedge join
     // reads it twice (and at cluster scale it is the persisted artifact)
@@ -267,7 +272,7 @@ object GraphOps {
     val wedges = oriented.toDF("s", "b").join(oriented.toDF("s", "c"), "s")
       .filter(col("b") < col("c"))
     // closure: the third side in canonical (u < v) form is exactly (b, c)
-    wedges.join(pairs.toDF("b", "c"), Seq("b", "c")).select("s", "b", "c")
+    wedges.join(p.toDF("b", "c"), Seq("b", "c")).select("s", "b", "c")
   }
 
   /** Per-node triangle counts for an undirected graph given as canonical
@@ -288,7 +293,8 @@ object GraphOps {
     * and the neighborhood Jaccard n∩/(deg(u)+deg(v)−n∩). Returns
     * (u, v, n_common, jaccard). */
   def edgeJaccard(pairs: DataFrame): DataFrame = {
-    val tri = triangleList(pairs)
+    val p = pairs.cache() // same entry triangleList uses (plan-identical)
+    val tri = triangleList(p)
     // each triangle strengthens all three of its sides; s is not
     // id-ordered against b/c, so those two sides re-canonicalize
     val sides = tri
@@ -296,10 +302,11 @@ object GraphOps {
       .union(tri.select(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")))
       .union(tri.select(col("b").as("u"), col("c").as("v")))
     val common = sides.groupBy("u", "v").agg(count(lit(1)).as("nc"))
+    val deg = degrees(p)
     val nCommon = coalesce(col("nc"), lit(0L))
-    pairs.join(common, Seq("u", "v"), "left_outer")
-      .join(degrees(pairs).select(col("pk").as("u"), col("d").as("du")), "u")
-      .join(degrees(pairs).select(col("pk").as("v"), col("d").as("dv")), "v")
+    p.join(common, Seq("u", "v"), "left_outer")
+      .join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
       .select(col("u"), col("v"), nCommon.as("n_common"),
         (nCommon / (col("du") + col("dv") - nCommon)).as("jaccard"))
   }
