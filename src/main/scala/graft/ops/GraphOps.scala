@@ -293,7 +293,7 @@ object GraphOps {
     * and the neighborhood Jaccard n∩/(deg(u)+deg(v)−n∩). Returns
     * (u, v, n_common, jaccard). */
   def edgeJaccard(pairs: DataFrame): DataFrame = {
-    val p = pairs.cache() // same entry triangleList uses (plan-identical)
+    val p = pairs // triangleList caches this same object for all arms
     val tri = triangleList(p)
     // each triangle strengthens all three of its sides; s is not
     // id-ordered against b/c, so those two sides re-canonicalize

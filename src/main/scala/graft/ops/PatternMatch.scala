@@ -98,19 +98,27 @@ object PatternMatch {
       symbol: Column,
       pattern: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // a zero-length match would make sequence(start, start-1) COUNT DOWN
-    // (Spark's descending default) and tag phantom rows. Fail fast on the
-    // common foot-gun (a pattern matching the empty string); exotic
-    // zero-width cases a static check can't see (lookaheads matching
-    // mid-string) are additionally neutralized at explode time below —
-    // they stay in the offset arithmetic (their segments still count)
-    // but emit no rows, since they consumed no events.
+    // Zero-width matches break the offset reconstruction in a way no
+    // arithmetic can repair: java.util.regex's split (which both engines'
+    // split delegates to) SKIPS a leading zero-width match while the
+    // extract_all find() loop counts it, so segments and matches
+    // desynchronize. Fail fast on the statically checkable case (a
+    // pattern matching the empty string) and fail LOUDLY at runtime on
+    // the rest (mid-string lookahead matches) — a wrong (match_no,
+    // seq_idx) tag is strictly worse than an error.
     require(!"".matches(pattern), "pattern must not match the empty string")
     val exploded = seqDf(events, key, orderCols, symbol)
       .select(col(key), col("seq"),
         posexplode(regexp_extract_all(col("seq"), lit(pattern), lit(0))))
       .select(col(key), col("pos"), col("col").as("m"),
-        length(element_at(split(col("seq"), pattern), col("pos") + 1)).as("seg_len"))
+        // the assert_true rides INSIDE seg_len (adds 0 on success) so
+        // column pruning can never optimize the check away
+        (length(element_at(split(col("seq"), pattern), col("pos") + 1)) +
+          coalesce(
+            assert_true(length(col("col")) > 0,
+              lit("allRows: zero-width match — the pattern must consume at least " +
+                "one symbol per match")).cast("int"),
+            lit(0))).as("seg_len"))
     val w = Window.partitionBy(col(key)).orderBy(col("pos"))
     val cumSeg = sum(col("seg_len")).over(w) // segments up to AND incl. this match's
     val cumMatchPrev = coalesce(
@@ -118,9 +126,8 @@ object PatternMatch {
     val perPos = exploded
       .withColumn("start_pos", (cumSeg + cumMatchPrev + 1).cast("long"))
       .select(col(key), (col("pos") + 1).cast("long").as("match_no"),
-        explode(when(length(col("m")) > 0,
-          sequence(col("start_pos"), col("start_pos") + length(col("m")).cast("long") - 1))
-          .otherwise(array().cast("array<bigint>"))).as("seq_idx"))
+        explode(sequence(col("start_pos"),
+          col("start_pos") + length(col("m")).cast("long") - 1)).as("seq_idx"))
     val ev = events.withColumn("seq_idx",
       row_number().over(Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)).cast("long"))
     ev.join(perPos, Seq(key, "seq_idx"))

@@ -57,7 +57,14 @@ object EventsStream {
     *
     * State per user is three longs — bounded regardless of corpus size —
     * and the stream shuffles once on user_id: the scalable shape for
-    * billions of events. */
+    * billions of events.
+    *
+    * Delivery contract (deliberately LOOSER than the ordered per-event
+    * feeds' — gap semantics don't need a total order): arrivals sort
+    * within a delivery; across deliveries, an event at or before the
+    * open session's end joins that session WITHOUT moving its end
+    * backward (max below — a regressed end could split later events
+    * spuriously), and a closed session is never re-opened. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -70,7 +77,7 @@ object EventsStream {
           sorted.foreach { t =>
             st match {
               case Some(s) if t - s.lastTs <= GapMs =>
-                st = Some(s.copy(lastTs = t, n = s.n + 1))
+                st = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
               case Some(s) =>
                 closed += Session(userId, s.start, s.lastTs, s.n)
                 st = Some(SessionState(t, t, 1))
@@ -118,8 +125,10 @@ object EventsStream {
   /** The shared late-regression predicate: an arrival at (m, id) that is
     * not strictly after the stored (lastMicros, lastEventId) position is
     * a re-delivery or out-of-order straggler and is dropped
-    * deterministically — one rule for every stateful feed, so the
-    * delivery contracts cannot drift apart. */
+    * deterministically — one rule for both ORDERED per-event feeds
+    * (transitions, funnelMatches), so their delivery contracts cannot
+    * drift apart. (sessionize is deliberately not under this rule: gap
+    * semantics tolerate reordering — see its own contract note.) */
   private def isLate(lastMicros: Long, lastEventId: Long, m: Long, id: Long): Boolean =
     lastMicros > m || (lastMicros == m && lastEventId >= id)
 
