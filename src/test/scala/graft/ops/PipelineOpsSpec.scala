@@ -279,6 +279,28 @@ class PipelineOpsSpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("allRows rejects zero-width-capable patterns instead of mis-tagging events") {
+    val events = Tables(spark, sf0001).events
+    // static guard: an empty-matching pattern fails at construction
+    intercept[IllegalArgumentException] {
+      graft.ops.PatternMatch.allRows(
+        events, "user_id", Seq("ts", "event_id"), lit("v"), "c*")
+    }
+    // runtime guard: a mid-string zero-width (lookahead) match passes the
+    // static check but must abort the job — split() and extract_all
+    // disagree on it, so the offsets would silently desynchronize
+    val ex = intercept[Exception] {
+      graft.ops.PatternMatch.allRows(
+        events, "user_id", Seq("ts", "event_id"),
+        when(col("event_type") === "view", "v").otherwise("x"), "(?=v)|vx")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("zero-width")),
+      s"expected the zero-width abort, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("win_pattern_match: funnel counts equal a hand-walked scan of each sequence") {
     val df = SparkEntry.queries("win_pattern_match")(spark, sf0001).cache()
     val events = Tables(spark, sf0001).events
