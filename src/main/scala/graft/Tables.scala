@@ -21,12 +21,23 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read it as raw nanos and rebuild a microsecond timestamp
-    * (matching DuckDB's own nanos→micros truncation). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) across testdata
+    * generations, so normalize by the type that actually loaded:
+    * raw nanos (via the legacy long read — Spark 4 refuses NANOS
+    * otherwise) are truncated to micros exactly like DuckDB does, and
+    * NTZ micros are cast to the session-TZ (UTC) timestamp every
+    * downstream op expects. Either way the column lands as
+    * TIMESTAMP_LTZ micros with identical wall-clock values. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

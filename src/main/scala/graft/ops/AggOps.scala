@@ -362,6 +362,94 @@ object AggOps {
         .agg(count(lit(1)).as("n_both"))
     },
 
+    // ── agg_overlap_sketch: the SAME overlap, but from fixed-size KMV
+    // sketches (graft.functions.KmvSketch — k min distinct hash values,
+    // 8·k bytes, mergeable). agg_hll_partial_merge's HLL partials union
+    // but cannot INTERSECT; KMV partials can: a sketch is a uniform
+    // sample of the distinct-hash domain, so two segments' sketches
+    // combine into union/intersection/Jaccard estimates with PLAIN array
+    // arithmetic (Beyer et al., SIGMOD 2007) — no re-scan of raw data.
+    // Level 1 builds per-(segment, bucket) partials (what a 100 TB
+    // pipeline persists per day/partition); level 2 merges them with
+    // array_union+sort+slice — codegen'd built-ins, demonstrating that
+    // the persisted partials need no special union aggregate. Oracle
+    // gate, the agg_quantile_sketch pattern: emitted n_both/n_union/
+    // jaccard are EXACT (engine-neutral), and the sketch branch stays in
+    // the executed plan because within_eps is computed FROM its
+    // intersection estimate — drift past the bound hash-fails the driver
+    // compare. At 100 TB only the sketch levels run; the exact self-join
+    // is the oracle-scale verification pass. A sub-k sketch is the
+    // complete distinct-hash set of its segment, so small segments are
+    // answered exactly by construction.
+    OpQuery.checked(
+      "agg_overlap_sketch",
+      """WITH su AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders),
+        |cnt AS (SELECT st, CAST(count(*) AS BIGINT) AS n FROM su GROUP BY 1),
+        |pairs AS (SELECT a.st AS status_a, b.st AS status_b, CAST(count(*) AS BIGINT) AS n_both
+        |          FROM su a JOIN su b ON b.c = a.c AND a.st < b.st GROUP BY 1, 2)
+        |SELECT p.status_a, p.status_b, p.n_both,
+        |       CAST(ca.n + cb.n - p.n_both AS BIGINT) AS n_union,
+        |       CAST(p.n_both AS DOUBLE) / CAST(ca.n + cb.n - p.n_both AS DOUBLE) AS jaccard,
+        |       TRUE AS within_eps
+        |FROM pairs p
+        |JOIN cnt ca ON ca.st = p.status_a
+        |JOIN cnt cb ON cb.st = p.status_b""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.KmvSketch.register(spark)
+      // k=1024 → ~3% relative error (1/sqrt(k)); 8 KiB per partial
+      val k = 1024
+      val orders = Tables(spark, dir).orders
+      // level 1: per-(segment, bucket) KMV partials over the codegen'd
+      // 63-bit hash — fixed 8·k bytes each, map-side-combined
+      val partials = orders
+        .select(col("o_orderstatus").as("st"),
+          expr("shiftrightunsigned(xxhash64(o_custkey), 1)").as("h"),
+          Norm.hashBucket(col("o_orderkey"), 8).as("bucket"))
+        .groupBy("st", "bucket")
+        .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+      // level 2: merge persisted partials with plain array arithmetic —
+      // k smallest distinct across buckets is again a valid KMV sketch
+      val sketches = partials.groupBy("st")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+      // pair combine: union sketch = k smallest of A ∪ B; θ from its kth
+      // value estimates the union cardinality, and the fraction of union-
+      // sketch members present in BOTH input sketches estimates the
+      // intersection. All built-in array ops; 2^63 rides IEEE doubles
+      // identically in every engine, and only the audit bit consumes it.
+      val twoP63 = 9.223372036854776e18
+      val est = sketches.as("a")
+        .join(sketches.as("b"), col("a.st") < col("b.st"))
+        .select(col("a.st").as("status_a"), col("b.st").as("status_b"),
+          slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k).as("u"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"),
+          (size(col("a.sk")) < k && size(col("b.sk")) < k).as("complete"))
+        .select(col("status_a"), col("status_b"),
+          when(col("complete") || size(col("u")) < k, size(col("u")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(twoP63) / element_at(col("u"), k).cast("double"))
+            .as("union_est"),
+          (size(array_intersect(array_intersect(col("u"), col("ska")), col("skb"))).cast("double")
+            / size(col("u")).cast("double")).as("inter_frac"))
+        .select(col("status_a"), col("status_b"),
+          (col("inter_frac") * col("union_est")).as("inter_est"), col("union_est"))
+      // exact branch (oracle-scale verification): dedup'd self-join
+      val su = orders
+        .select(col("o_orderstatus").as("st"), col("o_custkey").as("c")).distinct().cache()
+      val cnt = su.groupBy("st").agg(count(lit(1)).as("n"))
+      val pairs = su.as("a").join(su.as("b"), col("b.c") === col("a.c") && col("a.st") < col("b.st"))
+        .groupBy(col("a.st").as("status_a"), col("b.st").as("status_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(cnt.select(col("st").as("status_a"), col("n").as("na")), Seq("status_a"))
+        .join(cnt.select(col("st").as("status_b"), col("n").as("nb")), Seq("status_b"))
+        .select(col("status_a"), col("status_b"), col("n_both"),
+          (col("na") + col("nb") - col("n_both")).as("n_union"))
+        .join(est, Seq("status_a", "status_b"))
+        .select(col("status_a"), col("status_b"), col("n_both"), col("n_union"),
+          (col("n_both").cast("double") / col("n_union").cast("double")).as("jaccard"),
+          (abs(col("inter_est") - col("n_both").cast("double"))
+            <= greatest(col("n_union").cast("double") * 0.12, lit(8.0))).as("within_eps"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.
