@@ -199,6 +199,45 @@ object GraphOps {
     ) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
       edgeJaccard(coPairs(li))
+    },
+
+    // ── graph_khop_reach: multi-source BFS — minimum hop distance from a
+    // seed set, bounded at 3 hops, over the strong (w ≥ 2) co-purchase
+    // edges ("which parts are within k recommendation steps of this
+    // brand"). The Spark side is DELTA-FRONTIER BFS: each round expands
+    // only the nodes discovered last round (join frontier→edges, then
+    // anti-join against everything already reached), so the per-round
+    // shuffle carries the frontier, not the whole reached set — the shape
+    // that survives graphs where |reached| ≫ |frontier|. The reached set
+    // accumulates as a union of per-round distinct frontiers, so min-hop
+    // is by construction (first discovery wins) — no min-aggregate over
+    // re-discoveries, no window. The oracle unrolls the same three
+    // rounds as EXCEPT-chained CTEs. All-BIGINT, hash-exact.
+    OpQuery.checked(
+      "graph_khop_reach",
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |l0 AS (SELECT p_partkey AS pk FROM part WHERE p_brand = 'Brand#11'),
+        |n1 AS (SELECT DISTINCT e.dst AS pk FROM edges e JOIN l0 ON l0.pk = e.src
+        |       EXCEPT SELECT pk FROM l0),
+        |n2 AS (SELECT DISTINCT e.dst AS pk FROM edges e JOIN n1 ON n1.pk = e.src
+        |       EXCEPT (SELECT pk FROM l0 UNION ALL SELECT pk FROM n1)),
+        |n3 AS (SELECT DISTINCT e.dst AS pk FROM edges e JOIN n2 ON n2.pk = e.src
+        |       EXCEPT (SELECT pk FROM l0 UNION ALL SELECT pk FROM n1 UNION ALL SELECT pk FROM n2))
+        |SELECT pk AS part_key, CAST(0 AS BIGINT) AS hops FROM l0
+        |UNION ALL SELECT pk, CAST(1 AS BIGINT) FROM n1
+        |UNION ALL SELECT pk, CAST(2 AS BIGINT) FROM n2
+        |UNION ALL SELECT pk, CAST(3 AS BIGINT) FROM n3""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select("l_orderkey", "l_partkey")
+      val strong = coEdges(li).filter(col("w") >= 2).select("src", "dst")
+      val seeds = t.part.filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("pk"))
+      khopReach(strong, seeds, hops = 3)
+        .select(col("pk").as("part_key"), col("hops"))
     }
   )
 
@@ -243,6 +282,30 @@ object GraphOps {
         .select(col("pk"), coalesce(col("best_lbl"), col("pk")).as("lbl"))
     }
     labels
+  }
+
+  /** Delta-frontier multi-source BFS. `edges` is a directed (src, dst)
+    * list (emit both directions for undirected graphs), `seeds` one (pk)
+    * row per source (hop 0, graph membership not required). Each round
+    * joins only the LAST round's frontier against the edge list and
+    * anti-joins the already-reached set, so shuffle volume tracks the
+    * frontier; reached rows are never re-shuffled or re-aggregated.
+    * Returns (pk, hops: long) for every node within `hops` of a seed —
+    * minimum distance by construction, since a node joins the reached
+    * set the first round it appears and is excluded thereafter. */
+  def khopReach(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, "at least one expansion round")
+    val e = edges.cache()
+    var frontier = seeds.select(col("pk")).distinct().cache()
+    var reached = frontier.select(col("pk"), lit(0L).as("hops"))
+    for (i <- 1 to hops) {
+      frontier = e.join(frontier.withColumnRenamed("pk", "src"), "src")
+        .select(col("dst").as("pk")).distinct()
+        .join(reached, Seq("pk"), "left_anti")
+        .cache()
+      reached = reached.union(frontier.select(col("pk"), lit(i.toLong).as("hops")))
+    }
+    reached
   }
 
   /** Per-vertex degree of the canonical (u < v) edge set. */

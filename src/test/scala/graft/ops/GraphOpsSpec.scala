@@ -161,4 +161,47 @@ class GraphOpsSpec extends SparkSuite {
       "truncation loss must stay negligible")
     df.unpersist()
   }
+
+  /** Sequential multi-source BFS reference: level-synchronous set
+    * expansion, min hop by first discovery. */
+  private def refKhop(
+      edges: Seq[(Long, Long)], seeds: Set[Long], hops: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (i <- 1 to hops) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist = dist ++ frontier.map(_ -> i.toLong)
+    }
+    dist
+  }
+
+  test("khopReach equals the sequential BFS reference on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 120 nodes, ~480 directed edges, both directions emitted — dense
+    // enough for real 2- and 3-hop frontiers, sparse enough to leave
+    // unreachable nodes
+    val dir0 = Seq.fill(240)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val both = (dir0 ++ dir0.map(_.swap)).distinct
+    val seeds = Set(3L, 77L)
+    val got = GraphOps.khopReach(
+      both.toDF("src", "dst"), seeds.toSeq.toDF("pk"), hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refKhop(both, seeds, 3),
+      "distributed delta-frontier BFS must agree with the sequential reference")
+  }
+
+  test("khopReach emits each node at most once (first discovery wins)") {
+    import spark.implicits._
+    // diamond + far chain: 1→{2,3}→4→5, so 4 is discoverable twice at
+    // hop 2 and 5 sits beyond a shorter path through the seed itself
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val df = GraphOps.khopReach(edges.toDF("src", "dst"), Seq(1L).toDF("pk"), 3).cache()
+    assert(df.count() == df.select("pk").distinct().count(), "no node twice")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 2L))
+    df.unpersist()
+  }
 }
