@@ -450,6 +450,48 @@ object AggOps {
             <= greatest(col("n_union").cast("double") * 0.12, lit(8.0))).as("within_eps"))
     },
 
+    // ── agg_freq_sketch: point-frequency service from a Count-Min grid
+    // (graft.functions.CountMinSketch). SpaceSaving answers "what are
+    // the top keys"; Count-Min answers "how often did THIS key occur"
+    // for ANY key from 8·d·w bytes — the skew-detection / hot-key-
+    // routing primitive when the key domain dwarfs memory. One linear-
+    // sketch aggregate over the fact table (map-side combine ships one
+    // 64 KiB grid per partition), then the in-plan point query
+    // (cm_estimate, same splitmix64 row hashes) runs once per QUERIED
+    // key against the broadcast one-row grid. Oracle gate, the
+    // agg_quantile_sketch pattern: emitted n_lines is the EXACT count,
+    // and the sketch stays in the executed plan because within_bound is
+    // computed FROM its estimate — Count-Min's one-sided guarantee
+    // (exact ≤ est ≤ exact + εN, ε≈e/w) must hold or the row hash-fails
+    // the driver compare. At 100 TB only the sketch side runs.
+    OpQuery.checked(
+      "agg_freq_sketch",
+      """WITH q AS (SELECT p_partkey AS part_key FROM part WHERE p_partkey % 29 = 0),
+        |c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
+        |SELECT q.part_key, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_lines, TRUE AS within_bound
+        |FROM q LEFT JOIN c ON c.l_partkey = q.part_key""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.CountMinSketch.register(spark)
+      val (d, w) = (4, 2048)
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(col("l_partkey").as("k"))
+      // one-row grid + the stream length its error bound is stated in
+      val sk = li.agg(expr(s"cm_sketch(k, $d, $w)").as("sk"), count(lit(1)).as("n_total"))
+      val queried = t.part.filter(pmod(col("p_partkey"), lit(29)) === 0)
+        .select(col("p_partkey").as("part_key"))
+      val exact = queried.join(
+        li.groupBy(col("k").as("part_key")).agg(count(lit(1)).as("n_lines")),
+        Seq("part_key"), "left_outer")
+        .select(col("part_key"), coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+      exact.crossJoin(broadcast(sk))
+        .select(col("part_key"), col("n_lines"),
+          expr(s"cm_estimate(sk, part_key, $d, $w)").as("est"), col("n_total"))
+        .select(col("part_key"), col("n_lines"),
+          (col("est") >= col("n_lines") &&
+            col("est").cast("double") <= col("n_lines").cast("double")
+              + col("n_total").cast("double") * (4.0 / w)).as("within_bound"))
+    },
+
     // ── win_row_number_topn: top-N per group with deterministic tiebreak
     // (ref LQY_query1.txt:94,110). Catalyst plans a WindowGroupLimit —
     // per-partition top-N before the shuffle, no full sort per group.
