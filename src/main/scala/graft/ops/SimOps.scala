@@ -822,6 +822,69 @@ object SimOps {
           Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+    },
+
+    // ── sim_topk_mips: top-5 by raw INNER PRODUCT (not cosine) — the
+    // recommendation-retrieval objective, where vector norm carries
+    // popularity and must NOT be normalized away. Executed via the
+    // norm-augmentation reduction (Bachrach et al., RecSys 2014, "
+    // Speeding up the Xbox recommender"; Neyshabur & Srebro 2015):
+    // append one dim sqrt(M² − ‖x‖²) to every corpus vector (M = max
+    // corpus norm, computed in-plan and broadcast as a 1-row frame) and
+    // 0 to every query — all augmented corpus vectors then share norm M,
+    // so cosine ranking over the augmented arrays IS inner-product
+    // ranking over the originals, and any cosine-ANN index (the IVF
+    // family above) serves MIPS unchanged. The plan runs that reduction
+    // literally: shortlist-16 per query by augmented-array vec_dot, then
+    // exact re-rank of the shortlist by round(ip, 6) — monotone-
+    // equivalent scores, so the shortlist provably contains the top-5.
+    // The oracle ranks the raw inner product directly.
+    OpQuery.checked(
+      "sim_topk_mips",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |  ORDER BY vec_id LIMIT 4096),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckDot("q.qe", "e.embedding")}, 6) AS ip
+         |  FROM q CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY ip DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ip, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+    ) { (spark, dir) =>
+      val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding"))
+      // M as a 1-row broadcast frame, not a collect — the augmentation
+      // stays inside the distributed plan
+      val mRow = emb.agg(max(col("nrm")).as("m"))
+      val augmented = emb.crossJoin(broadcast(mRow))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          // float rounding can push m² − nrm² a hair negative at the
+          // max-norm vector itself — clamp before the sqrt
+          expr("concat(embedding, array(CAST(sqrt(greatest(0.0d, m*m - nrm*nrm)) AS FLOAT)))")
+            .as("aug"))
+      val q = augmented.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(QueryCap)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          expr("concat(embedding, array(CAST(0.0 AS FLOAT)))").as("qaug"))
+      val shortlist = broadcast(q)
+        .crossJoin(augmented.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("aug").as("naug")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        // all augmented corpus norms equal M, so the shared divisor drops
+        // out of the per-query ranking — the augmented dot IS the score
+        .withColumn("aug_dot", dot("qaug", "naug"))
+        .withColumn("srank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("aug_dot").desc, col("neighbor_id").asc)))
+        .filter(col("srank") <= 16)
+      shortlist
+        .select(col("query_id"), col("neighbor_id"), round(dot("qe", "ne"), 6).as("ip"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rnk") <= 5)
     }
   )
 

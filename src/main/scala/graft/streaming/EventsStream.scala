@@ -327,6 +327,43 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming windowed distinct sketches ──────────────────────────────
+
+  /** Windowed streaming distinct-user sketches — the mergeable KMV
+    * aggregate the batch agg_overlap_sketch op uses, running unchanged
+    * inside the same watermarked 6-hour tumbling window as
+    * [[windowedTopK]]. One fixed 8·k-byte sketch per (window, event
+    * type) is the whole streaming state, and downstream consumers
+    * INTERSECT the emitted sketches with plain array arithmetic
+    * ("how many users both viewed and purchased this window") without
+    * touching the raw stream again. Unlike SpaceSaving and KLL, the KMV
+    * sketch is exactly merge-order-independent — the k smallest distinct
+    * hashes of a window are one set no matter how micro-batches sliced
+    * it — so the replay spec asserts BIT-IDENTICAL sketches against the
+    * batch aggregation, not just preserved guarantees. */
+  def windowedDistinctSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "6 hours").as("w"), col("event_type"),
+        expr("shiftrightunsigned(xxhash64(user_id), 1)").as("h"))
+      .groupBy("w", "event_type")
+      .agg(expr("kmv_sketch(h, 256)").as("sk"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("sk"))
+
+  /** Start the windowed distinct sketch from a parquet directory into a
+    * memory sink — UPDATE mode for the same watermark-eviction reason as
+    * [[startWindowedTopK]]. */
+  def startWindowedDistinctSketch(spark: SparkSession, sourceDir: String,
+                                  queryName: String): StreamingQuery = {
+    graft.functions.KmvSketch.register(spark)
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    windowedDistinctSketch(src).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

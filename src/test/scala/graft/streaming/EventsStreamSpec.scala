@@ -153,6 +153,40 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct sketches replay bit-identical to batch KMV") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
+    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startWindowedDistinctSketch(spark, staged, "kmvw_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmvw_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      // the batch aggregation over the same files, same window grid
+      graft.functions.KmvSketch.register(spark)
+      val batch = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("event_type"),
+          expr("shiftrightunsigned(xxhash64(user_id), 1)").as("h"))
+        .groupBy("ws", "event_type").agg(expr("kmv_sketch(h, 256)").as("sk"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      assert(streamed.keySet == batch.keySet, "window x type grids must match")
+      // KMV is merge-order independent: the k smallest distinct hashes of
+      // a window are one well-defined set, so streaming micro-batching
+      // must not change a single element
+      streamed.foreach { case (key, sk) =>
+        assert(sk == batch(key), s"sketch for $key diverged from batch replay")
+      }
+      // and the emitted sketches answer cross-type overlap: any two types
+      // sharing a window intersect to at most the smaller sketch, and the
+      // intersection of a sub-k (complete) sketch with itself is itself
+      streamed.keys.groupBy(_._1).values.filter(_.size >= 2).take(3).foreach { ks =>
+        val Seq(a, b) = ks.toSeq.sortBy(_._2).take(2)
+        val inter = streamed(a).toSet.intersect(streamed(b).toSet)
+        assert(inter.size <= math.min(streamed(a).size, streamed(b).size))
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
