@@ -280,9 +280,77 @@ object ReportQueries {
        |            ELSE 'STABLE' END AS signal
        |FROM lagged""".stripMargin
 
+  /** Q4 — RFM customer segmentation (recency / frequency / monetary
+    * quintile scores + named segments), the per-customer profiling
+    * surface LQY_query2.txt:57-215 implies extended to the classic
+    * direct-marketing scoring model. One aggregation to customer grain,
+    * then three ntile(5) windows with full (value, key) total orders so
+    * both engines bucket ties identically. The global windows run on
+    * the CUSTOMER-grain aggregate — grain-bounded like the reference's
+    * RATIO_TO_REPORT frames; at a grain where even that sort hurts, the
+    * scores would come from percentile-threshold joins instead (the
+    * agg_quantile_sketch machinery), trading exact quintile boundaries
+    * for a window-free plan. */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.orders.groupBy(col("o_custkey").as("cust_key"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(Norm.dec(col("o_totalprice"))).as("mon_dec"))
+    val anchor = t.orders.agg(max(col("o_orderdate")).as("anchor"))
+    val base = cust.crossJoin(broadcast(anchor))
+      .select(col("cust_key"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("n_orders"), col("mon_dec"))
+    val scored = base
+      .withColumn("r_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("cust_key").asc))).cast("long"))
+      .withColumn("f_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("n_orders").desc, col("cust_key").asc))).cast("long"))
+      .withColumn("m_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("mon_dec").desc, col("cust_key").asc))).cast("long"))
+    scored.select(
+      col("cust_key"), col("recency_days"), col("n_orders"),
+      col("mon_dec").cast("double").as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2 && col("m_score") <= 2, "lost")
+        .otherwise("regular").as("segment"))
+  }
+
+  def q4Sql(): String =
+    """WITH cust AS (
+      |  SELECT o_custkey AS cust_key, max(o_orderdate) AS last_order,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+      |base AS (
+      |  SELECT cust_key,
+      |         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+      |         n_orders, mon_dec
+      |  FROM cust CROSS JOIN a),
+      |scored AS (
+      |  SELECT cust_key, recency_days, n_orders, mon_dec,
+      |         CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, cust_key ASC) AS BIGINT) AS r_score,
+      |         CAST(6 - ntile(5) OVER (ORDER BY n_orders DESC, cust_key ASC) AS BIGINT) AS f_score,
+      |         CAST(6 - ntile(5) OVER (ORDER BY mon_dec DESC, cust_key ASC) AS BIGINT) AS m_score
+      |  FROM base)
+      |SELECT cust_key, recency_days, n_orders, CAST(mon_dec AS DOUBLE) AS monetary,
+      |       r_score, f_score, m_score,
+      |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+      |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |            WHEN r_score <= 2 AND m_score <= 2 THEN 'lost'
+      |            ELSE 'regular' END AS segment
+      |FROM scored""".stripMargin
+
   val ops: Seq[OpQuery] = Seq(
     OpQuery.checked("q1_genre_sales", q1Sql())((s, d) => q1(s, d)),
     OpQuery.checked("q2_primary_genre_spend", q2Sql())((s, d) => q2(s, d)),
-    OpQuery.checked("q3_gross_margin", q3Sql())((s, d) => q3(s, d))
+    OpQuery.checked("q3_gross_margin", q3Sql())((s, d) => q3(s, d)),
+    OpQuery.checked("q4_customer_rfm", q4Sql())((s, d) => q4(s, d))
   )
 }

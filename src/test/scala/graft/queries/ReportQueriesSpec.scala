@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSuite
+import graft.{SparkSuite, Tables}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
@@ -60,5 +60,22 @@ class ReportQueriesSpec extends SparkSuite {
     val q3 = ReportQueries.q3(spark, sf0001)
     assert(q3.count() > 0)
     assert(q3.select("signal").distinct().as[String].collect().toSet.subsetOf(Set("ALERT", "GOOD", "STABLE", "N/A")))
+  }
+
+  test("q4 RFM: one row per customer, balanced quintiles, coherent segments") {
+    val out = ReportQueries.q4(spark, sf0001).cache()
+    val nCust = Tables(spark, sf0001).orders.select("o_custkey").distinct().count()
+    assert(out.count() == nCust, "one score row per ordering customer")
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = out.groupBy(c).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == (1L to 5L).toSet, s"$c must span all five quintiles")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c quintiles must be ntile-balanced")
+    }
+    // champions really are top-bucket on every axis
+    val champs = out.filter($"segment" === "champion")
+    assert(champs.filter($"r_score" < 4 || $"f_score" < 4 || $"m_score" < 4).count() == 0)
+    assert(out.select("segment").distinct().as[String].collect().toSet
+      .subsetOf(Set("champion", "new", "at_risk", "lost", "regular")))
+    out.unpersist()
   }
 }
