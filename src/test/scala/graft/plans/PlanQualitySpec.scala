@@ -104,15 +104,33 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("round-7 ops carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      // agg_overlap_sketch / agg_freq_sketch broadcast only sketch
+      // AGGREGATES (fixed-size by construction); graph_khop_reach's BFS
+      // joins are all fact-derived and unbounded; q4's only broadcast is
+      // the 1-row anchor aggregate
+      for (q <- Seq("agg_overlap_sketch", "agg_freq_sketch",
+        "graph_khop_reach", "q4_customer_rfm")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
   test("sim_* query-batch broadcasts are capped by construction") {
     // The ANN ops broadcast the query batch — a filter of the embeddings
     // corpus. That is only scale-safe because querySample hard-caps it
     // (QueryCap top-k by id); this asserts the cap is IN THE PLAN for
     // every embeddings-scanning broadcast subtree, so the
     // bounded-broadcast claim is structural, not a comment.
+    // sim_topk_mips additionally broadcasts the 1-row max-norm aggregate
+    // — bounded by aggregation, accepted by the same predicate that
+    // grain-bounds corpusBroadcasts.
     withStaticPlanner {
       for (q <- Seq("sim_cosine_topk", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-        "sim_topk_ivf_pq", "sim_topk_ivf_pq8")) {
+        "sim_topk_ivf_pq", "sim_topk_ivf_pq8", "sim_topk_mips")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val uncapped = df.queryExecution.executedPlan
           .collect { case b: BroadcastExchangeExec => b }
@@ -126,6 +144,8 @@ class PlanQualitySpec extends SparkSuite {
               case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
               case _: org.apache.spark.sql.execution.GlobalLimitExec => true
               case _: org.apache.spark.sql.execution.CollectLimitExec => true
+              // a global (no-grouping) aggregate is one row by construction
+              case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
               case _ => false
             }
             scansEmbeddings && !capped
