@@ -204,6 +204,42 @@ object EventsOps {
         .withColumn("p", col("n") / sum(col("n")).over(byFrom).cast("long"))
     },
 
+    // ── events_user_path_topk: most-traveled 3-step journeys — the
+    // trigram extension of events_markov_transitions' bigram matrix (the
+    // path-mining view funnels are designed from). Two lead() taps on
+    // the same per-user bounded window, then a map-side-combining count
+    // at event-type³ grain; the global top-20 window runs on that
+    // constant-size frame, never on events. Full (n desc, path asc)
+    // total order keeps cross-engine ranking exact.
+    OpQuery.checked(
+      "events_user_path_topk",
+      """WITH seq AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s3
+        |  FROM events),
+        |paths AS (
+        |  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS BIGINT) AS rnk
+        |  FROM paths)
+        |SELECT s1, s2, s3, n, rnk FROM ranked WHERE rnk <= 20""".stripMargin
+    ) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(byUser))
+        .withColumn("s3", lead(col("s1"), 2).over(byUser))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))).cast("long"))
+        .filter(col("rnk") <= 20)
+    },
+
     // ── events_json_props: semi-structured property extraction — regex
     // field pull from the JSON props column, aggregated per event type.
     OpQuery.checked(

@@ -98,6 +98,46 @@ object GraphOps {
         .select(col("pk").as("part_key"), col("r").as("rank_score"))
     },
 
+    // ── graph_ppr: personalized PageRank — the same all-integer power
+    // iteration as graph_pagerank, but teleport mass lands ONLY on a
+    // seed set (topic-sensitive PageRank, Haveliwala WWW'02): rank
+    // measures proximity to the Brand#11 seeds, the crawl-frontier /
+    // related-items prioritization primitive. Seeds start with R0,
+    // everyone else 0; each round re-bases seeds at 15% R0 and damps
+    // in-mass by 85% — all BIGINT div arithmetic, so the fixed-point is
+    // order-independent and hash-exact. Mass spreads frontier-sparse:
+    // nodes at rank 0 contribute nothing, so early rounds shuffle only
+    // the seeds' neighborhoods (the khop frontier shape, with weights).
+    OpQuery.checked(
+      "graph_ppr",
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |          GROUP BY 1, 2),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT l_partkey AS pk FROM li),
+        |seeds AS (SELECT p_partkey AS pk FROM part WHERE p_brand = 'Brand#11'),
+        |sn AS (SELECT n.pk, CASE WHEN s.pk IS NULL THEN 0 ELSE 1 END AS is_seed
+        |       FROM nodes n LEFT JOIN seeds s ON s.pk = n.pk),
+        |r0 AS (SELECT pk, CAST(is_seed * 1000000000000 AS BIGINT) AS r FROM sn),
+        |m1 AS (SELECT e.dst AS pk, CAST(sum((r.r // d.outdeg) * e.w) AS BIGINT) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.pk = e.src GROUP BY 1),
+        |r1 AS (SELECT sn.pk, CAST(sn.is_seed * 150000000000 + (COALESCE(m1.m, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM sn LEFT JOIN m1 ON m1.pk = sn.pk),
+        |m2 AS (SELECT e.dst AS pk, CAST(sum((r.r // d.outdeg) * e.w) AS BIGINT) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.pk = e.src GROUP BY 1),
+        |r2 AS (SELECT sn.pk, CAST(sn.is_seed * 150000000000 + (COALESCE(m2.m, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM sn LEFT JOIN m2 ON m2.pk = sn.pk)
+        |SELECT pk AS part_key, r AS ppr_score FROM r2""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select("l_orderkey", "l_partkey")
+      val seeds = t.part.filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("pk"))
+      personalizedPageRank(coEdges(li), coNodes(li), seeds, iters = 2, r0 = 1000000000000L)
+        .select(col("pk").as("part_key"), col("r").as("ppr_score"))
+    },
+
     // ── graph_label_prop: community detection by synchronous label
     // propagation (Raghavan, Albert & Kumara 2007, "Near linear time
     // algorithm to detect community structures") over the same weighted
@@ -282,6 +322,34 @@ object GraphOps {
         .select(col("pk"), coalesce(col("best_lbl"), col("pk")).as("lbl"))
     }
     labels
+  }
+
+  /** Personalized (topic-sensitive) PageRank: [[pageRank]]'s integer
+    * fixed-point with the teleport base restricted to `seeds`. Non-seed
+    * nodes start at 0 and receive no re-base, so rank is proximity to
+    * the seed set; the `r > 0` frontier filter is a pure optimization
+    * (zero ranks contribute zero mass) that keeps early rounds' shuffles
+    * proportional to the reached neighborhood, not the graph. */
+  def personalizedPageRank(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      iters: Int, r0: Long): DataFrame = {
+    require(iters >= 1, "at least one power-iteration round")
+    val base = (r0 * 15L) / 100L
+    val deg = edges.groupBy("src").agg(sum("w").as("outdeg"))
+    val esd = edges.join(deg, "src").cache()
+    val seeded = nodes
+      .join(seeds.select(col("pk"), lit(1L).as("is_seed")), Seq("pk"), "left_outer")
+      .select(col("pk"), coalesce(col("is_seed"), lit(0L)).as("is_seed")).cache()
+    var ranks = seeded.select(col("pk"), (col("is_seed") * r0).as("r"))
+    for (_ <- 1 to iters) {
+      val mass = esd.join(ranks.filter(col("r") > 0).withColumnRenamed("pk", "src"), "src")
+        .select(col("dst"), (expr("r div outdeg") * col("w")).as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = seeded.join(mass.withColumnRenamed("dst", "pk"), Seq("pk"), "left_outer")
+        .select(col("pk"),
+          (col("is_seed") * base + expr("(coalesce(m, cast(0 as bigint)) * 85) div 100")).as("r"))
+    }
+    ranks
   }
 
   /** Delta-frontier multi-source BFS. `edges` is a directed (src, dst)

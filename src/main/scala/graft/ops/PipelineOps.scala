@@ -308,6 +308,40 @@ object PipelineOps {
         .select(col("lang"), col("doc_id"), col("n_chars"), col("rn"))
     },
 
+    // ── sample_class_balance: balanced per-class downsampling — every
+    // label keeps exactly the minority class's row count (the class-
+    // rebalancing step before contrastive / classifier training). The
+    // per-label keep set is a deterministic hash-rank (md5 of the id —
+    // the sample_hash_split trick), so the sample survives re-runs and
+    // repartitions, and the cutoff n_min arrives as a 1-row aggregate
+    // broadcast, not a driver-side collect. The per-label window sorts
+    // only within its label partition; at a grain where even that hurts,
+    // the rank would come from a per-label quantile threshold on the
+    // hash (the agg_quantile_sketch machinery) instead of row_number.
+    OpQuery.checked(
+      "sample_class_balance",
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |nm AS (SELECT CAST(min(n) AS BIGINT) AS n_min FROM c),
+        |rk AS (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY label
+        |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |  FROM embeddings)
+        |SELECT rk.vec_id, rk.label, CAST(rk.rnk AS BIGINT) AS rnk
+        |FROM rk CROSS JOIN nm WHERE rk.rnk <= nm.n_min""".stripMargin
+    ) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings.select("vec_id", "label")
+      val nMin = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      emb
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("label")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))).cast("long"))
+        .crossJoin(broadcast(nMin))
+        .filter(col("rnk") <= col("n_min"))
+        .select(col("vec_id"), col("label"), col("rnk"))
+    },
+
     // ── text_unigram_score: unigram-frequency document scoring (the
     // cheap stand-in for perplexity filtering: documents whose tokens
     // are corpus-rare score low). Two map-side-combined aggregates and

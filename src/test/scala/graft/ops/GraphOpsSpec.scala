@@ -162,6 +162,42 @@ class GraphOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  /** Sequential integer PPR reference: pageRank's fixed-point with the
+    * teleport base restricted to the seed set. */
+  private def refPpr(
+      edges: Seq[(Long, Long, Long)], nodes: Seq[Long], seeds: Set[Long],
+      iters: Int, r0: Long): Map[Long, Long] = {
+    val base = r0 * 15L / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(n => n -> (if (seeds(n)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val mass = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map { case (s, _, w) => (r(s) / outdeg(s)) * w }.sum }
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + mass.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank equals the sequential reference and stays seed-local") {
+    import spark.implicits._
+    // two components: {1,2,3} strongly linked, {4,5} disjoint — mass
+    // seeded at 1 must never reach the other component
+    val fixture = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 3L), (4L, 5L, 1L), (5L, 4L, 1L))
+    val edges = fixture.toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("pk")
+    val seeds = Seq(1L).toDF("pk")
+    for (iters <- 1 to 3) {
+      val got = GraphOps.personalizedPageRank(edges, nodes, seeds, iters, r0 = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPpr(fixture, Seq(1L, 2L, 3L, 4L, 5L), Set(1L), iters, 1000000L),
+        s"distributed and sequential PPR fixed-points must agree exactly at iters=$iters")
+      assert(got(4L) == 0L && got(5L) == 0L,
+        "teleport-less nodes outside the seed component must stay at exactly 0")
+    }
+  }
+
   /** Sequential multi-source BFS reference: level-synchronous set
     * expansion, min hop by first discovery. */
   private def refKhop(

@@ -465,4 +465,19 @@ class PipelineOpsSpec extends SparkSuite {
     assert(mx.getDouble(0) > mx.getDouble(1), "scores must discriminate documents")
     df.unpersist()
   }
+
+  test("sample_class_balance keeps exactly the minority count in every class") {
+    val df = SparkEntry.queries("sample_class_balance")(spark, sf0001).cache()
+    val counts = Tables(spark, sf0001).embeddings
+      .groupBy("label").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = df.groupBy("label").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == counts.keySet, "every class survives")
+    assert(kept.values.forall(_ == nMin), s"every class must keep exactly $nMin rows: $kept")
+    // determinism: the hash-ranked keep set is a function of the data alone
+    val again = SparkEntry.queries("sample_class_balance")(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == df.select("vec_id").collect().map(_.getLong(0)).toSet)
+    df.unpersist()
+  }
 }
