@@ -522,6 +522,40 @@ object EtlOps {
         .filter(col("last.op") =!= "D")
         .select(col("k").as("o_orderkey"), col("last.seq").as("last_seq"),
           col("n_changes"), col("last.pri").as("final_priority"))
+    },
+
+    // ── etl_infer_dim_members: the Kimball late-arriving-dimension
+    // pattern — facts referencing dimension keys the dim feed hasn't
+    // delivered yet get INFERRED member stubs (placeholder attributes +
+    // the earliest referencing fact date), so the fact load never blocks
+    // and the stub is overwritten in place when the real member lands
+    // (the SCD1-overwrite step etl_scd2_apply's machinery handles).
+    // Simulated gap: every 7th customer is withheld from the dim. The
+    // plan is one anti-join (facts' distinct keys vs dim keys — both at
+    // key grain after map-side-combined distinct/first aggregation),
+    // never a fact×dim product; output is the stub delta the dim MERGE
+    // would consume. Delivery-order note: min(o_orderdate) is an
+    // associative aggregate, so the inferred date is identical whether
+    // the keys arrive in one batch or across incremental loads.
+    OpQuery.checked(
+      "etl_infer_dim_members",
+      """WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0),
+        |fact_keys AS (
+        |  SELECT o_custkey AS cust_key, min(o_orderdate) AS first_seen
+        |  FROM orders GROUP BY 1)
+        |SELECT f.cust_key, 'UNKNOWN' AS c_name, 'PENDING' AS c_mktsegment,
+        |       f.first_seen AS inferred_date
+        |FROM fact_keys f LEFT JOIN dim d ON d.c_custkey = f.cust_key
+        |WHERE d.c_custkey IS NULL""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dim = t.customer.filter(col("c_custkey") % 7 =!= 0).select("c_custkey")
+      t.orders
+        .groupBy(col("o_custkey").as("cust_key"))
+        .agg(min(col("o_orderdate")).as("first_seen"))
+        .join(dim, col("cust_key") === col("c_custkey"), "left_anti")
+        .select(col("cust_key"), lit("UNKNOWN").as("c_name"),
+          lit("PENDING").as("c_mktsegment"), col("first_seen").as("inferred_date"))
     }
   )
 }
