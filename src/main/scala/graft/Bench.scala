@@ -48,7 +48,7 @@ object Bench {
         }
         // several ops cache intermediates (graph edge sets, embedding
         // frames, dedup'd fact slices) and a library API cannot know when
-        // its caller is done with them — but a 155-query sweep CAN: drop
+        // its caller is done with them — but the full sweep CAN: drop
         // everything after each measurement, or later queries run under
         // the accumulated storage pressure of every earlier one (observed
         // 4-20x slowdowns on the late-alphabet queries once the graph

@@ -54,7 +54,14 @@ case class CountMinSketch(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def prettyName: String = "cm_sketch"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the grid is emitted with its (d, w) config so a mis-configured
+  // point query FAILS instead of silently indexing the wrong slots —
+  // a transposed (d, w) has the same d·w product, so a length check
+  // alone cannot catch it
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", IntegerType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("grid", ArrayType(LongType, containsNull = false), nullable = false)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -83,7 +90,8 @@ case class CountMinSketch(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    InternalRow(d, w, new GenericArrayData(buf))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
@@ -109,21 +117,25 @@ case class CountMinSketch(
 }
 
 /** `cm_estimate(sketch, key, d, w)` — min over the d row counters the
-  * key hashes to: the Count-Min point estimate. CodegenFallback is fine
-  * here: the estimate runs once per QUERIED key against a broadcast
-  * sketch row, never inside the corpus-side scan (the aggregate does
-  * that work, codegen'd at its inputs). */
+  * key hashes to: the Count-Min point estimate. The sketch struct
+  * carries its own (d, w), and BOTH must match the query's literals —
+  * a transposed config has the same d·w product but indexes slots other
+  * hashes filled, which would silently break the one-sided guarantee.
+  * CodegenFallback is fine here: the estimate runs once per QUERIED key
+  * against a broadcast sketch row, never inside the corpus-side scan
+  * (the aggregate does that work, codegen'd at its inputs). */
 case class CmEstimate(sketch: Expression, key: Expression, d: Int, w: Int)
     extends Expression with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(sketch, key)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (sketch.dataType, key.dataType) match {
-      case (ArrayType(LongType, _), LongType) =>
+      case (StructType(fields), LongType)
+          if fields.length == 3 && fields(2).dataType == ArrayType(LongType, containsNull = false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cm_estimate needs (array<bigint> sketch, bigint key), got $other")
+          s"cm_estimate needs (cm_sketch struct, bigint key), got $other")
     }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -134,9 +146,11 @@ case class CmEstimate(sketch: Expression, key: Expression, d: Int, w: Int)
     val k = key.eval(input)
     if (sk == null || k == null) null
     else {
-      val arr = sk.asInstanceOf[ArrayData]
-      require(arr.numElements() == d * w,
-        s"cm_estimate(d=$d, w=$w) over a sketch of ${arr.numElements()} slots — config mismatch")
+      val row = sk.asInstanceOf[InternalRow]
+      val (skD, skW) = (row.getInt(0), row.getInt(1))
+      require(skD == d && skW == w,
+        s"cm_estimate(d=$d, w=$w) over a sketch built with (d=$skD, w=$skW) — config mismatch")
+      val arr = row.getArray(2)
       var best = Long.MaxValue
       var r = 0
       val kk = k.asInstanceOf[Long]

@@ -355,11 +355,7 @@ object AggOps {
         |FROM su a JOIN su b ON b.c = a.c AND a.st < b.st
         |GROUP BY 1, 2""".stripMargin
     ) { (spark, dir) =>
-      val su = Tables(spark, dir).orders
-        .select(col("o_orderstatus").as("st"), col("o_custkey").as("c")).distinct()
-      su.as("a").join(su.as("b"), col("b.c") === col("a.c") && col("a.st") < col("b.st"))
-        .groupBy(col("a.st").as("status_a"), col("b.st").as("status_b"))
-        .agg(count(lit(1)).as("n_both"))
+      statusOverlapPairs(statusEntityGrain(Tables(spark, dir).orders))
     },
 
     // ── agg_overlap_sketch: the SAME overlap, but from fixed-size KMV
@@ -378,9 +374,9 @@ object AggOps {
     // the executed plan because within_eps is computed FROM its
     // intersection estimate — drift past the bound hash-fails the driver
     // compare. At 100 TB only the sketch levels run; the exact self-join
-    // is the oracle-scale verification pass. A sub-k sketch is the
-    // complete distinct-hash set of its segment, so small segments are
-    // answered exactly by construction.
+    // is the oracle-scale verification pass. A sub-k UNION sketch is the
+    // complete distinct-hash union of its pair, so small segment pairs
+    // are answered exactly by construction.
     OpQuery.checked(
       "agg_overlap_sketch",
       """WITH su AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders),
@@ -417,28 +413,29 @@ object AggOps {
       // intersection. All built-in array ops; 2^63 rides IEEE doubles
       // identically in every engine, and only the audit bit consumes it.
       val twoP63 = 9.223372036854776e18
+      // union sketch u = k smallest of A ∪ B. When u is SUB-k it is the
+      // complete distinct-hash union (exact path — this is the only
+      // condition under which exactness holds: sub-k INPUTS whose union
+      // overflows k still need the estimator); at size k, θ from its kth
+      // value gives the textbook KMV union estimate.
       val est = sketches.as("a")
         .join(sketches.as("b"), col("a.st") < col("b.st"))
         .select(col("a.st").as("status_a"), col("b.st").as("status_b"),
           slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k).as("u"),
-          col("a.sk").as("ska"), col("b.sk").as("skb"),
-          (size(col("a.sk")) < k && size(col("b.sk")) < k).as("complete"))
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
         .select(col("status_a"), col("status_b"),
-          when(col("complete") || size(col("u")) < k, size(col("u")).cast("double"))
+          when(size(col("u")) < k, size(col("u")).cast("double"))
             .otherwise(lit((k - 1).toDouble) * lit(twoP63) / element_at(col("u"), k).cast("double"))
             .as("union_est"),
           (size(array_intersect(array_intersect(col("u"), col("ska")), col("skb"))).cast("double")
             / size(col("u")).cast("double")).as("inter_frac"))
         .select(col("status_a"), col("status_b"),
           (col("inter_frac") * col("union_est")).as("inter_est"), col("union_est"))
-      // exact branch (oracle-scale verification): dedup'd self-join
-      val su = orders
-        .select(col("o_orderstatus").as("st"), col("o_custkey").as("c")).distinct().cache()
+      // exact branch (oracle-scale verification): the same dedup'd
+      // self-join agg_distinct_overlap demonstrates, via the shared helper
+      val su = statusEntityGrain(orders).cache()
       val cnt = su.groupBy("st").agg(count(lit(1)).as("n"))
-      val pairs = su.as("a").join(su.as("b"), col("b.c") === col("a.c") && col("a.st") < col("b.st"))
-        .groupBy(col("a.st").as("status_a"), col("b.st").as("status_b"))
-        .agg(count(lit(1)).as("n_both"))
-      pairs
+      statusOverlapPairs(su)
         .join(cnt.select(col("st").as("status_a"), col("n").as("na")), Seq("status_a"))
         .join(cnt.select(col("st").as("status_b"), col("n").as("nb")), Seq("status_b"))
         .select(col("status_a"), col("status_b"), col("n_both"),
@@ -636,4 +633,19 @@ object AggOps {
         count(lit(1)).over(frame).cast("long").as("days_in_frame"))
     }
   )
+
+  /** The (segment, entity) grain both overlap ops dedup to first — a
+    * map-side-combining distinct of (o_orderstatus, o_custkey). */
+  private def statusEntityGrain(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    orders.select(col("o_orderstatus").as("st"), col("o_custkey").as("c")).distinct()
+
+  /** Exact pairwise overlap counts of a (st, c) grain: entity-key
+    * self-join, fan-out bounded by segments² per entity — shared by
+    * agg_distinct_overlap (as the whole op) and agg_overlap_sketch (as
+    * its oracle-scale verification branch) so the two can never
+    * silently diverge. */
+  private def statusOverlapPairs(su: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    su.as("a").join(su.as("b"), col("b.c") === col("a.c") && col("a.st") < col("b.st"))
+      .groupBy(col("a.st").as("status_a"), col("b.st").as("status_b"))
+      .agg(count(lit(1)).as("n_both"))
 }

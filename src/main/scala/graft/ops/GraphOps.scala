@@ -246,7 +246,7 @@ object GraphOps {
     // edges ("which parts are within k recommendation steps of this
     // brand"). The Spark side is DELTA-FRONTIER BFS: each round expands
     // only the nodes discovered last round (join frontier→edges, then
-    // anti-join against everything already reached), so the per-round
+    // anti-join against the reached KEYS), so the expensive edge-side
     // shuffle carries the frontier, not the whole reached set — the shape
     // that survives graphs where |reached| ≫ |frontier|. The reached set
     // accumulates as a union of per-round distinct frontiers, so min-hop
@@ -355,12 +355,17 @@ object GraphOps {
   /** Delta-frontier multi-source BFS. `edges` is a directed (src, dst)
     * list (emit both directions for undirected graphs), `seeds` one (pk)
     * row per source (hop 0, graph membership not required). Each round
-    * joins only the LAST round's frontier against the edge list and
-    * anti-joins the already-reached set, so shuffle volume tracks the
-    * frontier; reached rows are never re-shuffled or re-aggregated.
-    * Returns (pk, hops: long) for every node within `hops` of a seed —
-    * minimum distance by construction, since a node joins the reached
-    * set the first round it appears and is excluded thereafter. */
+    * the edge join touches only the LAST round's frontier, so the
+    * expensive expansion (the edge shuffle, proportional to frontier
+    * out-degree) tracks the frontier; the novelty filter is an anti-join
+    * against the reached set PROJECTED TO ITS 8-BYTE KEY — that
+    * key-column shuffle grows with |reached|, the unavoidable cost of
+    * exact visited-set semantics (at 100 TB one would co-partition
+    * frontier and visited set by pk so rounds 2+ reuse the layout, or
+    * accept false-negatives from a Bloom visited filter). Returns
+    * (pk, hops: long) for every node within `hops` of a seed — minimum
+    * distance by construction, since a node joins the reached set the
+    * first round it appears and is excluded thereafter. */
   def khopReach(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1, "at least one expansion round")
     val e = edges.cache()
@@ -369,7 +374,7 @@ object GraphOps {
     for (i <- 1 to hops) {
       frontier = e.join(frontier.withColumnRenamed("pk", "src"), "src")
         .select(col("dst").as("pk")).distinct()
-        .join(reached, Seq("pk"), "left_anti")
+        .join(reached.select("pk"), Seq("pk"), "left_anti")
         .cache()
       reached = reached.union(frontier.select(col("pk"), lit(i.toLong).as("hops")))
     }

@@ -875,10 +875,16 @@ object SimOps {
           col("embedding").as("ne"), col("aug").as("naug")))
         .filter(col("neighbor_id") =!= col("query_id"))
         // all augmented corpus norms equal M, so the shared divisor drops
-        // out of the per-query ranking — the augmented dot IS the score
+        // out of the per-query ranking — the augmented dot IS the score.
+        // Shortlist on the SAME round(·, 6) + id total order the exact
+        // re-rank and the oracle use: the query's augmented dim is 0, so
+        // aug_dot equals the raw ip bit-for-bit and the rounded top-5 is
+        // provably inside the rounded top-16 (an unrounded shortlist
+        // could drop a rounded-tie member the oracle's id tiebreak keeps)
         .withColumn("aug_dot", dot("qaug", "naug"))
         .withColumn("srank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("aug_dot").desc, col("neighbor_id").asc)))
+          Window.partitionBy("query_id")
+            .orderBy(round(col("aug_dot"), 6).desc, col("neighbor_id").asc)))
         .filter(col("srank") <= 16)
       shortlist
         .select(col("query_id"), col("neighbor_id"), round(dot("qe", "ne"), 6).as("ip"))

@@ -54,24 +54,30 @@ class CountMinSketchSpec extends SparkSuite {
     // key-sorted ranges put each key's whole mass in one partition, so
     // the final grid is produced by the merge path, not a single stream
     val single = stream.coalesce(1).agg(expr(s"cm_sketch(k, $d, $w)"))
-      .head.getSeq[Long](0)
+      .head.getStruct(0).getSeq[Long](2)
     val merged = stream.repartitionByRange(13, col("k")).agg(expr(s"cm_sketch(k, $d, $w)"))
-      .head.getSeq[Long](0)
+      .head.getStruct(0).getSeq[Long](2)
     assert(single == merged, "element-wise merge must be exactly order-independent")
   }
 
   test("grid mass equals d x stream length (nothing dropped, nothing invented)") {
     CountMinSketch.register(spark)
     val row = stream.agg(expr(s"cm_sketch(k, $d, $w)").as("sk"), count(lit(1)).as("n")).head
-    assert(row.getSeq[Long](0).sum == d.toLong * row.getLong(1))
+    assert(row.getStruct(0).getSeq[Long](2).sum == d.toLong * row.getLong(1))
   }
 
   test("a mismatched (d, w) at query time fails loudly") {
     CountMinSketch.register(spark)
-    val sk = stream.agg(expr(s"cm_sketch(k, $d, $w)").as("sk"))
+    val sk = stream.agg(expr(s"cm_sketch(k, $d, $w)").as("sk")).cache()
     val e = intercept[Exception] {
       sk.select(expr(s"cm_estimate(sk, 1, $d, ${w * 2})")).collect()
     }
+    // the transposed config has the SAME d*w product — the struct's own
+    // (d, w) is what catches it, not a length check
+    intercept[Exception] {
+      sk.select(expr(s"cm_estimate(sk, 1, $w, $d)")).collect()
+    }
+    sk.unpersist()
     assert(e.getMessage != null)
   }
 }

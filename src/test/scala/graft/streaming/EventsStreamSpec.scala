@@ -176,14 +176,29 @@ class EventsStreamSpec extends SparkSuite {
       streamed.foreach { case (key, sk) =>
         assert(sk == batch(key), s"sketch for $key diverged from batch replay")
       }
-      // and the emitted sketches answer cross-type overlap: any two types
-      // sharing a window intersect to at most the smaller sketch, and the
-      // intersection of a sub-k (complete) sketch with itself is itself
-      streamed.keys.groupBy(_._1).values.filter(_.size >= 2).take(3).foreach { ks =>
-        val Seq(a, b) = ks.toSeq.sortBy(_._2).take(2)
-        val inter = streamed(a).toSet.intersect(streamed(b).toSet)
-        assert(inter.size <= math.min(streamed(a).size, streamed(b).size))
+      // and the emitted sketches answer cross-type overlap: at this
+      // scale every per-(window, type) sketch is sub-k (complete), so
+      // the sketch set-intersection must equal the EXACT distinct-user
+      // overlap computed from the staged files — the downstream
+      // consumption path, verified end to end
+      val exactUsers = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("event_type"),
+          expr("shiftrightunsigned(xxhash64(user_id), 1)").as("h"))
+        .collect().groupBy(r => (r.getTimestamp(0), r.getString(1)))
+        .map { case (key, rs) => key -> rs.map(_.getLong(2)).toSet }
+      var pairsChecked = 0
+      streamed.keys.groupBy(_._1).values.filter(_.size >= 2).foreach { ks =>
+        for (Seq(a, b) <- ks.toSeq.sortBy(_._2).combinations(2)) {
+          assert(streamed(a).size < 256 && streamed(b).size < 256,
+            "fixture assumption: sub-k sketches (raise k or shrink the stage otherwise)")
+          val skInter = streamed(a).toSet.intersect(streamed(b).toSet)
+          val exact = exactUsers(a).intersect(exactUsers(b))
+          assert(skInter == exact,
+            s"complete-sketch intersection must BE the exact overlap for $a x $b")
+          pairsChecked += 1
+        }
       }
+      assert(pairsChecked > 0, "the stage must produce at least one same-window type pair")
     } finally q.stop()
   }
 
