@@ -364,6 +364,39 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming windowed frequency grids ────────────────────────────────
+
+  /** Windowed streaming Count-Min grids — the same linear-sketch
+    * aggregate the batch agg_freq_sketch op uses, one fixed 64 KiB
+    * (d=4 × w=2048) counter grid per watermarked 6-hour window as the
+    * whole streaming state. Downstream consumers answer "how often did
+    * THIS key occur in THAT window" with cm_estimate against the emitted
+    * grid — no raw-stream replay. Like KMV (and unlike SpaceSaving/KLL),
+    * the grid is exactly merge-order independent: element-wise addition
+    * commutes, so the replay spec asserts BIT-IDENTICAL grids against
+    * the batch aggregation. */
+  def windowedFreqSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .groupBy("w")
+      .agg(expr("cm_sketch(user_id, 4, 2048)").as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+
+  /** Start the windowed frequency grid from a parquet directory into a
+    * memory sink — UPDATE mode for the same watermark-eviction reason as
+    * [[startWindowedTopK]]. */
+  def startWindowedFreqSketch(spark: SparkSession, sourceDir: String,
+                              queryName: String): StreamingQuery = {
+    graft.functions.CountMinSketch.register(spark)
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    windowedFreqSketch(src).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

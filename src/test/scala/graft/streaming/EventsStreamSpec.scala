@@ -202,6 +202,47 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed Count-Min grids replay bit-identical to batch") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_cm_stream").toString
+    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+
+    val q = EventsStream.startWindowedFreqSketch(spark, staged, "cmw_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cmw_test").collect()
+        .map(r => r.getTimestamp(0) -> r.getStruct(1).getSeq[Long](2)).toMap
+      graft.functions.CountMinSketch.register(spark)
+      val batch = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("user_id"))
+        .groupBy("ws").agg(expr("cm_sketch(user_id, 4, 2048)").as("sk"))
+        .collect().map(r => r.getTimestamp(0) -> r.getStruct(1).getSeq[Long](2)).toMap
+      assert(streamed.keySet == batch.keySet, "window grids must match")
+      // element-wise addition commutes — micro-batch slicing must not
+      // change a single counter
+      streamed.foreach { case (ws, grid) =>
+        assert(grid == batch(ws), s"grid for window $ws diverged from batch replay")
+      }
+      // and the grids answer per-window point queries: each window's
+      // estimate for a present user is >= its exact in-window count
+      val perWindow = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("user_id"))
+        .groupBy("ws", "user_id").count().collect()
+        .groupBy(_.getTimestamp(0))
+      perWindow.foreach { case (ws, rows) =>
+        val grid = streamed(ws)
+        rows.take(20).foreach { r =>
+          val (uid, exact) = (r.getLong(1), r.getLong(2))
+          var best = Long.MaxValue
+          for (d <- 0 until 4) {
+            val c = grid(d * 2048 + graft.functions.CmHash.slot(uid, d, 2048))
+            if (c < best) best = c
+          }
+          assert(best >= exact, s"window $ws user $uid: est $best < exact $exact")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
