@@ -405,8 +405,12 @@ object AggOps {
         .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
       // level 2: merge persisted partials with plain array arithmetic —
       // k smallest distinct across buckets is again a valid KMV sketch
+      // segments-count rows of 8·k bytes; cached because the pair
+      // self-join below consumes it twice (once per side) and the
+      // alias-renamed subtrees defeat exchange reuse
       val sketches = partials.groupBy("st")
         .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+        .cache()
       // pair combine: union sketch = k smallest of A ∪ B; θ from its kth
       // value estimates the union cardinality, and the fraction of union-
       // sketch members present in BOTH input sketches estimates the
