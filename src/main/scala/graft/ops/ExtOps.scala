@@ -523,6 +523,74 @@ object ExtOps {
           when(abs(z) > 2, 1L).otherwise(0L).as("is_anomaly"))
     },
 
+    // ── events_anomaly_mad: the ROBUST outlier gate — median absolute
+    // deviation instead of mean/stddev, so a heavy-tailed value column
+    // (or the anomalies themselves) cannot drag the threshold the way
+    // they inflate a z-score's stddev (the classic masking failure).
+    // All ranks ride exact decimal order statistics, and every division
+    // is deferred to the final doubles by carrying med×2 and mad×4
+    // (sums of two decimals — exact, engine-identical; /2 and /4 in
+    // binary doubles are exact). Flag: |v − med| > 3·1.4826·MAD, the
+    // normal-consistent MAD cutoff, compared as 2·d > 3·1.4826·mad4
+    // with d = |2v − med2|. Per-type exact medians sort within the type
+    // partition (the agg_median_mode contract); at 100 TB the cutoff
+    // would come from the KLL sketch instead — this exact path is the
+    // oracle-scale verification shape.
+    OpQuery.checked(
+      "events_anomaly_mad",
+      """WITH t AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t),
+        |med AS (
+        |  SELECT event_type,
+        |         sum(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |         + sum(CASE WHEN rn = (n + 2) // 2 THEN v END) AS med2
+        |  FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT t.event_type, t.event_id, t.v, abs(2 * t.v - m.med2) AS dd
+        |  FROM t JOIN med m ON m.event_type = t.event_type),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dd, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |         sum(CASE WHEN rn = (n + 1) // 2 THEN dd END)
+        |         + sum(CASE WHEN rn = (n + 2) // 2 THEN dd END) AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, d.event_id, CAST(d.v AS DOUBLE) AS value,
+        |       CAST(m.med2 AS DOUBLE) / 2 AS med,
+        |       CAST(a.mad4 AS DOUBLE) / 4 AS mad
+        |FROM d
+        |JOIN med m ON m.event_type = d.event_type
+        |JOIN mad a ON a.event_type = d.event_type
+        |WHERE CAST(2 * d.dd AS DOUBLE) > 3 * 1.4826 * CAST(a.mad4 AS DOUBLE)""".stripMargin
+    ) { (spark, dir) =>
+      val byType = Window.partitionBy("event_type")
+      val t = Tables(spark, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
+      def median2(df: org.apache.spark.sql.DataFrame, c: String, out: String) = df
+        .withColumn("rn", row_number().over(byType.orderBy(col(c), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy("event_type")
+        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(c)))
+          + sum(when(col("rn") === expr("(n + 2) div 2"), col(c)))).as(out))
+      val med = median2(t, "v", "med2")
+      val d = t.join(broadcast(med), Seq("event_type"))
+        .withColumn("dd", abs(lit(2) * col("v") - col("med2")))
+      val mad = median2(d, "dd", "mad4")
+      d.join(broadcast(mad), Seq("event_type"))
+        .filter((lit(2) * col("dd")).cast("double") > lit(3) * lit(1.4826) * col("mad4").cast("double"))
+        .select(col("event_type"), col("event_id"), col("v").cast("double").as("value"),
+          (col("med2").cast("double") / 2).as("med"),
+          (col("mad4").cast("double") / 4).as("mad"))
+    },
+
     // ── events_hopping_window: overlapping (hopping) windows — 1-hour
     // width sliding by 15 minutes, the batch analog of the streaming
     // window(ts, width, slide) path. Spark's window() expands each event
