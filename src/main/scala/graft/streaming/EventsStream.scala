@@ -352,11 +352,17 @@ object EventsStream {
 
   /** Start the windowed distinct sketch from a parquet directory into a
     * memory sink — UPDATE mode for the same watermark-eviction reason as
-    * [[startWindowedTopK]]. */
+    * [[startWindowedTopK]]. `maxFilesPerTrigger` slices the backlog into
+    * one-file micro-batches (the replay specs use it to force the
+    * cross-batch state-store merge path; readers then take the LAST row
+    * per window, each batch's revision superseding the previous). */
   def startWindowedDistinctSketch(spark: SparkSession, sourceDir: String,
-                                  queryName: String): StreamingQuery = {
+                                  queryName: String,
+                                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     graft.functions.KmvSketch.register(spark)
-    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    val rd = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
     windowedDistinctSketch(src).writeStream
       .outputMode("update")
       .format("memory")
@@ -385,11 +391,15 @@ object EventsStream {
 
   /** Start the windowed frequency grid from a parquet directory into a
     * memory sink — UPDATE mode for the same watermark-eviction reason as
-    * [[startWindowedTopK]]. */
+    * [[startWindowedTopK]]; `maxFilesPerTrigger` as in
+    * [[startWindowedDistinctSketch]]. */
   def startWindowedFreqSketch(spark: SparkSession, sourceDir: String,
-                              queryName: String): StreamingQuery = {
+                              queryName: String,
+                              maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     graft.functions.CountMinSketch.register(spark)
-    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    val rd = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
     windowedFreqSketch(src).writeStream
       .outputMode("update")
       .format("memory")

@@ -153,13 +153,38 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("streaming windowed distinct sketches replay bit-identical to batch KMV") {
-    val staged = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
-    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+  /** Stage events as three sequential time-range files so that, with
+    * maxFilesPerTrigger=1, the stream replays as three watermark-safe
+    * micro-batches (each file strictly later than the previous — no
+    * late-drop ambiguity) and the cross-batch state-store merge path is
+    * actually exercised. Sequential writes order the modification times
+    * the file source sorts by. */
+  private def stageTimeSliced(prefix: String): String = {
+    val staged = java.nio.file.Files.createTempDirectory(prefix).toString
+    val ev = Tables(spark, sf0001).events
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+    val t1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val t2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    ev.filter(col("ts") <= lit(t1)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    ev.filter(col("ts") > lit(t1) && col("ts") <= lit(t2)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(staged)
+    ev.filter(col("ts") > lit(t2)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(staged)
+    staged
+  }
 
-    val q = EventsStream.startWindowedDistinctSketch(spark, staged, "kmvw_test")
+  test("streaming windowed distinct sketches replay bit-identical to batch KMV") {
+    val staged = stageTimeSliced("graft_kmv_stream")
+
+    val q = EventsStream.startWindowedDistinctSketch(spark, staged, "kmvw_test",
+      maxFilesPerTrigger = Some(1))
     try {
       q.processAllAvailable()
+      // update mode re-emits a window each micro-batch that touches it;
+      // toMap keeps the LAST (batch-ordered) revision per key — the
+      // complete sketch
       val streamed = spark.table("kmvw_test").collect()
         .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
       // the batch aggregation over the same files, same window grid
@@ -203,10 +228,13 @@ class EventsStreamSpec extends SparkSuite {
   }
 
   test("streaming windowed Count-Min grids replay bit-identical to batch") {
-    val staged = java.nio.file.Files.createTempDirectory("graft_cm_stream").toString
-    Tables(spark, sf0001).events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    // three one-file micro-batches: a grid whose merge overwrote instead
+    // of adding (or whose state-store byte round-trip slipped) would
+    // diverge here — a single-batch stage would pass vacuously
+    val staged = stageTimeSliced("graft_cm_stream")
 
-    val q = EventsStream.startWindowedFreqSketch(spark, staged, "cmw_test")
+    val q = EventsStream.startWindowedFreqSketch(spark, staged, "cmw_test",
+      maxFilesPerTrigger = Some(1))
     try {
       q.processAllAvailable()
       val streamed = spark.table("cmw_test").collect()
