@@ -17,7 +17,9 @@ object Explain {
                          "dedup_minhash_lsh", "etl_fine_payment_pipeline", "events_funnel", "sim_topk_ivf_kmeans",
                          "join_asof", "io_bucketed_join", "text_tfidf", "join_dpp_prune", "setop_family",
                          "join_bloom_runtime_filter", "sim_knn_graph", "etl_table_diff",
-                         "graph_pagerank", "graph_triangles", "join_interval_overlap")
+                         "graph_pagerank", "graph_triangles", "join_interval_overlap",
+                         "agg_overlap_sketch", "agg_freq_sketch", "graph_khop_reach",
+                         "sim_topk_mips", "q4_customer_rfm", "events_anomaly_mad")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
