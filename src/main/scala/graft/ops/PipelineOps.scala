@@ -684,6 +684,60 @@ object PipelineOps {
           ((count(lit(1)) - sum(when(col("df") >= 2, 1L).otherwise(0L))) * 8).as("clean_tokens"))
     },
 
+    // ── text_dedup_substring: EXACT substring-span dedup — the
+    // strongest training-data dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better": remove repeated
+    // sequences ≥ threshold chars wherever they recur). Their suffix
+    // array is single-machine; the distributed re-expression anchors
+    // every 50-char shingle by md5, counts global occurrences with
+    // map-side partials, and merges each doc's duplicated anchor
+    // positions into MAXIMAL spans with the islands trick (consecutive
+    // positions share p − row_number) — a run of k consecutive
+    // duplicated shingles IS a duplicated span of k+49 chars, emitted
+    // once at its full extent. Output: one row per maximal span ≥ 50
+    // chars, the span list a cleaning pass would cut.
+    //
+    // Scale shape: linear in corpus chars (shingle fan-out = n−49 rows
+    // per doc, no pairs anywhere); two shuffles — gram hash (16-byte
+    // md5 + count, zipf-skewed ⇒ AQE skew-join territory, but the
+    // count aggregate is map-side-combined so hot grams arrive
+    // pre-reduced) and doc_id for the per-doc islands window (bounded
+    // by doc length). The 1:1 count join back has no fan-out — a gram
+    // shared by a million docs joins each occurrence to ONE count row.
+    OpQuery.checked(
+      "text_dedup_substring",
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 50),
+        |sh AS (SELECT doc_id, unnest(range(1, n - 48)) AS p FROM t),
+        |g AS (SELECT s.doc_id, s.p, md5(substr(t.text, CAST(s.p AS INT), 50)) AS h
+        |      FROM sh s JOIN t ON t.doc_id = s.doc_id),
+        |cnt AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+        |dup AS (SELECT g.doc_id, g.p FROM g JOIN cnt ON cnt.h = g.h WHERE cnt.c >= 2),
+        |runs AS (SELECT doc_id, p,
+        |                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |         FROM dup),
+        |spans AS (SELECT doc_id, min(p) AS s0, max(p) + 49 AS e0 FROM runs GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(s0 AS BIGINT) AS span_start,
+        |       CAST(e0 - s0 + 1 AS BIGINT) AS span_len
+        |FROM spans""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir).documents
+        .filter(length(col("text")) >= 50)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      val g = t
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, n - 49)")).as("p"))
+        .select(col("doc_id"), col("p"), md5(expr("substring(text, p, 50)")).as("h"))
+      val cnt = g.groupBy("h").agg(count(lit(1)).as("c"))
+      val dup = g.join(cnt.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
+      dup
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("p")).as("s0"), (max(col("p")) + 49).as("e0"))
+        .select(col("doc_id"), col("s0").cast("long").as("span_start"),
+          (col("e0") - col("s0") + 1).cast("long").as("span_len"))
+    },
+
     // ── win_pattern_match: MATCH_RECOGNIZE-style sequence detection
     // through the reusable [[PatternMatch]] analog: per user, the event
     // stream collapses to an ordered symbol string (DEFINE = an explicit

@@ -480,4 +480,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(again == df.select("vec_id").collect().map(_.getLong(0)).toSet)
     df.unpersist()
   }
+
+  test("text_dedup_substring emits maximal duplicated spans >= 50 chars") {
+    val out = SparkEntry.queries("text_dedup_substring")(spark, sf0001).cache()
+    assert(out.count() > 0, "the corpus is known to contain repeated sentences")
+    assert(out.filter(col("span_len") < 50).count() == 0, "spans are at least shingle-length")
+    // maximality: two spans of one doc can never touch or overlap — a
+    // touching pair would have merged into one island
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.values.foreach { spans =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s1 + l1 < s2 + 50,
+            "adjacent spans with overlapping shingle runs must have merged")
+        case _ =>
+      }
+    }
+    // ground truth on the real data: every span's text occurs at least
+    // twice in the corpus (spot-check the longest span)
+    val top = out.orderBy(col("span_len").desc).head()
+    val doc = Tables(spark, sf0001).documents
+      .filter(col("doc_id") === top.getLong(0)).head().getAs[String]("text")
+    val spanText = doc.substring(top.getLong(1).toInt - 1, (top.getLong(1) + top.getLong(2) - 1).toInt)
+    val occurrences = Tables(spark, sf0001).documents
+      .filter(col("text").contains(spanText)).count()
+    val selfRepeats = doc.sliding(spanText.length).count(_ == spanText)
+    assert(occurrences >= 2 || selfRepeats >= 2,
+      s"the longest emitted span must actually recur (docs=$occurrences, self=$selfRepeats)")
+    out.unpersist()
+  }
 }
