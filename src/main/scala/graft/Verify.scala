@@ -34,6 +34,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // ops that cache large intermediates (shingle gram frames, graph
+      // edge sets, sketch frames) never unpersist — without this the
+      // 165-op dump accumulates every op's cached storage (the same
+      // 4-20x memory-pressure problem Bench clears between queries)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

