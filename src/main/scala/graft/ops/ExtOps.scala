@@ -532,10 +532,18 @@ object ExtOps {
     // (sums of two decimals — exact, engine-identical; /2 and /4 in
     // binary doubles are exact). Flag: |v − med| > 3·1.4826·MAD, the
     // normal-consistent MAD cutoff, compared as 2·d > 3·1.4826·mad4
-    // with d = |2v − med2|. Per-type exact medians sort within the type
-    // partition (the agg_median_mode contract); at 100 TB the cutoff
-    // would come from the KLL sketch instead — this exact path is the
-    // oracle-scale verification shape.
+    // with d = |2v − med2|.
+    //
+    // Two branches, the agg_quantile_sketch pattern: the KLL sketch
+    // branch IS the 100 TB path — per-type med from one mergeable
+    // kll_quantiles pass (O(k·log n) state, map-side combine), MAD from
+    // a second KLL pass over |v − med_kll| — and it stays in the
+    // executed plan because within_eps is computed FROM its estimates
+    // (true rank of med_kll and mad_kll must land within ε of 0.5, or
+    // the row hash-fails the driver compare). The exact decimal path —
+    // whose per-type row_number sorts near-whole-table partitions — is
+    // the oracle-scale VERIFICATION branch only; at 100 TB the sketch
+    // thresholds drive the gate and the exact branch never runs.
     OpQuery.checked(
       "events_anomaly_mad",
       """WITH t AS (
@@ -564,16 +572,44 @@ object ExtOps {
         |  FROM r2 GROUP BY 1)
         |SELECT d.event_type, d.event_id, CAST(d.v AS DOUBLE) AS value,
         |       CAST(m.med2 AS DOUBLE) / 2 AS med,
-        |       CAST(a.mad4 AS DOUBLE) / 4 AS mad
+        |       CAST(a.mad4 AS DOUBLE) / 4 AS mad,
+        |       TRUE AS within_eps
         |FROM d
         |JOIN med m ON m.event_type = d.event_type
         |JOIN mad a ON a.event_type = d.event_type
         |WHERE CAST(2 * d.dd AS DOUBLE) > 3 * 1.4826 * CAST(a.mad4 AS DOUBLE)""".stripMargin
     ) { (spark, dir) =>
+      graft.functions.KllQuantiles.register(spark)
       val byType = Window.partitionBy("event_type")
       val t = Tables(spark, dir).events
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
+      // ── sketch branch (the 100 TB path): med and MAD from two KLL
+      // passes; fixed-size mergeable partials, no per-type sort anywhere
+      val skMed = t.groupBy("event_type")
+        .agg(element_at(expr("kll_quantiles(v, 256, 0.5)"), 1).as("med_kll"),
+          count(lit(1)).as("n"))
+      val dk = t.join(broadcast(skMed), Seq("event_type"))
+        .withColumn("dkv", abs(col("v").cast("double") - col("med_kll")))
+      val skMad = dk.groupBy("event_type")
+        .agg(element_at(expr("kll_quantiles(dkv, 256, 0.5)"), 1).as("mad_kll"))
+      // rank audit: both sketch estimates must sit within ε of the true
+      // median rank (ε = KLL's advertised 0.05 at k=256 plus 4/n small-n
+      // slack) — computed FROM the estimates, so the sketch branch
+      // cannot be optimized out of the checked plan
+      val audMed = t.join(broadcast(skMed), Seq("event_type"))
+        .groupBy("event_type", "n", "med_kll")
+        .agg(sum(when(col("v").cast("double") <= col("med_kll"), 1L).otherwise(0L)).as("r_med"))
+      val audMad = dk.join(broadcast(skMad), Seq("event_type"))
+        .groupBy("event_type", "n", "mad_kll")
+        .agg(sum(when(col("dkv") <= col("mad_kll"), 1L).otherwise(0L)).as("r_mad"))
+      val eps = col("n").cast("double") * 0.05 + 4.0
+      val audit = audMed.join(audMad.drop("n"), Seq("event_type"))
+        .select(col("event_type"),
+          (abs(col("r_med").cast("double") - col("n").cast("double") / 2) <= eps &&
+            abs(col("r_mad").cast("double") - col("n").cast("double") / 2) <= eps)
+            .as("within_eps"))
+      // ── exact decimal branch: oracle-scale verification only
       def median2(df: org.apache.spark.sql.DataFrame, c: String, out: String) = df
         .withColumn("rn", row_number().over(byType.orderBy(col(c), col("event_id"))))
         .withColumn("n", count(lit(1)).over(byType))
@@ -586,9 +622,11 @@ object ExtOps {
       val mad = median2(d, "dd", "mad4")
       d.join(broadcast(mad), Seq("event_type"))
         .filter((lit(2) * col("dd")).cast("double") > lit(3) * lit(1.4826) * col("mad4").cast("double"))
+        .join(broadcast(audit), Seq("event_type"))
         .select(col("event_type"), col("event_id"), col("v").cast("double").as("value"),
           (col("med2").cast("double") / 2).as("med"),
-          (col("mad4").cast("double") / 4).as("mad"))
+          (col("mad4").cast("double") / 4).as("mad"),
+          col("within_eps"))
     },
 
     // ── events_hopping_window: overlapping (hopping) windows — 1-hour

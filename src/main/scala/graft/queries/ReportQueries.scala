@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Norm, Tables}
+import graft.algo.GlobalRank
 import graft.ops.OpQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -284,13 +285,16 @@ object ReportQueries {
     * quintile scores + named segments), the per-customer profiling
     * surface LQY_query2.txt:57-215 implies extended to the classic
     * direct-marketing scoring model. One aggregation to customer grain,
-    * then three ntile(5) windows with full (value, key) total orders so
-    * both engines bucket ties identically. The global windows run on
-    * the CUSTOMER-grain aggregate — grain-bounded like the reference's
-    * RATIO_TO_REPORT frames; at a grain where even that sort hurts, the
-    * scores would come from percentile-threshold joins instead (the
-    * agg_quantile_sketch machinery), trading exact quintile boundaries
-    * for a window-free plan. */
+    * then three EXACT quintile scores over full (value, key) total
+    * orders so both engines bucket ties identically — computed
+    * window-free: [[graft.algo.GlobalRank]] range-repartitions each
+    * measure (parallel local sorts + broadcast partition offsets) and
+    * ntile(5) becomes pure rank arithmetic. No partition-less
+    * WindowExec anywhere, so the customer grain never lands on one
+    * task; the oracle's ntile output is reproduced bit-for-bit. The
+    * approximate sibling (`score_rfm_threshold`) derives the same
+    * scores from percentile thresholds instead when even three range
+    * shuffles are too many. */
   def q4(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cust = t.orders.groupBy(col("o_custkey").as("cust_key"))
@@ -302,13 +306,17 @@ object ReportQueries {
       .select(col("cust_key"),
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("n_orders"), col("mon_dec"))
-    val scored = base
-      .withColumn("r_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("cust_key").asc))).cast("long"))
-      .withColumn("f_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("n_orders").desc, col("cust_key").asc))).cast("long"))
-      .withColumn("m_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("mon_dec").desc, col("cust_key").asc))).cast("long"))
+    val ranked = Seq(
+      ("r", Seq(col("recency_days").asc, col("cust_key").asc)),
+      ("f", Seq(col("n_orders").desc, col("cust_key").asc)),
+      ("m", Seq(col("mon_dec").desc, col("cust_key").asc))
+    ).foldLeft(base) { case (df, (m, order)) =>
+      GlobalRank.withRowNumber(df, order, s"${m}_rank", s"${m}_n")
+    }
+    val scored = Seq("r", "f", "m").foldLeft(ranked) { (df, m) =>
+      df.withColumn(s"${m}_score",
+        (lit(6) - GlobalRank.ntileOfRank(col(s"${m}_rank"), col(s"${m}_n"), 5)).cast("long"))
+    }
     scored.select(
       col("cust_key"), col("recency_days"), col("n_orders"),
       col("mon_dec").cast("double").as("monetary"),

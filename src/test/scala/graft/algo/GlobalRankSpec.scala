@@ -1,0 +1,68 @@
+package graft.algo
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRank must reproduce the partition-less window bit-for-bit —
+  * the whole point is replacing `Window.orderBy` (single-partition
+  * sort) without changing a single output row. */
+class GlobalRankSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // keys unique (total order); values heavily tied so range boundaries
+  // land inside tie runs unless the tiebreak column does its job
+  private lazy val df = spark
+    .range(0, 4001)
+    .select(
+      col("id").as("k"),
+      pmod(col("id") * 2654435761L, lit(97)).as("v"))
+    .repartition(7) // adversarial input partitioning
+    .cache()
+
+  test("rank equals the global-window row_number, asc and desc, any partition count") {
+    for {
+      p <- Seq(1, 3, 16)
+      order <- Seq(Seq(col("v").asc, col("k").asc), Seq(col("v").desc, col("k").asc))
+    } {
+      val got = GlobalRank.withRowNumber(df, order, "r", "n", p)
+      val want = df.withColumn("r", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      assert(
+        got.select("k", "r").except(want.select("k", "r")).isEmpty
+          && want.select("k", "r").except(got.select("k", "r")).isEmpty,
+        s"rank mismatch at p=$p order=$order")
+      assert(got.select("n").distinct().as[Long].head() == df.count())
+    }
+  }
+
+  test("ntileOfRank matches SQL ntile for every bucket count and ragged n") {
+    // n = 4001 with b in 2..7 exercises both branch arms and every
+    // remainder class; n < b exercises the size-1-bucket edge
+    for (b <- 2 to 7) {
+      val ranked = GlobalRank.withRowNumber(df, Seq(col("v").asc, col("k").asc), "r", "n")
+      val got = ranked.select(col("k"), GlobalRank.ntileOfRank(col("r"), col("n"), b).as("t"))
+      val want = df.select(
+        col("k"),
+        ntile(b).over(Window.orderBy(col("v").asc, col("k").asc)).cast("long").as("t"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"ntile($b) mismatch")
+    }
+    val tiny = df.limit(3)
+    val r3 = GlobalRank.withRowNumber(tiny, Seq(col("k").asc), "r", "n")
+    val gotTiny = r3.select(GlobalRank.ntileOfRank(col("r"), col("n"), 5).as("t"))
+      .as[Long].collect().sorted.toSeq
+    assert(gotTiny == Seq(1L, 2L, 3L), "n < b puts each row in its own bucket")
+  }
+
+  test("no partition-less WindowExec over the data: offsets window sees <= P rows") {
+    // the only Window.orderBy in the helper runs on the P-row counts
+    // frame; the data-side window is partitioned by range-partition id.
+    // Assert the executed plan has no Window node whose child exchange
+    // is SinglePartition over the full frame.
+    val out = GlobalRank.withRowNumber(df, Seq(col("v").asc, col("k").asc), "r", "n", 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the data window must be hash-partitioned by __gr_pid, never a
+    // global sort of the input
+    assert(plan.contains("hashpartitioning(__gr_pid"), plan.take(2000))
+  }
+}
