@@ -596,18 +596,27 @@ object ExtOps {
       // rank audit: both sketch estimates must sit within ε of the true
       // median rank (ε = KLL's advertised 0.05 at k=256 plus 4/n small-n
       // slack) — computed FROM the estimates, so the sketch branch
-      // cannot be optimized out of the checked plan
+      // cannot be optimized out of the checked plan. Tie-safe range
+      // form: a returned value's true rank is the RANGE
+      // [#{x < est}, #{x ≤ est}]; the audit passes iff that range
+      // intersects [0.5 − ε, 0.5 + ε]·n, which is exactly KLL's
+      // guarantee even when the estimate sits inside a tie run.
       val audMed = t.join(broadcast(skMed), Seq("event_type"))
         .groupBy("event_type", "n", "med_kll")
-        .agg(sum(when(col("v").cast("double") <= col("med_kll"), 1L).otherwise(0L)).as("r_med"))
+        .agg(sum(when(col("v").cast("double") < col("med_kll"), 1L).otherwise(0L)).as("lo_med"),
+          sum(when(col("v").cast("double") <= col("med_kll"), 1L).otherwise(0L)).as("hi_med"))
       val audMad = dk.join(broadcast(skMad), Seq("event_type"))
         .groupBy("event_type", "n", "mad_kll")
-        .agg(sum(when(col("dkv") <= col("mad_kll"), 1L).otherwise(0L)).as("r_mad"))
+        .agg(sum(when(col("dkv") < col("mad_kll"), 1L).otherwise(0L)).as("lo_mad"),
+          sum(when(col("dkv") <= col("mad_kll"), 1L).otherwise(0L)).as("hi_mad"))
       val eps = col("n").cast("double") * 0.05 + 4.0
+      val half = col("n").cast("double") / 2
       val audit = audMed.join(audMad.drop("n"), Seq("event_type"))
         .select(col("event_type"),
-          (abs(col("r_med").cast("double") - col("n").cast("double") / 2) <= eps &&
-            abs(col("r_mad").cast("double") - col("n").cast("double") / 2) <= eps)
+          (col("lo_med").cast("double") <= half + eps &&
+            col("hi_med").cast("double") >= half - eps &&
+            col("lo_mad").cast("double") <= half + eps &&
+            col("hi_mad").cast("double") >= half - eps)
             .as("within_eps"))
       // ── exact decimal branch: oracle-scale verification only
       def median2(df: org.apache.spark.sql.DataFrame, c: String, out: String) = df

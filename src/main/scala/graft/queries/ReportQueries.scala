@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Norm, Tables}
 import graft.algo.GlobalRank
 import graft.ops.OpQuery
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -355,10 +355,136 @@ object ReportQueries {
       |            ELSE 'regular' END AS segment
       |FROM scored""".stripMargin
 
+  /** score_rfm_threshold — the WINDOW-FREE scoring shape a 100 TB RFM /
+    * quality-gate pipeline actually runs: per-measure quintile
+    * THRESHOLDS (four boundary values), broadcast as a one-row frame,
+    * and scores assigned by plain comparison — no rank column on the
+    * data at all, so the scoring pass is one broadcast join over the
+    * grain. The thresholds are exact discrete quantiles (value at rank
+    * ceil(k·n/5), selected by [[graft.algo.GlobalRank]]'s parallel
+    * range-partitioned rank — the oracle-scale verification path); the
+    * KLL sketch's estimates of the same four quantiles ride the
+    * executed plan and are hash-gated by a tie-safe rank-range audit
+    * (within_eps: the estimate's true-rank range [#{v<est}, #{v≤est}]
+    * must intersect [p−ε, p+ε]·n), because at 100 TB the thresholds
+    * come from the sketch alone and the selection pass never runs.
+    * Threshold semantics deliberately differ from q4's ntile on
+    * boundary ties: equal values always score equally. */
+  def scoreRfmThreshold(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KllQuantiles.register(spark)
+    val t = Tables(spark, dir)
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    val cust = t.orders.groupBy(col("o_custkey").as("cust_key"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(Norm.dec(col("o_totalprice"))).as("mon_dec"))
+    val anchor = t.orders.agg(max(col("o_orderdate")).as("anchor"))
+    val base = cust.crossJoin(broadcast(anchor))
+      .select(col("cust_key"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("n_orders"), col("mon_dec"))
+    // exact quintile thresholds per measure: value at global rank
+    // ceil(k·n/5), k = 1..4 — a 4-value frame from one GlobalRank pass
+    def thresholds(vCol: String, pfx: String): DataFrame = {
+      val ranked = GlobalRank.withRowNumber(
+        base.select(col("cust_key"), col(vCol).as("v")),
+        Seq(col("v").asc, col("cust_key").asc), "rnk", "n")
+      val cols = (1 to 4).map(k =>
+        max(when(col("rnk") === expr(s"($k * n + 4) div 5"), col("v"))).as(s"$pfx$k"))
+      ranked.agg(cols.head, cols.tail: _*)
+    }
+    // sketch branch: same four quantiles from one mergeable KLL pass,
+    // audited tie-safely against their true-rank ranges
+    def audit(vCol: String): DataFrame = {
+      val est = base.agg(
+        expr(s"kll_quantiles($vCol, 256, ${probs.mkString(", ")})").as("est"),
+        count(lit(1)).as("n"))
+      base.select(col(vCol).cast("double").as("vd")).crossJoin(broadcast(est))
+        .select(col("vd"), col("n"), posexplode(col("est")))
+        .groupBy("pos", "n", "col")
+        .agg(sum(when(col("vd") < col("col"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("vd") <= col("col"), 1L).otherwise(0L)).as("hi"))
+        .withColumn("p", element_at(typedlit(probs), col("pos") + 1))
+        .agg(bool_and(
+          col("lo").cast("double") <= (col("p") + 0.05) * col("n") + 4 &&
+            col("hi").cast("double") >= (col("p") - 0.05) * col("n") - 4)
+          .as(s"ok_$vCol"))
+    }
+    val thr = base
+      .crossJoin(broadcast(thresholds("recency_days", "rt")))
+      .crossJoin(broadcast(thresholds("n_orders", "ft")))
+      .crossJoin(broadcast(thresholds("mon_dec", "mt")))
+      .crossJoin(broadcast(
+        audit("recency_days").crossJoin(audit("n_orders")).crossJoin(audit("mon_dec"))
+          .select((col("ok_recency_days") && col("ok_n_orders") && col("ok_mon_dec"))
+            .as("within_eps"))))
+    def qi(v: Column, pfx: String): Column =
+      lit(1L) + (1 to 4).map(k => when(v > col(s"$pfx$k"), 1L).otherwise(0L)).reduce(_ + _)
+    val scored = thr
+      .withColumn("r_score", (lit(6) - qi(col("recency_days"), "rt")).cast("long"))
+      .withColumn("f_score", qi(col("n_orders"), "ft").cast("long"))
+      .withColumn("m_score", qi(col("mon_dec"), "mt").cast("long"))
+    scored.select(
+      col("cust_key"), col("recency_days"), col("n_orders"),
+      col("mon_dec").cast("double").as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2 && col("m_score") <= 2, "lost")
+        .otherwise("regular").as("segment"),
+      col("within_eps"))
+  }
+
+  def scoreRfmThresholdSql(): String = {
+    def thrCols(rank: String, v: String, pfx: String): String =
+      (1 to 4).map(k => s"max(CASE WHEN $rank = ($k*n+4)//5 THEN $v END) AS $pfx$k").mkString(", ")
+    def qi(v: String, pfx: String): String =
+      s"1 + ${(1 to 4).map(k => s"CAST($v > $pfx$k AS INT)").mkString(" + ")}"
+    s"""WITH cust AS (
+       |  SELECT o_custkey AS cust_key, max(o_orderdate) AS last_order,
+       |         CAST(count(*) AS BIGINT) AS n_orders,
+       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+       |  FROM orders GROUP BY 1),
+       |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+       |base AS (
+       |  SELECT cust_key,
+       |         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+       |         n_orders, mon_dec
+       |  FROM cust CROSS JOIN a),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (ORDER BY recency_days, cust_key) AS rr,
+       |         row_number() OVER (ORDER BY n_orders, cust_key) AS fr,
+       |         row_number() OVER (ORDER BY mon_dec, cust_key) AS mr,
+       |         count(*) OVER () AS n
+       |  FROM base),
+       |thr AS (SELECT ${thrCols("rr", "recency_days", "rt")},
+       |               ${thrCols("fr", "n_orders", "ft")},
+       |               ${thrCols("mr", "mon_dec", "mt")}
+       |        FROM r),
+       |scored AS (
+       |  SELECT b.*,
+       |         CAST(6 - (${qi("b.recency_days", "rt")}) AS BIGINT) AS r_score,
+       |         CAST(${qi("b.n_orders", "ft")} AS BIGINT) AS f_score,
+       |         CAST(${qi("b.mon_dec", "mt")} AS BIGINT) AS m_score
+       |  FROM base b CROSS JOIN thr)
+       |SELECT cust_key, recency_days, n_orders, CAST(mon_dec AS DOUBLE) AS monetary,
+       |       r_score, f_score, m_score,
+       |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+       |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |            WHEN r_score <= 2 AND m_score <= 2 THEN 'lost'
+       |            ELSE 'regular' END AS segment,
+       |       TRUE AS within_eps
+       |FROM scored""".stripMargin
+  }
+
   val ops: Seq[OpQuery] = Seq(
     OpQuery.checked("q1_genre_sales", q1Sql())((s, d) => q1(s, d)),
     OpQuery.checked("q2_primary_genre_spend", q2Sql())((s, d) => q2(s, d)),
     OpQuery.checked("q3_gross_margin", q3Sql())((s, d) => q3(s, d)),
-    OpQuery.checked("q4_customer_rfm", q4Sql())((s, d) => q4(s, d))
+    OpQuery.checked("q4_customer_rfm", q4Sql())((s, d) => q4(s, d)),
+    OpQuery.checked("score_rfm_threshold", scoreRfmThresholdSql())((s, d) => scoreRfmThreshold(s, d))
   )
 }
