@@ -376,6 +376,91 @@ object PipelineOps {
           (sum("cnt") / count(lit(1))).as("avg_token_freq"))
     },
 
+    // ── text_quality_learned: LEARNED quality gating — the fastText-
+    // style linear classifier over token features (Joulin et al. 2016,
+    // "Bag of Tricks for Efficient Text Classification") production
+    // pipelines run where text_unigram_score is the frequency stand-in.
+    // Self-supervised setup: a cheap heuristic teacher (stopword ratio
+    // ≥ 6%, the corpus median, so labels split near 50/50 — integer
+    // arithmetic) labels the TRAIN split (even doc_ids);
+    // training is one token-grain aggregate over the train split that
+    // turns occurrence counts into fixed-point posterior weights
+    // centered at the TRAIN PRIOR, w(t) = q(t) − q₀ with
+    // q(t) = 1000·(pos_t+1) div (pos_t+neg_t+2) and q₀ the same
+    // smoothed fixed-point posterior over all train occurrences — a
+    // token votes by how far it shifts the odds from the corpus base
+    // rate, the Naive-Bayes evidence term (the +1/+2 is Laplace
+    // smoothing; every quantity BIGINT so both engines agree
+    // bit-for-bit — the float log-odds variant is the same plan with
+    // ln, traded away here for hash-exactness). Scoring the
+    // HOLDOUT split (odd doc_ids) is a dictionary left-join + one
+    // doc-grain sum: linear in corpus tokens, the same zipf-skewed
+    // token join shape as text_unigram_score (AQE skew-join territory;
+    // map-side-combined aggregates on both sides; at 100 TB the weight
+    // dictionary is the broadcast side or becomes the fastText hashing
+    // trick over fixed buckets). Unseen tokens score 0 (the centered
+    // prior). `correct` lands in the hash-checked output, so holdout
+    // agreement with the teacher is pinned, not sampled.
+    OpQuery.checked(
+      "text_quality_learned",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
+        |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM toks GROUP BY doc_id),
+        |train AS (
+        |  SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
+        |  WHERE t.doc_id % 2 = 0),
+        |prior AS (
+        |  SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
+        |wts AS (
+        |  SELECT tok,
+        |         CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
+        |              - (SELECT q0 FROM prior) AS BIGINT) AS w
+        |  FROM train GROUP BY tok),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
+        |  FROM toks t LEFT JOIN wts w ON w.tok = t.tok
+        |  WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id)
+        |SELECT s.doc_id, l.n_tokens, s.score,
+        |       CAST(l.label AS BIGINT) AS label,
+        |       CAST(s.score > 0 AS BIGINT) AS predicted,
+        |       CAST((s.score > 0) = (l.label = 1) AS BIGINT) AS correct
+        |FROM sc s JOIN lab l ON l.doc_id = s.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      val lab = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(lit(100) * col("n_stop") >= lit(6) * col("n_tokens"), 1L)
+            .otherwise(0L).as("label"))
+      val train = toks.join(lab.select("doc_id", "label"), Seq("doc_id"))
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      val prior = train.agg(
+        expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
+      val wts = train.groupBy("tok")
+        .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(prior))
+        .select(col("tok"),
+          expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
+      val scored = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .join(wts, Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+      scored.join(lab, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("label"),
+          when(col("score") > 0, 1L).otherwise(0L).as("predicted"),
+          when((col("score") > 0) === (col("label") === 1), 1L).otherwise(0L).as("correct"))
+    },
+
     // ── text_contamination_bloom: benchmark decontamination with a native
     // Bloom prefilter (graft.functions.BloomFilter) in front of the exact
     // verify join. Same semantics as text_contamination's 8-gram
