@@ -461,6 +461,53 @@ object PipelineOps {
           when((col("score") > 0) === (col("label") === 1), 1L).otherwise(0L).as("correct"))
     },
 
+    // ── text_bpe_tokenize: REAL subword token counting — a deterministic
+    // byte-pair-encoding tokenizer (Sennrich et al. 2016) trained on the
+    // corpus's own word-frequency vocabulary, where every other token
+    // count in this library (text_tokens, text_seqlen_pack,
+    // text_mixture_weights) is a whitespace proxy. Three-tier scale
+    // shape: (1) TRAIN on the bounded top-V vocabulary — a distributed
+    // top-V by (count, token) via TakeOrdered, then the merge-table
+    // learner runs driver-side on those 2048 rows (the k-means-sample
+    // pattern: work is V·|word|·merges, independent of corpus size);
+    // (2) ENCODE each DISTINCT token exactly once, executor-side over
+    // the vocabulary grain with the broadcast merge ranks (imperative
+    // per-token loop ⇒ mapPartitions is the honest tier, the multimodal
+    // extractor precedent); (3) the corpus only ever sees the
+    // token→n_pieces DICTIONARY JOIN (the text_unigram_score zipf
+    // shape) and a doc-grain sum. No SQL engine can replay a trained
+    // BPE, so this is a rows-only contract op; BpeSpec pins the
+    // algorithm (reference merge order, round-trip identity, rank-
+    // greedy inference, unseen-pair behavior) and the op's invariants.
+    OpQuery.unchecked("text_bpe_tokenize") { (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val top = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(2048)
+        .as[(String, Long)].collect() // bounded: top-V vocabulary only
+      // merge budget: real corpora train 32k+; this synthetic corpus has
+      // a ~31-word vocabulary that ~100 merges would memorize outright
+      // (every word one piece), so 24 keeps actual subword structure in
+      // the output — frequent words collapse, rare ones stay split
+      val ranks = graft.functions.Bpe.train(top.toSeq, 24).zipWithIndex.toMap
+      val bRanks = spark.sparkContext.broadcast(ranks)
+      val pieces = vocab.select("tok").as[String]
+        .mapPartitions { it =>
+          val r = bRanks.value
+          it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
+        }.toDF("tok", "n_pieces")
+      toks.join(pieces, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_bpe_tokens"),
+          sum(length(col("tok")).cast("long")).as("n_word_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          (col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+            .as("chars_per_token"))
+    },
+
     // ── text_contamination_bloom: benchmark decontamination with a native
     // Bloom prefilter (graft.functions.BloomFilter) in front of the exact
     // verify join. Same semantics as text_contamination's 8-gram
