@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Seq[OpQuery] =
     CoreOps.ops ++ JoinOps.ops ++ AggOps.ops ++ EtlOps.ops ++ graft.queries.ReportQueries.ops ++
       TextOps.ops ++ SimOps.ops ++ EventsOps.ops ++ MultimodalOps.ops ++ ExtOps.ops ++
-      PipelineOps.ops ++ GraphOps.ops
+      PipelineOps.ops ++ GraphOps.ops ++ LibraryOracleOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q1 is the designated minimum end-to-end slice (SURVEY §7.5): star
