@@ -343,6 +343,87 @@ object PipelineOps {
         .select(col("vec_id"), col("label"), col("rnk"))
     },
 
+    // ── sample_class_balance_threshold: the WINDOW-FREE balanced
+    // sampler — the shape that survives when even a per-label window
+    // partition is too big (one label = billions of rows at 100 TB).
+    // The per-label keep set becomes a THRESHOLD JOIN: the (hash, id)
+    // pair at per-label rank n_min — selected by
+    // [[graft.algo.GlobalRank]]'s range-partitioned parallel rank over
+    // the composite (label, hash, id) order, per-label rank = global
+    // rank − the label's broadcast offset, so no WindowExec ever sees
+    // the data — broadcasts as an n_labels-row frame, and the scoring
+    // pass over the corpus is one broadcast join + pair comparison
+    // with no rank column on the data at all. At 100 TB the thresholds
+    // come from the per-label KLL sketch instead (the n_min/n_label
+    // hash quantile) and the selection pass never runs; those sketch
+    // estimates ride THIS plan hash-gated by the tie-safe rank-range
+    // audit (within_eps), the score_rfm_threshold contract. The
+    // sketch's quantile probabilities must be plan-time literals, so
+    // the per-label row counts arrive via a label-cardinality-bounded
+    // metadata read (the k-means-sample pattern: 10 label rows, never
+    // the data).
+    OpQuery.checked(
+      "sample_class_balance_threshold",
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |nm AS (SELECT CAST(min(n) AS BIGINT) AS n_min FROM c),
+        |rk AS (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY label
+        |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |  FROM embeddings)
+        |SELECT rk.vec_id, rk.label, TRUE AS within_eps
+        |FROM rk CROSS JOIN nm WHERE rk.rnk <= nm.n_min""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.KllQuantiles.register(spark)
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"), md5(col("vec_id").cast("string")).as("h"))
+      val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val nMin = counts.map(_._2).min
+      val pOf = (n: Long) => nMin.toDouble / n
+      val probs = counts.map { case (_, n) => pOf(n) }.distinct.sorted
+      val lk = spark.createDataFrame(counts.toSeq.map { case (l, n) =>
+        (l, n, probs.indexOf(pOf(n)) + 1, pOf(n))
+      }).toDF("label", "n", "pos", "p")
+      // exact selection pass (oracle-scale verification): one GlobalRank
+      // over the composite order; the only partition-less window left
+      // runs on the n_labels-row offsets frame
+      val ranked = graft.algo.GlobalRank.withRowNumber(
+        emb, Seq(col("label").asc, col("h").asc, col("vec_id").asc), "grnk", "gn")
+      val offs = lk
+        .withColumn("off", coalesce(sum(col("n")).over(
+          Window.orderBy("label").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("label"), col("off"))
+      val thr = ranked.join(broadcast(offs), "label")
+        .filter(col("grnk") - col("off") === nMin)
+        .select(col("label"), col("h").as("t_h"), col("vec_id").as("t_id"))
+      // sketch branch: per-label hash-quantile estimates at p_l over the
+      // 60-bit numeric hash view (order-compatible with the md5 string;
+      // the audit compares the SAME view on both sides, so the double
+      // rounding at 2^60 > 2^53 cannot skew the rank counts)
+      val hd = conv(substring(col("h"), 1, 15), 16, 10).cast("double")
+      val est = emb.groupBy("label")
+        .agg(expr(s"kll_quantiles(cast(conv(substring(h, 1, 15), 16, 10) as double), 256, ${probs.mkString(", ")})").as("ests"))
+        .join(broadcast(lk), "label")
+        .select(col("label"), element_at(col("ests"), col("pos")).as("est_v"),
+          col("n"), col("p"))
+      val audit = emb.select(col("label"), hd.as("hd"))
+        .join(broadcast(est), "label")
+        .groupBy("label", "n", "p")
+        .agg(sum(when(col("hd") < col("est_v"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("hd") <= col("est_v"), 1L).otherwise(0L)).as("hi"))
+        .agg(bool_and(
+          col("lo").cast("double") <= (col("p") + 0.05) * col("n") + 4 &&
+            col("hi").cast("double") >= (col("p") - 0.05) * col("n") - 4)
+          .as("within_eps"))
+      // scoring pass: broadcast threshold join + pair comparison
+      emb.join(broadcast(thr), "label")
+        .filter(col("h") < col("t_h") ||
+          (col("h") === col("t_h") && col("vec_id") <= col("t_id")))
+        .crossJoin(broadcast(audit))
+        .select(col("vec_id"), col("label"), col("within_eps"))
+    },
+
     // ── text_unigram_score: unigram-frequency document scoring (the
     // cheap stand-in for perplexity filtering: documents whose tokens
     // are corpus-rare score low). Two map-side-combined aggregates and
@@ -506,6 +587,104 @@ object PipelineOps {
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           (col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"))
             .as("chars_per_token"))
+    },
+
+    // ── text_lm_surprisal: n-gram LM quality gating — the CCNet-style
+    // "perplexity bucket" filter (Wenzek et al. 2020) production
+    // pipelines run between the heuristic gates and the learned
+    // classifier: score each document by how surprising its token
+    // stream is under a corpus-trained bigram LM with stupid backoff
+    // (Brants et al. 2007 — score, don't smooth: seen bigrams score by
+    // count ratio, unseen ones back off to the target unigram with a
+    // fixed penalty). Engine-exactness trick: the log-probs that make
+    // real perplexity non-portable (libm log last-bit drift, order-
+    // dependent double sums) become INTEGER surprisal bits —
+    // ilog2(x) = length(bin(x)) − 1, exact in both engines — so
+    // per-bigram bits are BIGINTs, the doc score is a BIGINT sum, and
+    // the only double is one final division. Train/score split on
+    // doc_id parity (the text_quality_learned pattern) keeps the
+    // backoff branch genuinely exercised — an LM trained on its own
+    // scoring set never meets an unseen bigram.
+    //
+    // Scale shape: two map-side-combined count aggregates at token /
+    // bigram grain (zipf-skewed ⇒ AQE skew territory, arriving
+    // pre-reduced); the scored side pre-aggregates to (doc, bigram,
+    // occurrences) before the dictionary joins, and every join is 1:1
+    // per distinct key — no fan-out; the only broadcast is the 1-row
+    // token total.
+    OpQuery.checked(
+      "text_lm_surprisal",
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |bgs AS (
+        |  SELECT doc_id,
+        |         split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(ws)),
+        |                 i -> ws[i] || ' ' || ws[i+1])) AS b
+        |        FROM t)),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS tok FROM t WHERE doc_id % 2 = 0) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bgs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |sb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+        |       FROM bgs WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT sb.doc_id, sb.m, c2.c2, a.c1 AS c1w1, b.c1 AS c1w2, tot.n_total
+        |  FROM sb LEFT JOIN c2 USING (w1, w2)
+        |          LEFT JOIN c1 a ON a.tok = sb.w1
+        |          LEFT JOIN c1 b ON b.tok = sb.w2
+        |          CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id, m, c2,
+        |         CASE WHEN c2 IS NOT NULL
+        |                THEN (length(bin(c1w1)) - 1) - (length(bin(c2)) - 1)
+        |              WHEN c1w2 IS NOT NULL
+        |                THEN (length(bin(n_total)) - 1) - (length(bin(c1w2)) - 1) + 1
+        |              ELSE (length(bin(n_total)) - 1) + 2 END AS bits
+        |  FROM j)
+        |SELECT doc_id,
+        |       CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN c2 IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+        |       CAST(sum(bits * m) AS BIGINT) AS surprisal_bits,
+        |       CAST(sum(bits * m) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS bits_per_bigram
+        |FROM sc GROUP BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      def ilog2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (length(bin(c)) - 1).cast("long")
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
+      // size >= 2 guard: Spark's sequence(1, 0) DESCENDS instead of
+      // returning empty, so a 1-token doc must be filtered before the
+      // transform (DuckDB's range(1, 1) is empty and needs no guard)
+      val bigrams = toks.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c1 = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum("c1").as("n_total"))
+      val c2 = bigrams.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val sb = bigrams.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      val joined = sb
+        .join(c2, Seq("w1", "w2"), "left_outer")
+        .join(c1.toDF("w1", "c1w1"), Seq("w1"), "left_outer")
+        .join(c1.toDF("w2", "c1w2"), Seq("w2"), "left_outer")
+        .crossJoin(broadcast(tot))
+      val bits = when(col("c2").isNotNull, ilog2(col("c1w1")) - ilog2(col("c2")))
+        .when(col("c1w2").isNotNull, ilog2(col("n_total")) - ilog2(col("c1w2")) + 1)
+        .otherwise(ilog2(col("n_total")) + 2)
+      joined.groupBy("doc_id")
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(when(col("c2").isNull, col("m")).otherwise(0L)).as("n_unseen"),
+          sum(bits * col("m")).as("surprisal_bits"))
+        .withColumn("bits_per_bigram",
+          col("surprisal_bits").cast("double") / col("n_bigrams").cast("double"))
     },
 
     // ── text_contamination_bloom: benchmark decontamination with a native
@@ -892,6 +1071,79 @@ object PipelineOps {
         .persist(StorageLevel.DISK_ONLY)
       val cnt = g.groupBy("h").agg(count(lit(1)).as("c"))
       val dup = g.join(cnt.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
+      dup
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("p")).as("s0"), (max(col("p")) + 49).as("e0"))
+        .select(col("doc_id"), col("s0").cast("long").as("span_start"),
+          (col("e0") - col("s0") + 1).cast("long").as("span_len"))
+    },
+
+    // ── text_dedup_substring_incr: substring-span dedup for an ARRIVING
+    // batch — the dedup_incremental pattern applied to the Lee-et-al
+    // span dedup, because re-shingling 100 TB of already-ingested corpus
+    // per delivery is off the table. The historical side reduces to its
+    // gram-hash INDEX (distinct 8-byte anchors — at scale the pre-built,
+    // bucketed index the ingest job maintains and appends to); only the
+    // BATCH is shingled. A batch position is duplicated iff its gram
+    // hits the index OR recurs within the batch itself — exactly the
+    // full-corpus count ≥ 2 predicate restricted to batch docs
+    // (hist ≥ 1 ⇒ total ≥ 2; else total = batch count), an equivalence
+    // PipelineOpsSpec replays structurally. Shuffle story: the index
+    // semi-join and the batch count join are both on the gram-hash key,
+    // batch-proportional, never corpus-proportional; the islands window
+    // stays bounded by doc length. Corpus split = deterministic doc-id
+    // hash (80% ingested / 20% arriving), as dedup_incremental.
+    OpQuery.checked(
+      "text_dedup_substring_incr",
+      """WITH t AS (SELECT doc_id, text, length(text) AS n,
+        |                  (doc_id % 2147483648) * 2654435761 % 100 AS b
+        |           FROM documents WHERE length(text) >= 50),
+        |sh AS (SELECT doc_id, b, unnest(range(1, n - 48)) AS p FROM t),
+        |g AS (SELECT s.doc_id, s.b, s.p, md5(substr(t.text, CAST(s.p AS INT), 50)) AS h
+        |      FROM sh s JOIN t ON t.doc_id = s.doc_id),
+        |hist AS (SELECT DISTINCT h FROM g WHERE b < 80),
+        |bat AS (SELECT doc_id, p, h FROM g WHERE b >= 80),
+        |bc AS (SELECT h, count(*) AS c FROM bat GROUP BY 1),
+        |dup AS (SELECT bat.doc_id, bat.p FROM bat
+        |        LEFT JOIN hist ON hist.h = bat.h
+        |        JOIN bc ON bc.h = bat.h
+        |        WHERE hist.h IS NOT NULL OR bc.c >= 2),
+        |runs AS (SELECT doc_id, p,
+        |                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |         FROM dup),
+        |spans AS (SELECT doc_id, min(p) AS s0, max(p) + 49 AS e0 FROM runs GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(s0 AS BIGINT) AS span_start,
+        |       CAST(e0 - s0 + 1 AS BIGINT) AS span_len
+        |FROM spans""".stripMargin
+    ) { (spark, dir) =>
+      val chunk = 4096
+      val t = Tables(spark, dir).documents
+        .select(col("doc_id"), col("text").cast("binary").as("bt"),
+          Norm.hashBucket(col("doc_id"), 100).as("b"))
+        .withColumn("n", octet_length(col("bt")))
+        .filter(col("n") >= 50)
+      // same bounded two-explode shingle scan as text_dedup_substring
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("bt"), col("n"),
+          explode(expr(s"sequence(0, (n - 50) div $chunk)")).as("ci"))
+        .select(col("doc_id"), col("bt"),
+          explode(expr(
+            s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
+        .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
+      // the persisted historical index: distinct gram hashes only — 8
+      // bytes per distinct gram, not 24 per occurrence, and at 100 TB it
+      // is read, not rebuilt
+      val hist = grams(t.filter(col("b") < 80)).select("h").distinct()
+      // batch grams consumed twice (self-count + index probe): DISK_ONLY,
+      // batch-proportional — the text_dedup_substring storage story
+      val bat = grams(t.filter(col("b") >= 80)).persist(StorageLevel.DISK_ONLY)
+      val bc = bat.groupBy("h").agg(count(lit(1)).as("c"))
+      val dup = bat.join(bc, Seq("h"))
+        .join(hist.withColumn("in_hist", lit(1)), Seq("h"), "left")
+        .filter(col("in_hist").isNotNull || col("c") >= 2)
+        .select("doc_id", "p")
       dup
         .withColumn("grp", col("p") - row_number().over(
           Window.partitionBy("doc_id").orderBy("p")))

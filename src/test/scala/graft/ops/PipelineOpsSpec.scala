@@ -518,4 +518,41 @@ class PipelineOpsSpec extends SparkSuite {
       s"the longest emitted span must actually recur (docs=$occurrences, self=$selfRepeats)")
     out.unpersist()
   }
+
+  test("text_dedup_substring_incr replays the full-corpus result on the batch slice") {
+    import graft.Norm
+    // batch-replay equivalence, the dedup_incremental contract: the
+    // incremental predicate (index hit OR batch recurrence) equals the
+    // full-corpus count >= 2 predicate restricted to batch docs —
+    // hist >= 1 makes any batch occurrence total >= 2, and with no
+    // history the total IS the batch count. So the incremental spans
+    // must be row-identical to the full op's spans for arriving docs.
+    val incr = SparkEntry.queries("text_dedup_substring_incr")(spark, sf0001)
+    val batchDocs = Tables(spark, sf0001).documents
+      .filter(Norm.hashBucket(col("doc_id"), 100) >= 80).select("doc_id")
+    val full = SparkEntry.queries("text_dedup_substring")(spark, sf0001)
+      .join(batchDocs, Seq("doc_id"))
+    assert(incr.count() > 0, "the corpus is known to contain cross-bucket repeats")
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental spans must replay the full-corpus spans on batch docs")
+    // and history must genuinely participate at this SF — some batch
+    // position is duplicated ONLY via the index (its gram is unique
+    // within the batch), otherwise the index probe was never exercised
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        Norm.hashBucket(col("doc_id"), 100).as("b"))
+      .filter(col("n") >= 50)
+    val g = docs
+      .select(col("doc_id"), col("b"), col("text"),
+        explode(expr("sequence(1, n - 49)")).as("p"))
+      .select(col("doc_id"), col("b"), col("p"),
+        md5(expr("substring(text, p, 50)")).as("h"))
+    val bat = g.filter(col("b") >= 80)
+    val batc = bat.groupBy("h").agg(count(lit(1)).as("c"))
+    val batchOnly = bat.join(batc.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
+    val viaHist = bat.join(g.filter(col("b") < 80).select("h").distinct(), Seq("h"), "left_semi")
+      .select("doc_id", "p")
+    assert(viaHist.exceptAll(batchOnly).count() > 0,
+      "history contributes duplicated positions beyond batch-internal recurrence")
+  }
 }

@@ -119,6 +119,54 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("global scoring ops keep every data-sized window partitioned") {
+    // Window.orderBy with no partitionBy moves its WHOLE input to one
+    // partition (Spark's own WindowExec warning) — the single-task global
+    // sort that killed q4's original ntile windows at 100×. These ops
+    // were rebuilt on GlobalRank / broadcast-threshold joins precisely so
+    // no partition-less window and no single-partition exchange ever
+    // carries fact rows; the bounded exceptions that remain (GlobalRank's
+    // P-row offsets frame, the label lookup) are aggregates or local
+    // relations, which the same grain-reduction predicate as
+    // corpusBroadcasts accepts.
+    def unboundedGlobal(p: SparkPlan): Seq[String] = {
+      def factScanBelow(n: SparkPlan): Boolean = {
+        val aggregated = n.children.exists(_.exists {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+          case _ => false
+        })
+        !aggregated && n.exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(p => factTables.exists(p.toString.contains))
+          case _ => false
+        }
+      }
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && factScanBelow(w) => s"global window: $w"
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 && factScanBelow(e) =>
+            s"single-partition exchange: $e"
+      }
+    }
+    withStaticPlanner {
+      // detector self-check first (a vacuous pass here would certify
+      // nothing): a deliberately partition-less window straight over the
+      // raw fact scan MUST be flagged
+      val poison = spark.read.parquet(s"$sf001/embeddings.parquet")
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      assert(unboundedGlobal(poison.queryExecution.executedPlan).nonEmpty,
+        "unboundedGlobal detector failed to flag a global window over a fact scan")
+      for (q <- Seq("q4_customer_rfm", "score_rfm_threshold",
+        "sample_class_balance_threshold")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = unboundedGlobal(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q funnels fact rows through one partition:\n${bad.mkString("\n")}")
+      }
+    }
+  }
+
   test("sim_* query-batch broadcasts are capped by construction") {
     // The ANN ops broadcast the query batch — a filter of the embeddings
     // corpus. That is only scale-safe because querySample hard-caps it
