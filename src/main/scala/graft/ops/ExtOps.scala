@@ -638,6 +638,55 @@ object ExtOps {
           col("within_eps"))
     },
 
+    // ── events_cusum: change-point detection over the daily event-rate
+    // series — Page's CUSUM (Page 1954, Biometrika: cumulative sums of
+    // deviations from the mean; the |S| peak is the classic change-
+    // point estimate). The integer-exactness trick: deviations are
+    // scaled by the day count D, dev_t = n_t·D − total, so the running
+    // sum stays BIGINT (no double accumulation drift across engines)
+    // and the one division to the reported cusum = S/D happens last.
+    //
+    // Scale shape: the window runs AFTER the map-side-combined
+    // aggregate to (event_type, day) grain — its input is days×types
+    // rows, CONSTANT in corpus size (the grain-reduction that the
+    // events_anomaly_mad verdict demanded of per-type windows: never
+    // sort event rows, sort the bounded daily series). Per-type totals
+    // broadcast from an aggregate; peak flags come from a second
+    // bounded aggregate join, not a whole-partition max window.
+    OpQuery.checked(
+      "events_cusum",
+      """WITH day AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |typ AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS d
+        |        FROM day GROUP BY 1),
+        |cs AS (
+        |  SELECT day.event_type, day.day, day.n, typ.d,
+        |         CAST(sum(day.n * typ.d - typ.tot)
+        |              OVER (PARTITION BY day.event_type ORDER BY day.day) AS BIGINT) AS s
+        |  FROM day JOIN typ USING (event_type)),
+        |peak AS (SELECT event_type, CAST(max(abs(s)) AS BIGINT) AS smax FROM cs GROUP BY 1)
+        |SELECT cs.event_type, cs.day, cs.n,
+        |       CAST(cs.s AS DOUBLE) / CAST(cs.d AS DOUBLE) AS cusum,
+        |       abs(cs.s) = peak.smax AS is_peak
+        |FROM cs JOIN peak USING (event_type)""".stripMargin
+    ) { (spark, dir) =>
+      val day = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val typ = day.groupBy("event_type")
+        .agg(sum("n").as("tot"), count(lit(1)).as("d"))
+      val cs = day.join(broadcast(typ), Seq("event_type"))
+        .withColumn("s", sum(col("n") * col("d") - col("tot")).over(
+          Window.partitionBy("event_type").orderBy("day")))
+      val peak = cs.groupBy("event_type").agg(max(abs(col("s"))).as("smax"))
+      cs.join(broadcast(peak), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("s").cast("double") / col("d").cast("double")).as("cusum"),
+          (abs(col("s")) === col("smax")).as("is_peak"))
+    },
+
     // ── events_hopping_window: overlapping (hopping) windows — 1-hour
     // width sliding by 15 minutes, the batch analog of the streaming
     // window(ts, width, slide) path. Spark's window() expands each event

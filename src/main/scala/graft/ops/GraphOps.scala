@@ -278,8 +278,74 @@ object GraphOps {
         .select(col("p_partkey").as("pk"))
       khopReach(strong, seeds, hops = 3)
         .select(col("pk").as("part_key"), col("hops"))
+    },
+
+    // ── graph_kcore: k-core decomposition (here: the 3-core of the
+    // strong co-purchase graph) by synchronous peeling — each round
+    // drops every node whose degree among the SURVIVORS is < k, until
+    // fixpoint (Matula & Beck 1983; the distributed formulation of
+    // Montresor et al. 2013). The dense-subgraph gate graph pipelines
+    // run before community/influence analysis: the k-core is where the
+    // recommendation signal actually lives. Spark runs the peel as a
+    // fixed-round loop of [degree aggregate → threshold filter] —
+    // each round is one map-side-combined count over edges semi-joined
+    // to the survivor set on BOTH endpoints, so a round's shuffle
+    // carries (edge endpoint, 1) pairs at survivor grain and hot nodes
+    // arrive pre-reduced; no windows anywhere. GraphOpsSpec asserts
+    // the fixpoint is actually reached within the unrolled budget (the
+    // last two rounds agree) — the bounded-round/convergence contract
+    // graph_khop_reach and graph_pagerank already use. The oracle
+    // unrolls the same rounds as chained CTEs.
+    OpQuery.checked(
+      "graph_kcore",
+      kcoreSql(rounds = 6, k = 3)
+    ) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+      val strong = coEdges(li).filter(col("w") >= 2).select("src", "dst")
+      kcore(strong, k = 3, rounds = 6)
+        .select(col("pk").as("part_key"), col("core_deg"))
     }
   )
+
+  /** Synchronous k-core peel over a symmetric (src, dst) edge set: each
+    * round keeps the nodes with ≥ k neighbors among last round's
+    * survivors; after `rounds` rounds, returns (pk, core_deg) for the
+    * survivors with their within-core degree. Callers own convergence:
+    * the round budget must reach the fixpoint (asserted in
+    * GraphOpsSpec for the co-purchase graph). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one peel round")
+    val cached = edges.cache()
+    def survive(core: DataFrame): DataFrame = cached
+      .join(core.toDF("src"), Seq("src"), "left_semi")
+      .join(core.toDF("dst"), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    var core = cached.select(col("src").as("pk")).distinct()
+    for (_ <- 1 to rounds)
+      core = survive(core).filter(col("deg") >= k).select(col("src").as("pk"))
+    survive(core).select(col("src").as("pk"), col("deg").as("core_deg"))
+  }
+
+  /** Oracle for [[graph_kcore]]: the same peel unrolled as chained CTEs
+    * — n0 = all vertices, n_i = vertices with ≥ k surviving neighbors
+    * in n_{i-1}; output = final survivor degrees. */
+  private def kcoreSql(rounds: Int, k: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""n$i AS (SELECT e.src AS pk FROM edges e
+         |       JOIN n${i - 1} a ON a.pk = e.src JOIN n${i - 1} b ON b.pk = e.dst
+         |       GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |n0 AS (SELECT DISTINCT src AS pk FROM edges),
+       |$iters
+       |SELECT e.src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM edges e
+       |JOIN n$rounds a ON a.pk = e.src JOIN n$rounds b ON b.pk = e.dst
+       |GROUP BY 1""".stripMargin
+  }
 
   /** The directed weighted co-purchase edge list: one (src, dst, w) row
     * per ordered part pair that shares an order, w = co-occurrence count.

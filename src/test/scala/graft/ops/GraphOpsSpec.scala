@@ -240,4 +240,38 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 2L))
     df.unpersist()
   }
+
+  test("kcore peels the cascade fixture to exactly the K4 core") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node degree 3) + a cascade tail
+    // 5–{3,4,6}, 6–{5,7}, 7–{6}: node 5 starts at degree 3, but round
+    // 1 peels 6 (deg 2) and 7 (deg 1), which drops 5's survivor
+    // degree to 2 — round 2 peels it. The multi-round cascade a
+    // single-pass degree filter gets wrong.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 3L), (5L, 4L), (5L, 6L), (6L, 7L))
+    val both = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.kcore(both, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the K4 with degree 3, got $got")
+    // single-pass check: a naive one-round filter would KEEP node 5
+    val oneRound = GraphOps.kcore(both, k = 3, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.contains(5L),
+      "fixture must genuinely require the cascade (round 1 keeps node 5)")
+  }
+
+  test("graph_kcore: the unrolled round budget reaches the fixpoint") {
+    val li = graft.Tables(spark, sf0001).lineitem.select("l_orderkey", "l_partkey")
+    val strong = GraphOps.coEdges(li).filter(col("w") >= 2).select("src", "dst")
+    val r5 = GraphOps.kcore(strong, k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r6 = GraphOps.kcore(strong, k = 3, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r6.nonEmpty, "the strong co-purchase graph is known to have a 3-core")
+    assert(r5 == r6, "rounds 5 and 6 must agree — the 6-round oracle is a fixpoint")
+    assert(r6.forall(_._2 >= 3), "every core member keeps >= k in-core neighbors")
+  }
 }
