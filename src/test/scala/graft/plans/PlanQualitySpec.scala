@@ -119,6 +119,24 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("round-8 ops carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      // the only broadcasts these ops hint are grain-bounded: 1-row
+      // totals / per-type aggregates (cusum, lm_surprisal), the n_labels-
+      // row threshold frame selected at rank n_min (class_balance_
+      // threshold — its subtree carries GlobalRank's counts aggregate),
+      // and the 4-value quantile frames (score_rfm_threshold); kcore and
+      // the incremental span dedup join on shuffle paths only
+      for (q <- Seq("score_rfm_threshold", "sample_class_balance_threshold",
+        "text_dedup_substring_incr", "text_lm_surprisal",
+        "text_quality_learned", "events_cusum", "graph_kcore")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
   test("global scoring ops keep every data-sized window partitioned") {
     // Window.orderBy with no partitionBy moves its WHOLE input to one
     // partition (Spark's own WindowExec warning) — the single-task global
