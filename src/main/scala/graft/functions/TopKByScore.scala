@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Exact per-group top-k by score as a native mergeable aggregate —
+  * `topk_by_score(score, id, k)` returns the k highest-(score, then
+  * lowest-id) pairs of the group as an array of {score, id} structs.
+  *
+  * Why an aggregate when `ROW_NUMBER() ... WHERE rn <= k` exists (ref
+  * LQY_query1.txt:94,110 and our win_row_number_topn): the window form is
+  * an *operator* — it owns the whole plan node, so it cannot sit next to
+  * other aggregates in one groupBy, cannot run inside a watermarked
+  * streaming window (WindowExec is unsupported on streaming Datasets),
+  * and (pre-WindowGroupLimit) sorts entire partitions. The aggregate
+  * form is an *algebra*: O(k) state per group per task, map-side
+  * combined before the shuffle, merged associatively — so top-k rides
+  * the same hash-aggregate as sums/counts, streams incrementally, and
+  * shuffles O(groups × k) rows at 100 TB regardless of input size.
+  *
+  * Determinism: total order is (score DESC, id ASC); equal (score, id)
+  * duplicates are kept (multiset semantics), matching the SQL
+  * ROW_NUMBER oracle ordered the same way.
+  *
+  * Buffer is an unsorted ArrayBuffer compacted to k whenever it reaches
+  * 4k — amortized O(1) inserts with a hard O(k) state bound.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def prettyName: String = "topk_by_score"
+
+  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+
+  // (score DESC, id ASC): a precedes b when it ranks strictly higher
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    if (buf.size > k) {
+      val kept = buf.sortWith(beats).take(k)
+      buf.clear()
+      buf ++= kept
+    }
+    buf
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Long)],
+      input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      if (buf.size >= 4 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(
+      b1: ArrayBuffer[(Double, Long)],
+      b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    b1 ++= b2
+    if (b1.size >= 4 * k) compact(b1)
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
+    val top = buf.sortWith(beats).take(k)
+    new GenericArrayData(top.map { case (s, i) => InternalRow(s, i) }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    compact(buf) // never ship more than k entries
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) =>
+      out.writeDouble(s)
+      out.writeLong(i)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val in  = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n   = in.readInt()
+    val buf = new ArrayBuffer[(Double, Long)](n)
+    var i = 0
+    while (i < n) {
+      buf += ((in.readDouble(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+}
+
+object TopKByScore {
+  /** Register `topk_by_score(score DOUBLE, id BIGINT, k)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+}

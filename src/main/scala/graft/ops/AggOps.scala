@@ -640,6 +640,52 @@ object AggOps {
         col("spend").cast("double").as("day_spend"),
         sum(col("spend")).over(frame).cast("double").as("spend_7d"),
         count(lit(1)).over(frame).cast("long").as("days_in_frame"))
+    },
+
+    // ── agg_topk_heap: per-group top-k as a MERGEABLE AGGREGATE
+    // (graft.functions.TopKByScore) rather than a window operator — the
+    // same top-N semantics as win_row_number_topn (ref
+    // LQY_query1.txt:94,110) expressed as an algebra: O(k) state per
+    // group per task, map-side combined, so the shuffle carries
+    // O(groups × k) entries regardless of input size, it composes with
+    // other aggregates in one groupBy (the count(*) here rides the same
+    // hash-aggregate), and it runs unchanged inside watermarked
+    // streaming windows where WindowExec is unsupported. Top-3 lineitems
+    // by extended price per return flag, tie-broken by line id; the SQL
+    // ROW_NUMBER oracle uses the identical (score DESC, id ASC) order.
+    OpQuery.checked(
+      "agg_topk_heap",
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_extendedprice AS DOUBLE) AS price,
+        |         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id
+        |  FROM lineitem),
+        |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines
+        |      FROM li GROUP BY 1),
+        |r AS (SELECT l_returnflag, price, line_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                    ORDER BY price DESC, line_id ASC) AS BIGINT) AS rn
+        |      FROM li)
+        |SELECT r.l_returnflag, r.rn, r.line_id, r.price, n.n_lines
+        |FROM r JOIN n ON n.l_returnflag = r.l_returnflag
+        |WHERE r.rn <= 3""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.TopKByScore.register(spark)
+      val li = Tables(spark, dir).lineitem.select(
+        col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("price"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"))
+      li.groupBy("l_returnflag")
+        .agg(
+          expr("topk_by_score(price, line_id, 3)").as("top"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"), posexplode(col("top")), col("n_lines"))
+        .select(
+          col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rn"),
+          col("col.id").as("line_id"),
+          col("col.score").as("price"),
+          col("n_lines"))
     }
   )
 
