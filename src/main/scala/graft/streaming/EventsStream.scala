@@ -407,6 +407,48 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming windowed exact top-k ────────────────────────────────────
+
+  /** Windowed streaming exact top-k — the mergeable TopKByScore aggregate
+    * the batch agg_topk_heap op uses, running unchanged inside the same
+    * watermarked 6-hour tumbling window as [[windowedTopK]]: the
+    * highest-value events per (window, event type), O(k) state per open
+    * group, partials combined map-side within each micro-batch. This is
+    * the top-N that ROW_NUMBER cannot express on a stream (WindowExec is
+    * unsupported on streaming Datasets) — the aggregate algebra is the
+    * only shape that works both at 100 TB batch and on the live stream.
+    * Under the total order (score DESC, id ASC) the top-k of a multiset
+    * is uniquely determined, so like KMV/Count-Min (and unlike
+    * SpaceSaving/KLL) the result is exactly merge-order independent and
+    * the replay spec asserts BIT-IDENTICAL lists against the batch
+    * aggregation. */
+  def windowedExactTopK(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "6 hours").as("w"), col("event_type"),
+        col("value"), col("event_id"))
+      .groupBy("w", "event_type")
+      .agg(expr("topk_by_score(value, event_id, 3)").as("top"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("top"))
+
+  /** Start the windowed exact top-k from a parquet directory into a
+    * memory sink — UPDATE mode for the same watermark-eviction reason as
+    * [[startWindowedTopK]]; `maxFilesPerTrigger` as in
+    * [[startWindowedDistinctSketch]]. */
+  def startWindowedExactTopK(spark: SparkSession, sourceDir: String,
+                             queryName: String,
+                             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    graft.functions.TopKByScore.register(spark)
+    val rd = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    windowedExactTopK(src).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

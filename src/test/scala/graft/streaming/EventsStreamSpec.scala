@@ -271,6 +271,49 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed exact top-k replays bit-identical to batch") {
+    // one-file micro-batches force the cross-batch state-store merge: a
+    // compaction that dropped a potential top-k entry, or a serialize
+    // path that shipped more than k, would diverge from the batch run
+    val staged = stageTimeSliced("graft_topk_stream")
+
+    val q = EventsStream.startWindowedExactTopK(spark, staged, "xtopk_test",
+      maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      def asList(r: org.apache.spark.sql.Row) =
+        r.getSeq[org.apache.spark.sql.Row](2).map(e => (e.getDouble(0), e.getLong(1)))
+      val streamed = spark.table("xtopk_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> asList(r)).toMap
+      graft.functions.TopKByScore.register(spark)
+      val batch = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("event_type"),
+          col("value"), col("event_id"))
+        .groupBy("ws", "event_type")
+        .agg(expr("topk_by_score(value, event_id, 3)").as("top"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> asList(r)).toMap
+      assert(streamed.keySet == batch.keySet, "window x type keys must match")
+      // top-k under a total order is uniquely determined — micro-batch
+      // slicing must not change a single entry or its rank
+      streamed.foreach { case (key, top) =>
+        assert(top == batch(key), s"top-k for $key diverged from batch replay")
+      }
+      // and against first principles: the exact per-group sort of the
+      // staged files, (value DESC, event_id ASC), truncated to 3
+      val exact = spark.read.parquet(staged)
+        .select(window(col("ts"), "6 hours")("start").as("ws"), col("event_type"),
+          col("value"), col("event_id"))
+        .collect().groupBy(r => (r.getTimestamp(0), r.getString(1)))
+        .map { case (key, rs) =>
+          key -> rs.map(r => (r.getDouble(2), r.getLong(3)))
+            .sortBy(t => (-t._1, t._2)).take(3).toSeq
+        }
+      streamed.foreach { case (key, top) =>
+        assert(top == exact(key), s"top-k for $key diverged from the exact sort")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events
