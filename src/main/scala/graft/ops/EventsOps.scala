@@ -261,6 +261,57 @@ object EventsOps {
           count(lit(1)).as("n"),
           sum(col("k")).cast("long").as("sum_k"),
           (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+    },
+
+    // ── events_sliding_distinct: trailing-7-day distinct users per day —
+    // the sliding-window cardinality every DAU/WAU dashboard needs, and
+    // the aggregate DISTINCT breaks: distinct is not additive, so a naive
+    // plan re-scans 7 days of raw events per anchor day (7× the corpus at
+    // 100 TB). The scale shape is grain reduction THEN window assembly:
+    //   (1) exact branch — dedup once to the (day, user) grain with a
+    //       map-side-combining distinct, range-join the 7-day window
+    //       ANCHORS onto that grain (fan-out 7 × |user-days|, never
+    //       7 × |events|), distinct-count per anchor;
+    //   (2) sketch branch — one mergeable HLL partial per day (constant
+    //       rows: |days|), each anchor unions its 7 day-sketches — at
+    //       100 TB only this branch runs, the union cost is |days| × 7
+    //       sketch merges, independent of event volume.
+    // The in-plan within_3pct audit hash-gates the sketch against the
+    // exact branch (the verification-scale pass), like
+    // agg_hll_partial_merge does for the group-merge case.
+    OpQuery.checked(
+      "events_sliding_distinct",
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d AS day,
+        |       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users_7d,
+        |       TRUE AS within_3pct
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val grain = Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct() // (day, user) grain: the one pass over raw events
+      val anchors = grain.select(col("d").as("day")).distinct()
+      // exact branch: anchor ← user-day grain range join (7 × grain rows)
+      val exact = anchors
+        .join(grain, col("d").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      // sketch branch: one HLL partial per day, 7-way union per anchor —
+      // the only branch that touches events is the per-day partial build
+      val dailySk = Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("d")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val est = anchors
+        .join(dailySk, col("d").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      exact.join(est, Seq("day"))
+        .select(col("day"), col("n_users_7d"),
+          (abs(col("est") - col("n_users_7d")).cast("double")
+            <= col("n_users_7d").cast("double") * 0.03).as("within_3pct"))
     }
   )
 }
