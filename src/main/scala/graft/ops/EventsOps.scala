@@ -312,6 +312,52 @@ object EventsOps {
         .select(col("day"), col("n_users_7d"),
           (abs(col("est") - col("n_users_7d")).cast("double")
             <= col("n_users_7d").cast("double") * 0.03).as("within_3pct"))
+    },
+
+    // ── events_decay_counts: exponentially time-decayed activity counts
+    // per event type (half-life = 1 day, evaluated at the corpus's last
+    // day) — the recency weighting behind trending/decayed-popularity
+    // feeds. Scale shape: the decay NEVER touches raw events — one
+    // map-side-combined count to the (type, day) grain first, then the
+    // weighted sum runs on that constant-size frame (|types| × |days|
+    // rows at 100 TB). Cross-engine exactness: with half-life 1 day the
+    // weights are powers of two, so the numerator Σ n_day · 2^(day − d0)
+    // is BIGINT (exact in both engines; fits while span + log2(rows) <
+    // 63 — 30-day testdata ⇒ ≤ 2^46), and the final ÷ 2^span only
+    // shifts the IEEE exponent (numerator < 2^53 ⇒ the double is
+    // exact). At production spans the same grain-reduced frame would
+    // use float weights exp(−λ·age) — error at the |types|×|days|
+    // grain, not per event; the power-of-2 branch is the verification
+    // form. Bounds come from a 1-row broadcast aggregate, not a collect.
+    OpQuery.checked(
+      "events_decay_counts",
+      """WITH pd AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS d0, max(d) AS dT FROM pd)
+        |SELECT pd.event_type,
+        |       CAST(sum(pd.n) AS BIGINT) AS n_total,
+        |       CAST(sum(pd.n * (CAST(1 AS BIGINT) << datediff('day', b.d0, pd.d))) AS BIGINT)
+        |         AS decay_num,
+        |       CAST(sum(pd.n * (CAST(1 AS BIGINT) << datediff('day', b.d0, pd.d))) AS DOUBLE)
+        |         / CAST(CAST(1 AS BIGINT) << datediff('day', b.d0, b.dT) AS DOUBLE)
+        |         AS decayed
+        |FROM pd, b
+        |GROUP BY pd.event_type, b.d0, b.dT""".stripMargin
+    ) { (spark, dir) =>
+      val pd = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = pd.agg(min(col("d")).as("d0"), max(col("d")).as("dT"))
+      pd.crossJoin(broadcast(bounds))
+        .withColumn("w", expr("shiftleft(1L, datediff(d, d0))"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("n")).cast("long").as("n_total"),
+          sum(col("n") * col("w")).cast("long").as("decay_num"),
+          (sum(col("n") * col("w")).cast("double")
+            / first(expr("cast(shiftleft(1L, datediff(dT, d0)) as double)")))
+            .as("decayed"))
     }
   )
 }
