@@ -127,9 +127,13 @@ class PlanQualitySpec extends SparkSuite {
       // threshold — its subtree carries GlobalRank's counts aggregate),
       // and the 4-value quantile frames (score_rfm_threshold); kcore and
       // the incremental span dedup join on shuffle paths only
+      // agg_topk_heap / events_sliding_distinct / events_decay_counts:
+      // their only broadcasts are grain-bounded frames (day anchors,
+      // 1-row bounds) — the aggregate-below predicate accepts those
       for (q <- Seq("score_rfm_threshold", "sample_class_balance_threshold",
         "text_dedup_substring_incr", "text_lm_surprisal",
-        "text_quality_learned", "events_cusum", "graph_kcore")) {
+        "text_quality_learned", "events_cusum", "graph_kcore",
+        "agg_topk_heap", "events_sliding_distinct", "events_decay_counts")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -230,6 +234,27 @@ class PlanQualitySpec extends SparkSuite {
     // difference between a reservoir and a full sort at 100 TB
     assert(plan.contains("WindowGroupLimit"),
       s"A-ES top-k lost its WindowGroupLimit:\n$plan")
+  }
+
+  test("agg_topk_heap map-side combines: partial aggregation below the shuffle") {
+    // the whole point of the aggregate form — each task ships an O(k)
+    // partial, not its rows; a plan missing the Partial mode would
+    // shuffle the full lineitem grain to the groups
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    withStaticPlanner {
+      val df = graft.SparkEntry.queries("agg_topk_heap")(spark, sf001)
+      val modes = df.queryExecution.executedPlan.collect {
+        case a: ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(_.aggregateFunction.prettyName == "topk_by_score") =>
+            a.aggregateExpressions.map(_.mode).distinct
+      }.flatten
+      assert(modes.contains(Partial) && modes.contains(Final),
+        s"topk_by_score must plan Partial+Final aggregation, got: $modes")
+      // and no WindowExec anywhere — the op exists to avoid one
+      assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"),
+        "agg_topk_heap must not fall back to a window")
+    }
   }
 
   test("dedup_incremental picks winners by aggregation, not a window") {
