@@ -686,6 +686,52 @@ object AggOps {
           col("col.id").as("line_id"),
           col("col.score").as("price"),
           col("n_lines"))
+    },
+
+    // ── win_gap_fill: calendar resampling with last-observation-carried-
+    // forward — the missing-day densification every time-series training
+    // pipeline needs before building lag features (a model fed the
+    // observed-days-only series silently learns the gap structure).
+    // Scale shape: the calendar grid and the LOCF window live ENTIRELY on
+    // the aggregated (priority, day) grain — constant in corpus size,
+    // like events_cusum — never on raw orders; the grid is a
+    // |priorities| × |days| cross join of two tiny frames, the bounds
+    // come from a 1-row broadcast aggregate, and the fill itself is a
+    // partition-local running last(ignoreNulls). Days before a series'
+    // first observation stay NULL (no value to carry), flagged like
+    // every filled row.
+    OpQuery.checked(
+      "win_gap_fill",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS od,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT min(od) AS d0, max(od) AS dT FROM daily),
+        |cal AS (SELECT CAST(unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |grid AS (SELECT p.prio, c.day
+        |         FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN cal c)
+        |SELECT g.prio, g.day,
+        |       CAST(last_value(d.spend IGNORE NULLS) OVER (
+        |              PARTITION BY g.prio ORDER BY g.day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS spend_locf,
+        |       (d.spend IS NULL) AS filled
+        |FROM grid g LEFT JOIN daily d ON d.prio = g.prio AND d.od = g.day""".stripMargin
+    ) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("od"))
+        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
+      val cal = daily.agg(min(col("od")).as("d0"), max(col("od")).as("dT"))
+        .select(explode(expr("sequence(d0, dT, interval 1 day)")).as("day"))
+      val grid = daily.select(col("prio")).distinct().crossJoin(broadcast(cal))
+      val locf = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, grid("prio") === daily("prio") && col("day") === col("od"), "left")
+        .select(grid("prio"), col("day"), col("spend"))
+        .select(
+          col("prio"), col("day"),
+          last(col("spend"), ignoreNulls = true).over(locf).cast("double").as("spend_locf"),
+          col("spend").isNull.as("filled"))
     }
   )
 

@@ -1363,5 +1363,59 @@ object PipelineOps {
         .agg(
           expr("bitmap_distinct(user_id, 2097152)").as("n_users"),
           count(lit(1)).as("n_events"))
+    },
+
+    // ── sample_temporal_split: leakage-guarded temporal train/test split
+    // — the split a time-series/recsys training pipeline must make, and
+    // random sampling gets wrong: a user with events on both sides of
+    // the cutoff leaks future behavior into training. Cutoff = first day
+    // whose cumulative event count reaches 80% — computed on the DAY
+    // grain (|days| rows after one map-side-combined count; the
+    // cumulative window never sees raw events) and broadcast as a 1-row
+    // frame. Then one user-grain aggregate classifies: all-before →
+    // train, all-after → test, spanning → span_drop (the leakage guard:
+    // such users are excluded, not truncated, so neither side sees a
+    // partial history). Everything is counts and comparisons — BIGINT-
+    // exact in both engines.
+    OpQuery.checked(
+      "sample_temporal_split",
+      """WITH pd AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT d, sum(n) OVER (ORDER BY d) AS c,
+        |         (SELECT sum(n) FROM pd) AS tot FROM pd),
+        |cut AS (SELECT min(d) AS cutoff FROM cum WHERE c * 5 >= tot * 4),
+        |u AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN CAST(ts AS DATE) <  (SELECT cutoff FROM cut)
+        |                  THEN 1 ELSE 0 END) AS n_before,
+        |         sum(CASE WHEN CAST(ts AS DATE) >= (SELECT cutoff FROM cut)
+        |                  THEN 1 ELSE 0 END) AS n_after
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(n_before AS BIGINT) AS n_before,
+        |       CAST(n_after AS BIGINT) AS n_after,
+        |       CASE WHEN n_after = 0 THEN 'train'
+        |            WHEN n_before = 0 THEN 'test'
+        |            ELSE 'span_drop' END AS split
+        |FROM u""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.select(col("user_id"), to_date(col("ts")).as("d"))
+      // day grain first: the cumulative window runs on |days| rows
+      val pd  = ev.groupBy("d").agg(count(lit(1)).as("n"))
+      val cut = pd
+        .withColumn("c", sum(col("n")).over(Window.orderBy("d")))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .filter(col("c") * 5 >= col("tot") * 4)
+        .agg(min(col("d")).as("cutoff"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("d") < col("cutoff"), 1L).otherwise(0L)).cast("long").as("n_before"),
+          sum(when(col("d") >= col("cutoff"), 1L).otherwise(0L)).cast("long").as("n_after"))
+        .select(col("user_id"), col("n_before"), col("n_after"),
+          when(col("n_after") === 0L, "train")
+            .when(col("n_before") === 0L, "test")
+            .otherwise("span_drop").as("split"))
     })
 }
