@@ -407,6 +407,44 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming sliding-window distinct sketches ────────────────────────
+
+  /** SLIDING-window streaming distinct-user sketches — the streaming twin
+    * of the batch events_sliding_distinct op: window(ts, 24h, 6h) assigns
+    * each event to its 4 overlapping windows and one mergeable KMV
+    * partial accumulates per window — state is 4 fixed 8·k-byte sketches
+    * per open 6-hour stride regardless of event rate, and the watermark
+    * retires them. This is the trailing-DAU feed computed ON ARRIVAL
+    * instead of by the batch op's anchor range join; KMV's exact
+    * merge-order independence means the replay spec asserts BIT-IDENTICAL
+    * sketches against a batch aggregation over the same sliding grid. */
+  def slidingDistinctSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "24 hours", "6 hours").as("w"),
+        expr("shiftrightunsigned(xxhash64(user_id), 1)").as("h"))
+      .groupBy("w")
+      .agg(expr("kmv_sketch(h, 256)").as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+
+  /** Start the sliding distinct sketch from a parquet directory into a
+    * memory sink — UPDATE mode for the same watermark-eviction reason as
+    * [[startWindowedTopK]]; `maxFilesPerTrigger` as in
+    * [[startWindowedDistinctSketch]]. */
+  def startSlidingDistinctSketch(spark: SparkSession, sourceDir: String,
+                                 queryName: String,
+                                 maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    graft.functions.KmvSketch.register(spark)
+    val rd = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    slidingDistinctSketch(src).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming windowed exact top-k ────────────────────────────────────
 
   /** Windowed streaming exact top-k — the mergeable TopKByScore aggregate

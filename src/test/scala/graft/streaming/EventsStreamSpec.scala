@@ -271,6 +271,33 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window distinct sketches replay bit-identical to batch") {
+    val staged = stageTimeSliced("graft_slide_stream")
+
+    val q = EventsStream.startSlidingDistinctSketch(spark, staged, "slide_test",
+      maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_test").collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+      graft.functions.KmvSketch.register(spark)
+      val batch = spark.read.parquet(staged)
+        .select(window(col("ts"), "24 hours", "6 hours")("start").as("ws"),
+          expr("shiftrightunsigned(xxhash64(user_id), 1)").as("h"))
+        .groupBy("ws").agg(expr("kmv_sketch(h, 256)").as("sk"))
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed.keySet == batch.keySet, "sliding window grid must match")
+      // each event lands in exactly 4 overlapping 24h/6h windows — the
+      // grid must be denser than a tumbling one (vacuity guard)
+      assert(streamed.size > spark.read.parquet(staged)
+        .select(window(col("ts"), "24 hours")("start")).distinct().count(),
+        "sliding grid no denser than tumbling — window(slide) not in effect")
+      streamed.foreach { case (ws, sk) =>
+        assert(sk == batch(ws), s"sketch for window $ws diverged from batch replay")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed exact top-k replays bit-identical to batch") {
     // one-file micro-batches force the cross-batch state-store merge: a
     // compaction that dropped a potential top-k entry, or a serialize
