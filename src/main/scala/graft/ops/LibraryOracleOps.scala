@@ -45,6 +45,25 @@ object LibraryOracleOps {
     df.sparkSession.read.parquet(s"$DataDir/$name.parquet")
   }
 
+  // star-schema layer for the Q1–Q3 report oracles: InitialLoad over the
+  // derived OLTP frames, with every frame a report touches swapped for
+  // its persisted copy so both engines read the SAME parquet bytes
+  private val dwCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.etl.DwTables]()
+
+  private def persistedDw(spark: SparkSession): graft.etl.DwTables =
+    dwCache.computeIfAbsent(
+      spark,
+      s => {
+        val d = graft.etl.InitialLoad(s, derived(s))
+        d.copy(
+          dimDate = persist("dw_dim_date", d.dimDate),
+          dimMembers = persist("dw_dim_members", d.dimMembers),
+          dimBook = persist("dw_dim_book", d.dimBook),
+          factSales = persist("dw_fact_sales", d.factSales),
+          factPurchase = persist("dw_fact_purchase", d.factPurchase))
+      })
+
   val ops: Seq[OpQuery] = Seq(
     // ── lib_q4_fine_revenue: fines→payments revenue/collection report
     // over the seed-42 generated library (fine typing, trigger-derived
@@ -109,6 +128,146 @@ object LibraryOracleOps {
         persist("staff", t.staff),
         persist("shift_schedules", t.shiftSchedules),
         persist("staff_attendance", t.staffAttendance))
+    },
+
+    // ── lib_q1_genre_sales: the reference's Q1 report (LQY_query1.txt:
+    // 39-111) over the REAL library star schema — quarter pivot, YoY LAG,
+    // top-5 genres per year — hash-checked through the persisted DW
+    // parquet (generator → triggers → InitialLoad → report, end to end).
+    OpQuery.checked(
+      "lib_q1_genre_sales",
+      s"""WITH fs AS (SELECT * FROM read_parquet('$DataDir/dw_fact_sales.parquet/*.parquet')
+         |            WHERE date_key BETWEEN 20050101 AND 20241231),
+         |dd AS (SELECT date_key, cal_year, cal_quarter
+         |       FROM read_parquet('$DataDir/dw_dim_date.parquet/*.parquet')),
+         |db AS (SELECT book_key, genre
+         |       FROM read_parquet('$DataDir/dw_dim_book.parquet/*.parquet')),
+         |dm AS (SELECT member_key
+         |       FROM read_parquet('$DataDir/dw_dim_members.parquet/*.parquet')),
+         |base AS (
+         |  SELECT dd.cal_year, dd.cal_quarter, db.genre, sum(fs.total_amount) AS rev
+         |  FROM fs JOIN dd USING (date_key) JOIN db USING (book_key) JOIN dm USING (member_key)
+         |  GROUP BY 1, 2, 3),
+         |piv AS (
+         |  SELECT cal_year, genre,
+         |         CAST(sum(CASE WHEN cal_quarter = 1 THEN rev ELSE 0 END) AS DOUBLE) AS q1_rev,
+         |         CAST(sum(CASE WHEN cal_quarter = 2 THEN rev ELSE 0 END) AS DOUBLE) AS q2_rev,
+         |         CAST(sum(CASE WHEN cal_quarter = 3 THEN rev ELSE 0 END) AS DOUBLE) AS q3_rev,
+         |         CAST(sum(CASE WHEN cal_quarter = 4 THEN rev ELSE 0 END) AS DOUBLE) AS q4_rev,
+         |         sum(rev) AS tot_dec
+         |  FROM base GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *,
+         |         lag(tot_dec) OVER (PARTITION BY genre ORDER BY cal_year) AS prev_tot,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY cal_year
+         |                ORDER BY tot_dec DESC, genre ASC) AS BIGINT) AS rn
+         |  FROM piv)
+         |SELECT cal_year, genre, q1_rev, q2_rev, q3_rev, q4_rev,
+         |       CAST(tot_dec AS DOUBLE) AS tot_rev,
+         |       CAST(tot_dec - prev_tot AS DOUBLE) * 100 / CAST(prev_tot AS DOUBLE) AS yoy_pct,
+         |       rn
+         |FROM r WHERE rn <= 5""".stripMargin
+    ) { (spark, _) =>
+      graft.queries.LibraryReports.q1GenreSales(persistedDw(spark))
+    },
+
+    // ── lib_q2_primary_genre: Q2 (LQY_query2.txt:57-215) — spend
+    // attributed to each PO's primary genre, densified over the
+    // quarter × genre universe, QoQ LAG, top-5 per quarter; the
+    // min(struct(−spend, genre)) primary pick is mirrored by the
+    // oracle's (spend DESC, genre ASC) row_number.
+    OpQuery.checked(
+      "lib_q2_primary_genre",
+      s"""WITH fp AS (SELECT * FROM read_parquet('$DataDir/dw_fact_purchase.parquet/*.parquet')
+         |            WHERE date_key BETWEEN 20050101 AND 20241231),
+         |dd AS (SELECT date_key, cal_year, cal_quarter
+         |       FROM read_parquet('$DataDir/dw_dim_date.parquet/*.parquet')),
+         |db AS (SELECT book_key, genre
+         |       FROM read_parquet('$DataDir/dw_dim_book.parquet/*.parquet')),
+         |pg AS (
+         |  SELECT fp.po_id, dd.cal_year, dd.cal_quarter, db.genre,
+         |         sum(fp.line_total) AS genre_spend
+         |  FROM fp JOIN dd USING (date_key) JOIN db USING (book_key)
+         |  GROUP BY 1, 2, 3, 4),
+         |prim AS (
+         |  SELECT po_id, cal_year, cal_quarter,
+         |         sum(genre_spend) OVER (PARTITION BY po_id, cal_year, cal_quarter) AS po_spend,
+         |         genre,
+         |         ROW_NUMBER() OVER (PARTITION BY po_id, cal_year, cal_quarter
+         |                ORDER BY genre_spend DESC, genre ASC) AS pick
+         |  FROM pg),
+         |attributed AS (
+         |  SELECT cal_year, cal_quarter, genre,
+         |         CAST(count(*) AS BIGINT) AS n_pos, sum(po_spend) AS spend_dec
+         |  FROM prim WHERE pick = 1 GROUP BY 1, 2, 3),
+         |dense AS (
+         |  SELECT q.cal_year, q.cal_quarter, g.genre,
+         |         coalesce(a.n_pos, 0) AS n_pos,
+         |         coalesce(a.spend_dec, CAST(0 AS DECIMAL(18,2))) AS spend_dec
+         |  FROM (SELECT DISTINCT cal_year, cal_quarter FROM attributed) q
+         |  CROSS JOIN (SELECT DISTINCT genre FROM attributed) g
+         |  LEFT JOIN attributed a
+         |    ON a.cal_year = q.cal_year AND a.cal_quarter = q.cal_quarter AND a.genre = g.genre),
+         |w AS (
+         |  SELECT *,
+         |         lag(spend_dec) OVER (PARTITION BY genre ORDER BY cal_year, cal_quarter)
+         |           AS prev_spend,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY cal_year, cal_quarter
+         |                ORDER BY spend_dec DESC, genre ASC) AS BIGINT) AS rn
+         |  FROM dense)
+         |SELECT cal_year, cal_quarter, genre, CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST(spend_dec AS DOUBLE) AS spend,
+         |       CAST(prev_spend AS DOUBLE) AS prev_spend,
+         |       rn
+         |FROM w
+         |WHERE rn <= 5 AND NOT (spend_dec = 0 AND coalesce(prev_spend, 0) = 0)""".stripMargin
+    ) { (spark, _) =>
+      graft.queries.LibraryReports.q2PurchaseSpend(persistedDw(spark))
+    },
+
+    // ── lib_q3_margin_state: Q3 (LQY_query3.txt:62-135) — quarterly
+    // gross margin by member state (cost = 0.8 × sales price, the
+    // reference's purchase-price model), QoQ deltas with ALERT/GOOD/
+    // STABLE signals; decimal arithmetic end-to-end, doubles only at
+    // the edge.
+    OpQuery.checked(
+      "lib_q3_margin_state",
+      s"""WITH fs AS (SELECT * FROM read_parquet('$DataDir/dw_fact_sales.parquet/*.parquet')
+         |            WHERE date_key BETWEEN 20050101 AND 20241231),
+         |dd AS (SELECT date_key, cal_year, cal_quarter
+         |       FROM read_parquet('$DataDir/dw_dim_date.parquet/*.parquet')),
+         |db AS (SELECT book_key, sales_price
+         |       FROM read_parquet('$DataDir/dw_dim_book.parquet/*.parquet')),
+         |dm AS (SELECT member_key, member_state
+         |       FROM read_parquet('$DataDir/dw_dim_members.parquet/*.parquet')),
+         |base AS (
+         |  SELECT dd.cal_year, dd.cal_quarter, dm.member_state,
+         |         sum(fs.total_amount) AS rev_dec,
+         |         sum(db.sales_price * 0.8 * fs.quantity) AS cost_dec
+         |  FROM fs JOIN dd USING (date_key) JOIN db USING (book_key) JOIN dm USING (member_key)
+         |  GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT *, rev_dec - cost_dec AS margin_dec,
+         |         lag(rev_dec - cost_dec) OVER (PARTITION BY member_state
+         |                ORDER BY cal_year, cal_quarter) AS prev_margin
+         |  FROM base),
+         |sig AS (
+         |  SELECT *,
+         |         CAST(margin_dec - prev_margin AS DOUBLE) * 100
+         |           / CAST(prev_margin AS DOUBLE) AS qoq_pct
+         |  FROM w)
+         |SELECT cal_year, cal_quarter, member_state,
+         |       CAST(rev_dec AS DOUBLE) AS revenue,
+         |       CAST(cost_dec AS DOUBLE) AS cost,
+         |       CAST(margin_dec AS DOUBLE) AS margin,
+         |       qoq_pct,
+         |       CASE WHEN qoq_pct IS NULL THEN 'N/A'
+         |            WHEN qoq_pct < -10.0 THEN 'ALERT'
+         |            WHEN qoq_pct > 10.0 THEN 'GOOD'
+         |            ELSE 'STABLE' END AS signal
+         |FROM sig""".stripMargin
+    ) { (spark, _) =>
+      graft.queries.LibraryReports.q3GrossMargin(persistedDw(spark))
     }
   )
 }

@@ -117,8 +117,14 @@ object LibraryReports {
       .groupBy(col("cal_year"), col("cal_quarter"), col("member_state"))
       .agg(
         sum(col("total_amount")).as("rev_dec"),
-        // reference cost model: cost = 0.8 × sales price × qty (LQY_query3.txt:86)
-        sum((col("sales_price") * lit("0.8").cast("decimal(2,1)") * col("quantity")).cast("decimal(14,2)"))
+        // reference cost model: cost = 0.8 × sales price × qty
+        // (LQY_query3.txt:86). Kept at the exact product scale (price
+        // scale 2 × 0.8 scale 1 ⇒ scale 3) with NO per-row rounding: a
+        // round-to-cents here would hit .005 ties whose half-up vs
+        // half-even resolution differs across engines — the exact
+        // decimal is deterministic everywhere and only becomes a double
+        // at the report edge.
+        sum(col("sales_price") * lit("0.8").cast("decimal(2,1)") * col("quantity"))
           .as("cost_dec"))
 
     val wQoQ = Window.partitionBy(col("member_state")).orderBy(col("cal_year"), col("cal_quarter"))
