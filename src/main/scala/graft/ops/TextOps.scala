@@ -645,6 +645,54 @@ object TextOps {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .dropDuplicates("a_id", "b_id")
         .filter(col("hamming") <= 3)
+    },
+
+    // ── text_collapse_repeats: intra-document repetition REMOVAL — the
+    // rewrite counterpart of text_repetition_topngram's signal: runs of
+    // consecutive duplicate tokens collapse to one occurrence (the
+    // C4/Gopher-family cleanup for stutter artifacts, scraper echo, and
+    // generation loops). Scale shape is the best possible: pure
+    // codegen'd array arithmetic per row — split → position filter
+    // (keep i=1 and every i where ws[i] ≠ ws[i−1]) → rejoin — ZERO
+    // shuffles, zero windows, zero explodes; the whole op is one
+    // WholeStageCodegen map over the corpus scan, trivially linear at
+    // 100 TB.
+    OpQuery.checked(
+      "text_collapse_repeats",
+      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |         list_concat(
+        |           ws[1:1],
+        |           list_filter(
+        |             list_transform(generate_series(2, len(ws)),
+        |               i -> CASE WHEN ws[i] <> ws[i-1] THEN ws[i] END),
+        |             x -> x IS NOT NULL)) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, ' ') AS text_clean
+        |FROM c""".stripMargin
+    ) { (spark, dir) =>
+      tables(spark, dir).documents
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .select(
+          col("doc_id"), col("ws"),
+          // size < 2 guard: Spark's sequence(2, 1) DESCENDS instead of
+          // being empty (DuckDB's generate_series is empty there)
+          expr("""case when size(ws) < 2 then ws else concat(
+                 |  slice(ws, 1, 1),
+                 |  filter(
+                 |    transform(sequence(2, size(ws)),
+                 |      i -> case when element_at(ws, i) <> element_at(ws, i - 1)
+                 |                then element_at(ws, i) end),
+                 |    x -> x is not null)) end""".stripMargin).as("kept"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("text_clean"))
     }
   )
 }
