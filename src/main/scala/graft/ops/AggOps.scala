@@ -732,6 +732,80 @@ object AggOps {
           col("prio"), col("day"),
           last(col("spend"), ignoreNulls = true).over(locf).cast("double").as("spend_locf"),
           col("spend").isNull.as("filled"))
+    },
+
+    // ── win_interpolate: the other standard resample mode — LINEAR
+    // interpolation between the surrounding observations instead of
+    // win_gap_fill's LOCF. Same constant-size (priority, day) grain and
+    // calendar grid; two partition-local passes (running last(ignoreNulls)
+    // forward for the previous observation, first(ignoreNulls) over the
+    // FOLLOWING frame for the next), then pure arithmetic:
+    //   v = prev + (next − prev) × (day − prev_day) / (next_day − prev_day)
+    // evaluated in DOUBLE with the identical operation order in both
+    // engines (exact-decimal endpoints → nearest doubles, then the same
+    // three IEEE ops), so the hash compare holds bit-for-bit. Days
+    // outside [first, last] observation have no bracket and stay NULL.
+    OpQuery.checked(
+      "win_interpolate",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS od,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT min(od) AS d0, max(od) AS dT FROM daily),
+        |cal AS (SELECT CAST(unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |grid AS (SELECT p.prio, c.day
+        |         FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN cal c),
+        |j AS (SELECT g.prio, g.day, d.spend
+        |      FROM grid g LEFT JOIN daily d ON d.prio = g.prio AND d.od = g.day),
+        |br AS (
+        |  SELECT prio, day, spend,
+        |         CAST(last_value(spend IGNORE NULLS) OVER (PARTITION BY prio ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pv,
+        |         last_value(CASE WHEN spend IS NOT NULL THEN day END IGNORE NULLS)
+        |           OVER (PARTITION BY prio ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |         CAST(first_value(spend IGNORE NULLS) OVER (PARTITION BY prio ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nv,
+        |         first_value(CASE WHEN spend IS NOT NULL THEN day END IGNORE NULLS)
+        |           OVER (PARTITION BY prio ORDER BY day
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT prio, day,
+        |       CASE WHEN spend IS NOT NULL THEN CAST(spend AS DOUBLE)
+        |            WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |            ELSE pv + (nv - pv) * (CAST(datediff('day', pd, day) AS DOUBLE)
+        |                                   / CAST(datediff('day', pd, nd) AS DOUBLE))
+        |       END AS spend_lerp,
+        |       (spend IS NULL) AS filled
+        |FROM br""".stripMargin
+    ) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("od"))
+        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
+      val cal = daily.agg(min(col("od")).as("d0"), max(col("od")).as("dT"))
+        .select(explode(expr("sequence(d0, dT, interval 1 day)")).as("day"))
+      val grid = daily.select(col("prio")).distinct().crossJoin(broadcast(cal))
+      val back = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("spend").isNotNull, col("day"))
+      grid.join(daily, grid("prio") === daily("prio") && col("day") === col("od"), "left")
+        .select(grid("prio"), col("day"), col("spend"))
+        .select(col("prio"), col("day"), col("spend"),
+          last(col("spend"), ignoreNulls = true).over(back).cast("double").as("pv"),
+          last(obsDay, ignoreNulls = true).over(back).as("pd"),
+          first(col("spend"), ignoreNulls = true).over(fwd).cast("double").as("nv"),
+          first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+        .select(
+          col("prio"), col("day"),
+          when(col("spend").isNotNull, col("spend").cast("double"))
+            .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (datediff(col("day"), col("pd")).cast("double")
+                 / datediff(col("nd"), col("pd")).cast("double")))
+            .as("spend_lerp"),
+          col("spend").isNull.as("filled"))
     }
   )
 

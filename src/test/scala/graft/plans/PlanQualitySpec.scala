@@ -133,7 +133,8 @@ class PlanQualitySpec extends SparkSuite {
       for (q <- Seq("score_rfm_threshold", "sample_class_balance_threshold",
         "text_dedup_substring_incr", "text_lm_surprisal",
         "text_quality_learned", "events_cusum", "graph_kcore",
-        "agg_topk_heap", "events_sliding_distinct", "events_decay_counts")) {
+        "agg_topk_heap", "events_sliding_distinct", "events_decay_counts",
+        "win_gap_fill", "win_interpolate", "sample_temporal_split")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -254,6 +255,28 @@ class PlanQualitySpec extends SparkSuite {
       // and no WindowExec anywhere — the op exists to avoid one
       assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"),
         "agg_topk_heap must not fall back to a window")
+    }
+  }
+
+  test("text_collapse_repeats is one shuffle-free codegen map over the scan") {
+    // the op's whole claim: split → position filter → rejoin as pure
+    // array expressions — any Exchange, Window, or Generate (explode)
+    // in the plan means the linear-per-row shape was lost
+    withStaticPlanner {
+      val df = graft.SparkEntry.queries("text_collapse_repeats")(spark, sf001)
+      val plan = df.queryExecution.executedPlan
+      val bad = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s"shuffle: $e"
+        case w: org.apache.spark.sql.execution.window.WindowExec => s"window: $w"
+        case g: org.apache.spark.sql.execution.GenerateExec => s"generate: $g"
+      }
+      assert(bad.isEmpty, s"collapse lost its zero-shuffle shape:\n${bad.mkString("\n")}")
+      // the lambda Project itself is interpreted (Spark higher-order
+      // functions don't codegen) but stays a narrow per-row map; the
+      // scan and the surrounding projects must still be codegen spans
+      // (executedPlan prints them as "*(n)")
+      assert(plan.toString.contains("*("),
+        "no codegen span left around the collapse projects")
     }
   }
 
