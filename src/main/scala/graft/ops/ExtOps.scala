@@ -385,6 +385,65 @@ object ExtOps {
           .as("corr_qty_price"))
     },
 
+    // ── agg_ttest_groups: Welch's two-sample t statistic for every
+    // segment pair — the A/B significance readout every experimentation
+    // platform computes, built the only way that scales AND reproduces:
+    // per-segment (n, Σx, Σx²) as ONE map-side-combined decimal
+    // aggregation over the fact (order-independent — same power-sum
+    // algebra as agg_corr_stats), then means/variances/t/dof as pure
+    // double arithmetic on the |segments|-row frame, operation order
+    // mirrored in the oracle so every IEEE rounding lands identically.
+    // The pair "join" is a self cross of the 5-row aggregate — never the
+    // fact table.
+    OpQuery.checked(
+      "agg_ttest_groups",
+      """WITH s AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT seg, n, sx / n AS mean,
+        |         (n * sx2 - sx * sx) / (n * (n - 1)) / n AS vn
+        |  FROM s)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |       a.mean AS mean_a, b.mean AS mean_b,
+        |       (a.mean - b.mean) / sqrt(a.vn + b.vn) AS t_stat,
+        |       (a.vn + b.vn) * (a.vn + b.vn)
+        |         / (a.vn * a.vn / (a.n - 1) + b.vn * b.vn / (b.n - 1)) AS welch_dof
+        |FROM v a JOIN v b ON a.seg < b.seg""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val x = Norm.dec(col("o_totalprice"))
+      val s = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sx2"))
+      val n = col("n")
+      // vn = sample variance / n — the per-group term of Welch's t
+      val v = s.select(
+        col("seg"), n, (col("sx") / n).as("mean"),
+        ((n * col("sx2") - col("sx") * col("sx")) / (n * (n - lit(1))) / n).as("vn"))
+      val a = v.as("a")
+      val b = v.as("b")
+      a.join(b, col("a.seg") < col("b.seg"))
+        .select(
+          col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+          col("a.n").cast("long").as("n_a"), col("b.n").cast("long").as("n_b"),
+          col("a.mean").as("mean_a"), col("b.mean").as("mean_b"),
+          ((col("a.mean") - col("b.mean")) / sqrt(col("a.vn") + col("b.vn"))).as("t_stat"),
+          ((col("a.vn") + col("b.vn")) * (col("a.vn") + col("b.vn"))
+            / (col("a.vn") * col("a.vn") / (col("a.n") - lit(1))
+               + col("b.vn") * col("b.vn") / (col("b.n") - lit(1)))).as("welch_dof"))
+    },
+
     // ── scd2_asof_lookup: point-in-time join — every order sees the dim
     // version that was current ON ITS OWN DATE (the whole point of SCD2:
     // 1995 revenue stays under the 1995 segment even after the customer
