@@ -358,6 +358,77 @@ object EventsOps {
           (sum(col("n") * col("w")).cast("double")
             / first(expr("cast(shiftleft(1L, datediff(dT, d0)) as double)")))
             .as("decayed"))
+    },
+
+    // ── events_heavy_change: heavy CHANGERS between two periods (the
+    // deltoid question of Cormode & Muthukrishnan 2005: which keys'
+    // frequencies moved most, not which are big) — the drift alarm a
+    // training-data ingest runs between snapshots. Scale shape, three
+    // pieces: (1) per-user period counts as ONE map-side-combined
+    // conditional aggregation (cutoff = midpoint day from a broadcast
+    // 1-row bounds frame, never a collect); (2) the top-10 |delta|
+    // selection through the MERGEABLE topk_by_score aggregate — O(k)
+    // state per task, no window, no global sort (the aggregate built for
+    // exactly this); (3) a per-period Count-Min grid pair whose delta
+    // estimate rides the plan for the selected keys, audited against the
+    // exact deltas with the one-sided εN bound per side — at 100 TB the
+    // grids alone answer "did anything move" before the exact pass runs.
+    OpQuery.checked(
+      "events_heavy_change",
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS dT FROM events),
+        |pc AS (
+        |  SELECT e.user_id,
+        |         CAST(sum(CASE WHEN CAST(e.ts AS DATE) < b.d0 + CAST(CEIL(datediff('day', b.d0, b.dT) / 2.0) AS INTEGER)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN CAST(e.ts AS DATE) >= b.d0 + CAST(CEIL(datediff('day', b.d0, b.dT) / 2.0) AS INTEGER)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM events e, b GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_a, n_b, n_b - n_a AS delta,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY abs(n_b - n_a) DESC, user_id ASC) AS BIGINT) AS rn
+        |  FROM pc)
+        |SELECT rn, user_id, n_a, n_b, delta, TRUE AS within_bound
+        |FROM r WHERE rn <= 10""".stripMargin
+    ) { (spark, dir) =>
+      graft.functions.TopKByScore.register(spark)
+      graft.functions.CountMinSketch.register(spark)
+      val (d, w) = (4, 2048)
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("dT"))
+        .select(col("d0"),
+          expr("date_add(d0, cast(ceil(datediff(dT, d0) / 2.0) as int))").as("cut"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      // (1) one conditional aggregation to the user grain
+      val pc = tagged.groupBy("user_id")
+        .agg(
+          sum(when(col("day") < col("cut"), 1L).otherwise(0L)).cast("long").as("n_a"),
+          sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).cast("long").as("n_b"))
+        .withColumn("delta", col("n_b") - col("n_a"))
+      // (2) top-10 movers through the mergeable aggregate — no window
+      val top = pc
+        .agg(expr("topk_by_score(cast(abs(delta) as double), user_id, 10)").as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rn"), col("col.id").as("user_id"))
+        .join(pc, Seq("user_id"))
+      // (3) per-period Count-Min grids; their delta estimate must bracket
+      // the exact delta within the one-sided εN bound of each side
+      val grids = tagged
+        .groupBy((col("day") >= col("cut")).as("is_b"))
+        .agg(expr(s"cm_sketch(user_id, $d, $w)").as("sk"), count(lit(1)).as("n"))
+      val ga = grids.filter(!col("is_b")).select(col("sk").as("sk_a"), col("n").as("na_tot"))
+      val gb = grids.filter(col("is_b")).select(col("sk").as("sk_b"), col("n").as("nb_tot"))
+      top.crossJoin(broadcast(ga)).crossJoin(broadcast(gb))
+        .select(col("rn"), col("user_id"), col("n_a"), col("n_b"), col("delta"),
+          (expr(s"cm_estimate(sk_b, user_id, $d, $w)")
+            - expr(s"cm_estimate(sk_a, user_id, $d, $w)")).as("delta_est"),
+          col("na_tot"), col("nb_tot"))
+        .select(col("rn"), col("user_id"), col("n_a"), col("n_b"), col("delta"),
+          (col("delta_est").cast("double")
+            >= col("delta").cast("double") - col("na_tot").cast("double") * (8.0 / w)
+            && col("delta_est").cast("double")
+            <= col("delta").cast("double") + col("nb_tot").cast("double") * (8.0 / w))
+            .as("within_bound"))
     }
   )
 }
