@@ -556,6 +556,73 @@ object EtlOps {
         .join(dim, col("cust_key") === col("c_custkey"), "left_anti")
         .select(col("cust_key"), lit("UNKNOWN").as("c_name"),
           lit("PENDING").as("c_mktsegment"), col("first_seen").as("inferred_date"))
+    },
+
+    // ── etl_dq_profile: one-pass per-column data-quality profiling —
+    // the Deequ-style profile (null rate, distinct count, min/max as
+    // text) every ingest job runs before trusting a feed, distinct from
+    // etl_validation_report's RULE checks: this asks "what does the
+    // column look like", not "which rows violate". Scale shape: ALL
+    // column profiles ride ONE aggregation pass over the table (every
+    // metric is an aggregate expression in the same hash-aggregate —
+    // map-side combined, one shuffle of a single row of partials per
+    // task), then the 1×(4·cols) row unpivots to the (column, metrics)
+    // grain with a zero-shuffle stack. count(DISTINCT x) per column
+    // multiplies the plan into an expand — bounded by column count, and
+    // at 100 TB each distinct would swap to an HLL partial (the
+    // agg_hll_partial_merge machinery) without changing the frame.
+    OpQuery.checked(
+      "etl_dq_profile",
+      """WITH p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+        |         CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+        |         CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+        |         CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+        |         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        |         CAST(min(o_orderstatus) AS VARCHAR) AS mn_status,
+        |         CAST(max(o_orderstatus) AS VARCHAR) AS mx_status,
+        |         CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+        |         CAST(count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS nd_price,
+        |         CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn_price,
+        |         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx_price,
+        |         CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+        |         CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS nd_date,
+        |         CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_date,
+        |         CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_date
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, n AS n_rows, nn_cust AS n_nonnull,
+        |       nd_cust AS n_distinct, mn_cust AS min_text, mx_cust AS max_text FROM p
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, nn_status, nd_status, mn_status, mx_status FROM p
+        |UNION ALL
+        |SELECT 'o_totalprice', n, nn_price, nd_price, mn_price, mx_price FROM p
+        |UNION ALL
+        |SELECT 'o_orderdate', n, nn_date, nd_date, mn_date, mx_date FROM p""".stripMargin
+    ) { (spark, dir) =>
+      // min/max/distinct run on the NATIVE type (string-min of a number
+      // column would order "10" < "9") and become text only at the edge
+      val cols = Seq(
+        ("o_custkey", col("o_custkey")),
+        ("o_orderstatus", col("o_orderstatus")),
+        ("o_totalprice", Norm.dec(col("o_totalprice"))),
+        ("o_orderdate", to_date(col("o_orderdate"))))
+      val aggs = count(lit(1)).cast("long").as("n_rows") +: cols.flatMap { case (name, c) =>
+        Seq(
+          count(c).cast("long").as(s"nn_$name"),
+          countDistinct(c).cast("long").as(s"nd_$name"),
+          min(c).cast("string").as(s"mn_$name"),
+          max(c).cast("string").as(s"mx_$name"))
+      }
+      val p = Tables(spark, dir).orders.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { case (name, _) =>
+        s"'$name', nn_$name, nd_$name, mn_$name, mx_$name"
+      }.mkString(", ")
+      p.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) as (col_name, n_nonnull, n_distinct, min_text, max_text)"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_text"), col("max_text"))
     }
   )
 }

@@ -429,6 +429,55 @@ object EventsOps {
             && col("delta_est").cast("double")
             <= col("delta").cast("double") + col("nb_tot").cast("double") * (8.0 / w))
             .as("within_bound"))
+    },
+
+    // ── events_markov_perplexity: journey anomaly scoring — each user's
+    // event sequence scored by the corpus transition matrix (the
+    // bot/fraud screen: a journey whose transitions the population
+    // rarely makes earns high surprisal). The text_lm_surprisal trick
+    // makes it portable: MLE transition probabilities c2(s1,s2)/c1(s1)
+    // become INTEGER surprisal bits ilog2(c1) − ilog2(c2) (exact in
+    // both engines), per-user BIGINT sums, one final division. Scale
+    // shape: the lead() window is partitioned by user_id (millions of
+    // small partitions — the events_user_path_topk posture), the count
+    // frames live at event-type² grain (≤ |types|² rows, broadcast),
+    // and every join is 1:1 per transition.
+    OpQuery.checked(
+      "events_markov_perplexity",
+      """WITH tr AS (
+        |  SELECT user_id, event_type AS s1,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM events),
+        |t2 AS (SELECT user_id, s1, s2 FROM tr WHERE s2 IS NOT NULL),
+        |c2 AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS c2 FROM t2 GROUP BY 1, 2),
+        |c1 AS (SELECT s1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |j AS (
+        |  SELECT t2.user_id,
+        |         (length(bin(c1.c1)) - 1) - (length(bin(c2.c2)) - 1) AS bits
+        |  FROM t2 JOIN c2 USING (s1, s2) JOIN c1 USING (s1))
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_trans,
+        |       CAST(sum(bits) AS BIGINT) AS bits_total,
+        |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bits_per_trans
+        |FROM j GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      def ilog2(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t2 = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"))
+        .filter(col("s2").isNotNull)
+      val c2 = t2.groupBy("s1", "s2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("s1").agg(sum(col("c2")).cast("long").as("c1"))
+      t2.join(broadcast(c2), Seq("s1", "s2"))
+        .join(broadcast(c1), Seq("s1"))
+        .select(col("user_id"), (ilog2(col("c1")) - ilog2(col("c2"))).as("bits"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_trans"),
+          sum(col("bits")).cast("long").as("bits_total"),
+          (sum(col("bits")).cast("double") / count(lit(1)).cast("double"))
+            .as("bits_per_trans"))
     }
   )
 }

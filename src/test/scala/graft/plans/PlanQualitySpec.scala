@@ -134,7 +134,9 @@ class PlanQualitySpec extends SparkSuite {
         "text_dedup_substring_incr", "text_lm_surprisal",
         "text_quality_learned", "events_cusum", "graph_kcore",
         "agg_topk_heap", "events_sliding_distinct", "events_decay_counts",
-        "win_gap_fill", "win_interpolate", "sample_temporal_split")) {
+        "win_gap_fill", "win_interpolate", "sample_temporal_split",
+        "agg_ttest_groups", "events_heavy_change", "events_markov_perplexity",
+        "etl_dq_profile")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
