@@ -891,6 +891,58 @@ object SimOps {
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)).cast("long"))
         .filter(col("rnk") <= 5)
+    },
+
+    // ── sim_centroid_drift: per-label embedding centroid drift against
+    // the global centroid — the distribution-shift monitor an embedding
+    // pipeline runs per snapshot/segment (a label whose centroid walks
+    // away from the population flags upstream drift). Exactness comes
+    // from the sim_quantize_int8 fixed-point idiom: fp(x) =
+    // floor(x · 2^20) is BIGINT (float → double is exact, ×2^20 is an
+    // exponent shift, floor is engine-identical), so the per-(label,
+    // dim) sums are exact integers and the means/drift are mirrored
+    // double arithmetic. Output stays at the (label, dim) grain —
+    // NO cross-dimension double sum, whose fold order would differ
+    // between engines. Scale shape: one posexplode pass map-side-
+    // combines to |labels|·|dims| partials; the global frame is the
+    // same partials re-aggregated (64·|labels| rows — nothing touches
+    // the corpus twice).
+    OpQuery.checked(
+      "sim_centroid_drift",
+      """WITH x AS (
+        |  SELECT label,
+        |         unnest(list_transform(generate_series(1, len(embedding)),
+        |           i -> struct_pack(d := i, v := embedding[i]))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT label, CAST(u.d AS BIGINT) AS dim,
+        |             CAST(floor(CAST(u.v AS DOUBLE) * 1048576) AS BIGINT) AS fp
+        |      FROM x),
+        |l AS (SELECT label, dim, CAST(sum(fp) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |g AS (SELECT dim, CAST(sum(s) AS BIGINT) AS sg, CAST(sum(n) AS BIGINT) AS ng
+        |      FROM l GROUP BY 1)
+        |SELECT l.label, l.dim, l.n,
+        |       CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE) / 1048576 AS mean_label,
+        |       CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE) / 1048576 AS mean_global,
+        |       abs(CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE) / 1048576
+        |           - CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE) / 1048576) AS drift
+        |FROM l JOIN g USING (dim)""".stripMargin
+    ) { (spark, dir) =>
+      val e = tables(spark, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("col").cast("double") * 1048576).cast("long").as("fp"))
+      val l = e.groupBy("label", "dim")
+        .agg(sum(col("fp")).cast("long").as("s"), count(lit(1)).as("n"))
+      val g = l.groupBy("dim")
+        .agg(sum(col("s")).cast("long").as("sg"), sum(col("n")).cast("long").as("ng"))
+      val meanL = col("s").cast("double") / col("n").cast("double") / 1048576
+      val meanG = col("sg").cast("double") / col("ng").cast("double") / 1048576
+      l.join(g, Seq("dim"))
+        .select(col("label"), col("dim"), col("n"),
+          meanL.as("mean_label"), meanG.as("mean_global"),
+          abs(meanL - meanG).as("drift"))
     }
   )
 
