@@ -943,6 +943,73 @@ object SimOps {
         .select(col("label"), col("dim"), col("n"),
           meanL.as("mean_label"), meanG.as("mean_global"),
           abs(meanL - meanG).as("drift"))
+    },
+
+    // ── sim_pca_power: distributed top-principal-direction by POWER
+    // ITERATION (the dimensionality-reduction step an embedding pipeline
+    // runs before whitening/indexing) — v ← normalize(XᵀX v), three
+    // rounds from a fixed all-ones start, uncentered. The whole
+    // iteration is exactly cross-engine-reproducible: per-vector x·v
+    // through the same left-fold dot both engines already hash-match
+    // (vec_dot ≡ the oracle's list_aggregate fold), per-dim accumulation
+    // as floor(x_d · (x·v) · 2^20) BIGINT sums (exact, order-free), and
+    // the norm as an ascending-dim array fold — never a row-order-
+    // dependent double aggregation. v re-enters each round as FLOAT
+    // (both engines round-trip the same nearest-float). Scale shape:
+    // each round is ONE corpus scan map-side-combining to 64 partials;
+    // v is a broadcast 1-row frame, never a collect.
+    OpQuery.checked(
+      "sim_pca_power",
+      { def duckStep(k: Int, prev: String): String = {
+          val dot = duckDot("embedding", s"$prev.v")
+          s"""d$k AS (SELECT e.embedding, $dot AS dotv FROM embeddings e, $prev),
+             |s$k AS (
+             |  SELECT u.d AS dim, CAST(sum(u.fp) AS BIGINT) AS s
+             |  FROM (SELECT unnest(list_transform(generate_series(1, 64),
+             |          d -> struct_pack(d := d,
+             |            fp := CAST(floor(CAST(embedding[d] AS DOUBLE) * dotv * 1048576)
+             |                       AS BIGINT)))) AS u
+             |        FROM d$k)
+             |  GROUP BY 1),
+             |p$k AS (SELECT list(CAST(s AS DOUBLE) / 1048576 ORDER BY dim) AS vv FROM s$k),
+             |n$k AS (SELECT vv,
+             |               sqrt(list_aggregate(list_transform(vv, x -> x * x), 'sum')) AS nrm
+             |        FROM p$k),
+             |v$k AS (SELECT list_transform(vv, x -> CAST(x / nrm AS REAL)) AS v FROM n$k)"""
+            .stripMargin
+        }
+        s"""WITH v0 AS (SELECT list_transform(generate_series(1, 64), i -> CAST(1.0 AS REAL)) AS v),
+           |${duckStep(1, "v0")},
+           |${duckStep(2, "v1")},
+           |${duckStep(3, "v2")}
+           |SELECT s3.dim, CAST(s3.s AS DOUBLE) / 1048576 / n3.nrm AS loading,
+           |       n3.nrm AS eigval
+           |FROM s3, n3""".stripMargin }
+    ) { (spark, dir) =>
+      val emb = tables(spark, dir).embeddings.select(col("embedding"))
+      // one step: v (1-row array<float>) → (per-dim BIGINT sums, norm)
+      def step(v: DataFrame): (DataFrame, DataFrame) = {
+        val s = emb.crossJoin(broadcast(v))
+          .select(expr("vec_dot(embedding, v)").as("dotv"), posexplode(col("embedding")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            floor(col("col").cast("double") * col("dotv") * 1048576).cast("long").as("fp"))
+          .groupBy("dim").agg(sum(col("fp")).cast("long").as("s"))
+        val n = s
+          .agg(expr("transform(sort_array(collect_list(struct(dim, s))), p -> cast(p.s as double) / 1048576)").as("vv"))
+          .select(col("vv"), expr("sqrt(aggregate(vv, 0d, (a, x) -> a + x * x))").as("nrm"))
+        (s, n)
+      }
+      def vNext(n: DataFrame): DataFrame =
+        n.select(expr("transform(vv, x -> cast(x / nrm as float))").as("v"))
+      val v0 = spark.range(1).select(
+        expr("transform(sequence(1, 64), i -> cast(1.0 as float))").as("v"))
+      val (_, n1)  = step(v0)
+      val (_, n2)  = step(vNext(n1))
+      val (s3, n3) = step(vNext(n2))
+      s3.crossJoin(broadcast(n3.select(col("nrm"))))
+        .select(col("dim"),
+          (col("s").cast("double") / 1048576 / col("nrm")).as("loading"),
+          col("nrm").as("eigval"))
     }
   )
 
