@@ -72,6 +72,14 @@ object Norm {
   /** Exact sum at 6-digit scale, surfaced as double. */
   def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
 
+  /** Integer log2 of a positive BIGINT — ilog2(x) = length(bin(x)) − 1,
+    * exact and identical in Spark and DuckDB (the portable stand-in for
+    * floating log2 in the surprisal-bit scores; text_lm_surprisal and
+    * events_markov_perplexity share this definition so the idiom cannot
+    * drift between them). Undefined for x ≤ 0 — callers guarantee
+    * positive counts. */
+  def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
   /** Deterministic pseudo-random bucket in [0, m) from an integer key.
     * Knuth multiplicative hash. The key is masked to 31 bits BEFORE the
     * multiply so the product stays < 2^63 for any key magnitude — without

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,6 +43,21 @@ case class TopKByScore(
     extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
+  // analysis-time contract (AbstractDataType is private[sql], so the
+  // CmEstimate pattern: checkInputDataTypes + Number-tolerant eval): a
+  // non-numeric argument fails analysis with a clear message instead of
+  // a mid-job executor ClassCastException; any numeric score/id (the
+  // natural BIGINT delta call included) is accepted and widened at eval
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
+    if (!numeric(score))
+      TypeCheckResult.TypeCheckFailure(s"topk_by_score: score must be numeric, got ${score.dataType}")
+    else if (!numeric(id))
+      TypeCheckResult.TypeCheckFailure(s"topk_by_score: id must be numeric, got ${id.dataType}")
+    else if (!kExpr.foldable || !numeric(kExpr))
+      TypeCheckResult.TypeCheckFailure("topk_by_score: k must be a numeric literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
@@ -50,9 +66,15 @@ case class TopKByScore(
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
 
-  // (score DESC, id ASC): a precedes b when it ranks strictly higher
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (score DESC, id ASC) under SQL's TOTAL double order
+  // (java.lang.Double.compare: NaN > +Inf, -0.0 < 0.0 — Spark's and
+  // DuckDB's ORDER BY semantics). A plain `>` would make NaN
+  // incomparable: sortWith could throw "Comparison method violates its
+  // general contract!" or silently mis-rank NaN rows.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.size > k) {
@@ -71,7 +93,7 @@ case class TopKByScore(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      buf += ((s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue()))
       if (buf.size >= 4 * k) compact(buf)
     }
     buf

@@ -702,32 +702,18 @@ object AggOps {
     // every filled row.
     OpQuery.checked(
       "win_gap_fill",
-      """WITH daily AS (
-        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS od,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        |  FROM orders GROUP BY 1, 2),
-        |b AS (SELECT min(od) AS d0, max(od) AS dT FROM daily),
-        |cal AS (SELECT CAST(unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-        |grid AS (SELECT p.prio, c.day
-        |         FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN cal c)
-        |SELECT g.prio, g.day,
-        |       CAST(last_value(d.spend IGNORE NULLS) OVER (
-        |              PARTITION BY g.prio ORDER BY g.day
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |         AS spend_locf,
-        |       (d.spend IS NULL) AS filled
-        |FROM grid g LEFT JOIN daily d ON d.prio = g.prio AND d.od = g.day""".stripMargin
+      s"""WITH $DailyGridSql
+         |SELECT prio, day,
+         |       CAST(last_value(spend IGNORE NULLS) OVER (
+         |              PARTITION BY prio ORDER BY day
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |         AS spend_locf,
+         |       (spend IS NULL) AS filled
+         |FROM j""".stripMargin
     ) { (spark, dir) =>
-      val daily = Tables(spark, dir).orders
-        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("od"))
-        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
-      val cal = daily.agg(min(col("od")).as("d0"), max(col("od")).as("dT"))
-        .select(explode(expr("sequence(d0, dT, interval 1 day)")).as("day"))
-      val grid = daily.select(col("prio")).distinct().crossJoin(broadcast(cal))
       val locf = Window.partitionBy("prio").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(daily, grid("prio") === daily("prio") && col("day") === col("od"), "left")
-        .select(grid("prio"), col("day"), col("spend"))
+      dailySpendGrid(spark, dir)
         .select(
           col("prio"), col("day"),
           last(col("spend"), ignoreNulls = true).over(locf).cast("double").as("spend_locf"),
@@ -747,17 +733,8 @@ object AggOps {
     // outside [first, last] observation have no bracket and stay NULL.
     OpQuery.checked(
       "win_interpolate",
-      """WITH daily AS (
-        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS od,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        |  FROM orders GROUP BY 1, 2),
-        |b AS (SELECT min(od) AS d0, max(od) AS dT FROM daily),
-        |cal AS (SELECT CAST(unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-        |grid AS (SELECT p.prio, c.day
-        |         FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN cal c),
-        |j AS (SELECT g.prio, g.day, d.spend
-        |      FROM grid g LEFT JOIN daily d ON d.prio = g.prio AND d.od = g.day),
-        |br AS (
+      s"""WITH $DailyGridSql,
+         |br AS (
         |  SELECT prio, day, spend,
         |         CAST(last_value(spend IGNORE NULLS) OVER (PARTITION BY prio ORDER BY day
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pv,
@@ -779,19 +756,12 @@ object AggOps {
         |       (spend IS NULL) AS filled
         |FROM br""".stripMargin
     ) { (spark, dir) =>
-      val daily = Tables(spark, dir).orders
-        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("od"))
-        .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
-      val cal = daily.agg(min(col("od")).as("d0"), max(col("od")).as("dT"))
-        .select(explode(expr("sequence(d0, dT, interval 1 day)")).as("day"))
-      val grid = daily.select(col("prio")).distinct().crossJoin(broadcast(cal))
       val back = Window.partitionBy("prio").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = Window.partitionBy("prio").orderBy("day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val obsDay = when(col("spend").isNotNull, col("day"))
-      grid.join(daily, grid("prio") === daily("prio") && col("day") === col("od"), "left")
-        .select(grid("prio"), col("day"), col("spend"))
+      dailySpendGrid(spark, dir)
         .select(col("prio"), col("day"), col("spend"),
           last(col("spend"), ignoreNulls = true).over(back).cast("double").as("pv"),
           last(obsDay, ignoreNulls = true).over(back).as("pd"),
@@ -808,6 +778,40 @@ object AggOps {
           col("spend").isNull.as("filled"))
     }
   )
+
+  /** Shared resample scaffold (win_gap_fill + win_interpolate): daily
+    * spend at the (priority, day) grain, densified over the full
+    * calendar — bounds from a 1-row broadcast aggregate, calendar from
+    * sequence(), a |priorities|×|days| grid cross join of two tiny
+    * frames, then the observations left-joined on. Constant in corpus
+    * size after the first aggregation; one helper so the two fill modes
+    * can never disagree about the grid they fill. */
+  private def dailySpendGrid(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("od"))
+      .agg(sum(Norm.dec(col("o_totalprice"))).as("spend"))
+    val cal = daily.agg(min(col("od")).as("d0"), max(col("od")).as("dT"))
+      .select(explode(expr("sequence(d0, dT, interval 1 day)")).as("day"))
+    val grid = daily.select(col("prio")).distinct().crossJoin(broadcast(cal))
+    grid.join(daily, grid("prio") === daily("prio") && col("day") === col("od"), "left")
+      .select(grid("prio"), col("day"), col("spend"))
+  }
+
+  /** The oracle-side mirror of [[dailySpendGrid]] — CTEs ending in
+    * `j(prio, day, spend)`. A def, not a val: the `ops` val above
+    * initializes first, and a forward val reference would interpolate
+    * null into the SQL. */
+  private def DailyGridSql: String =
+    """daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS od,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT min(od) AS d0, max(od) AS dT FROM daily),
+      |cal AS (SELECT CAST(unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |grid AS (SELECT p.prio, c.day
+      |         FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN cal c),
+      |j AS (SELECT g.prio, g.day, d.spend
+      |      FROM grid g LEFT JOIN daily d ON d.prio = g.prio AND d.od = g.day)""".stripMargin
 
   /** The (segment, entity) grain both overlap ops dedup to first — a
     * map-side-combining distinct of (o_orderstatus, o_custkey). */

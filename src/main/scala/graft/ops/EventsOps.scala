@@ -399,26 +399,34 @@ object EventsOps {
         .select(col("d0"),
           expr("date_add(d0, cast(ceil(datediff(dT, d0) / 2.0) as int))").as("cut"))
       val tagged = ev.crossJoin(broadcast(bounds))
-      // (1) one conditional aggregation to the user grain
+      // (1) one conditional aggregation to the user grain; consumed twice
+      // (top-k selection + the stats join back) — persist the grain, not
+      // the raw events, so the second consumer re-reads user-proportional
+      // spill instead of rescanning the corpus (DISK_ONLY: user grain is
+      // still data-proportional at 100 TB)
       val pc = tagged.groupBy("user_id")
         .agg(
           sum(when(col("day") < col("cut"), 1L).otherwise(0L)).cast("long").as("n_a"),
           sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).cast("long").as("n_b"))
         .withColumn("delta", col("n_b") - col("n_a"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // (2) top-10 movers through the mergeable aggregate — no window
+      // (abs(delta) is BIGINT; ExpectsInputTypes inserts the cast)
       val top = pc
-        .agg(expr("topk_by_score(cast(abs(delta) as double), user_id, 10)").as("top"))
+        .agg(expr("topk_by_score(abs(delta), user_id, 10)").as("top"))
         .select(posexplode(col("top")))
         .select((col("pos") + 1).cast("long").as("rn"), col("col.id").as("user_id"))
         .join(pc, Seq("user_id"))
-      // (3) per-period Count-Min grids; their delta estimate must bracket
-      // the exact delta within the one-sided εN bound of each side
-      val grids = tagged
-        .groupBy((col("day") >= col("cut")).as("is_b"))
-        .agg(expr(s"cm_sketch(user_id, $d, $w)").as("sk"), count(lit(1)).as("n"))
-      val ga = grids.filter(!col("is_b")).select(col("sk").as("sk_a"), col("n").as("na_tot"))
-      val gb = grids.filter(col("is_b")).select(col("sk").as("sk_b"), col("n").as("nb_tot"))
-      top.crossJoin(broadcast(ga)).crossJoin(broadcast(gb))
+      // (3) per-period Count-Min grids as ONE always-1-row conditional
+      // aggregate (a grouped variant would lose the row — and annihilate
+      // the crossJoin output — whenever a period is empty; cm_sketch
+      // skips the CASE's nulls, so an empty period is a zero grid)
+      val grids = tagged.agg(
+        expr(s"cm_sketch(case when day < cut then user_id end, $d, $w)").as("sk_a"),
+        expr(s"cm_sketch(case when day >= cut then user_id end, $d, $w)").as("sk_b"),
+        sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("na_tot"),
+        sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).as("nb_tot"))
+      top.crossJoin(broadcast(grids))
         .select(col("rn"), col("user_id"), col("n_a"), col("n_b"), col("delta"),
           (expr(s"cm_estimate(sk_b, user_id, $d, $w)")
             - expr(s"cm_estimate(sk_a, user_id, $d, $w)")).as("delta_est"),
@@ -461,7 +469,7 @@ object EventsOps {
         |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bits_per_trans
         |FROM j GROUP BY 1""".stripMargin
     ) { (spark, dir) =>
-      def ilog2(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+      import graft.Norm.ilog2
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val t2 = Tables(spark, dir).events
         .select(col("user_id"), col("event_type").as("s1"),

@@ -651,8 +651,7 @@ object PipelineOps {
         |       CAST(sum(bits * m) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS bits_per_bigram
         |FROM sc GROUP BY doc_id""".stripMargin
     ) { (spark, dir) =>
-      def ilog2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (length(bin(c)) - 1).cast("long")
+      import graft.Norm.ilog2
       val toks = Tables(spark, dir).documents
         .select(col("doc_id"), expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
       // size >= 2 guard: Spark's sequence(1, 0) DESCENDS instead of

@@ -54,6 +54,19 @@ class TopKByScoreSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("NaN scores rank first under the SQL total double order, no sort crash") {
+    // java.lang.Double.compare semantics: NaN > +Inf — matches Spark's
+    // and DuckDB's ORDER BY score DESC. A partial-order comparator here
+    // either throws in TimSort or silently mis-ranks the NaN rows.
+    val rows = (1 to 200).map(i => ("g", i.toDouble, i.toLong)) ++
+      Seq(("g", Double.NaN, 900L), ("g", Double.NaN, 901L),
+        ("g", Double.PositiveInfinity, 800L))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("g", "s", "i")
+    val top = topOf(df, 4)
+    assert(top.map(t => t._4) == Seq(900L, 901L, 800L, 200L),
+      s"NaN/Inf ordering wrong: $top")
+  }
+
   test("state stays bounded: serialized partial never exceeds k entries") {
     val agg = TopKByScore(
       org.apache.spark.sql.catalyst.expressions.BoundReference(
