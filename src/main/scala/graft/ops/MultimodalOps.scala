@@ -176,6 +176,41 @@ object MultimodalOps {
         .select(
           col("doc_id"), col("orig_w"), col("orig_h"), col("new_w"), col("new_h"), col("stride"),
           octet_length(col("resized")).cast("long").as("n_bytes_out"))
+    },
+
+    // ── multimodal_dedup: exact binary-content dedup with canonical-copy
+    // election and storage accounting — the first thing a media ingest
+    // does at 100 TB (re-crawled images/videos are byte-identical far
+    // more often than text is). Differs from text dedup_exact in what a
+    // pipeline needs from it: the winner is elected by the
+    // lexicographically-smallest source|doc_id key — a plain min
+    // aggregation, hot-key-safe, no window — and the op reports the
+    // bytes reclaimed per content hash,
+    // the number dedup dashboards actually track. One map-side-combined
+    // aggregation at the content-hash grain; payload bytes never
+    // shuffle (the hash and length are computed in the scan projection).
+    OpQuery.checked(
+      "multimodal_dedup",
+      """SELECT sha256(text) AS content_sha,
+        |       CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       min(source || '|' || CAST(doc_id AS VARCHAR)) AS keep_key,
+        |       CAST((count(*) - 1) * min(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |         AS bytes_reclaimed
+        |FROM documents GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(
+          sha2(col("text"), 256).as("content_sha"),
+          octet_length(col("text").cast("binary")).cast("long").as("nb"),
+          concat_ws("|", col("source"), col("doc_id")).as("kk"))
+        .groupBy("content_sha")
+        .agg(
+          min(col("nb")).as("n_bytes"),
+          count(lit(1)).as("n_copies"),
+          min(col("kk")).as("keep_key"))
+        .select(col("content_sha"), col("n_bytes"), col("n_copies"), col("keep_key"),
+          ((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimed"))
     }
   )
 }
