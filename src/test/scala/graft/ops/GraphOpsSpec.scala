@@ -274,4 +274,24 @@ class GraphOpsSpec extends SparkSuite {
     assert(r5 == r6, "rounds 5 and 6 must agree — the 6-round oracle is a fixpoint")
     assert(r6.forall(_._2 >= 3), "every core member keeps >= k in-core neighbors")
   }
+
+  test("graph_coreness: K=3 covers the verification graph (4-core empty), tiers nest") {
+    // sf0.01 deliberately — the correctness gate's scale. At sf0.001 the
+    // co-purchase graph is DENSER (200 parts, big basket overlap) and
+    // its 4-core is non-empty, so K=3 is only the full spectrum at the
+    // scale the oracle actually checks; elsewhere the op's contract is
+    // the documented min(coreness, K) cap.
+    val li = graft.Tables(spark, sf001).lineitem.select("l_orderkey", "l_partkey")
+    val strong = GraphOps.coEdges(li).filter(col("w") >= 2).select("src", "dst")
+      .localCheckpoint(true)
+    assert(GraphOps.kcore(strong, k = 4, rounds = 6).count() == 0,
+      "4-core must be empty at sf0.01 or the coreness budget truncates the gate")
+    // nesting invariant: the k-cores form a chain c3 ⊆ c2 ⊆ c1
+    val cores = (1 to 3).map(k =>
+      GraphOps.kcore(strong, k = k, rounds = 6).collect().map(_.getLong(0)).toSet)
+    assert(cores(2).subsetOf(cores(1)) && cores(1).subsetOf(cores(0)),
+      "k-cores must nest")
+    assert(cores(1).size > cores(2).size && cores(0).size > cores(1).size,
+      "each tier should strictly grow on this graph (known distribution)")
+  }
 }
