@@ -45,17 +45,26 @@ case class TopKByScore(
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   // analysis-time contract (AbstractDataType is private[sql], so the
   // CmEstimate pattern: checkInputDataTypes + Number-tolerant eval): a
-  // non-numeric argument fails analysis with a clear message instead of
-  // a mid-job executor ClassCastException; any numeric score/id (the
-  // natural BIGINT delta call included) is accepted and widened at eval
+  // wrong-typed argument fails analysis with a clear message instead of
+  // a mid-job executor ClassCastException. The whitelist is the set of
+  // PRIMITIVE numerics whose catalyst values implement java.lang.Number
+  // — DecimalType is deliberately excluded (o.a.s.sql.types.Decimal is
+  // NOT a Number, so accepting it would reintroduce the executor CCE
+  // this check exists to prevent; callers cast decimals to double).
+  private val primitiveNumerics: Set[DataType] =
+    Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
-    if (!numeric(score))
-      TypeCheckResult.TypeCheckFailure(s"topk_by_score: score must be numeric, got ${score.dataType}")
-    else if (!numeric(id))
-      TypeCheckResult.TypeCheckFailure(s"topk_by_score: id must be numeric, got ${id.dataType}")
-    else if (!kExpr.foldable || !numeric(kExpr))
-      TypeCheckResult.TypeCheckFailure("topk_by_score: k must be a numeric literal")
+    def prim(e: Expression) = primitiveNumerics.contains(e.dataType)
+    if (!prim(score))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: score must be a primitive numeric (cast decimals to double), got ${score.dataType}")
+    else if (!Set[DataType](LongType, IntegerType, ShortType, ByteType).contains(id.dataType))
+      TypeCheckResult.TypeCheckFailure(s"topk_by_score: id must be integral, got ${id.dataType}")
+    else if (!kExpr.foldable
+      || !Set[DataType](LongType, IntegerType).contains(kExpr.dataType)
+      || kExpr.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure("topk_by_score: k must be a non-null integer literal")
     else TypeCheckResult.TypeCheckSuccess
   }
   override def nullable: Boolean = false
@@ -66,13 +75,16 @@ case class TopKByScore(
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
 
-  // (score DESC, id ASC) under SQL's TOTAL double order
-  // (java.lang.Double.compare: NaN > +Inf, -0.0 < 0.0 — Spark's and
-  // DuckDB's ORDER BY semantics). A plain `>` would make NaN
-  // incomparable: sortWith could throw "Comparison method violates its
-  // general contract!" or silently mis-rank NaN rows.
+  // (score DESC, id ASC) under Spark SQL's total double order
+  // (SQLOrderingUtil.compareDoubles: primitive == first — so -0.0 ties
+  // 0.0, exactly like ORDER BY — then java.lang.Double.compare, which
+  // puts NaN above +Inf). A plain `>` would make NaN incomparable:
+  // sortWith could throw "Comparison method violates its general
+  // contract!" or silently mis-rank NaN rows; raw Double.compare alone
+  // would rank 0.0 strictly above -0.0, diverging from a ROW_NUMBER
+  // oracle on signed-zero ties.
   private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 

@@ -411,7 +411,8 @@ object EventsOps {
         .withColumn("delta", col("n_b") - col("n_a"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // (2) top-10 movers through the mergeable aggregate — no window
-      // (abs(delta) is BIGINT; ExpectsInputTypes inserts the cast)
+      // (abs(delta) is BIGINT — a primitive numeric the aggregate's
+      // checkInputDataTypes admits and its update() widens at eval)
       val top = pc
         .agg(expr("topk_by_score(abs(delta), user_id, 10)").as("top"))
         .select(posexplode(col("top")))

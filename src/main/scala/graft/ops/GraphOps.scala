@@ -346,8 +346,16 @@ object GraphOps {
       s"""c${k}_0 AS (SELECT DISTINCT src AS pk FROM edges),
          |$iters""".stripMargin
     }.mkString(",\n")
+    // membership mirrors kcore()'s final survive() exactly — survivors
+    // with >= 1 in-core edge — NOT raw c{k}_rounds membership: if a peel
+    // had not reached fixpoint by the budget, a round-`rounds` survivor
+    // whose last in-core neighbors died that round would otherwise be
+    // counted by the oracle but dropped by the Spark side
     val union = (1 to kMax)
-      .map(k => s"SELECT pk, $k AS k FROM c${k}_$rounds")
+      .map(k =>
+        s"""SELECT e.src AS pk, $k AS k FROM edges e
+           |JOIN c${k}_$rounds a ON a.pk = e.src JOIN c${k}_$rounds b ON b.pk = e.dst
+           |GROUP BY 1""".stripMargin)
       .mkString("\nUNION ALL\n")
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -378,7 +386,14 @@ object GraphOps {
     require(rounds >= 1, "at least one peel round")
     def rddsOf(df: DataFrame) = df.queryExecution.analyzed
       .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
-    val cached = edges.localCheckpoint(true)
+    // skip the checkpoint when the caller already materialized the edges
+    // (graph_coreness shares ONE edge artifact across its three peels —
+    // re-checkpointing a LogicalRDD would store a redundant full copy
+    // and pay a copy job per k)
+    val cached = edges.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => edges
+      case _ => edges.localCheckpoint(true)
+    }
     def survive(core: DataFrame): DataFrame = cached
       .join(core.toDF("src"), Seq("src"), "left_semi")
       .join(core.toDF("dst"), Seq("dst"), "left_semi")

@@ -203,7 +203,10 @@ object MultimodalOps {
         .select(
           sha2(col("text"), 256).as("content_sha"),
           octet_length(col("text").cast("binary")).cast("long").as("nb"),
-          concat_ws("|", col("source"), col("doc_id")).as("kk"))
+          // concat, NOT concat_ws: the oracle's `||` null-propagates, and
+          // concat_ws would silently DROP a null source/doc_id, electing
+          // a different canonical copy than DuckDB on nullable inputs
+          concat(col("source"), lit("|"), col("doc_id").cast("string")).as("kk"))
         .groupBy("content_sha")
         .agg(
           min(col("nb")).as("n_bytes"),

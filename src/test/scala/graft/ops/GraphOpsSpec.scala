@@ -286,6 +286,14 @@ class GraphOpsSpec extends SparkSuite {
       .localCheckpoint(true)
     assert(GraphOps.kcore(strong, k = 4, rounds = 6).count() == 0,
       "4-core must be empty at sf0.01 or the coreness budget truncates the gate")
+    // every tier's 6-round budget must reach ITS fixpoint (the kcore
+    // test asserts this for k=3 only; a non-converged k=1/k=2 chain
+    // would make the oracle's membership diverge from survive())
+    for (k <- 1 to 2) {
+      val r5 = GraphOps.kcore(strong, k = k, rounds = 5).collect().map(_.getLong(0)).toSet
+      val r6 = GraphOps.kcore(strong, k = k, rounds = 6).collect().map(_.getLong(0)).toSet
+      assert(r5 == r6, s"k=$k peel must be a fixpoint within the round budget")
+    }
     // nesting invariant: the k-cores form a chain c3 ⊆ c2 ⊆ c1
     val cores = (1 to 3).map(k =>
       GraphOps.kcore(strong, k = k, rounds = 6).collect().map(_.getLong(0)).toSet)
