@@ -74,6 +74,52 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_off")
   }
 
+  /** Exact global EXCLUSIVE prefix sum of `weight` by `sortCols` — the
+    * running-total twin of [[withRowNumber]], same TeraSort shape:
+    * range partition, per-partition weight totals (a P-row frame),
+    * cumulative offsets over that constant-size frame, broadcast back,
+    * partition-local running sum + offset. `out` = Σ weight over all
+    * rows STRICTLY before this row in the total order (0 for the
+    * first). Same total-order requirement as withRowNumber. This is
+    * the primitive rank-statistics need (Mann–Whitney's cum-counts,
+    * CDF lookups) that `sum().over(Window.orderBy(...))` would compute
+    * on a single task. */
+  def withPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weight: Column,
+      out: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__gp_w", weight.cast("long"))
+      .withColumn("__gp_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy(col("__gp_pid")).agg(sum(col("__gp_w")).as("__gp_t"))
+    val offs = counts
+      .withColumn(
+        "__gp_off",
+        coalesce(
+          sum(col("__gp_t")).over(
+            Window.orderBy(col("__gp_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gp_pid"), col("__gp_off"))
+    parted
+      .join(broadcast(offs), Seq("__gp_pid"))
+      .withColumn(
+        out,
+        coalesce(
+          sum(col("__gp_w")).over(
+            Window.partitionBy(col("__gp_pid")).orderBy(sortCols: _*)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + col("__gp_off"))
+      .drop("__gp_pid", "__gp_off", "__gp_w")
+  }
+
   /** SQL `ntile(b)` of a 1-based global rank, as pure integer
     * arithmetic — the first `n mod b` buckets take `n div b + 1` rows,
     * the rest `n div b` (the ANSI ntile contract both engines share).

@@ -451,6 +451,66 @@ object ExtOps {
                + col("b.vn") * col("b.vn") / (col("b.n") - lit(1)))).as("welch_dof"))
     },
 
+    // ── agg_mannwhitney_u: the Mann–Whitney U test (Mann & Whitney
+    // 1947) — agg_ttest_groups' NONPARAMETRIC sibling, the A/B readout
+    // for skewed metrics where the t-test's normality story breaks.
+    // Exactness via the pair-count identity: 2·U_A = 2·Σ_v nA(v)·cumB(<v)
+    // + Σ_v nA(v)·nB(v) — an INTEGER (ties contribute the ½ as the
+    // un-halved middle term), so both engines agree bit-for-bit before
+    // the one final z-score division. Scale shape: one map-side-combined
+    // count to the VALUE grain, then the cumulative B-count comes from
+    // graft.algo.GlobalRank.withPrefixSum — the TeraSort-shaped exact
+    // running total (range partition → P-row offsets frame → broadcast
+    // + partition-local window) — never a partition-less
+    // sum().over(orderBy) on the data-proportional value grain.
+    OpQuery.checked(
+      "agg_mannwhitney_u",
+      """WITH po AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+        |g AS (
+        |  SELECT v,
+        |         sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS nb
+        |  FROM po GROUP BY v),
+        |c AS (
+        |  SELECT v, na, nb,
+        |         coalesce(sum(nb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |         CAST(sum(2 * na * cumb + na * nb) AS BIGINT) AS u2_a
+        |  FROM c)
+        |SELECT n_a, n_b, u2_a,
+        |       (CAST(u2_a AS DOUBLE) / 2
+        |          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+        |         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12)
+        |         AS z_score
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val po = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(Norm.dec(col("o_totalprice")).as("v"), col("c_mktsegment").as("seg"))
+      val g = po.groupBy("v")
+        .agg(
+          sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+          sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("nb"))
+      val c = graft.algo.GlobalRank.withPrefixSum(g, Seq(col("v")), col("nb"), "cumb")
+      val s = c.agg(
+        sum(col("na")).cast("long").as("n_a"),
+        sum(col("nb")).cast("long").as("n_b"),
+        sum(lit(2) * col("na") * col("cumb") + col("na") * col("nb")).cast("long").as("u2_a"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      s.select(col("n_a"), col("n_b"), col("u2_a"),
+        ((col("u2_a").cast("double") / 2 - na * nb / 2)
+          / sqrt(na * nb * (na + nb + 1) / 12)).as("z_score"))
+    },
+
     // ── scd2_asof_lookup: point-in-time join — every order sees the dim
     // version that was current ON ITS OWN DATE (the whole point of SCD2:
     // 1995 revenue stays under the 1995 segment even after the customer

@@ -65,4 +65,28 @@ class GlobalRankSpec extends SparkSuite {
     // global sort of the input
     assert(plan.contains("hashpartitioning(__gr_pid"), plan.take(2000))
   }
+
+  test("withPrefixSum: exact exclusive running totals across range partitions") {
+    import spark.implicits._
+    // deterministic values with ties and skew; weights vary per row
+    val rows = (0 until 5000).map { i =>
+      val v = (i * 2654435761L) % 200 // 200 distinct sort keys with heavy ties
+      (v, i.toLong, (i % 7 + 1).toLong)
+    }
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("v", "id", "w")
+    val got = GlobalRank
+      .withPrefixSum(df, Seq(col("v").asc, col("id").asc), col("w"), "ps", 8)
+      .select(col("id"), col("ps")).as[(Long, Long)].collect().toMap
+    // driver-side reference: exclusive prefix sums over the same order
+    var acc = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (_, id, w) =>
+      val out = (id, acc); acc += w; out
+    }.toMap
+    assert(got == want, "prefix sums must match the sequential reference exactly")
+    // the helper's data-side window must be partitioned by the range id
+    val plan = GlobalRank
+      .withPrefixSum(df, Seq(col("v").asc, col("id").asc), col("w"), "ps", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__gp_pid"), plan.take(2000))
+  }
 }

@@ -136,7 +136,8 @@ class PlanQualitySpec extends SparkSuite {
         "agg_topk_heap", "events_sliding_distinct", "events_decay_counts",
         "win_gap_fill", "win_interpolate", "sample_temporal_split",
         "agg_ttest_groups", "events_heavy_change", "events_markov_perplexity",
-        "etl_dq_profile")) {
+        "etl_dq_profile", "agg_mannwhitney_u", "sim_centroid_drift",
+        "multimodal_dedup")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
