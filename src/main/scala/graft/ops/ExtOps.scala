@@ -511,6 +511,45 @@ object ExtOps {
           / sqrt(na * nb * (na + nb + 1) / 12)).as("z_score"))
     },
 
+    // ── win_running_total_global: company-wide running revenue per
+    // order — the classic cumulative report whose SQL form
+    // (`sum(...) OVER (ORDER BY date)` with no partition) funnels every
+    // row through ONE task. This op is the user-facing face of
+    // graft.algo.GlobalRank.withPrefixSum: the same exclusive prefix
+    // sum computed TeraSort-shaped (range partition on the total order
+    // (date, orderkey) → P-row offsets → broadcast + partition-local
+    // running sums), inclusive total = exclusive + own value. Money
+    // rides as exact BIGINT cents end to end; the double mirror is one
+    // final division both engines perform identically. Output is
+    // order-grain on purpose — a day-grain pre-aggregation would not
+    // need the primitive (constant-size frame), the per-row form is
+    // what actually requires it at 100 TB.
+    OpQuery.checked(
+      "win_running_total_global",
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS od,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS running_cents,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |         AS running_rev
+        |FROM orders""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders.select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        (Norm.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      graft.algo.GlobalRank
+        .withPrefixSum(o, Seq(col("od").asc, col("o_orderkey").asc), col("cents"), "excl")
+        .select(
+          col("o_orderkey"), col("od"),
+          (col("excl") + col("cents")).as("running_cents"),
+          ((col("excl") + col("cents")).cast("double") / 100).as("running_rev"))
+    },
+
     // ── scd2_asof_lookup: point-in-time join — every order sees the dim
     // version that was current ON ITS OWN DATE (the whole point of SCD2:
     // 1995 revenue stays under the 1995 segment even after the customer
