@@ -89,35 +89,56 @@ object GlobalRank {
       sortCols: Seq[Column],
       weight: Column,
       out: String,
+      numPartitions: Int = 0): DataFrame =
+    withPrefixSums(df, sortCols, Seq(weight -> out), numPartitions)
+
+  /** Multi-weight form of [[withPrefixSum]]: every (weight, out) pair
+    * rides the SAME range exchange, per-partition totals frame, and
+    * partition-local window — N running totals for one shuffle (the
+    * two-sample statistics need both groups' CDFs over one pooled
+    * order). */
+  def withPrefixSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weights: Seq[(Column, String)],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .repartitionByRange(p, sortCols: _*)
-      .withColumn("__gp_w", weight.cast("long"))
+    val wcols = weights.zipWithIndex.map { case ((_, _), i) => s"__gp_w$i" }
+    var parted0 = df.repartitionByRange(p, sortCols: _*)
+    weights.zip(wcols).foreach { case ((w, _), wc) =>
+      parted0 = parted0.withColumn(wc, w.cast("long"))
+    }
+    val parted = parted0
       .withColumn("__gp_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = parted.groupBy(col("__gp_pid")).agg(sum(col("__gp_w")).as("__gp_t"))
-    val offs = counts
-      .withColumn(
-        "__gp_off",
+    val counts = parted.groupBy(col("__gp_pid"))
+      .agg(sum(col(wcols.head)).as("__gp_t0"),
+        wcols.tail.zipWithIndex.map { case (wc, i) => sum(col(wc)).as(s"__gp_t${i + 1}") }: _*)
+    var offs = counts
+    wcols.indices.foreach { i =>
+      offs = offs.withColumn(
+        s"__gp_off$i",
         coalesce(
-          sum(col("__gp_t")).over(
+          sum(col(s"__gp_t$i")).over(
             Window.orderBy(col("__gp_pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__gp_pid"), col("__gp_off"))
-    parted
-      .join(broadcast(offs), Seq("__gp_pid"))
-      .withColumn(
-        out,
+    }
+    var out = parted.join(
+      broadcast(offs.select(col("__gp_pid") +: wcols.indices.map(i => col(s"__gp_off$i")): _*)),
+      Seq("__gp_pid"))
+    weights.zip(wcols).zipWithIndex.foreach { case (((_, name), wc), i) =>
+      out = out.withColumn(
+        name,
         coalesce(
-          sum(col("__gp_w")).over(
+          sum(col(wc)).over(
             Window.partitionBy(col("__gp_pid")).orderBy(sortCols: _*)
               .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)) + col("__gp_off"))
-      .drop("__gp_pid", "__gp_off", "__gp_w")
+          lit(0L)) + col(s"__gp_off$i"))
+    }
+    out.drop("__gp_pid" +: (wcols ++ wcols.indices.map(i => s"__gp_off$i")): _*)
   }
 
   /** SQL `ntile(b)` of a 1-based global rank, as pure integer

@@ -511,6 +511,64 @@ object ExtOps {
           / sqrt(na * nb * (na + nb + 1) / 12)).as("z_score"))
     },
 
+    // ── agg_ks_test: two-sample Kolmogorov–Smirnov — completes the
+    // classical A/B trio (Welch t = means, Mann–Whitney = ranks, KS =
+    // WHOLE-DISTRIBUTION shape: D = max |F_A − F_B| catches
+    // variance/tail differences equal means hide). Integer-exact core:
+    // at the pooled value grain, D's numerator is max |cumA·n_b −
+    // cumB·n_a| — a BIGINT both engines agree on before the one final
+    // division. Both groups' inclusive CDF steps come from ONE
+    // GlobalRank.withPrefixSums call (both running totals share a
+    // single range exchange) — never a partition-less window over the
+    // data-proportional value grain.
+    OpQuery.checked(
+      "agg_ks_test",
+      """WITH po AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+        |g AS (
+        |  SELECT v,
+        |         sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS nb
+        |  FROM po GROUP BY v),
+        |c AS (
+        |  SELECT v, na, nb,
+        |         sum(na) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |         sum(nb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM g),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM g)
+        |SELECT t.n_a, t.n_b,
+        |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+        |         / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS d_stat
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val po = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(Norm.dec(col("o_totalprice")).as("v"), col("c_mktsegment").as("seg"))
+      val g = po.groupBy("v")
+        .agg(
+          sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+          sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("nb"))
+      // exclusive prefix sums + own value = the inclusive CDF steps
+      val c = graft.algo.GlobalRank
+        .withPrefixSums(g, Seq(col("v").asc), Seq(col("na") -> "xa", col("nb") -> "xb"))
+        .select(col("na"), col("nb"),
+          (col("xa") + col("na")).as("ca"), (col("xb") + col("nb")).as("cb"))
+      val tot = c.agg(sum(col("na")).cast("long").as("n_a"), sum(col("nb")).cast("long").as("n_b"))
+      c.crossJoin(broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).cast("long").as("d_num"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          (col("d_num").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))).as("d_stat"))
+    },
+
     // ── win_running_total_global: company-wide running revenue per
     // order — the classic cumulative report whose SQL form
     // (`sum(...) OVER (ORDER BY date)` with no partition) funnels every

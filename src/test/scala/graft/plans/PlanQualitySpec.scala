@@ -186,7 +186,7 @@ class PlanQualitySpec extends SparkSuite {
         "unboundedGlobal detector failed to flag a global window over a fact scan")
       for (q <- Seq("q4_customer_rfm", "score_rfm_threshold",
         "sample_class_balance_threshold", "agg_mannwhitney_u",
-        "win_running_total_global")) {
+        "agg_ks_test", "win_running_total_global")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = unboundedGlobal(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q funnels fact rows through one partition:\n${bad.mkString("\n")}")
