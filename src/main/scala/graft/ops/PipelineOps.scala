@@ -1416,5 +1416,72 @@ object PipelineOps {
           when(col("n_after") === 0L, "train")
             .when(col("n_before") === 0L, "test")
             .otherwise("span_drop").as("split"))
+    },
+
+    // ── text_pmi_phrases: collocation mining by pointwise mutual
+    // information (the word2vec-phrases recipe, Mikolov et al. 2013) —
+    // which word pairs co-occur far beyond chance, the phrase-vocabulary
+    // builder a tokenizer pipeline runs before BPE. score =
+    // n·c(w1,w2) / (c(w1)·c(w2)) with a min-count gate; the ranking
+    // score is one mirrored double division (products first, one
+    // divide), and an INTEGER bits companion rides along
+    // (ilog2(n·c2) − ilog2(c1·c1') — exact in both engines, the
+    // text_lm_surprisal idiom). Scale shape: map-side-combined bigram/
+    // token counts (corpus-proportional ONCE), then everything —
+    // dictionary joins included — lives on the ≤ vocab² candidate grain
+    // (min-count-gated; the top-20 window runs on that bounded frame,
+    // never on the corpus; with an open vocabulary the rank would come
+    // from topk_by_score instead).
+    OpQuery.checked(
+      "text_pmi_phrases",
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |bgs AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        |  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS b
+        |        FROM t)),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bgs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT c2.w1, c2.w2, c2.c2 AS n_pair,
+        |         (CAST(c2.c2 AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |           / (CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)) AS lift,
+        |         CAST((length(bin(c2.c2 * tot.n)) - 1)
+        |              - (length(bin(a.c1 * b.c1)) - 1) AS BIGINT) AS pmi_bits
+        |  FROM c2 JOIN c1 a ON a.tok = c2.w1
+        |          JOIN c1 b ON b.tok = c2.w2
+        |          CROSS JOIN tot)
+        |SELECT * FROM (
+        |  SELECT w1, w2, n_pair, lift, pmi_bits,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= 20""".stripMargin
+    ) { (spark, dir) =>
+      import graft.Norm.ilog2
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
+      val bigrams = toks.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val c1 = toks.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum(col("c1")).cast("long").as("n"))
+      val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      val sc = c2
+        .join(c1.toDF("w1", "c1a"), Seq("w1"))
+        .join(c1.toDF("w2", "c1b"), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c2").as("n_pair"),
+          ((col("c2").cast("double") * col("n").cast("double"))
+            / (col("c1a").cast("double") * col("c1b").cast("double"))).as("lift"),
+          (ilog2(col("c2") * col("n")) - ilog2(col("c1a") * col("c1b"))).as("pmi_bits"))
+      sc.withColumn("rnk", row_number().over(
+          Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)).cast("long"))
+        .filter(col("rnk") <= 20)
     })
 }
