@@ -137,7 +137,8 @@ class PlanQualitySpec extends SparkSuite {
         "win_gap_fill", "win_interpolate", "sample_temporal_split",
         "agg_ttest_groups", "events_heavy_change", "events_markov_perplexity",
         "etl_dq_profile", "agg_mannwhitney_u", "sim_centroid_drift",
-        "multimodal_dedup")) {
+        "multimodal_dedup", "text_pmi_phrases", "agg_ks_test",
+        "sim_pca_power", "graph_coreness")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
