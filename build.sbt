@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's final stdout line as one JSON object.
+// sbt's default forked-output strategy routes the child's stdout through
+// the logger ("[info] " prefix on every line) and the command loop appends
+// a "[success] Total time: …" banner after it — both defeat the parse
+// (BENCH_r*.json.parsed was null through round 8). Forked output therefore
+// passes through verbatim and the success banner is disabled, so the bare
+// JSON line is the last thing on stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute driver logs
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

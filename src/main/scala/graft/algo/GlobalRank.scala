@@ -141,6 +141,93 @@ object GlobalRank {
     out.drop("__gp_pid" +: (wcols ++ wcols.indices.map(i => s"__gp_off$i")): _*)
   }
 
+  /** Exact per-group `row_number() OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` WITHOUT a per-group WindowExec — the shape for
+    * LOW-CARDINALITY group keys over data-proportional groups, where
+    * `Window.partitionBy(groupCols)` would sort ~n/|groups| rows on one
+    * task each (the events_anomaly_mad / class-balance failure mode at
+    * 100 TB; each group can be billions of rows).
+    *
+    * One [[withRowNumber]] over the COMPOSITE (groupCols ++ sortCols)
+    * order does all the sorting TeraSort-shaped; the per-group rank is
+    * then pure arithmetic: rank − (group's min rank) + 1, with the
+    * per-group min-rank/count frame a broadcast aggregate bounded by
+    * the group cardinality. Adds `out` = 1-based rank within the
+    * group and `outN` = the group's row count.
+    *
+    * One shape, not a composition: range-partition on the composite
+    * order, ONE aggregate to the (range partition, group) CELL grain —
+    * bounded by P × |groups| — then pure arithmetic on that broadcast
+    * frame: a row's per-group rank = (partition offset + local
+    * row_number) − (group offset). The data is touched exactly twice
+    * (cell counts, final pass), the same cost as the ungrouped
+    * [[withRowNumber]]; composing withRowNumber + a min-rank aggregate
+    * would pay a third windowed pass.
+    *
+    * Requirements: groupCols ++ sortCols must be a TOTAL order (unique
+    * tiebreak in sortCols); the group cardinality must be
+    * broadcast-bounded (it is the caller's partition-key cardinality —
+    * the exact premise that made the window variant pathological); and
+    * group key values must be non-null (the cell join is
+    * null-unsafe — coalesce a sentinel first if needed). */
+  def withGroupedRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      out: String,
+      outN: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val composite = groupCols.map(col) ++ sortCols
+    val parted = df
+      .repartitionByRange(p, composite: _*)
+      .withColumn("__gg_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (partition, group) cell counts — P × |groups| rows, the only
+    // aggregation pass; both offset frames derive from it window-free
+    // in data terms (the two windows below run on the bounded cell /
+    // group frames, never the data)
+    val cells = parted
+      .groupBy(col("__gg_pid") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__gg_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // partition offsets: rows in range partitions strictly before pid
+    // (pid order IS the global composite order)
+    val pidOffs = cells.groupBy(col("__gg_pid")).agg(sum(col("__gg_c")).as("__gg_pc"))
+      .withColumn(
+        "__gg_poff",
+        coalesce(
+          sum(col("__gg_pc")).over(
+            Window.orderBy(col("__gg_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gg_pid"), col("__gg_poff"))
+    // group offsets + totals: rows in groups strictly before g in group
+    // order (the composite sort's leading prefix, so "before g" in
+    // group order = "before g's first row" in global order)
+    val grpOffs = cells.groupBy(groupCols.map(col): _*).agg(sum(col("__gg_c")).as(outN))
+      .withColumn(
+        "__gg_goff",
+        coalesce(
+          sum(col(outN)).over(
+            Window.orderBy(groupCols.map(col): _*).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val cellFrame = cells
+      .join(pidOffs, Seq("__gg_pid"))
+      .join(grpOffs, groupCols)
+      .select(col("__gg_pid") +: groupCols.map(col) :+ col("__gg_poff") :+ col("__gg_goff") :+ col(outN): _*)
+    parted
+      .join(broadcast(cellFrame), "__gg_pid" +: groupCols)
+      .withColumn(
+        out,
+        row_number()
+          .over(Window.partitionBy(col("__gg_pid")).orderBy(composite: _*))
+          .cast("long") + col("__gg_poff") - col("__gg_goff"))
+      .drop("__gg_pid", "__gg_poff", "__gg_goff")
+  }
+
   /** SQL `ntile(b)` of a 1-based global rank, as pure integer
     * arithmetic — the first `n mod b` buckets take `n div b + 1` rows,
     * the rest `n div b` (the ANSI ntile contract both engines share).

@@ -65,6 +65,11 @@ case class TopKByScore(
       || !Set[DataType](LongType, IntegerType).contains(kExpr.dataType)
       || kExpr.eval(InternalRow.empty) == null)
       TypeCheckResult.TypeCheckFailure("topk_by_score: k must be a non-null integer literal")
+    else if (kExpr.eval(InternalRow.empty).asInstanceOf[Number].longValue() < 1)
+      // k <= 0 would pass analysis and silently return empty arrays
+      // (with k = 0 every update() compacts) — fail fast instead
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: k must be >= 1, got ${kExpr.eval(InternalRow.empty)}")
     else TypeCheckResult.TypeCheckSuccess
   }
   override def nullable: Boolean = false
@@ -162,6 +167,11 @@ object TopKByScore {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_score",
-      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      exprs => {
+        // a clear arity error at analysis time, not IndexOutOfBounds
+        require(exprs.length == 3,
+          s"topk_by_score(score, id, k) expects 3 arguments, got ${exprs.length}")
+        TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      },
       "built-in")
 }

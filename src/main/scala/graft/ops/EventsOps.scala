@@ -349,6 +349,14 @@ object EventsOps {
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("n"))
       val bounds = pd.agg(min(col("d")).as("d0"), max(col("d")).as("dT"))
+        // in-plan range guard: shiftleft takes the shift count mod 64, so
+        // a span >= 62 would silently WRAP the weights (and DuckDB's <<
+        // behaves differently) — fail loudly instead of corrupting; the
+        // production form for wide spans is the float-weight branch
+        // documented above. assert_true returns NULL on success, so the
+        // filter keeps the row iff the span is in range.
+        .filter(expr("isnull(assert_true(datediff(dT, d0) <= 61, " +
+          "'events_decay_counts: day span exceeds the exact power-of-two range (<= 61)'))"))
       pd.crossJoin(broadcast(bounds))
         .withColumn("w", expr("shiftleft(1L, datediff(d, d0))"))
         .groupBy("event_type")

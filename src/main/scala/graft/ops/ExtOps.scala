@@ -803,7 +803,6 @@ object ExtOps {
         |WHERE CAST(2 * d.dd AS DOUBLE) > 3 * 1.4826 * CAST(a.mad4 AS DOUBLE)""".stripMargin
     ) { (spark, dir) =>
       graft.functions.KllQuantiles.register(spark)
-      val byType = Window.partitionBy("event_type")
       val t = Tables(spark, dir).events
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
@@ -841,13 +840,17 @@ object ExtOps {
             col("lo_mad").cast("double") <= half + eps &&
             col("hi_mad").cast("double") >= half - eps)
             .as("within_eps"))
-      // ── exact decimal branch: oracle-scale verification only
-      def median2(df: org.apache.spark.sql.DataFrame, c: String, out: String) = df
-        .withColumn("rn", row_number().over(byType.orderBy(col(c), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(byType))
-        .groupBy("event_type")
-        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(c)))
-          + sum(when(col("rn") === expr("(n + 2) div 2"), col(c)))).as(out))
+      // ── exact decimal branch: oracle-scale verification only — but
+      // TeraSort-shaped all the same: per-type rank/count via ONE
+      // composite-order GlobalRank (a partitionBy(event_type) window
+      // would sort ~n/|types| rows on one task each; |types| ≈ 5 here,
+      // so each partition is a fifth of the corpus at any scale)
+      def median2(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        graft.algo.GlobalRank
+          .withGroupedRowNumber(df, Seq("event_type"), Seq(col(c), col("event_id")), "rn", "n")
+          .groupBy("event_type")
+          .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(c)))
+            + sum(when(col("rn") === expr("(n + 2) div 2"), col(c)))).as(out))
       val med = median2(t, "v", "med2")
       val d = t.join(broadcast(med), Seq("event_type"))
         .withColumn("dd", abs(lit(2) * col("v") - col("med2")))

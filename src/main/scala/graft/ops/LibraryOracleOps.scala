@@ -30,48 +30,56 @@ object LibraryOracleOps {
     * foreign path is ever touched, deterministic at any launch cwd. */
   val DataDir = "/root/repo/target/librarydata"
 
-  // generated once per JVM (the frames are deterministic; the golden
-  // specs pin their content), shared by both ops and both Bench repeats
-  private val derivedCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, LibraryTables]()
+  // One-entry session cache instead of a SparkSession-keyed map: the
+  // frames are deterministic (the golden specs pin their content) and
+  // one session runs at a time in practice, so bounding the cache to the
+  // CURRENT session keeps stopped sessions (and every DataFrame holding
+  // them) collectable — the unbounded map retained them forever. All
+  // access and every on-disk persist is serialized on this object, so
+  // two sessions can never race overwrite-vs-read on a DataDir path.
+  private final class SessionCache(val spark: SparkSession) {
+    lazy val tables: LibraryTables =
+      Derivations.applyAll(LibraryTables.generate(spark, scale = 0.1, seed = 42), asOf = "2024-06-30")
+    val persisted = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    lazy val dw: graft.etl.DwTables = {
+      val d = graft.etl.InitialLoad(spark, tables)
+      d.copy(
+        dimDate = persistFrame(this, "dw_dim_date", d.dimDate),
+        dimMembers = persistFrame(this, "dw_dim_members", d.dimMembers),
+        dimBook = persistFrame(this, "dw_dim_book", d.dimBook),
+        factSales = persistFrame(this, "dw_fact_sales", d.factSales),
+        factPurchase = persistFrame(this, "dw_fact_purchase", d.factPurchase))
+    }
+  }
 
-  private def derived(spark: SparkSession): LibraryTables =
-    derivedCache.computeIfAbsent(
-      spark,
-      s => Derivations.applyAll(LibraryTables.generate(s, scale = 0.1, seed = 42), asOf = "2024-06-30"))
+  @volatile private var cache: SessionCache = _
+
+  private def forSession(spark: SparkSession): SessionCache = synchronized {
+    if (cache == null || (cache.spark ne spark) || cache.spark.sparkContext.isStopped)
+      cache = new SessionCache(spark)
+    cache
+  }
+
+  private def derived(spark: SparkSession): LibraryTables = forSession(spark).tables
 
   // idempotent per (session, name): the frames are pure functions of
   // (seed, scale), so the second Bench repeat / a later op sharing a dim
   // must not pay the generate→derive→write pass again — only re-read
-  private val persisted =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def persist(name: String, df: DataFrame): DataFrame =
-    persisted.computeIfAbsent(
-      (df.sparkSession, name),
-      _ => {
+  private def persistFrame(c: SessionCache, name: String, df: DataFrame): DataFrame =
+    synchronized {
+      c.persisted.getOrElseUpdate(name, {
         df.coalesce(1).write.mode("overwrite").parquet(s"$DataDir/$name.parquet")
         df.sparkSession.read.parquet(s"$DataDir/$name.parquet")
       })
+    }
+
+  private def persist(name: String, df: DataFrame): DataFrame =
+    persistFrame(forSession(df.sparkSession), name, df)
 
   // star-schema layer for the Q1–Q3 report oracles: InitialLoad over the
   // derived OLTP frames, with every frame a report touches swapped for
   // its persisted copy so both engines read the SAME parquet bytes
-  private val dwCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.etl.DwTables]()
-
-  private def persistedDw(spark: SparkSession): graft.etl.DwTables =
-    dwCache.computeIfAbsent(
-      spark,
-      s => {
-        val d = graft.etl.InitialLoad(s, derived(s))
-        d.copy(
-          dimDate = persist("dw_dim_date", d.dimDate),
-          dimMembers = persist("dw_dim_members", d.dimMembers),
-          dimBook = persist("dw_dim_book", d.dimBook),
-          factSales = persist("dw_fact_sales", d.factSales),
-          factPurchase = persist("dw_fact_purchase", d.factPurchase))
-      })
+  private def persistedDw(spark: SparkSession): graft.etl.DwTables = forSession(spark).dw
 
   val ops: Seq[OpQuery] = Seq(
     // ── lib_q4_fine_revenue: fines→payments revenue/collection report

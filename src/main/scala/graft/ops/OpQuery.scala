@@ -15,8 +15,4 @@ final case class OpQuery(
 object OpQuery {
   def checked(key: String, oracle: String)(run: (SparkSession, String) => DataFrame): OpQuery =
     OpQuery(key, run, Some(oracle))
-
-  /** Rows-only-checked op (no portable SQL equivalent, e.g. xxhash64-based). */
-  def unchecked(key: String)(run: (SparkSession, String) => DataFrame): OpQuery =
-    OpQuery(key, run, None)
 }

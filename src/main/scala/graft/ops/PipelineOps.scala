@@ -22,6 +22,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object PipelineOps {
 
+  /** Fixed parquet location for text_bpe_tokenize's trained dictionary —
+    * inside the repo so the oracle's read_parquet path is deterministic
+    * at any launch cwd (the [[LibraryOracleOps.DataDir]] pattern). */
+  val BpeDictDir = "/root/repo/target/bpedata/bpe_pieces.parquet"
+
   val ops: Seq[OpQuery] = Seq(
     // ── text_gopher_quality: the repetition + stopword quality gate of
     // Gopher/MassiveText (Rae et al. 2021, §A1.1) as one codegen'd
@@ -556,11 +561,29 @@ object PipelineOps {
     // per-token loop ⇒ mapPartitions is the honest tier, the multimodal
     // extractor precedent); (3) the corpus only ever sees the
     // token→n_pieces DICTIONARY JOIN (the text_unigram_score zipf
-    // shape) and a doc-grain sum. No SQL engine can replay a trained
-    // BPE, so this is a rows-only contract op; BpeSpec pins the
-    // algorithm (reference merge order, round-trip identity, rank-
-    // greedy inference, unseen-pair behavior) and the op's invariants.
-    OpQuery.unchecked("text_bpe_tokenize") { (spark, dir) =>
+    // shape) and a doc-grain sum. No SQL engine can replay BPE
+    // TRAINING — but it doesn't have to: the trained (token, n_pieces)
+    // dictionary is persisted to parquet (the LibraryOracleOps
+    // mechanism) and both engines read the SAME dictionary bytes, so
+    // the corpus-side join + doc-grain arithmetic is fully
+    // rows+schema+hash-checked; BpeSpec pins the training algorithm
+    // itself (reference merge order, round-trip identity, rank-greedy
+    // inference, unseen-pair behavior).
+    OpQuery.checked(
+      "text_bpe_tokenize",
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |p AS (SELECT tok, n_pieces
+        |      FROM read_parquet('$BpeDictDir/*.parquet'))
+        |SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(sum(length(t.tok)) AS DOUBLE) / CAST(sum(p.n_pieces) AS DOUBLE)
+        |         AS chars_per_token
+        |FROM t JOIN p USING (tok)
+        |GROUP BY t.doc_id""".stripMargin
+    ) { (spark, dir) =>
       import spark.implicits._
       val toks = Tables(spark, dir).documents
         .select(col("doc_id"),
@@ -574,11 +597,19 @@ object PipelineOps {
       // the output — frequent words collapse, rare ones stay split
       val ranks = graft.functions.Bpe.train(top.toSeq, 24).zipWithIndex.toMap
       val bRanks = spark.sparkContext.broadcast(ranks)
-      val pieces = vocab.select("tok").as[String]
-        .mapPartitions { it =>
-          val r = bRanks.value
-          it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
-        }.toDF("tok", "n_pieces")
+      // the dictionary is vocabulary-grain (tiny) and a pure function of
+      // the corpus: persist it so the DuckDB oracle replays the corpus
+      // arithmetic against the identical dictionary bytes; re-read so the
+      // Spark side consumes the same files the oracle will
+      val pieces = PipelineOps.synchronized {
+        vocab.select("tok").as[String]
+          .mapPartitions { it =>
+            val r = bRanks.value
+            it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
+          }.toDF("tok", "n_pieces")
+          .coalesce(1).write.mode("overwrite").parquet(BpeDictDir)
+        spark.read.parquet(BpeDictDir)
+      }
       toks.join(pieces, Seq("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),

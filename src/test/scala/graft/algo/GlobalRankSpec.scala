@@ -66,6 +66,49 @@ class GlobalRankSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__gr_pid"), plan.take(2000))
   }
 
+  test("withGroupedRowNumber equals the per-group window, any partition count") {
+    // 5 groups over 4001 rows — exactly the low-cardinality-partition-
+    // key shape where Window.partitionBy(grp) sorts ~n/5 rows per task
+    val g = df.withColumn("grp", pmod(col("k"), lit(5)))
+    val order = Seq(col("v").asc, col("k").asc)
+    val want = g
+      .withColumn(
+        "r",
+        row_number().over(Window.partitionBy("grp").orderBy(order: _*)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("k", "grp", "r", "n")
+    for (p <- Seq(1, 3, 16)) {
+      val got = GlobalRank
+        .withGroupedRowNumber(g, Seq("grp"), order, "r", "n", p)
+        .select("k", "grp", "r", "n")
+      assert(
+        got.except(want).isEmpty && want.except(got).isEmpty,
+        s"grouped rank mismatch at p=$p")
+    }
+  }
+
+  test("withGroupedRowNumber: every data-side window is pid-partitioned") {
+    val g = df.withColumn("grp", pmod(col("k"), lit(5)))
+    val out = GlobalRank
+      .withGroupedRowNumber(g, Seq("grp"), Seq(col("v").asc, col("k").asc), "r", "n", 8)
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the only window touching data rows partitions by the range id; the
+    // offset windows run on the bounded cell/group aggregate frames
+    val dataWindows = windows.filterNot { w =>
+      val aggBelow = w.children.exists(_.exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      })
+      aggBelow || w.partitionSpec.exists(_.references.exists(_.name == "__gg_pid"))
+    }
+    assert(dataWindows.isEmpty,
+      s"un-aggregated data rows must only meet pid-partitioned windows:\n${dataWindows.mkString("\n")}")
+  }
+
   test("withPrefixSum: exact exclusive running totals across range partitions") {
     import spark.implicits._
     // deterministic values with ties and skew; weights vary per row

@@ -275,6 +275,22 @@ class GraphOpsSpec extends SparkSuite {
     assert(r6.forall(_._2 >= 3), "every core member keeps >= k in-core neighbors")
   }
 
+  test("kcore: seeding from the (k-1)-core survivors changes nothing") {
+    // core(k) ⊆ core(k-1), so the seeded peel must land on the SAME
+    // fixpoint (values included) as the from-scratch peel — the
+    // invariant graph_coreness's incremental seeding rides on
+    val li = graft.Tables(spark, sf001).lineitem.select("l_orderkey", "l_partkey")
+    val strong = GraphOps.coEdges(li).filter(col("w") >= 2).select("src", "dst")
+      .localCheckpoint(true)
+    val c2 = GraphOps.kcore(strong, k = 2, rounds = 6, edgesMaterialized = true)
+    val seeded = GraphOps
+      .kcore(strong, k = 3, rounds = 6, edgesMaterialized = true, seed = Some(c2.select("pk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = GraphOps.kcore(strong, k = 3, rounds = 6, edgesMaterialized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seeded == scratch, "seeded and from-scratch peels must agree exactly")
+  }
+
   test("graph_coreness: K=3 covers the verification graph (4-core empty), tiers nest") {
     // sf0.01 deliberately — the correctness gate's scale. At sf0.001 the
     // co-purchase graph is DENSER (200 parts, big basket overlap) and

@@ -195,6 +195,50 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("exact rank ops keep fact-row windows pid-partitioned (no group-key sorts)") {
+    // A WindowExec partitioned by a LOW-CARDINALITY data column (e.g.
+    // event_type, ~5 values) is almost as bad as a partition-less one:
+    // each task sorts ~n/|groups| rows — data-proportional partitions at
+    // any scale. The grouped-GlobalRank rebuild moves ALL data-row
+    // sorting onto range-partition ids; the only acceptable windows over
+    // un-aggregated fact rows are pid-partitioned.
+    def groupKeyWindow(p: SparkPlan): Seq[String] = {
+      def factScanBelow(n: SparkPlan): Boolean = {
+        val aggregated = n.children.exists(_.exists {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+          case _ => false
+        })
+        !aggregated && n.exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(p => factTables.exists(p.toString.contains))
+          case _ => false
+        }
+      }
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if factScanBelow(w) &&
+            !w.partitionSpec.exists(_.references.exists(_.name.matches("__g[grp]_pid"))) =>
+          s"data-column window partition: $w"
+      }
+    }
+    withStaticPlanner {
+      // detector self-check: row_number over partitionBy(event_type) on
+      // the raw events scan MUST be flagged
+      val poison = spark.read.parquet(s"$sf001/events.parquet")
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("event_id")))
+      assert(groupKeyWindow(poison.queryExecution.executedPlan).nonEmpty,
+        "groupKeyWindow detector failed to flag a group-key window over a fact scan")
+      for (q <- Seq("events_anomaly_mad", "sample_class_balance_threshold",
+        "score_rfm_threshold", "win_running_total_global")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = groupKeyWindow(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q sorts data-proportional group partitions:\n${bad.mkString("\n")}")
+      }
+    }
+  }
+
   test("sim_* query-batch broadcasts are capped by construction") {
     // The ANN ops broadcast the query batch — a filter of the embeddings
     // corpus. That is only scale-safe because querySample hard-caps it
