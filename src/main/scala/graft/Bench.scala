@@ -54,6 +54,15 @@ object Bench {
         // 4-20x slowdowns on the late-alphabet queries once the graph
         // tier's cached part-pair edges landed)
         spark.catalog.clearCache()
+        // clearCache only covers CacheManager entries — localCheckpoint'd
+        // RDDs (graph peels, cluster dedup, GlobalRank exchanges) are
+        // storage-registered OUTSIDE it and linger until the GC-driven
+        // ContextCleaner notices, so a long sweep accumulates dead blocks
+        // and the late-alphabet queries run under their memory pressure
+        // (measured: dedup_containment 2.3 s isolated vs 5.0 s late in
+        // the round-8 sweep). Dropping every persistent RDD between
+        // measurements restores per-query isolation.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         // a failed query must not masquerade as a fast healthy timing
         (name, if (failed) -1.0 else times.min, failed)
       }

@@ -37,8 +37,11 @@ object Verify {
       // ops that cache large intermediates (shingle gram frames, graph
       // edge sets, sketch frames) never unpersist — without this the
       // 165-op dump accumulates every op's cached storage (the same
-      // 4-20x memory-pressure problem Bench clears between queries)
+      // 4-20x memory-pressure problem Bench clears between queries);
+      // the second line additionally drops localCheckpoint'd RDDs,
+      // which live outside the CacheManager (see Bench)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -516,6 +516,35 @@ object AggOps {
         .filter(col("rn") <= 3)
     },
 
+    // ── win_ntile_grouped: per-segment decile assignment at ROW grain —
+    // `ntile(10) OVER (PARTITION BY event_type ORDER BY value)` — the
+    // per-cohort score-bucketing every feature pipeline runs, and the
+    // textbook LOW-CARDINALITY-partition-key trap: ~5 event types means
+    // each window partition is a fifth of the corpus, sorted on ONE task
+    // at any scale. Window-free rebuild: per-group rank + group size
+    // from ONE composite-order GlobalRank.withGroupedRowNumber (range-
+    // partitioned parallel sort, bounded cell-frame broadcast, rank =
+    // arithmetic), then the decile is pure integer math on (rank, n)
+    // via ntileOfRank — bit-identical to the SQL window. The oracle IS
+    // the window form; plan-asserted group-key-window-free alongside
+    // events_anomaly_mad in PlanQualitySpec.
+    OpQuery.checked(
+      "win_ntile_grouped",
+      """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+        |       CAST(ntile(10) OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS BIGINT) AS decile
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value").cast("double").as("value"))
+      graft.algo.GlobalRank
+        .withGroupedRowNumber(
+          t, Seq("event_type"), Seq(col("value").asc, col("event_id").asc), "rn", "n")
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.algo.GlobalRank.ntileOfRank(col("rn"), col("n"), 10).as("decile"))
+    },
+
     // ── win_lag: LAG deltas over ordered partitions — the YoY/QoQ engine
     // of all three reference reports (ref LQY_query1.txt:78,80).
     OpQuery.checked(

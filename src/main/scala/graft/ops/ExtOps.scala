@@ -569,6 +569,127 @@ object ExtOps {
             / (col("n_a").cast("double") * col("n_b").cast("double"))).as("d_stat"))
     },
 
+    // ── agg_gini_grouped: Gini concentration coefficient of order
+    // revenue per market segment — the inequality readout (how
+    // top-heavy is spend within each segment?) every revenue-mix
+    // dashboard carries. The textbook formula needs every value's RANK
+    // in the per-segment sorted order, G = (2·Σ rank·x − (n+1)·Σ x) /
+    // (n·Σ x) — at 100 TB a per-segment sort is exactly the
+    // low-cardinality-partition window trap, so the ranks come from
+    // GlobalRank.withGroupedRowNumber (one composite range exchange,
+    // no group-key WindowExec; equal values may permute within a tie
+    // run but Σ rank·x is tie-invariant). Exactness: money rides as
+    // BIGINT cents, Σ rank·cents is an exact BIGINT in both engines
+    // (≤ ~2^56 at sf1), and the single Gini division is the only
+    // double.
+    OpQuery.checked(
+      "agg_gini_grouped",
+      """WITH o AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT seg, cents,
+        |         CAST(row_number() OVER (PARTITION BY seg
+        |             ORDER BY cents, o_orderkey) AS BIGINT) AS rnk
+        |  FROM o)
+        |SELECT seg,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(2 * sum(rnk * cents) - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
+        |       CAST(2 * sum(rnk * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS gini
+        |FROM r GROUP BY seg""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val o = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          (Norm.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      graft.algo.GlobalRank
+        .withGroupedRowNumber(o, Seq("seg"), Seq(col("cents").asc, col("o_orderkey").asc), "rnk", "gn")
+        .groupBy("seg")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          (lit(2) * sum(col("rnk") * col("cents"))
+            - (count(lit(1)) + 1) * sum(col("cents"))).as("gini_num"))
+        .select(col("seg"), col("n"), col("total_cents"), col("gini_num"),
+          (col("gini_num").cast("double")
+            / (col("n").cast("double") * col("total_cents").cast("double"))).as("gini"))
+    },
+
+    // ── agg_chi2_independence: Pearson's chi-square test of independence
+    // (Pearson 1900) on the (event_type × day-of-week) contingency table
+    // — the fourth leg of the classical A/B family (Welch t = means,
+    // Mann–Whitney = ranks, KS = distribution shape, chi² = CATEGORICAL
+    // association: "does activity mix depend on weekday?"). Integer-
+    // exactness: per cell, the deviation numerator n·obs − row·col and
+    // the scaled contribution (num²·10⁶) div (n·row·col) are exact
+    // integer arithmetic in both engines (Spark DECIMAL(38,0) ↔ DuckDB
+    // HUGEINT, positive integer division truncates identically), so the
+    // statistic is a BIGINT micro-units sum — no double accumulation
+    // order to drift. Scale shape: ONE map-side-combined count to the
+    // |types|×7 cell grain is the only corpus pass; every total, join,
+    // and the chi² sum live on that constant-size frame.
+    OpQuery.checked(
+      "agg_chi2_independence",
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+        |  FROM events),
+        |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS obs
+        |          FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |               CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        |        FROM cells),
+        |t AS (
+        |  SELECT c.event_type, c.dow, c.obs,
+        |         CAST(tot.n AS HUGEINT) * c.obs - CAST(r.rt AS HUGEINT) * ct.ct AS num,
+        |         CAST((CAST(r.rt AS HUGEINT) * ct.ct * 1000000) // tot.n AS BIGINT) AS exp_micro,
+        |         tot.n, tot.nr, tot.nc, r.rt, ct.ct
+        |  FROM cells c JOIN rt r USING (event_type) JOIN ct USING (dow) CROSS JOIN tot),
+        |tm AS (
+        |  SELECT event_type, dow, obs, exp_micro,
+        |         CAST((num * num * 1000000) // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+        |           AS term_micro,
+        |         nr, nc
+        |  FROM t)
+        |SELECT event_type, dow, obs, exp_micro, term_micro,
+        |       CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro,
+        |       (nr - 1) * (nc - 1) AS dof
+        |FROM tm""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_type"), dayofweek(to_date(col("ts"))).cast("long").as("dow"))
+      val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("event_type").agg(sum(col("obs")).as("rt"))
+      val ctf = cells.groupBy("dow").agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(
+        sum(col("obs")).as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+      val terms = cells
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ctf), "dow")
+        .crossJoin(broadcast(tot))
+        .withColumn("num", expr("cast(n as decimal(38,0)) * obs - cast(rt as decimal(38,0)) * ct"))
+        .withColumn(
+          "term_micro",
+          expr("cast((num * num * 1000000) div (cast(n as decimal(38,0)) * rt * ct) as bigint)"))
+        .withColumn(
+          "exp_micro",
+          expr("cast((cast(rt as decimal(38,0)) * ct * 1000000) div n as bigint)"))
+      val chi = terms.agg(sum(col("term_micro")).as("chi2_micro"))
+      terms.crossJoin(broadcast(chi))
+        .select(col("event_type"), col("dow"), col("obs"), col("exp_micro"),
+          col("term_micro"), col("chi2_micro"),
+          expr("(nr - 1) * (nc - 1)").as("dof"))
+    },
+
     // ── win_running_total_global: company-wide running revenue per
     // order — the classic cumulative report whose SQL form
     // (`sum(...) OVER (ORDER BY date)` with no partition) funnels every

@@ -73,7 +73,7 @@ object GraphOps {
     OpQuery.checked(
       "graph_pagerank",
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
         |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |          GROUP BY 1, 2),
         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
@@ -111,7 +111,7 @@ object GraphOps {
     OpQuery.checked(
       "graph_ppr",
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
         |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |          GROUP BY 1, 2),
         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
@@ -152,7 +152,7 @@ object GraphOps {
     OpQuery.checked(
       "graph_label_prop",
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
         |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |          GROUP BY 1, 2),
         |nodes AS (SELECT DISTINCT l_partkey AS pk FROM li),
@@ -256,7 +256,7 @@ object GraphOps {
     OpQuery.checked(
       "graph_khop_reach",
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
         |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
         |l0 AS (SELECT p_partkey AS pk FROM part WHERE p_brand = 'Brand#11'),
@@ -339,19 +339,121 @@ object GraphOps {
       tiers.reduce(_.unionByName(_))
         .groupBy(col("pk").as("part_key"))
         .agg(max(col("k")).as("coreness"))
+    },
+
+    // ── graph_ktruss: k-truss decomposition (k=3: every surviving edge
+    // sits in ≥ 1 triangle among survivors) of the STRONG (weight ≥ 2)
+    // co-purchase graph — the EDGE-grain sibling of graph_kcore's node
+    // peel, on the same graph the whole peel family uses (Cohen 2008;
+    // the cohesive-subgraph tier between cores and cliques: a k-truss
+    // is a (k−1)-core of guaranteed triangle density, the community-
+    // backbone extractor). Same synchronous-peel discipline as kcore:
+    // each round enumerates triangles over the surviving canonical
+    // (u < v) edges, credits each triangle's 3 edges by one map-side-
+    // combined count, and drops edges under threshold; per-round
+    // localCheckpoint + count-equality early exit (survivor edges are
+    // monotone ⊆, so equal counts = fixpoint = every remaining round
+    // identity). Budget 4 rounds, fixpoint-within-budget asserted at
+    // the oracle scales; if a larger graph has not converged by the
+    // budget, BOTH engines still agree — the oracle unrolls exactly the
+    // same rounds. Output = surviving edges with final in-truss support
+    // (the survive() guard pattern). The multi-round cascade is pinned
+    // on a fixture (GraphOpsSpec's propped-triangle graph).
+    OpQuery.checked(
+      "graph_ktruss",
+      ktrussSql(rounds = 4, support = 1)
+    ) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+      val strongCanon = coEdges(li)
+        .filter(col("w") >= 2 && col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      ktruss(strongCanon, support = 1, rounds = 4)
+        .select(col("u").as("src"), col("v").as("dst"), col("sup").as("support"))
     }
   )
+
+  /** Synchronous k-truss peel over a canonical (u < v) edge set: each
+    * round keeps the edges with ≥ `support` triangles among last
+    * round's survivors; returns the survivors with their final
+    * within-truss support. The [[kcore]] loop discipline applies
+    * verbatim: eager localCheckpoint per generation (the triangle
+    * enumeration consumes the survivor set THREE times — without
+    * materialization the plan tree would triple per round), superseded
+    * generations released, count-equality early exit (edge sets are
+    * monotone decreasing, so equal counts mean the fixpoint). */
+  def ktruss(canon: DataFrame, support: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one peel round")
+    def rddsOf(df: DataFrame) = df.queryExecution.analyzed
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+    // support per canonical edge = triangle credits. The enumeration is
+    // [[triangleList]]'s DEGREE-ordered orientation (wedges fan out from
+    // each node's oriented out-neighborhood, O(√m)-bounded even at a
+    // hub) — a plain ID-oriented apex join measured 52.8 s vs ~4 s at
+    // sf0.1 on exactly this loop. Each triangle credits its 3 canonical
+    // edges via ONE explode pass, then a map-side-combined count.
+    def edgeSupport(e: DataFrame): DataFrame =
+      triangleList(e)
+        .select(explode(array(
+          struct(least(col("s"), col("b")).as("u"), greatest(col("s"), col("b")).as("v")),
+          struct(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    var s = canon.select(col("u"), col("v")).localCheckpoint(true)
+    var prev = Seq.empty[org.apache.spark.rdd.RDD[_]]
+    var n = s.count()
+    var fixed = false
+    for (_ <- 1 to rounds if !fixed) {
+      val next = edgeSupport(s).filter(col("sup") >= support)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val c = next.count()
+      prev.foreach(_.unpersist(false))
+      prev = rddsOf(next)
+      s = next
+      fixed = c == n
+      n = c
+    }
+    edgeSupport(s)
+  }
+
+  /** Oracle for [[graph_ktruss]]: the same peel unrolled — s0 = the
+    * canonical co-purchase pairs, each round re-derives triangle support
+    * and keeps edges at the threshold; output = final survivor support. */
+  private def ktrussSql(rounds: Int, support: Int): String = {
+    def triOf(prev: String, t: String): String =
+      s"""$t AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |       FROM $prev e1 JOIN $prev e2 ON e2.u = e1.u AND e2.v > e1.v
+         |       JOIN $prev e3 ON e3.u = e1.v AND e3.v = e2.v)""".stripMargin
+    def supOf(t: String, s: String, filtered: Boolean): String =
+      s"""$s AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |         SELECT a AS u, b AS v FROM $t
+         |         UNION ALL SELECT a, c FROM $t
+         |         UNION ALL SELECT b, c FROM $t)
+         |       GROUP BY 1, 2${if (filtered) s" HAVING count(*) >= $support" else ""})""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"${triOf(s"s${i - 1}", s"t$i")},\n${supOf(s"t$i", s"s$i", filtered = true)}"
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |s0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |       FROM li a JOIN li b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$iters,
+       |${triOf(s"s$rounds", "tf")},
+       |${supOf("tf", "sf", filtered = false)}
+       |SELECT u AS src, v AS dst, sup AS support FROM sf""".stripMargin
+  }
 
   /** Oracle for [[graph_coreness]]: one [[kcoreSql]]-style unrolled peel
     * chain per k (CTE prefixes c{k}_), coreness = max surviving k. */
   private def corenessSql(rounds: Int, kMax: Int): String = {
     val chains = (1 to kMax).map { k =>
       val iters = (1 to rounds).map { i =>
-        s"""c${k}_$i AS (SELECT e.src AS pk FROM edges e
+        s"""c${k}_$i AS MATERIALIZED (SELECT e.src AS pk FROM edges e
            |       JOIN c${k}_${i - 1} a ON a.pk = e.src JOIN c${k}_${i - 1} b ON b.pk = e.dst
            |       GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
       }.mkString(",\n")
-      s"""c${k}_0 AS (SELECT DISTINCT src AS pk FROM edges),
+      s"""c${k}_0 AS MATERIALIZED (SELECT DISTINCT src AS pk FROM edges),
          |$iters""".stripMargin
     }.mkString(",\n")
     // membership mirrors kcore()'s final survive() exactly — survivors
@@ -366,7 +468,7 @@ object GraphOps {
            |GROUP BY 1""".stripMargin)
       .mkString("\nUNION ALL\n")
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |          GROUP BY 1, 2 HAVING count(*) >= 2),
        |$chains
@@ -449,15 +551,15 @@ object GraphOps {
     * in n_{i-1}; output = final survivor degrees. */
   private def kcoreSql(rounds: Int, k: Int): String = {
     val iters = (1 to rounds).map { i =>
-      s"""n$i AS (SELECT e.src AS pk FROM edges e
+      s"""n$i AS MATERIALIZED (SELECT e.src AS pk FROM edges e
          |       JOIN n${i - 1} a ON a.pk = e.src JOIN n${i - 1} b ON b.pk = e.dst
          |       GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |edges AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |          GROUP BY 1, 2 HAVING count(*) >= 2),
-       |n0 AS (SELECT DISTINCT src AS pk FROM edges),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS pk FROM edges),
        |$iters
        |SELECT e.src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
        |FROM edges e

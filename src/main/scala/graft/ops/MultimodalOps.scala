@@ -214,6 +214,60 @@ object MultimodalOps {
           min(col("kk")).as("keep_key"))
         .select(col("content_sha"), col("n_bytes"), col("n_copies"), col("keep_key"),
           ((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimed"))
+    },
+
+    // ── multimodal_neardup_phash: NEAR-duplicate media detection by
+    // banded perceptual-hash join — multimodal_dedup's sibling for
+    // re-encoded/resized copies that are not byte-identical. The
+    // 16-nibble pHash here is a deterministic STUB over the payload
+    // bytes (the real DCT perceptual hash needs the codec libs this
+    // container lacks — the multimodal decode contract); the Spark-side
+    // plumbing is the real thing: band the hash into 4×4 nibbles, join
+    // candidates on band equality (any pair within Hamming ≤ 3 shares
+    // ≥ 1 intact band by pigeonhole — the dedup_simhash guarantee),
+    // verify exact nibble-Hamming on candidates only. The output is the
+    // full CANDIDATE audit — every band-colliding pair with its exact
+    // Hamming distance and the ≤ 3 verdict — because that is what a
+    // dedup pipeline actually persists (the verdict threshold is a
+    // downstream policy knob, and the candidate:accept ratio is the
+    // tuning signal for the band geometry). Scale shape: the join key
+    // is (band idx, 4 nibbles) — 16 bits × 4 bands of buckets,
+    // candidate cost ∝ bucket collisions, never all-pairs; payload
+    // bytes never shuffle (only the 16-char hash rides the exchange).
+    OpQuery.checked(
+      "multimodal_neardup_phash",
+      """WITH p AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM documents),
+        |b AS (SELECT doc_id, ph, CAST(unnest(range(0, 4)) AS BIGINT) AS bi FROM p),
+        |bb AS (SELECT doc_id, ph, bi,
+        |              substr(ph, CAST(bi * 4 + 1 AS INT), 4) AS bv FROM b),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, a.ph AS pa,
+        |                       c.doc_id AS doc_b, c.ph AS pb
+        |       FROM bb a JOIN bb c
+        |         ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id),
+        |h AS (SELECT doc_a, doc_b,
+        |             CAST(len(list_filter(range(1, 17),
+        |               i -> substr(pa, CAST(i AS INT), 1) <> substr(pb, CAST(i AS INT), 1)))
+        |               AS BIGINT) AS hamming
+        |      FROM pr)
+        |SELECT doc_a, doc_b, hamming, hamming <= 3 AS is_neardup FROM h""".stripMargin
+    ) { (spark, dir) =>
+      val p = Tables(spark, dir).documents
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("ph"))
+      val bands = p
+        .select(col("doc_id"), col("ph"),
+          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
+        .withColumn("bv", expr("substring(ph, cast(bi * 4 + 1 as int), 4)"))
+      val pairs = bands.toDF("doc_a", "pa", "bi", "bv")
+        .join(bands.toDF("doc_b", "pb", "bi", "bv"), Seq("bi", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+        .distinct()
+      pairs
+        .withColumn("hamming",
+          expr("size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1)))")
+            .cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          (col("hamming") <= 3).as("is_neardup"))
     }
   )
 }

@@ -555,7 +555,14 @@ object PipelineOps {
     // shape: (1) TRAIN on the bounded top-V vocabulary — a distributed
     // top-V by (count, token) via TakeOrdered, then the merge-table
     // learner runs driver-side on those 2048 rows (the k-means-sample
-    // pattern: work is V·|word|·merges, independent of corpus size);
+    // pattern: work is V·|word|·merges, independent of corpus size).
+    // The persisted dictionary is KEYED by a corpus fingerprint
+    // (total text length — content-sensitive where the doc COUNT is
+    // not: sf0.001 and sf0.01 both hold 500 docs) as a hive partition,
+    // and the oracle selects ITS corpus's partition via the same
+    // count — so a later run against another scale (a bench at sf0.1,
+    // a smoke test at sf0.001) can never clobber the dictionary the
+    // pending compare depends on;
     // (2) ENCODE each DISTINCT token exactly once, executor-side over
     // the vocabulary grain with the broadcast merge ranks (imperative
     // per-token loop ⇒ mapPartitions is the honest tier, the multimodal
@@ -575,7 +582,8 @@ object PipelineOps {
         |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
         |  FROM documents),
         |p AS (SELECT tok, n_pieces
-        |      FROM read_parquet('$BpeDictDir/*.parquet'))
+        |      FROM read_parquet('$BpeDictDir/corpus_fp=*/*.parquet', hive_partitioning=1)
+        |      WHERE corpus_fp = (SELECT sum(length(text)) FROM documents))
         |SELECT t.doc_id,
         |       CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens,
@@ -600,15 +608,23 @@ object PipelineOps {
       // the dictionary is vocabulary-grain (tiny) and a pure function of
       // the corpus: persist it so the DuckDB oracle replays the corpus
       // arithmetic against the identical dictionary bytes; re-read so the
-      // Spark side consumes the same files the oracle will
+      // Spark side consumes the same files the oracle will. The write
+      // lands in THIS corpus's fingerprint partition (total text
+      // length — 153156 / 149174 / 1485576 across the test scales;
+      // the doc count would NOT distinguish sf0.001 from sf0.01), so
+      // runs against other corpora overwrite only their own partition
+      // and a pending compare at this scale stays consistent.
+      val corpusFp = Tables(spark, dir).documents
+        .agg(sum(length(col("text")))).head().getLong(0)
       val pieces = PipelineOps.synchronized {
+        val part = s"$BpeDictDir/corpus_fp=$corpusFp"
         vocab.select("tok").as[String]
           .mapPartitions { it =>
             val r = bRanks.value
             it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
           }.toDF("tok", "n_pieces")
-          .coalesce(1).write.mode("overwrite").parquet(BpeDictDir)
-        spark.read.parquet(BpeDictDir)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        spark.read.parquet(part)
       }
       toks.join(pieces, Seq("tok"))
         .groupBy("doc_id")
@@ -1514,5 +1530,158 @@ object PipelineOps {
       sc.withColumn("rnk", row_number().over(
           Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)).cast("long"))
         .filter(col("rnk") <= 20)
+    },
+
+    // ── text_token_entropy: per-document token-distribution entropy —
+    // the information-density quality signal (low-entropy docs are
+    // template/boilerplate/keyword-stuffed even when the Gopher ratio
+    // gates pass; pairs with text_repetition_topngram, which only sees
+    // CONSECUTIVE repeats). Integer-exactness: Shannon entropy's
+    // Σ (m/M)·log2(M/m) becomes INTEGER "entropy bits" via the ilog2
+    // idiom, and the per-doc sum needs no per-token join at all:
+    // Σ m·(ilog2(M) − ilog2(m)) = M·ilog2(M) − Σ m·ilog2(m), so one
+    // (doc, token)-grain count and one doc-grain re-aggregate produce
+    // an exact BIGINT; the only doubles are two final divisions
+    // (bits/token, type-token ratio). Scale shape: two map-side-
+    // combined aggregates, no joins, no windows — scan-speed at 100 TB.
+    OpQuery.checked(
+      "text_token_entropy",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |m AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |             CAST(sum(m) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_distinct,
+        |             CAST(sum(m * (length(bin(m)) - 1)) AS BIGINT) AS s
+        |      FROM m GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - s AS BIGINT) AS entropy_bits,
+        |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - s AS DOUBLE)
+        |         / CAST(n_tokens AS DOUBLE) AS bits_per_token,
+        |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+        |FROM a""".stripMargin
+    ) { (spark, dir) =>
+      import graft.Norm.ilog2
+      val m = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      m.groupBy("doc_id")
+        .agg(
+          sum(col("m")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("m") * ilog2(col("m"))).as("s"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_tokens") * ilog2(col("n_tokens")) - col("s")).as("entropy_bits"),
+          ((col("n_tokens") * ilog2(col("n_tokens")) - col("s")).cast("double")
+            / col("n_tokens").cast("double")).as("bits_per_token"),
+          (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+    },
+
+    // ── text_winnowing_fingerprint: winnowing document fingerprints
+    // (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): hash
+    // every k-gram (k=8), then keep only each w-window's MINIMUM hash
+    // (w=4) — the guaranteed-coverage selection (any shared substring
+    // of length ≥ k+w−1 contributes a shared fingerprint) at expected
+    // density 2/(w+1), the local-deduplicatable alternative to minhash
+    // when POSITION coverage matters (plagiarism/contamination spans,
+    // not whole-doc similarity). Portability: the hash is the md5-hex
+    // STRING and "minimum" is lexicographic — the min_md5_salted
+    // discipline — so no numeric conversion exists to drift. Scale
+    // shape: pure per-row array work (transform → window-min → distinct),
+    // ZERO shuffles; the fingerprint SET stays document-local and
+    // summary stats are emitted at doc grain.
+    OpQuery.checked(
+      "text_winnowing_fingerprint",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+        |g AS (SELECT doc_id,
+        |             list_transform(range(1, length(text) - 7 + 1),
+        |               i -> md5(substr(text, CAST(i AS INT), 8))) AS hs
+        |      FROM d),
+        |w AS (SELECT doc_id, len(hs) AS n_grams,
+        |             list_distinct(list_transform(range(1, len(hs) - 3 + 1),
+        |               j -> list_aggregate(
+        |                      list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT)), 'min'))) AS fps
+        |      FROM g WHERE len(hs) >= 4)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(len(fps) AS BIGINT) AS n_fps,
+        |       list_aggregate(fps, 'min') AS fp_min,
+        |       list_aggregate(fps, 'max') AS fp_max
+        |FROM w""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .filter(length(col("text")) >= 11)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, char_length(text) - 7), i -> md5(substring(text, i, 8)))")
+            .as("hs"))
+        .filter(size(col("hs")) >= 4)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+          expr("array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))")
+            .as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+    },
+
+    // ── sample_bootstrap_poisson: the distributed bootstrap — estimator
+    // uncertainty without resampling shuffles (Poisson bootstrap,
+    // Chamandy et al. 2012 / Efron's classic with Poisson(1) replicate
+    // weights): each row draws its count in replica b from a
+    // DETERMINISTIC hash uniform against the Poisson(1) inverse-CDF
+    // thresholds, so every replica is a reproducible reweighted pass,
+    // not a shuffle — the only way to bootstrap at 100 TB. Engine
+    // exactness: u = hex(md5)/2⁶⁰ is the class-balance numeric-hash
+    // view (same integer, same one double rounding, same division in
+    // both engines), the CDF thresholds are identical double literals,
+    // counts are integers, and revenue accumulates as exact DECIMAL
+    // with the VARCHAR-route cast at the edge. Scale shape: one
+    // explode(×B) fan-out feeding a map-side-combined aggregate to the
+    // B-row replica grain; B is a constant (8), so the whole op is one
+    // bounded-fan-out scan.
+    OpQuery.checked(
+      "sample_bootstrap_poisson",
+      """WITH r AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS replica),
+        |d AS (
+        |  SELECT r.replica, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-' ||
+        |                  CAST(r.replica AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |           / 1152921504606846976.0 AS u
+        |  FROM orders CROSS JOIN r),
+        |c AS (
+        |  SELECT replica, price,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              ELSE 5 END AS cnt
+        |  FROM d)
+        |SELECT replica,
+        |       CAST(sum(cnt) AS BIGINT) AS n_draws,
+        |       CAST(CAST(sum(cnt * price) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM c GROUP BY replica""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), graft.Norm.dec(col("o_totalprice")).as("price"))
+        .withColumn("replica", explode(expr("sequence(cast(0 as bigint), cast(7 as bigint))")))
+      val u = (expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), '-', " +
+        "cast(replica as string))), 1, 15), 16, 10) as bigint)").cast("double")
+        / lit(1152921504606846976.0))
+      o.withColumn(
+          "cnt",
+          when(u < 0.36787944117144233, 0L)
+            .when(u < 0.7357588823428847, 1L)
+            .when(u < 0.9196986029286058, 2L)
+            .when(u < 0.9810118431238462, 3L)
+            .when(u < 0.9963401531726563, 4L)
+            .otherwise(5L))
+        .groupBy("replica")
+        .agg(
+          sum(col("cnt")).as("n_draws"),
+          sum(col("cnt") * col("price")).as("rev_dec"))
+        .select(col("replica"), col("n_draws"),
+          col("rev_dec").cast("string").cast("double").as("revenue"))
     })
 }

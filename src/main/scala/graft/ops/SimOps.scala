@@ -945,6 +945,49 @@ object SimOps {
           abs(meanL - meanG).as("drift"))
     },
 
+    // ── sim_truncate_quality: embedding truncation quality — how much
+    // of each vector's energy the first 32 of 64 dims retain (the
+    // Matryoshka/MRL question every embedding pipeline asks before
+    // shipping shortened vectors to the ANN tier: cos(full, trunc) =
+    // ‖trunc‖/‖full‖, so retained norm IS the truncation cosine).
+    // Exactness: both energies are the vec_dot left fold (the
+    // list_aggregate-matched order), retained = one sqrt + one division
+    // (both correctly rounded IEEE), and the per-label mean accumulates
+    // as floor(retained·2^20) BIGINT (the sim_centroid_drift fixed-point
+    // idiom — order-free), with mirrored divisions at the edge. Scale
+    // shape: one scan, map-side-combined to the |labels| grain; no
+    // joins, no windows.
+    OpQuery.checked(
+      "sim_truncate_quality",
+      """WITH r AS (
+        |  SELECT label,
+        |         sqrt(
+        |           list_aggregate(list_transform(list_slice(embedding, 1, 32),
+        |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')
+        |           / list_aggregate(list_transform(embedding,
+        |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS retained
+        |  FROM embeddings)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(retained * 1048576) AS BIGINT)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) / 1048576 AS mean_retained,
+        |       min(retained) AS min_retained
+        |FROM r GROUP BY label""".stripMargin
+    ) { (spark, dir) =>
+      val r = tables(spark, dir).embeddings
+        .select(col("label"),
+          sqrt(expr("vec_dot(slice(embedding, 1, 32), slice(embedding, 1, 32))")
+            / expr("vec_dot(embedding, embedding)")).as("retained"))
+      r.groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("retained") * 1048576).cast("long")).as("sfp"),
+          min(col("retained")).as("min_retained"))
+        .select(col("label"), col("n"),
+          (col("sfp").cast("double") / col("n").cast("double") / 1048576).as("mean_retained"),
+          col("min_retained"))
+    },
+
     // ── sim_pca_power: distributed top-principal-direction by POWER
     // ITERATION (the dimensionality-reduction step an embedding pipeline
     // runs before whitening/indexing) — v ← normalize(XᵀX v), three

@@ -487,6 +487,32 @@ object EventsStream {
       .start()
   }
 
+  /** [[windowedExactTopK]] as a DURABLE upsert-to-files sink: each
+    * micro-batch's updated (window, type) rows append to `outDir`
+    * stamped with the batch id, and the reader takes the max-batch-id
+    * revision per key — the standard foreachBatch upsert shape for
+    * sinks without native streaming support. Unlike the memory sink
+    * (debug-only; Spark refuses to recover it from a checkpoint), this
+    * query RESTARTS from `checkpointDir`: offsets resume, the state
+    * store reloads the open windows, and batch ids continue — the
+    * crash-recovery contract the replay spec kills and resumes. */
+  def startWindowedExactTopKToDir(spark: SparkSession, sourceDir: String,
+                                  outDir: String, checkpointDir: String,
+                                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    graft.functions.TopKByScore.register(spark)
+    val rd = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    windowedExactTopK(src).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .coalesce(1).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   // ── streaming exact dedup ──────────────────────────────────────────────
 
   /** Streaming exact deduplication — the ingest-side shape of the batch

@@ -275,6 +275,49 @@ class GraphOpsSpec extends SparkSuite {
     assert(r6.forall(_._2 >= 3), "every core member keeps >= k in-core neighbors")
   }
 
+  test("ktruss peels the propped-triangle cascade fixture to exactly the K4") {
+    import spark.implicits._
+    // Central triangle {1,2,3}, each edge propped by a PRIVATE apex
+    // triangle ({1,2,4}, {1,3,5}, {2,3,6}) whose outer edges sit in
+    // exactly one triangle — round 1 peels all six outer edges
+    // (support 1), which drops the central edges from support 2 to 1;
+    // round 2 peels the central triangle too. A disjoint K4 on
+    // {7,8,9,10} (every edge support 2) is the surviving 4-truss. The
+    // multi-round cascade a one-shot support filter gets wrong.
+    val canon = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // central triangle
+      (1L, 4L), (2L, 4L), (1L, 5L), (3L, 5L), (2L, 6L), (3L, 6L), // props
+      (7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L), (8L, 10L), (9L, 10L) // K4
+    ).toDF("u", "v")
+    val got = GraphOps.ktruss(canon, support = 2, rounds = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val k4 = Map((7L, 8L) -> 2L, (7L, 9L) -> 2L, (7L, 10L) -> 2L,
+      (8L, 9L) -> 2L, (8L, 10L) -> 2L, (9L, 10L) -> 2L)
+    assert(got == k4, s"4-truss must be exactly the disjoint K4, got $got")
+    // half-peeled state after ONE round: the central triangle is intact
+    // among round-1 survivors (each edge with its remaining mutual
+    // credit of 1) — proof the fixture genuinely needs round 2
+    val one = GraphOps.ktruss(canon, support = 2, rounds = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(
+      one((1L, 2L)) == 1L && one((1L, 3L)) == 1L && one((2L, 3L)) == 1L,
+      s"round 1 must leave the central triangle half-peeled, got $one")
+  }
+
+  test("graph_ktruss: the round budget is a fixpoint and the truss property holds") {
+    val li = graft.Tables(spark, sf0001).lineitem.select("l_orderkey", "l_partkey")
+    val canon = GraphOps.coEdges(li)
+      .filter(col("w") >= 2 && col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    def asMap(rounds: Int) = GraphOps.ktruss(canon, support = 1, rounds = rounds)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val r3 = asMap(3)
+    val r4 = asMap(4)
+    assert(r4.nonEmpty, "the strong co-purchase graph is known to have a 3-truss")
+    assert(r3 == r4, "rounds 3 and 4 must agree — the 4-round oracle is a fixpoint")
+    assert(r4.values.forall(_ >= 1), "every surviving edge keeps >= support triangles")
+  }
+
   test("kcore: seeding from the (k-1)-core survivors changes nothing") {
     // core(k) ⊆ core(k-1), so the seeded peel must land on the SAME
     // fixpoint (values included) as the from-scratch peel — the

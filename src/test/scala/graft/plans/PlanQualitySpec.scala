@@ -146,6 +146,24 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("round-9 ops carry no corpus-side broadcast hint") {
+    withStaticPlanner {
+      // the only broadcasts these ops hint are grain-bounded: chi²'s
+      // row/col/total frames (≤ |types|×7 cells), the bootstrap's
+      // nothing, ntile's GlobalRank cell frame (aggregate-below),
+      // truncate-quality's nothing; winnowing/entropy/phash join on
+      // shuffle paths only
+      for (q <- Seq("win_ntile_grouped", "agg_chi2_independence",
+        "text_token_entropy", "text_winnowing_fingerprint",
+        "sample_bootstrap_poisson", "sim_truncate_quality",
+        "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped")) {
+        val df = graft.SparkEntry.queries(q)(spark, sf001)
+        val bad = corpusBroadcasts(df.queryExecution.executedPlan)
+        assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
   test("global scoring ops keep every data-sized window partitioned") {
     // Window.orderBy with no partitionBy moves its WHOLE input to one
     // partition (Spark's own WindowExec warning) — the single-task global
@@ -231,7 +249,8 @@ class PlanQualitySpec extends SparkSuite {
       assert(groupKeyWindow(poison.queryExecution.executedPlan).nonEmpty,
         "groupKeyWindow detector failed to flag a group-key window over a fact scan")
       for (q <- Seq("events_anomaly_mad", "sample_class_balance_threshold",
-        "score_rfm_threshold", "win_running_total_global")) {
+        "score_rfm_threshold", "win_running_total_global", "win_ntile_grouped",
+        "agg_gini_grouped")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = groupKeyWindow(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q sorts data-proportional group partitions:\n${bad.mkString("\n")}")

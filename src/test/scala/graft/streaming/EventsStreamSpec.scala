@@ -341,6 +341,88 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed exact top-k survives a kill-and-restart from its checkpoint") {
+    // the one streaming property the replay suites did not exercise:
+    // stop the stateful query MID-FEED, deliver the rest of the data,
+    // restart from the same checkpoint, and require the final per-key
+    // state to equal the batch aggregation — which can only happen if
+    // the restarted query RELOADED the open windows' top-k state (a
+    // fresh state store would rebuild straddling windows from only the
+    // post-restart files and diverge).
+    val staged = java.nio.file.Files.createTempDirectory("graft_topk_crash_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_topk_crash_out").toString + "/u"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_crash_ck").toString + "/c"
+    val ev = Tables(spark, sf0001).events
+    // the kill point must provably land INSIDE an open window key or the
+    // recovery assertion is vacuous (a midpoint cut on this sparse feed
+    // usually splits between keys): pick a (window, type) key with 2-3
+    // events spread over distinct timestamps and cut at its FIRST event
+    // — phase 1 then holds that event, phase 2 holds the key's rest, and
+    // with ≤ 3 events the whole key is its own top-3, so the recovered
+    // state MUST surface the phase-1 event in the post-restart revision
+    val pick = ev
+      .select(window(col("ts"), "6 hours")("start").as("ws"),
+        col("event_type").as("et"), col("ts"))
+      .groupBy("ws", "et")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"), max(col("ts")).as("tN"))
+      .filter(col("n").between(2, 3) && col("tN") > col("t0"))
+      .orderBy(col("ws"), col("et")).limit(1).collect()
+    assert(pick.nonEmpty, "no 2-3 event straddleable key in the feed — fixture too sparse")
+    val (pickWs, pickEt, t1) =
+      (pick(0).getTimestamp(0), pick(0).getString(1), pick(0).getTimestamp(3))
+
+    // phase 1: first half of the feed, then a clean kill
+    ev.filter(col("ts") <= lit(t1)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val q1 = EventsStream.startWindowedExactTopKToDir(spark, staged, outDir, ckpt,
+      maxFilesPerTrigger = Some(1))
+    try q1.processAllAvailable() finally q1.stop()
+    val phase1MaxBatch = spark.read.parquet(outDir)
+      .agg(max(col("batch_id"))).head().getLong(0)
+
+    // phase 2: rest of the feed, restart from the SAME checkpoint
+    ev.filter(col("ts") > lit(t1)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(staged)
+    val q2 = EventsStream.startWindowedExactTopKToDir(spark, staged, outDir, ckpt,
+      maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+
+    def asList(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](2).map(e => (e.getDouble(0), e.getLong(1)))
+    // upsert semantics: the max-batch-id revision per key is the state
+    val all = spark.read.parquet(outDir).collect()
+      .groupBy(r => (r.getTimestamp(0), r.getString(1)))
+      .map { case (k, rs) =>
+        val last = rs.maxBy(_.getLong(3))
+        k -> (asList(last), last.getLong(3))
+      }
+    graft.functions.TopKByScore.register(spark)
+    val batch = spark.read.parquet(staged)
+      .select(window(col("ts"), "6 hours")("start").as("ws"), col("event_type"),
+        col("value"), col("event_id"))
+      .groupBy("ws", "event_type")
+      .agg(expr("topk_by_score(value, event_id, 3)").as("top"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> asList(r)).toMap
+    assert(all.keySet == batch.keySet, "window x type keys must match after restart")
+    all.foreach { case (key, (top, _)) =>
+      assert(top == batch(key), s"top-k for $key diverged after checkpoint recovery")
+    }
+    // non-vacuity: batch ids must have CONTINUED (the restart resumed the
+    // checkpoint, not a fresh query), and the deliberately-straddled key
+    // must have been finalized AFTER the restart with its phase-1 event
+    // still in the list — direct evidence the recovered state, not just
+    // post-restart data, produced the final revision
+    assert(all.values.exists(_._2 > phase1MaxBatch),
+      "restart produced no new batches — the kill point left nothing to replay")
+    val phase1Ids = ev.filter(col("ts") <= lit(t1))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val (pickTop, pickBid) = all((pickWs, pickEt))
+    assert(pickBid > phase1MaxBatch,
+      s"the straddled key ($pickWs, $pickEt) was not revised after the restart")
+    assert(pickTop.exists(e => phase1Ids.contains(e._2)),
+      s"the straddled key's post-restart top-k lost its pre-crash event: $pickTop")
+  }
+
   test("streaming dedup drops re-delivered content and keeps one row per hash") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     val events = Tables(spark, sf0001).events

@@ -21,66 +21,6 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-def _kcore_edges(con):
-    """The strong co-purchase edge set both graph oracles share."""
-    con.execute("DROP TABLE IF EXISTS tmp_edges")
-    con.execute("""CREATE TEMP TABLE tmp_edges AS
-        SELECT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2""")
-
-
-def _kcore_peel(con, k, rounds, prefix):
-    """Sequential temp-table replay of GraphOps.kcoreSql's unrolled CTE
-    chain — identical round semantics, but each round MATERIALIZES, so
-    DuckDB never plans the exponentially-nested join tree that exhausts
-    temp disk at sf0.1 (the tri-scale-sweep ceiling). Returns the final
-    survivor table name."""
-    for i in range(0, rounds + 1):
-        con.execute(f"DROP TABLE IF EXISTS {prefix}_n{i}")
-    con.execute(f"CREATE TEMP TABLE {prefix}_n0 AS SELECT DISTINCT src AS pk FROM tmp_edges")
-    for i in range(1, rounds + 1):
-        con.execute(f"""CREATE TEMP TABLE {prefix}_n{i} AS
-            SELECT e.src AS pk FROM tmp_edges e
-            JOIN {prefix}_n{i-1} a ON a.pk = e.src
-            JOIN {prefix}_n{i-1} b ON b.pk = e.dst
-            GROUP BY 1 HAVING count(*) >= {k}""")
-    return f"{prefix}_n{rounds}"
-
-
-def _oracle_graph_kcore(con):
-    _kcore_edges(con)
-    last = _kcore_peel(con, k=3, rounds=6, prefix="kc")
-    return con.execute(f"""
-        SELECT e.src AS part_key, CAST(count(*) AS BIGINT) AS core_deg
-        FROM tmp_edges e JOIN {last} a ON a.pk = e.src JOIN {last} b ON b.pk = e.dst
-        GROUP BY 1""").fetchdf()
-
-
-def _oracle_graph_coreness(con):
-    _kcore_edges(con)
-    # same final-membership guard as corenessSql: survivors with >= 1
-    # in-core edge, per k tier, coreness = max surviving k
-    tiers = []
-    for k in range(1, 4):
-        last = _kcore_peel(con, k=k, rounds=6, prefix=f"c{k}")
-        tiers.append(f"""SELECT e.src AS pk, {k} AS k FROM tmp_edges e
-            JOIN {last} a ON a.pk = e.src JOIN {last} b ON b.pk = e.dst GROUP BY 1""")
-    union = "\nUNION ALL\n".join(tiers)
-    return con.execute(f"""
-        SELECT pk AS part_key, CAST(max(k) AS BIGINT) AS coreness
-        FROM ({union}) GROUP BY 1""").fetchdf()
-
-
-# Oracles whose single-statement form DuckDB cannot execute at sf0.1
-# (unrolled fixpoint CTEs): the driver still runs the SQL string from
-# oracle_sql.json; this dev harness replays the same rounds iteratively.
-ITERATIVE_ORACLES = {
-    "graph_kcore": _oracle_graph_kcore,
-    "graph_coreness": _oracle_graph_coreness,
-}
-
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails, passes, skips = [], [], []
 for name in sorted(oracle):
@@ -97,10 +37,7 @@ for name in sorted(oracle):
         fails.append((name, f"read spark output: {e}"))
         continue
     try:
-        if name in ITERATIVE_ORACLES:
-            want = ITERATIVE_ORACLES[name](con)
-        else:
-            want = con.execute(sql).fetchdf()
+        want = con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"oracle sql error: {e}"))
         continue
