@@ -19,7 +19,8 @@ object Explain {
                          "join_bloom_runtime_filter", "sim_knn_graph", "etl_table_diff",
                          "graph_pagerank", "graph_triangles", "join_interval_overlap",
                          "agg_overlap_sketch", "agg_freq_sketch", "graph_khop_reach",
-                         "sim_topk_mips", "q4_customer_rfm", "events_anomaly_mad")
+                         "sim_topk_mips", "q4_customer_rfm", "events_anomaly_mad",
+                         "win_ntile_grouped", "agg_gini_grouped", "graph_ktruss")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

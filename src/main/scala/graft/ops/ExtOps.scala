@@ -975,7 +975,9 @@ object ExtOps {
       val med = median2(t, "v", "med2")
       val d = t.join(broadcast(med), Seq("event_type"))
         .withColumn("dd", abs(lit(2) * col("v") - col("med2")))
-      val mad = median2(d, "dd", "mad4")
+      // narrow the ranked frame: med2/v would otherwise ride the range
+      // exchange and the rank persist for nothing
+      val mad = median2(d.select("event_type", "event_id", "dd"), "dd", "mad4")
       d.join(broadcast(mad), Seq("event_type"))
         .filter((lit(2) * col("dd")).cast("double") > lit(3) * lit(1.4826) * col("mad4").cast("double"))
         .join(broadcast(audit), Seq("event_type"))
