@@ -314,6 +314,68 @@ object EventsOps {
             <= col("n_users_7d").cast("double") * 0.03).as("within_3pct"))
     },
 
+    // ── events_autocorr: lag-1..3 autocorrelation of the daily event
+    // rate per type — the seasonality probe a forecasting/alerting
+    // pipeline runs before fitting anything (a strong lag-7 would say
+    // "weekday effect"; here lags 1-3 over the 30-day window). Exactness
+    // falls out of the GRAIN: the series values are daily COUNTS, i.e.
+    // BIGINTs, so every Pearson power sum (Σx, Σy, Σxy, Σx², Σy²) is
+    // exact integer arithmetic in both engines and r = (n·Σxy − Σx·Σy)
+    // / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is three mirrored double ops at
+    // the very edge (NULL when a side is constant, via nullif). Scale
+    // shape: one map-side-combined count to the (type, day) grain —
+    // constant in corpus size — then three lag self-joins and the power
+    // sums all live on that bounded frame (the events_cusum posture).
+    // Gaps pair only EXISTING days (documented; gap-fill first via
+    // win_gap_fill if a strict shift is wanted).
+    OpQuery.checked(
+      "events_autocorr",
+      """WITH pd AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        |  FROM pd a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS lag) l
+        |  JOIN pd b ON b.event_type = a.event_type AND b.d = a.d + CAST(l.lag AS INT)),
+        |s AS (
+        |  SELECT event_type, lag,
+        |         CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, np,
+        |       CAST(np * sxy - sx * sy AS DOUBLE)
+        |         / nullif(sqrt(CAST(np * sx2 - sx * sx AS DOUBLE))
+        |                  * sqrt(CAST(np * sy2 - sy * sy AS DOUBLE)), 0) AS r
+        |FROM s""".stripMargin
+    ) { (spark, dir) =>
+      val pd = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val lags = spark.range(1, 4).select(col("id").as("lag"))
+      // three lag self-joins of the bounded daily frame: the cross join
+      // multiplies a |types|×|days| frame by 3 — still constant-size
+      val pairs = pd.toDF("event_type", "d", "x")
+        .crossJoin(broadcast(lags))
+        .join(pd.toDF("event_type", "d2", "y"), Seq("event_type"))
+        .filter(expr("d2 = date_add(d, cast(lag as int))"))
+        .select(col("event_type"), col("lag"), col("x"), col("y"))
+      val den =
+        sqrt((col("np") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("np") * col("sy2") - col("sy") * col("sy")).cast("double"))
+      pairs.groupBy("event_type", "lag")
+        .agg(
+          count(lit(1)).as("np"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+        .select(col("event_type"), col("lag"), col("np"),
+          ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / when(den =!= 0, den)).as("r"))
+    },
+
     // ── events_decay_counts: exponentially time-decayed activity counts
     // per event type (half-life = 1 day, evaluated at the corpus's last
     // day) — the recency weighting behind trending/decayed-popularity

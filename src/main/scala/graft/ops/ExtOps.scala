@@ -201,6 +201,71 @@ object ExtOps {
         .agg(count(lit(1)).as("n_sampled"), Norm.dsum(col("o_totalprice")).as("spend"))
     },
 
+    // ── sample_neyman_alloc: Neyman-optimal stratified sample allocation
+    // (Neyman 1934) — given a fixed label/audit budget n, how many rows
+    // to draw per stratum to minimize the estimator variance of mean
+    // order value: n_h ∝ N_h·σ_h (big AND volatile strata get more; the
+    // planning step in front of sample_stratified's fixed rates).
+    // Exactness: money rides as BIGINT cents so each stratum's variance
+    // numerator n·Σx²−(Σx)² is an exact integer (DECIMAL(38,0) ↔
+    // HUGEINT, the chi² discipline); σ_h is one mirrored sqrt/division;
+    // and the cross-stratum total Σ N_h·σ_h — a double sum whose fold
+    // order would differ between engines — is instead summed as
+    // floor(N_h·σ_h) BIGINTS (the centroid-drift fixed-point idiom;
+    // cents-scaled, so the truncation is ≤ 1 cent-weight per stratum).
+    // Scale shape: one map-side-combined power-sum pass to the
+    // |segments| grain; everything else lives on that bounded frame.
+    OpQuery.checked(
+      "sample_neyman_alloc",
+      """WITH s AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(count(*) AS BIGINT) AS nh,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+        |                  * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS HUGEINT) AS sx2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT seg, nh,
+        |         -- VARCHAR-route cast: correctly-rounded parse in both
+        |         -- engines (the agg_corr_stats discipline for big sums)
+        |         sqrt(CAST(CAST(CAST(nh AS HUGEINT) * sx2 - sx * sx AS VARCHAR) AS DOUBLE))
+        |           / CAST(nh AS DOUBLE) AS sd_cents
+        |  FROM s),
+        |w AS (SELECT seg, nh, sd_cents,
+        |             CAST(floor(CAST(nh AS DOUBLE) * sd_cents) AS BIGINT) AS wfp
+        |      FROM v),
+        |t AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w)
+        |SELECT w.seg, w.nh, w.sd_cents,
+        |       CAST(w.wfp AS DOUBLE) / CAST(t.wtot AS DOUBLE) AS alloc_frac,
+        |       CAST(floor(1000 * (CAST(w.wfp AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT)
+        |         AS n_alloc
+        |FROM w, t""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cents = (Norm.dec(col("o_totalprice")) * 100).cast("long")
+      val s = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), cents.as("c"))
+        .groupBy("seg")
+        .agg(
+          count(lit(1)).as("nh"),
+          sum(col("c").cast("decimal(38,0)")).as("sx"),
+          sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("sx2"))
+      // sd in cents: sqrt of the exact integer variance numerator, one
+      // division — identical op order to the oracle
+      val w = s.select(col("seg"), col("nh"),
+          (sqrt(expr("cast(cast(cast(nh as decimal(38,0)) * sx2 - sx * sx as string) as double)"))
+            / col("nh").cast("double")).as("sd_cents"))
+        .withColumn("wfp", floor(col("nh").cast("double") * col("sd_cents")).cast("long"))
+      val tot = w.agg(sum(col("wfp")).as("wtot"))
+      w.crossJoin(broadcast(tot))
+        .select(col("seg"), col("nh"), col("sd_cents"),
+          (col("wfp").cast("double") / col("wtot").cast("double")).as("alloc_frac"),
+          floor(lit(1000) * (col("wfp").cast("double") / col("wtot").cast("double")))
+            .cast("long").as("n_alloc"))
+    },
+
     // ── io_bucketed_join: both sides written bucketed on the join key,
     // then joined — the physical layout that deletes the join's shuffle
     // exchange at 100 TB (each bucket pair joins locally). The write is

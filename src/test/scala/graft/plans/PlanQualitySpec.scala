@@ -156,10 +156,53 @@ class PlanQualitySpec extends SparkSuite {
       for (q <- Seq("win_ntile_grouped", "agg_chi2_independence",
         "text_token_entropy", "text_winnowing_fingerprint",
         "sample_bootstrap_poisson", "sim_truncate_quality",
-        "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped")) {
+        "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped",
+        "events_autocorr", "sample_neyman_alloc")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
+      }
+    }
+  }
+
+  test("round-9 scans are column-pruned to what the op consumes") {
+    // a scan that reads every column for a narrow projection silently
+    // multiplies IO at 100 TB — assert each op's fact scans carry a
+    // ReadSchema no wider than what the op actually needs
+    val allowed: Map[String, Map[String, Set[String]]] = Map(
+      "text_token_entropy" -> Map("documents" -> Set("doc_id", "text")),
+      "text_winnowing_fingerprint" -> Map("documents" -> Set("doc_id", "text")),
+      "multimodal_neardup_phash" -> Map("documents" -> Set("doc_id", "text")),
+      "agg_gini_grouped" -> Map(
+        "orders" -> Set("o_orderkey", "o_custkey", "o_totalprice"),
+        "customer" -> Set("c_custkey", "c_mktsegment")),
+      "agg_chi2_independence" -> Map("events" -> Set("event_type", "ts")),
+      "sim_truncate_quality" -> Map("embeddings" -> Set("label", "embedding")),
+      "sample_bootstrap_poisson" -> Map("orders" -> Set("o_orderkey", "o_totalprice")),
+      "win_ntile_grouped" -> Map("events" -> Set("event_id", "event_type", "value")),
+      "events_autocorr" -> Map("events" -> Set("event_type", "ts")),
+      "sample_neyman_alloc" -> Map(
+        "orders" -> Set("o_custkey", "o_totalprice"),
+        "customer" -> Set("c_custkey", "c_mktsegment")))
+    // GlobalRank-based ops persist their range exchange, which hides the
+    // file scans behind InMemoryTableScanExec — descend into cached plans
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => s } ++
+        p.collect { case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+          .flatMap(i => allScans(i.relation.cachedPlan))
+    withStaticPlanner {
+      for ((q, tbls) <- allowed) {
+        val plan = graft.SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan
+        val scans = allScans(plan)
+        assert(scans.nonEmpty, s"$q: no file scans found")
+        scans.foreach { s =>
+          val path = s.relation.location.rootPaths.head.toString
+          tbls.find { case (t, _) => path.contains(t + ".parquet") }.foreach { case (t, cols) =>
+            val read = s.requiredSchema.fieldNames.toSet
+            assert(read.subsetOf(cols),
+              s"$q reads ${(read -- cols).mkString(",")} from $t beyond the needed $cols")
+          }
+        }
       }
     }
   }
