@@ -545,6 +545,51 @@ object AggOps {
           graft.algo.GlobalRank.ntileOfRank(col("rn"), col("n"), 10).as("decile"))
     },
 
+    // ── agg_quantile_bands_grouped: EXACT per-group P10/P50/P90 as
+    // value-at-rank ceil(p·n) — agg_percentile's scale path: Spark's
+    // `percentile` aggregate buffers and sorts each group's values
+    // INSIDE the agg buffer (fine at oracle scale, memory-unbounded per
+    // group at 100 TB), while this plan takes the same discrete
+    // quantiles from ONE GlobalRank.withGroupedRowNumber pass — range-
+    // partitioned parallel sort, three rank-equality filters (pure
+    // integer arithmetic) over the shared ranked frame, no per-group
+    // state anywhere. Discrete (type-1) quantiles on purpose: a real
+    // data value, no interpolation arithmetic to mirror.
+    OpQuery.checked(
+      "agg_quantile_bands_grouped",
+      """WITH t AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t)
+        |SELECT event_type, CAST(10 AS BIGINT) AS pct, v FROM r WHERE rn = (n + 9) // 10
+        |UNION ALL
+        |SELECT event_type, CAST(50 AS BIGINT) AS pct, v FROM r WHERE rn = (n + 1) // 2
+        |UNION ALL
+        |SELECT event_type, CAST(90 AS BIGINT) AS pct, v FROM r WHERE rn = (9 * n + 9) // 10""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value").cast("double").as("v"))
+      // ONE pass over the ranked frame: each row emits the (possibly
+      // empty) set of band ranks it occupies — three union branches
+      // would re-run the rank window and broadcast join per band
+      graft.algo.GlobalRank
+        .withGroupedRowNumber(
+          t, Seq("event_type"), Seq(col("v").asc, col("event_id").asc), "rn", "n")
+        .select(col("event_type"),
+          explode(expr(
+            "filter(array(" +
+              "if(rn = (n + 9) div 10, cast(10 as bigint), null), " +
+              "if(rn = (n + 1) div 2, cast(50 as bigint), null), " +
+              "if(rn = (9 * n + 9) div 10, cast(90 as bigint), null)), " +
+              "x -> isnotnull(x))")).as("pct"),
+          col("v"))
+    },
+
     // ── win_lag: LAG deltas over ordered partitions — the YoY/QoQ engine
     // of all three reference reports (ref LQY_query1.txt:78,80).
     OpQuery.checked(

@@ -268,6 +268,43 @@ object MultimodalOps {
             .cast("long"))
         .select(col("doc_a"), col("doc_b"), col("hamming"),
           (col("hamming") <= 3).as("is_neardup"))
+    },
+
+    // ── multimodal_shard_pack: pack media payloads into ~16 KiB shards
+    // by CONTIGUOUS byte offsets — the webdataset/tar-shard layout step
+    // every multimodal training pipeline runs before the data loader
+    // (samples must land in few, sequential-read shards; shard id must
+    // be reproducible). Greedy bin packing is inherently sequential, so
+    // the scalable form is offset packing: fix a deterministic total
+    // order (doc_id), take each payload's exact global running byte
+    // offset from GlobalRank.withPrefixSum — the TeraSort-shaped
+    // exclusive prefix sum, NO partition-less window over the corpus —
+    // and shard_id = offset div target (a shard may overhang by less
+    // than one payload, the standard contract). All-BIGINT ⇒ hash-exact.
+    OpQuery.checked(
+      "multimodal_shard_pack",
+      """WITH p AS (
+        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_bytes,
+        |         CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS byte_offset
+        |  FROM p)
+        |SELECT doc_id, n_bytes, byte_offset,
+        |       byte_offset // 16384 AS shard_id,
+        |       byte_offset % 16384 AS offset_in_shard
+        |FROM c""".stripMargin
+    ) { (spark, dir) =>
+      val p = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      graft.algo.GlobalRank
+        .withPrefixSum(p, Seq(col("doc_id").asc), col("n_bytes"), "byte_offset")
+        .select(col("doc_id"), col("n_bytes"), col("byte_offset"),
+          expr("byte_offset div 16384").as("shard_id"),
+          pmod(col("byte_offset"), lit(16384L)).as("offset_in_shard"))
     }
   )
 }

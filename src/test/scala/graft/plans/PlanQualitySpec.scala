@@ -157,7 +157,8 @@ class PlanQualitySpec extends SparkSuite {
         "text_token_entropy", "text_winnowing_fingerprint",
         "sample_bootstrap_poisson", "sim_truncate_quality",
         "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped",
-        "events_autocorr", "sample_neyman_alloc")) {
+        "events_autocorr", "sample_neyman_alloc",
+        "agg_quantile_bands_grouped", "multimodal_shard_pack")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -181,6 +182,8 @@ class PlanQualitySpec extends SparkSuite {
       "sample_bootstrap_poisson" -> Map("orders" -> Set("o_orderkey", "o_totalprice")),
       "win_ntile_grouped" -> Map("events" -> Set("event_id", "event_type", "value")),
       "events_autocorr" -> Map("events" -> Set("event_type", "ts")),
+      "agg_quantile_bands_grouped" -> Map("events" -> Set("event_id", "event_type", "value")),
+      "multimodal_shard_pack" -> Map("documents" -> Set("doc_id", "text")),
       "sample_neyman_alloc" -> Map(
         "orders" -> Set("o_custkey", "o_totalprice"),
         "customer" -> Set("c_custkey", "c_mktsegment")))
@@ -248,7 +251,7 @@ class PlanQualitySpec extends SparkSuite {
         "unboundedGlobal detector failed to flag a global window over a fact scan")
       for (q <- Seq("q4_customer_rfm", "score_rfm_threshold",
         "sample_class_balance_threshold", "agg_mannwhitney_u",
-        "agg_ks_test", "win_running_total_global")) {
+        "agg_ks_test", "win_running_total_global", "multimodal_shard_pack")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = unboundedGlobal(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q funnels fact rows through one partition:\n${bad.mkString("\n")}")
@@ -293,7 +296,7 @@ class PlanQualitySpec extends SparkSuite {
         "groupKeyWindow detector failed to flag a group-key window over a fact scan")
       for (q <- Seq("events_anomaly_mad", "sample_class_balance_threshold",
         "score_rfm_threshold", "win_running_total_global", "win_ntile_grouped",
-        "agg_gini_grouped")) {
+        "agg_gini_grouped", "agg_quantile_bands_grouped")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = groupKeyWindow(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q sorts data-proportional group partitions:\n${bad.mkString("\n")}")
