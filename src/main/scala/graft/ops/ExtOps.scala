@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object ExtOps {
 
+  /** Fixed parquet location for io_zonemap_audit's clustered layout —
+    * inside the repo so the oracle reads the same files after the Spark
+    * JVM exits (the [[PipelineOps.BpeDictDir]] pattern). */
+  val ZonemapDir = "/root/repo/target/zonemapdata"
+
   val ops: Seq[OpQuery] = Seq(
     // ── join_asof: for every click, the latest view of the same user at
     // or before it (the reference's closest analog is the range joins of
@@ -1521,6 +1526,56 @@ object ExtOps {
           && col("l_shipdate") < lit("1995-09-01").cast("date"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), Norm.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // ── io_zonemap_audit: zone-map effectiveness audit over the range-
+    // clustered layout — the file-grain min/max profile that says
+    // WHETHER min/max skipping will pay before anyone relies on it (the
+    // io_sorted_layout claim, measured instead of asserted): write the
+    // clustered copy, then profile every FILE's (min, max, rows) via the
+    // engines' file-identity columns (Spark `_metadata.file_name`,
+    // DuckDB `filename=true` — the filename itself never reaches the
+    // output, only the per-file spans, so the hash compare is
+    // path-independent) and flag which files a canonical 3-month range
+    // scan must touch. At 100 TB this audit IS the table-health metric
+    // a lakehouse layout job publishes: touched/total file ratio ≈ the
+    // IO fraction of every range query on the cluster key.
+    // (the layout persists under target/ keyed by a corpus fingerprint —
+    // the BpeDictDir discipline: the oracle reads the SAME files after
+    // the Spark JVM exits, and runs at other scales cannot clobber the
+    // partition a pending compare depends on. A scratch dir would be
+    // deleted by the JVM shutdown hook before DuckDB ever looked.)
+    OpQuery.checked(
+      "io_zonemap_audit",
+      s"""SELECT CAST(min(l_shipdate) AS DATE) AS d_min,
+         |       CAST(max(l_shipdate) AS DATE) AS d_max,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(l_shipdate) <= DATE '1995-08-31'
+         |         AND max(l_shipdate) >= DATE '1995-06-01' AS touched
+         |FROM read_parquet('$ZonemapDir/corpus_fp=*/*.parquet',
+         |                  filename=true, hive_partitioning=1)
+         |WHERE corpus_fp = (SELECT count(*) FROM lineitem)
+         |GROUP BY filename""".stripMargin
+    ) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+      val fp = li.count()
+      val path = s"$ZonemapDir/corpus_fp=$fp"
+      ExtOps.synchronized {
+        li.select("l_shipdate", "l_returnflag", "l_extendedprice")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+        .select(col("_metadata.file_name").as("f"), col("l_shipdate"))
+        .groupBy("f")
+        .agg(
+          min(col("l_shipdate")).as("d_min"),
+          max(col("l_shipdate")).as("d_max"),
+          count(lit(1)).as("n_rows"))
+        .select(col("d_min"), col("d_max"), col("n_rows"),
+          (col("d_min") <= lit("1995-08-31").cast("date")
+            && col("d_max") >= lit("1995-06-01").cast("date")).as("touched"))
     },
 
     // ── text_contamination: train/benchmark overlap detection — the

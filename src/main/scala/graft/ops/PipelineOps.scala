@@ -1625,6 +1625,47 @@ object PipelineOps {
           array_max(col("fps")).as("fp_max"))
     },
 
+    // ── sample_mixture_temperature: temperature-scaled source mixing —
+    // the data-mixture sampler of multilingual/multi-source training
+    // (sample source s with probability ∝ n_s^α, α < 1, so small
+    // sources are up-weighted relative to their share; the T5/mT5
+    // recipe). α = 1/2 deliberately: sqrt is an IEEE correctly-rounded
+    // primitive in BOTH engines, where a general pow(x, 0.7) is not —
+    // the same engine-exactness reasoning that picked power-of-two
+    // decay weights. Per-source keep thresholds in millionths are pure
+    // BIGINT arithmetic (fixed-point √n weights, the centroid-drift
+    // idiom, summed exactly; one integer division), and the row-level
+    // keep is the deterministic multiplicative hash every sampler here
+    // uses — reproducible, re-runnable, engine-portable. Scale shape:
+    // one count to the |sources| grain, thresholds broadcast, the
+    // corpus pass is a filter.
+    OpQuery.checked(
+      "sample_mixture_temperature",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS nh
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, nh,
+        |             CAST(floor(sqrt(CAST(nh AS DOUBLE)) * 1048576) AS BIGINT) AS wfp
+        |      FROM c),
+        |t AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w),
+        |thr AS (SELECT source,
+        |               CAST((200 * wfp * 1000000) // (wtot * nh) AS BIGINT) AS t_micro
+        |        FROM w, t)
+        |SELECT d.doc_id, d.source, thr.t_micro
+        |FROM documents d JOIN thr USING (source)
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000000 < thr.t_micro""".stripMargin
+    ) { (spark, dir) =>
+      val d = Tables(spark, dir).documents.select("doc_id", "source")
+      val cnt = d.groupBy("source").agg(count(lit(1)).as("nh"))
+        .withColumn("wfp", floor(sqrt(col("nh").cast("double")) * 1048576).cast("long"))
+      val tot = cnt.agg(sum(col("wfp")).as("wtot"))
+      val thr = cnt.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("(200 * wfp * 1000000) div (wtot * nh)").as("t_micro"))
+      d.join(broadcast(thr), "source")
+        .filter(Norm.hashBucket(col("doc_id"), 1000000) < col("t_micro"))
+        .select(col("doc_id"), col("source"), col("t_micro"))
+    },
+
     // ── sample_bootstrap_poisson: the distributed bootstrap — estimator
     // uncertainty without resampling shuffles (Poisson bootstrap,
     // Chamandy et al. 2012 / Efron's classic with Poisson(1) replicate

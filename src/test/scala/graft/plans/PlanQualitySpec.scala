@@ -158,7 +158,8 @@ class PlanQualitySpec extends SparkSuite {
         "sample_bootstrap_poisson", "sim_truncate_quality",
         "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped",
         "events_autocorr", "sample_neyman_alloc",
-        "agg_quantile_bands_grouped", "multimodal_shard_pack")) {
+        "agg_quantile_bands_grouped", "multimodal_shard_pack",
+        "sample_mixture_temperature")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -184,6 +185,9 @@ class PlanQualitySpec extends SparkSuite {
       "events_autocorr" -> Map("events" -> Set("event_type", "ts")),
       "agg_quantile_bands_grouped" -> Map("events" -> Set("event_id", "event_type", "value")),
       "multimodal_shard_pack" -> Map("documents" -> Set("doc_id", "text")),
+      "sample_mixture_temperature" -> Map("documents" -> Set("doc_id", "source")),
+      "io_zonemap_audit" -> Map(
+        "lineitem" -> Set("l_shipdate", "l_returnflag", "l_extendedprice")),
       "sample_neyman_alloc" -> Map(
         "orders" -> Set("o_custkey", "o_totalprice"),
         "customer" -> Set("c_custkey", "c_mktsegment")))
