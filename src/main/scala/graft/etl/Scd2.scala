@@ -94,4 +94,58 @@ object Scd2 {
 
     tagged.select(outCols :+ action.as(ActionCol): _*)
   }
+
+  /** Retroactively CORRECT an SCD2 dim — the "we recorded the wrong
+    * attribute back then" repair the close-old/open-new machinery of
+    * [[apply]] cannot express: for each business key in `corrections`,
+    * the version whose [effective_date, expiration_date] interval
+    * CONTAINS `correctionDate` is SPLIT at that date — the original
+    * attributes survive on [eff, corrDate−1] (no longer current ⇒ 'N'),
+    * the corrected attributes take [corrDate, exp] and inherit the
+    * original row's curr_ind. A version whose effective_date equals the
+    * correction date has no left piece and is overwritten in place.
+    * Versions after the containing one are untouched by contract — they
+    * record LATER real-world changes; restating them is a different
+    * operation. Same single-pass tag-explode shape as [[applyTagged]]
+    * (one key join, no cache), and like it a no-op for versions already
+    * carrying the corrected values.
+    */
+  def correct(
+      dim: DataFrame,
+      corrections: DataFrame,
+      keyCols: Seq[String],
+      trackedCols: Seq[String],
+      correctionDate: String): DataFrame = {
+    val chg = corrections.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
+    val joinCond: Column = keyCols.map(k => col(k) === col(s"__chg_$k")).reduce(_ && _)
+    val cd = lit(correctionDate).cast("date")
+    val differs: Column = trackedCols
+      .map(c => !(col(c) <=> col(s"__chg_$c")))
+      .reduce(_ || _)
+    val contains = col("effective_date") <= cd && col("expiration_date") >= cd &&
+      col(s"__chg_${keyCols.head}").isNotNull && differs
+
+    val action = col(ActionCol)
+    val tagged = dim.join(chg, joinCond, "left_outer")
+      .withColumn(ActionCol, explode(
+        when(contains && col("effective_date") < cd,
+          array(lit("truncate"), lit("corrected")))
+          .when(contains, array(lit("overwrite")))
+          .otherwise(array(lit("keep")))))
+    val outCols = dim.columns.map { c =>
+      val out = c match {
+        case _ if trackedCols.contains(c) =>
+          when(action.isin("corrected", "overwrite"), col(s"__chg_$c")).otherwise(col(c))
+        case "effective_date" =>
+          when(action === "corrected", cd).otherwise(col(c))
+        case "expiration_date" =>
+          when(action === "truncate", date_sub(cd, 1)).otherwise(col(c))
+        case "curr_ind" =>
+          when(action === "truncate", lit("N")).otherwise(col(c))
+        case _ => col(c)
+      }
+      out.as(c)
+    }.toIndexedSeq
+    tagged.select(outCols: _*)
+  }
 }

@@ -82,6 +82,66 @@ object EtlOps {
       Scd2.apply(dim, changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
     },
 
+    // ── etl_scd2_correction: retroactive SCD2 history repair — the
+    // "wrong attribute was recorded back then" case close-old/open-new
+    // cannot express: the version interval CONTAINING the correction
+    // date splits at it (original values keep [eff, corr−1] as 'N', the
+    // corrected values take [corr, exp] inheriting curr_ind); later
+    // versions are untouched by contract (they record later real-world
+    // changes). Runs on TOP of etl_scd2_apply's two-version dim so both
+    // the still-open and the already-closed interval shapes are
+    // exercised, with already-correct versions a no-op. One key join,
+    // tag-explode single pass (the applyTagged shape).
+    OpQuery.checked(
+      "etl_scd2_correction",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         DATE '1992-01-01' AS effective_date,
+        |         DATE '9999-12-31' AS expiration_date,
+        |         'Y' AS curr_ind
+        |  FROM customer),
+        |chg AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+        |dimv AS (
+        |  SELECT d.* FROM dim d LEFT JOIN chg c USING (c_custkey)
+        |  WHERE c.c_custkey IS NULL OR d.c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.effective_date,
+        |         DATE '1996-05-31', 'N'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_name, 'MACHINERY', DATE '1996-06-01',
+        |         DATE '9999-12-31', 'Y'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'),
+        |corr AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT d.* FROM dimv d LEFT JOIN corr c USING (c_custkey)
+        |WHERE c.c_custkey IS NULL
+        |   OR NOT (d.effective_date <= DATE '1994-06-01'
+        |           AND d.expiration_date >= DATE '1994-06-01')
+        |   OR d.c_mktsegment = 'FURNITURE'
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.effective_date,
+        |       DATE '1994-05-31', 'N'
+        |FROM dimv d JOIN corr c USING (c_custkey)
+        |WHERE d.effective_date < DATE '1994-06-01'
+        |  AND d.expiration_date >= DATE '1994-06-01' AND d.c_mktsegment <> 'FURNITURE'
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_name, 'FURNITURE', DATE '1994-06-01',
+        |       d.expiration_date, d.curr_ind
+        |FROM dimv d JOIN corr c USING (c_custkey)
+        |WHERE d.effective_date < DATE '1994-06-01'
+        |  AND d.expiration_date >= DATE '1994-06-01'
+        |  AND d.c_mktsegment <> 'FURNITURE'""".stripMargin
+    ) { (spark, dir) =>
+      val c = Tables(spark, dir).customer
+      val dim = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
+      val changes = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+      val applied = Scd2.apply(dim, changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
+      val corrections = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("FURNITURE").as("c_mktsegment"))
+      Scd2.correct(applied, corrections, Seq("c_custkey"), Seq("c_mktsegment"), "1994-06-01")
+    },
+
     // ── etl_fact_build: star-schema fact load — facts joined to dims,
     // surrogate keys via dense row_number (ref FactSales 6-way build
     // 05_InitialLoading.sql:413-434). date_key is derivable (yyyymmdd),

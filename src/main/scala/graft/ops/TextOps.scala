@@ -168,6 +168,76 @@ object TextOps {
             .otherwise("fr"))
     },
 
+    // ── eval_langid_confusion: per-class evaluation of the langid model
+    // against the gold `lang` column — the MODEL-EVAL op every gate in
+    // this library implies but none emitted: per class, (tp, fp, fn) via
+    // two grouped counts full-outer-joined on the class label (the
+    // pred-side and gold-side marginals; gold classes the model can
+    // never predict, e.g. 'zh' here, surface with tp = 0 rather than
+    // vanishing). Exactness: precision/recall/F1 are each ONE integer
+    // division — F1 deliberately in its single-ratio form
+    // 2·tp/(2·tp+fp+fn), not 2pr/(p+r), so no composed double
+    // arithmetic exists to drift; degenerate denominators go NULL
+    // identically via nullif semantics. Scale shape: one projection
+    // pass for predictions, two map-side-combined class-grain counts,
+    // a |classes|-row join — scan-speed at any corpus size.
+    OpQuery.checked(
+      "eval_langid_confusion",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) AS en_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ''))) / 4 AS BIGINT) AS es_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5 AS BIGINT) AS de_score,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4 AS BIGINT) AS fr_score
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang AS gold,
+        |         CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+        |              WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+        |              WHEN de_score >= fr_score THEN 'de'
+        |              ELSE 'fr' END AS pred
+        |  FROM scored),
+        |pm AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred,
+        |              CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |       FROM p GROUP BY 1),
+        |gm AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS n_gold FROM p GROUP BY 1)
+        |SELECT coalesce(pm.cls, gm.cls) AS cls,
+        |       coalesce(pm.tp, 0) AS tp,
+        |       coalesce(pm.n_pred, 0) - coalesce(pm.tp, 0) AS fp,
+        |       coalesce(gm.n_gold, 0) - coalesce(pm.tp, 0) AS fn,
+        |       CAST(coalesce(pm.tp, 0) AS DOUBLE) / nullif(coalesce(pm.n_pred, 0), 0) AS precision_,
+        |       CAST(coalesce(pm.tp, 0) AS DOUBLE) / nullif(coalesce(gm.n_gold, 0), 0) AS recall_,
+        |       CAST(2 * coalesce(pm.tp, 0) AS DOUBLE)
+        |         / nullif(coalesce(pm.n_pred, 0) + coalesce(gm.n_gold, 0), 0) AS f1
+        |FROM pm FULL OUTER JOIN gm ON pm.cls = gm.cls""".stripMargin
+    ) { (spark, dir) =>
+      def score(marker: String) = {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        ((length(padded) - length(regexp_replace(padded, marker, ""))) / marker.length).cast("long")
+      }
+      val p = tables(spark, dir).documents
+        .select(col("lang").as("gold"),
+          score(" the ").as("en"), score(" la ").as("es"),
+          score(" der ").as("de"), score(" le ").as("fr"))
+        .select(col("gold"),
+          when(col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr"), "en")
+            .when(col("es") >= col("de") && col("es") >= col("fr"), "es")
+            .when(col("de") >= col("fr"), "de")
+            .otherwise("fr").as("pred"))
+      val pm = p.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("tp"))
+      val gm = p.groupBy(col("gold").as("cls")).agg(count(lit(1)).as("n_gold"))
+      val tp = coalesce(col("tp"), lit(0L))
+      val np = coalesce(col("n_pred"), lit(0L))
+      val ng = coalesce(col("n_gold"), lit(0L))
+      pm.join(gm, Seq("cls"), "full_outer")
+        .select(col("cls"), tp.as("tp"), (np - tp).as("fp"), (ng - tp).as("fn"),
+          (tp.cast("double") / when(np =!= 0, np)).as("precision_"),
+          (tp.cast("double") / when(ng =!= 0, ng)).as("recall_"),
+          ((tp * 2).cast("double") / when(np + ng =!= 0, np + ng)).as("f1"))
+    },
+
     // ── text_quality: length / lexical-ratio quality signals + a composite
     // keep/drop score — the standard pretraining-corpus filter features.
     OpQuery.checked(

@@ -33,6 +33,41 @@ class Scd2Spec extends SparkSuite {
     assert(out.filter($"curr_ind" === "N").count() == 0)
   }
 
+  test("scd2 correct splits the containing version and leaves later ones alone") {
+    // id1 has versions [2020-01-01, 2021-05-31] 'N' + [2021-06-01, eot] 'Y'
+    val g1 = Scd2.apply(dim0, Seq((1L, "PLATINUM")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2021-06-01")
+    val out = Scd2.correct(g1, Seq((1L, "SILVER")).toDF("id", "tier"),
+      Seq("id"), Seq("tier"), "2020-09-01")
+    val id1 = out.filter($"id" === 1).orderBy("effective_date")
+      .select("tier", "effective_date", "expiration_date", "curr_ind")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString, r.getString(3)))
+    assert(id1.toSeq == Seq(
+      ("GOLD", "2020-01-01", "2020-08-31", "N"),      // truncated original
+      ("SILVER", "2020-09-01", "2021-05-31", "N"),    // corrected slice, inherits 'N'
+      ("PLATINUM", "2021-06-01", "9999-12-31", "Y")), // later version untouched
+      s"unexpected corrected history: ${id1.toSeq}")
+    // interval contiguity survives the split
+    id1.map(t => (t._2, t._3)).sliding(2).foreach { case Array((_, exp), (eff, _)) =>
+      assert(java.time.LocalDate.parse(exp).plusDays(1) == java.time.LocalDate.parse(eff))
+    }
+    // untouched keys are bit-identical
+    assert(out.filter($"id" =!= 1).exceptAll(g1.filter($"id" =!= 1)).isEmpty)
+  }
+
+  test("scd2 correct overwrites in place when the correction date IS the version start") {
+    val out = Scd2.correct(dim0, Seq((2L, "BRONZE")).toDF("id", "tier"),
+      Seq("id"), Seq("tier"), "2020-01-01")
+    val id2 = out.filter($"id" === 2).collect()
+    assert(id2.length == 1, "no empty left piece may be created")
+    assert(id2.head.getAs[String]("tier") == "BRONZE")
+    assert(id2.head.getAs[String]("curr_ind") == "Y")
+    assert(id2.head.getAs[java.sql.Date]("effective_date").toString == "2020-01-01")
+    // a correction to the already-recorded value is a no-op
+    val noop = Scd2.correct(dim0, Seq((3L, "GOLD")).toDF("id", "tier"),
+      Seq("id"), Seq("tier"), "2020-06-01")
+    assert(noop.exceptAll(dim0).isEmpty && dim0.exceptAll(noop).isEmpty)
+  }
+
   test("scd2 preserves one-current-row-per-key across two generations") {
     val g1 = Scd2.apply(dim0, Seq((1L, "PLATINUM")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2021-06-01")
     val g2 = Scd2.apply(g1, Seq((1L, "IRIDIUM"), (2L, "GOLD")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2022-01-01")

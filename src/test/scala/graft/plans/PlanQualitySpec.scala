@@ -159,7 +159,7 @@ class PlanQualitySpec extends SparkSuite {
         "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped",
         "events_autocorr", "sample_neyman_alloc",
         "agg_quantile_bands_grouped", "multimodal_shard_pack",
-        "sample_mixture_temperature")) {
+        "sample_mixture_temperature", "eval_langid_confusion")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -186,6 +186,7 @@ class PlanQualitySpec extends SparkSuite {
       "agg_quantile_bands_grouped" -> Map("events" -> Set("event_id", "event_type", "value")),
       "multimodal_shard_pack" -> Map("documents" -> Set("doc_id", "text")),
       "sample_mixture_temperature" -> Map("documents" -> Set("doc_id", "source")),
+      "eval_langid_confusion" -> Map("documents" -> Set("lang", "text")),
       "io_zonemap_audit" -> Map(
         "lineitem" -> Set("l_shipdate", "l_returnflag", "l_extendedprice")),
       "sample_neyman_alloc" -> Map(
