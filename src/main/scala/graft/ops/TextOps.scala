@@ -328,6 +328,104 @@ object TextOps {
         .agg(min(col("doc_id")).cast("long").as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
+    // ── eval_dedup_pr: precision/recall of the banded-MinHash near-dup
+    // detector against exact-Jaccard ground truth — the second eval-
+    // family op (after eval_langid_confusion), and the number a dedup
+    // rollout actually needs before trusting LSH at scale. Ground truth
+    // is inherently quadratic, so the eval runs on a HARD-CAPPED
+    // deterministic sample — top-500 docs by (md5(doc_id), doc_id), the
+    // sim_* QueryCap posture: 500² candidate pairs is a CONSTANT at any
+    // corpus size, and the cap is a GlobalLimit in the plan, not a
+    // comment. Gold = capped pairs with true 8-gram-shingle Jaccard
+    // ≥ 0.5; predicted = the SAME 16-hash 4×4-band construction as
+    // dedup_minhash_lsh (band collision + ≥ 8/16 signature agreement —
+    // the estimator calibrated at J = 0.5) restricted to the sample.
+    // precision/recall are single integer divisions and F1 is the
+    // one-ratio 2·tp/(n_pred+n_gold) form; degenerate denominators go
+    // NULL identically in both engines.
+    OpQuery.checked(
+      "eval_dedup_pr", {
+        val sigList = (1 to 16)
+          .map(k => s"list_aggregate(list_transform(shingles, s -> md5('s$k' || s)), 'min')")
+          .mkString("[", ", ", "]")
+        s"""WITH capd AS (
+           |  SELECT doc_id, text FROM documents
+           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 500),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-7, 1) + 1),
+           |           i -> substr(text, CAST(i AS INT), 8))) AS shingles
+           |  FROM capd),
+           |gold AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+           |        >= 0.5),
+           |fp AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |         md5(sig[CAST(b*4+1 AS INT)] || '|' || sig[CAST(b*4+2 AS INT)] || '|' ||
+           |             sig[CAST(b*4+3 AS INT)] || '|' || sig[CAST(b*4+4 AS INT)]) AS bh
+           |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+           |pred AS (
+           |  SELECT DISTINCT c.a_id, c.b_id FROM (
+           |    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id) c
+           |  JOIN fp fa ON fa.doc_id = c.a_id JOIN fp fb ON fb.doc_id = c.b_id
+           |  WHERE len(list_filter(range(1, 17), k -> fa.sig[CAST(k AS INT)] = fb.sig[CAST(k AS INT)])) >= 8),
+           |m AS (
+           |  SELECT CAST((SELECT count(*) FROM gold) AS BIGINT) AS n_gold,
+           |         CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+           |         CAST((SELECT count(*) FROM gold g JOIN pred p
+           |               ON g.a_id = p.a_id AND g.b_id = p.b_id) AS BIGINT) AS tp)
+           |SELECT CAST((SELECT count(*) FROM capd) AS BIGINT) AS n_docs,
+           |       n_gold, n_pred, tp,
+           |       CAST(tp AS DOUBLE) / nullif(n_pred, 0) AS precision_,
+           |       CAST(tp AS DOUBLE) / nullif(n_gold, 0) AS recall_,
+           |       CAST(2 * tp AS DOUBLE) / nullif(n_pred + n_gold, 0) AS f1
+           |FROM m""".stripMargin
+      }
+    ) { (spark, dir) =>
+      // repartition after the cap: LIMIT leaves the 500 rows on ONE
+      // partition, and the all-pairs gold verify would run single-task
+      // (measured 53 s vs ~3 s at sf0.1); spreading the LEFT side
+      // parallelizes the nested-loop probe across the cluster
+      val capd = docBase(spark, dir)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(500)
+        .select(col("doc_id"), col("shingles"))
+        .repartition(col("doc_id"))
+        .cache()
+      val gold = capd.toDF("a_id", "sa")
+        .join(broadcast(capd.toDF("b_id", "sb")), col("a_id") < col("b_id"))
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("ni").cast("double")
+          / (size(col("sa")) + size(col("sb")) - col("ni")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val fp = capd.select(col("doc_id"), expr("min_md5_multi(shingles, 16)").as("sig"))
+      val banded = fp.select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'bh', md5(concat_ws('|', slice(sig, b*4+1, 4)))))")).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val pred = banded.toDF("a_id", "band", "bh")
+        .join(banded.toDF("b_id", "band", "bh"), Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .join(fp.toDF("a_id", "siga"), "a_id")
+        .join(fp.toDF("b_id", "sigb"), "b_id")
+        .filter(expr("size(filter(sequence(1, 16), k -> element_at(siga, k) = element_at(sigb, k))) >= 8"))
+        .select("a_id", "b_id")
+      val m = gold.agg(count(lit(1)).as("n_gold"))
+        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(gold.join(pred, Seq("a_id", "b_id")).agg(count(lit(1)).as("tp")))
+        .crossJoin(capd.agg(count(lit(1)).as("n_docs")))
+      m.select(col("n_docs"), col("n_gold"), col("n_pred"), col("tp"),
+        (col("tp").cast("double") / when(col("n_pred") =!= 0, col("n_pred"))).as("precision_"),
+        (col("tp").cast("double") / when(col("n_gold") =!= 0, col("n_gold"))).as("recall_"),
+        ((col("tp") * 2).cast("double")
+          / when(col("n_pred") + col("n_gold") =!= 0, col("n_pred") + col("n_gold"))).as("f1"))
+    },
+
     // ── dedup_ngram_jaccard: near-dup detection — banded minhash blocking
     // (2 salted min-fingerprints must both collide) → exact 8-gram Jaccard
     // on the candidate pairs only. The classic MinHash-LSH→verify pipeline:

@@ -319,15 +319,19 @@ class PlanQualitySpec extends SparkSuite {
     // — bounded by aggregation, accepted by the same predicate that
     // grain-bounds corpusBroadcasts.
     withStaticPlanner {
-      for (q <- Seq("sim_cosine_topk", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-        "sim_topk_ivf_pq", "sim_topk_ivf_pq8", "sim_topk_mips")) {
+      // eval_dedup_pr broadcasts its hard-capped 500-doc sample of the
+      // documents corpus — same contract, different table
+      for ((q, tbl) <- Seq("sim_cosine_topk" -> "embeddings", "sim_topk_ivf" -> "embeddings",
+        "sim_topk_ivf_kmeans" -> "embeddings", "sim_topk_ivf_pq" -> "embeddings",
+        "sim_topk_ivf_pq8" -> "embeddings", "sim_topk_mips" -> "embeddings",
+        "eval_dedup_pr" -> "documents")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val uncapped = df.queryExecution.executedPlan
           .collect { case b: BroadcastExchangeExec => b }
           .filter { b =>
             val scansEmbeddings = b.exists {
               case s: FileSourceScanExec =>
-                s.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+                s.relation.location.rootPaths.exists(_.toString.contains(tbl))
               case _ => false
             }
             val capped = b.exists {
