@@ -547,6 +547,97 @@ object PipelineOps {
           when((col("score") > 0) === (col("label") === 1), 1L).otherwise(0L).as("correct"))
     },
 
+    // ── eval_score_auc: EXACT ROC-AUC of the learned quality score on
+    // its holdout — the threshold-free eval the accuracy column of
+    // text_quality_learned cannot give (AUC says whether the SCORE
+    // ORDERS positives above negatives at every operating point). The
+    // whole statistic is integer arithmetic via the Mann–Whitney
+    // identity AUC = U/(n⁺·n⁻) with tie midranks: at the distinct-score
+    // grain, 2U = Σ_s n⁺_s · (2·cumNeg(<s) + n⁻_s) — a BIGINT both
+    // engines agree on — and the one double division happens at the
+    // edge. The cumulative negative count comes from
+    // GlobalRank.withPrefixSum over the score grain (the agg_ks_test
+    // shape: range-partitioned running totals, never a partition-less
+    // window), so the eval itself is 100 TB-shaped even though scores
+    // here are holdout-sized.
+    OpQuery.checked(
+      "eval_score_auc",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id,
+        |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
+        |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM toks GROUP BY doc_id),
+        |train AS (
+        |  SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
+        |  WHERE t.doc_id % 2 = 0),
+        |prior AS (
+        |  SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
+        |wts AS (
+        |  SELECT tok,
+        |         CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
+        |              - (SELECT q0 FROM prior) AS BIGINT) AS w
+        |  FROM train GROUP BY tok),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
+        |  FROM toks t LEFT JOIN wts w ON w.tok = t.tok
+        |  WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id),
+        |h AS (SELECT s.score, l.label FROM sc s JOIN lab l USING (doc_id)),
+        |g AS (
+        |  SELECT score,
+        |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM h GROUP BY score),
+        |c AS (
+        |  SELECT np, nn,
+        |         CAST(coalesce(sum(nn) OVER (ORDER BY score
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+        |  FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(nn) AS BIGINT) AS n_neg,
+        |       CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2,
+        |       CAST(sum(np * (2 * cneg + nn)) AS DOUBLE)
+        |         / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+        |FROM c""".stripMargin
+    ) { (spark, dir) =>
+      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      val lab = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("ns"))
+        .select(col("doc_id"),
+          when(lit(100) * col("ns") >= lit(6) * col("nt"), 1L).otherwise(0L).as("label"))
+      val train = toks.join(lab, Seq("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
+      val prior = train.agg(expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
+      val wts = train.groupBy("tok")
+        .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(prior))
+        .select(col("tok"), expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
+      val h = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .join(wts, Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+        .join(lab, Seq("doc_id"))
+      val g = h.groupBy("score")
+        .agg(
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("np"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("nn"))
+      graft.algo.GlobalRank
+        .withPrefixSum(g, Seq(col("score").asc), col("nn"), "cneg")
+        .agg(
+          sum(col("np")).as("n_pos"),
+          sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2) * col("cneg") + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double")
+            / (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+    },
+
     // ── text_bpe_tokenize: REAL subword token counting — a deterministic
     // byte-pair-encoding tokenizer (Sennrich et al. 2016) trained on the
     // corpus's own word-frequency vocabulary, where every other token

@@ -159,7 +159,8 @@ class PlanQualitySpec extends SparkSuite {
         "multimodal_neardup_phash", "graph_ktruss", "agg_gini_grouped",
         "events_autocorr", "sample_neyman_alloc",
         "agg_quantile_bands_grouped", "multimodal_shard_pack",
-        "sample_mixture_temperature", "eval_langid_confusion")) {
+        "sample_mixture_temperature", "eval_langid_confusion",
+        "eval_score_auc")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -301,7 +302,7 @@ class PlanQualitySpec extends SparkSuite {
         "groupKeyWindow detector failed to flag a group-key window over a fact scan")
       for (q <- Seq("events_anomaly_mad", "sample_class_balance_threshold",
         "score_rfm_threshold", "win_running_total_global", "win_ntile_grouped",
-        "agg_gini_grouped", "agg_quantile_bands_grouped")) {
+        "agg_gini_grouped", "agg_quantile_bands_grouped", "eval_score_auc")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = groupKeyWindow(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q sorts data-proportional group partitions:\n${bad.mkString("\n")}")
