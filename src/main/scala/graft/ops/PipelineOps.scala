@@ -27,6 +27,71 @@ object PipelineOps {
     * at any launch cwd (the [[LibraryOracleOps.DataDir]] pattern). */
   val BpeDictDir = "/root/repo/target/bpedata/bpe_pieces.parquet"
 
+  /** The learned-quality-classifier holdout frame shared by
+    * text_quality_learned and the eval family: (doc_id, n_tokens, score,
+    * label) for every odd-doc_id holdout document — stopword-ratio
+    * teacher labels, even-split-trained Laplace fixed-point weights,
+    * dictionary-join scoring (the full scale rationale lives on the
+    * text_quality_learned op). */
+  private def learnedHoldout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+    val lab = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(lit(100) * col("n_stop") >= lit(6) * col("n_tokens"), 1L)
+          .otherwise(0L).as("label"))
+    val train = toks.join(lab.select("doc_id", "label"), Seq("doc_id"))
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    val prior = train.agg(
+      expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
+    val wts = train.groupBy("tok")
+      .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(prior))
+      .select(col("tok"),
+        expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
+    toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(wts, Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+      .join(lab, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("label"))
+  }
+
+  /** The shared oracle-side CTE prefix producing the same holdout frame
+    * `h(doc_id, n_tokens, score, label)` — interpolated into every
+    * consumer's SQL so the two sides can never drift apart. */
+  private def learnedHoldoutSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
+      |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
+      |              THEN 1 ELSE 0 END AS label
+      |  FROM toks GROUP BY doc_id),
+      |train AS (
+      |  SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
+      |  WHERE t.doc_id % 2 = 0),
+      |prior AS (
+      |  SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
+      |wts AS (
+      |  SELECT tok,
+      |         CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
+      |              - (SELECT q0 FROM prior) AS BIGINT) AS w
+      |  FROM train GROUP BY tok),
+      |sc AS (
+      |  SELECT t.doc_id, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
+      |  FROM toks t LEFT JOIN wts w ON w.tok = t.tok
+      |  WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id),
+      |h AS (SELECT s.doc_id, l.n_tokens, s.score, CAST(l.label AS BIGINT) AS label
+      |      FROM sc s JOIN lab l USING (doc_id))""".stripMargin
+
   val ops: Seq[OpQuery] = Seq(
     // ── text_gopher_quality: the repetition + stopword quality gate of
     // Gopher/MassiveText (Rae et al. 2021, §A1.1) as one codegen'd
@@ -489,59 +554,13 @@ object PipelineOps {
     // agreement with the teacher is pinned, not sampled.
     OpQuery.checked(
       "text_quality_learned",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |lab AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
-        |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
-        |              THEN 1 ELSE 0 END AS label
-        |  FROM toks GROUP BY doc_id),
-        |train AS (
-        |  SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
-        |  WHERE t.doc_id % 2 = 0),
-        |prior AS (
-        |  SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
-        |wts AS (
-        |  SELECT tok,
-        |         CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
-        |              - (SELECT q0 FROM prior) AS BIGINT) AS w
-        |  FROM train GROUP BY tok),
-        |sc AS (
-        |  SELECT t.doc_id, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
-        |  FROM toks t LEFT JOIN wts w ON w.tok = t.tok
-        |  WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id)
-        |SELECT s.doc_id, l.n_tokens, s.score,
-        |       CAST(l.label AS BIGINT) AS label,
-        |       CAST(s.score > 0 AS BIGINT) AS predicted,
-        |       CAST((s.score > 0) = (l.label = 1) AS BIGINT) AS correct
-        |FROM sc s JOIN lab l ON l.doc_id = s.doc_id""".stripMargin
+      s"""$learnedHoldoutSql
+        |SELECT doc_id, n_tokens, score, label,
+        |       CAST(score > 0 AS BIGINT) AS predicted,
+        |       CAST((score > 0) = (label = 1) AS BIGINT) AS correct
+        |FROM h""".stripMargin
     ) { (spark, dir) =>
-      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"),
-          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
-      val lab = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
-        .select(col("doc_id"), col("n_tokens"),
-          when(lit(100) * col("n_stop") >= lit(6) * col("n_tokens"), 1L)
-            .otherwise(0L).as("label"))
-      val train = toks.join(lab.select("doc_id", "label"), Seq("doc_id"))
-        .filter(pmod(col("doc_id"), lit(2)) === 0)
-      val prior = train.agg(
-        expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
-      val wts = train.groupBy("tok")
-        .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
-        .crossJoin(broadcast(prior))
-        .select(col("tok"),
-          expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
-      val scored = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .join(wts, Seq("tok"), "left_outer")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
-      scored.join(lab, Seq("doc_id"))
+      learnedHoldout(spark, dir)
         .select(col("doc_id"), col("n_tokens"), col("score"), col("label"),
           when(col("score") > 0, 1L).otherwise(0L).as("predicted"),
           when((col("score") > 0) === (col("label") === 1), 1L).otherwise(0L).as("correct"))
@@ -562,30 +581,7 @@ object PipelineOps {
     // here are holdout-sized.
     OpQuery.checked(
       "eval_score_auc",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |lab AS (
-        |  SELECT doc_id,
-        |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
-        |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
-        |              THEN 1 ELSE 0 END AS label
-        |  FROM toks GROUP BY doc_id),
-        |train AS (
-        |  SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
-        |  WHERE t.doc_id % 2 = 0),
-        |prior AS (
-        |  SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
-        |wts AS (
-        |  SELECT tok,
-        |         CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
-        |              - (SELECT q0 FROM prior) AS BIGINT) AS w
-        |  FROM train GROUP BY tok),
-        |sc AS (
-        |  SELECT t.doc_id, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
-        |  FROM toks t LEFT JOIN wts w ON w.tok = t.tok
-        |  WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id),
-        |h AS (SELECT s.score, l.label FROM sc s JOIN lab l USING (doc_id)),
+      s"""$learnedHoldoutSql,
         |g AS (
         |  SELECT score,
         |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
@@ -603,27 +599,7 @@ object PipelineOps {
         |         / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
         |FROM c""".stripMargin
     ) { (spark, dir) =>
-      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"),
-          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
-      val lab = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("nt"),
-          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("ns"))
-        .select(col("doc_id"),
-          when(lit(100) * col("ns") >= lit(6) * col("nt"), 1L).otherwise(0L).as("label"))
-      val train = toks.join(lab, Seq("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
-      val prior = train.agg(expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
-      val wts = train.groupBy("tok")
-        .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
-        .crossJoin(broadcast(prior))
-        .select(col("tok"), expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
-      val h = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .join(wts, Seq("tok"), "left_outer")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
-        .join(lab, Seq("doc_id"))
-      val g = h.groupBy("score")
+      val g = learnedHoldout(spark, dir).groupBy("score")
         .agg(
           sum(when(col("label") === 1, 1L).otherwise(0L)).as("np"),
           sum(when(col("label") === 0, 1L).otherwise(0L)).as("nn"))
@@ -636,6 +612,39 @@ object PipelineOps {
         .select(col("n_pos"), col("n_neg"), col("u2"),
           (col("u2").cast("double")
             / (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+    },
+
+    // ── eval_calibration_bins: calibration of the learned quality score
+    // — bin the holdout into global score DECILES and compare each
+    // bin's observed positive rate to its mean score (a well-calibrated
+    // ranker is monotone here; the reliability-diagram table). The
+    // decile is the window-free GlobalRank + ntileOfRank pair — the
+    // q4_customer_rfm machinery, bit-identical to the SQL ntile — and
+    // every metric is integer sums with one edge division per column.
+    OpQuery.checked(
+      "eval_calibration_bins",
+      s"""$learnedHoldoutSql,
+        |r AS (
+        |  SELECT label, score,
+        |         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+        |  FROM h)
+        |SELECT decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(label) AS BIGINT) AS n_pos,
+        |       CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+        |       CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score
+        |FROM r GROUP BY decile""".stripMargin
+    ) { (spark, dir) =>
+      graft.algo.GlobalRank
+        .withRowNumber(learnedHoldout(spark, dir),
+          Seq(col("score").asc, col("doc_id").asc), "rnk", "n_all")
+        .select(col("label"), col("score"),
+          graft.algo.GlobalRank.ntileOfRank(col("rnk"), col("n_all"), 10).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"), sum(col("score")).as("s"))
+        .select(col("decile"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean_score"))
     },
 
     // ── text_bpe_tokenize: REAL subword token counting — a deterministic

@@ -160,7 +160,7 @@ class PlanQualitySpec extends SparkSuite {
         "events_autocorr", "sample_neyman_alloc",
         "agg_quantile_bands_grouped", "multimodal_shard_pack",
         "sample_mixture_temperature", "eval_langid_confusion",
-        "eval_score_auc")) {
+        "eval_score_auc", "eval_calibration_bins")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = corpusBroadcasts(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q broadcasts raw fact/corpus rows: ${bad.mkString(", ")}")
@@ -257,7 +257,8 @@ class PlanQualitySpec extends SparkSuite {
         "unboundedGlobal detector failed to flag a global window over a fact scan")
       for (q <- Seq("q4_customer_rfm", "score_rfm_threshold",
         "sample_class_balance_threshold", "agg_mannwhitney_u",
-        "agg_ks_test", "win_running_total_global", "multimodal_shard_pack")) {
+        "agg_ks_test", "win_running_total_global", "multimodal_shard_pack",
+        "eval_calibration_bins")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = unboundedGlobal(df.queryExecution.executedPlan)
         assert(bad.isEmpty, s"$q funnels fact rows through one partition:\n${bad.mkString("\n")}")
