@@ -1544,7 +1544,11 @@ object ExtOps {
     // the BpeDictDir discipline: the oracle reads the SAME files after
     // the Spark JVM exits, and runs at other scales cannot clobber the
     // partition a pending compare depends on. A scratch dir would be
-    // deleted by the JVM shutdown hook before DuckDB ever looked.)
+    // deleted by the JVM shutdown hook before DuckDB ever looked. The
+    // range cut is EXPLICIT date arithmetic, not repartitionByRange —
+    // that one samples its boundaries, so every re-execution would lay
+    // the files out differently and invalidate a pending compare; the
+    // deterministic cut also makes the audit itself reproducible.)
     OpQuery.checked(
       "io_zonemap_audit",
       s"""SELECT CAST(min(l_shipdate) AS DATE) AS d_min,
@@ -1552,7 +1556,7 @@ object ExtOps {
          |       CAST(count(*) AS BIGINT) AS n_rows,
          |       min(l_shipdate) <= DATE '1995-08-31'
          |         AND max(l_shipdate) >= DATE '1995-06-01' AS touched
-         |FROM read_parquet('$ZonemapDir/corpus_fp=*/*.parquet',
+         |FROM read_parquet('$ZonemapDir/corpus_fp=*/pid=*/*.parquet',
          |                  filename=true, hive_partitioning=1)
          |WHERE corpus_fp = (SELECT count(*) FROM lineitem)
          |GROUP BY filename""".stripMargin
@@ -1560,14 +1564,24 @@ object ExtOps {
       val li = Tables(spark, dir).lineitem
       val fp = li.count()
       val path = s"$ZonemapDir/corpus_fp=$fp"
+      // min/max as STRINGS: the column is a timestamp and the java8
+      // datetime API would hand back LocalDateTime, not java.sql.Date
+      val b = li.agg(
+        min(to_date(col("l_shipdate"))).cast("string").as("d0"),
+        max(to_date(col("l_shipdate"))).cast("string").as("d1")).head()
+      val (d0, d1) = (b.getString(0), b.getString(1))
+      val span = java.time.LocalDate.parse(d1).toEpochDay -
+        java.time.LocalDate.parse(d0).toEpochDay + 1
       ExtOps.synchronized {
         li.select("l_shipdate", "l_returnflag", "l_extendedprice")
-          .repartitionByRange(8, col("l_shipdate"))
-          .sortWithinPartitions("l_shipdate")
-          .write.mode("overwrite").parquet(path)
+          .withColumn("pid",
+            expr(s"cast((datediff(l_shipdate, date'$d0') * 8) div $span as int)"))
+          .repartition(8, col("pid"))
+          .sortWithinPartitions("pid", "l_shipdate")
+          .write.mode("overwrite").partitionBy("pid").parquet(path)
       }
       spark.read.parquet(path)
-        .select(col("_metadata.file_name").as("f"), col("l_shipdate"))
+        .select(col("_metadata.file_path").as("f"), col("l_shipdate"))
         .groupBy("f")
         .agg(
           min(col("l_shipdate")).as("d_min"),

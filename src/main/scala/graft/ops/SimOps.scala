@@ -988,6 +988,99 @@ object SimOps {
           col("min_retained"))
     },
 
+    // ── eval_retrieval_recall: recall@5 of the sign-code IVF retrieval
+    // against the brute-force exact top-5 — the eval every ANN rollout
+    // needs BEFORE routing traffic (the specs assert recall parity on
+    // fixtures; this op reports the number on the corpus, per query and
+    // averaged). Both retrievals are the library's own oracle-checked
+    // plans (sim_cosine_topk / sim_topk_ivf), so the eval is fully
+    // hash-checkable; recall@5 per query and the mean are single
+    // integer divisions (mean = Σ hits / (5·|queries|), never a
+    // fold-order double sum). Scale shape: the bounded query batch
+    // broadcasts, the corpus side streams once per retrieval, the hit
+    // join lives on the (query, 5)-row result grain.
+    OpQuery.checked(
+      "eval_retrieval_recall",
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         CAST((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END)
+         |            + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END)
+         |            + (CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END)
+         |            + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+         |      FROM emb WHERE vec_id % 50 = 0
+         |      ORDER BY vec_id LIMIT 4096),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckDot("q.qe", "e.embedding")}
+         |                            / (q.qn * e.nrm), 6) DESC, e.vec_id ASC) AS rnk
+         |    FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id)
+         |  WHERE rnk <= 5),
+         |iv AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckDot("q.qe", "e.embedding")}
+         |                            / (q.qn * e.nrm), 6) DESC, e.vec_id ASC) AS rnk
+         |    FROM q JOIN emb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+         |  WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+         |  FROM ex e LEFT JOIN iv i
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |tot AS (SELECT CAST(sum(n_hits) AS BIGINT) AS th,
+         |               CAST(count(*) AS BIGINT) AS nq FROM hits)
+         |SELECT h.query_id, h.n_hits,
+         |       CAST(h.n_hits AS DOUBLE) / 5 AS recall_at_5,
+         |       CAST(t.th AS DOUBLE) / CAST(5 * t.nq AS DOUBLE) AS mean_recall
+         |FROM hits h, tot t""".stripMargin
+    ) { (spark, dir) =>
+      val signCode =
+        (when(element_at(col("embedding"), 1) > 0f, 8).otherwise(0)
+          + when(element_at(col("embedding"), 2) > 0f, 4).otherwise(0)
+          + when(element_at(col("embedding"), 3) > 0f, 2).otherwise(0)
+          + when(element_at(col("embedding"), 4) > 0f, 1).otherwise(0)).cast("long")
+      val emb = withNorm(tables(spark, dir).embeddings.select("vec_id", "embedding"))
+        .withColumn("bucket", signCode)
+      val q = emb
+        .filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(QueryCap)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket"))
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("nrm").as("nn"), col("bucket").as("nbucket"))
+      val ex = top5(broadcast(q)
+        .crossJoin(corpus.drop("nbucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val iv = top5(broadcast(q)
+        .join(corpus, col("nbucket") === col("bucket") && col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val hits = ex.join(iv.toDF("q2", "hit_id"),
+          col("query_id") === col("q2") && col("neighbor_id") === col("hit_id"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(col("hit_id")).as("n_hits"))
+      val tot = hits.agg(sum(col("n_hits")).as("th"), count(lit(1)).as("nq"))
+      hits.crossJoin(broadcast(tot))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"),
+          (col("th").cast("double") / (lit(5) * col("nq")).cast("double")).as("mean_recall"))
+    },
+
     // ── sim_pca_power: distributed top-principal-direction by POWER
     // ITERATION (the dimensionality-reduction step an embedding pipeline
     // runs before whitening/indexing) — v ← normalize(XᵀX v), three
