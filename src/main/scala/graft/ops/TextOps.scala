@@ -389,10 +389,12 @@ object TextOps {
       // repartition after the cap: LIMIT leaves the 500 rows on ONE
       // partition, and the all-pairs gold verify would run single-task
       // (measured 53 s vs ~3 s at sf0.1); spreading the LEFT side
-      // parallelizes the nested-loop probe across the cluster
-      val capd = docBase(spark, dir)
+      // parallelizes the nested-loop probe across the cluster. Shingle
+      // AFTER the cap — the shared docBase artifact would shingle the
+      // whole corpus to keep 500 rows
+      val capd = tables(spark, dir).documents
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(500)
-        .select(col("doc_id"), col("shingles"))
+        .select(col("doc_id"), expr(shingleArr).as("shingles"))
         .repartition(col("doc_id"))
         .cache()
       val gold = capd.toDF("a_id", "sa")
