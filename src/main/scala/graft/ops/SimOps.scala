@@ -23,6 +23,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimOps {
 
+  /** Fixed parquet location for eval_retrieval_recall_trained's trained
+    * centroids — inside the repo so the oracle replays the retrieval
+    * against the identical centroid bytes (the PipelineOps.BpeDictDir
+    * pattern). */
+  val IvfCentDir = "/root/repo/target/ivfdata/centroids.parquet"
+
   /** Left-to-right double-precision dot product — the native codegen'd
     * expression (graft.functions.VecDotFloat); numerically identical to
     * the interpreted HOF fold but ~20× faster. */
@@ -1067,6 +1073,119 @@ object SimOps {
           round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
       val iv = top5(broadcast(q)
         .join(corpus, col("nbucket") === col("bucket") && col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val hits = ex.join(iv.toDF("q2", "hit_id"),
+          col("query_id") === col("q2") && col("neighbor_id") === col("hit_id"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(col("hit_id")).as("n_hits"))
+      val tot = hits.agg(sum(col("n_hits")).as("th"), count(lit(1)).as("nq"))
+      hits.crossJoin(broadcast(tot))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"),
+          (col("th").cast("double") / (lit(5) * col("nq")).cast("double")).as("mean_recall"))
+    },
+
+    // ── eval_retrieval_recall_trained: recall@5 of the TRAINED k-means
+    // IVF retrieval (the production quantizer, sim_topk_ivf_kmeans's
+    // engine path at nprobe = 4) against the exact top-5 — the trained
+    // sibling of eval_retrieval_recall's sign-code baseline, and the
+    // pair of numbers that justifies training the quantizer at all. The
+    // k-means training is engine-specific, so the TRAINED CENTROIDS are
+    // persisted to parquet under a CONTENT fingerprint partition (the
+    // BPE-dictionary mechanism; fp = Σ floor(dim₁·2²⁰) because the
+    // embedding COUNT collides across sf0.001/sf0.01) and BOTH engines
+    // replay cell assignment (argmax dot, max-struct tie = higher id),
+    // query probing (top-4 cells, lower-id tie), the probed-cell scan,
+    // and the recall join against identical centroid bytes. Metrics are
+    // the single-division recall@5 / mean-recall of the eval family.
+    OpQuery.checked(
+      "eval_retrieval_recall_trained",
+      s"""WITH cent AS (
+         |  SELECT centroid_id, cvec
+         |  FROM read_parquet('$IvfCentDir/corpus_fp=*/*.parquet', hive_partitioning=1)
+         |  WHERE corpus_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+         |                     FROM embeddings)),
+         |emb AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT e.vec_id, c.centroid_id AS bucket,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDot("e.embedding", "c.cvec")} / e.nrm DESC,
+         |                      c.centroid_id DESC) AS rk
+         |    FROM emb e CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM emb
+         |      WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 4096),
+         |pr AS (
+         |  SELECT query_id, qe, qn, bucket FROM (
+         |    SELECT q.query_id, q.qe, q.qn, c.centroid_id AS bucket,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckDot("q.qe", "c.cvec")} / q.qn DESC,
+         |                      c.centroid_id ASC) AS rk
+         |    FROM q CROSS JOIN cent c)
+         |  WHERE rk <= 4),
+         |iv AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |             ORDER BY round(${duckDot("p.qe", "e.embedding")}
+         |                            / (p.qn * e.nrm), 6) DESC, e.vec_id ASC) AS rnk
+         |    FROM pr p JOIN asg a ON a.bucket = p.bucket
+         |    JOIN emb e ON e.vec_id = a.vec_id
+         |    WHERE e.vec_id <> p.query_id)
+         |  WHERE rnk <= 5),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckDot("q.qe", "e.embedding")}
+         |                            / (q.qn * e.nrm), 6) DESC, e.vec_id ASC) AS rnk
+         |    FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id)
+         |  WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+         |  FROM ex e LEFT JOIN iv i
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |tot AS (SELECT CAST(sum(n_hits) AS BIGINT) AS th,
+         |               CAST(count(*) AS BIGINT) AS nq FROM hits)
+         |SELECT h.query_id, h.n_hits,
+         |       CAST(h.n_hits AS DOUBLE) / 5 AS recall_at_5,
+         |       CAST(t.th AS DOUBLE) / CAST(5 * t.nq AS DOUBLE) AS mean_recall
+         |FROM hits h, tot t""".stripMargin
+    ) { (spark, dir) =>
+      val emb = cachedEmb(spark, dir)
+      val fp = emb
+        .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
+        .head().getLong(0)
+      val centP = SimOps.synchronized {
+        val path = s"$IvfCentDir/corpus_fp=$fp"
+        trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      val assigned = emb.join(assignCells(emb, centP), Seq("vec_id"))
+      val q = querySample(emb, 25)
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val iv = top5(probeCells(q, centP)
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("nrm").as("nn"), col("bucket")), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val ex = top5(broadcast(q)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
       val hits = ex.join(iv.toDF("q2", "hit_id"),

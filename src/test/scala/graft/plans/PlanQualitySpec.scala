@@ -326,7 +326,8 @@ class PlanQualitySpec extends SparkSuite {
       for ((q, tbl) <- Seq("sim_cosine_topk" -> "embeddings", "sim_topk_ivf" -> "embeddings",
         "sim_topk_ivf_kmeans" -> "embeddings", "sim_topk_ivf_pq" -> "embeddings",
         "sim_topk_ivf_pq8" -> "embeddings", "sim_topk_mips" -> "embeddings",
-        "eval_dedup_pr" -> "documents", "eval_retrieval_recall" -> "embeddings")) {
+        "eval_dedup_pr" -> "documents", "eval_retrieval_recall" -> "embeddings",
+        "eval_retrieval_recall_trained" -> "embeddings")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val uncapped = df.queryExecution.executedPlan
           .collect { case b: BroadcastExchangeExec => b }
