@@ -1,0 +1,25 @@
+package graft
+
+/** Root directory for persisted, corpus-fingerprint-keyed artifacts
+  * (trained BPE dictionary, IVF centroids, zone-map layout, the
+  * library-schema oracle parquet) and the Spark warehouse dir.
+  *
+  * Derived at class-load from the JVM working directory (sbt forks
+  * mains and tests in the project base dir) with a `graft.artifact.root`
+  * system-property / `GRAFT_ARTIFACT_ROOT` env override, so a checkout
+  * at any path works — the oracle SQL strings interpolate these
+  * constants from the SAME JVM that writes the artifacts, so engine
+  * and oracle can never disagree on the location.
+  *
+  * The artifacts themselves are written EAGERLY by the op that owns
+  * them, hive-partitioned by a corpus fingerprint; an oracle read
+  * against a fingerprint partition Spark has not materialized fails in
+  * DuckDB with its "no files found" error — by design, the loud
+  * failure mode for an out-of-order run.
+  */
+object Artifacts {
+  val Root: String = sys.props
+    .get("graft.artifact.root")
+    .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
+    .getOrElse(sys.props("user.dir") + "/target")
+}

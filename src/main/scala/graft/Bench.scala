@@ -25,7 +25,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
-      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", graft.Artifacts.Root + "/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

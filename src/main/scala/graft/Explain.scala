@@ -32,7 +32,7 @@ object Explain {
       // range_join_demo keys still print their own before/after contrast
       // from a rule-free child session)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", graft.Artifacts.Root + "/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     keys.foreach {

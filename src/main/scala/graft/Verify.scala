@@ -21,7 +21,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
-      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", graft.Artifacts.Root + "/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -169,7 +169,11 @@ object GlobalRank {
     * broadcast-bounded (it is the caller's partition-key cardinality —
     * the exact premise that made the window variant pathological); and
     * group key values must be non-null (the cell join is
-    * null-unsafe — coalesce a sentinel first if needed). */
+    * null-unsafe — coalesce a sentinel first if needed). The last
+    * requirement is ENFORCED in-plan: a null group key fails the plan
+    * loudly (assert_true) instead of silently dropping the row at the
+    * cell join — this is a library primitive and the next consumer may
+    * not have read the scaladoc. */
   def withGroupedRowNumber(
       df: DataFrame,
       groupCols: Seq[String],
@@ -182,7 +186,15 @@ object GlobalRank {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val composite = groupCols.map(col) ++ sortCols
-    val parted = df
+    // in-plan null-key guard (the events_decay_counts assert_true
+    // idiom): assert_true returns NULL on success, so the filter keeps
+    // every valid row and a single null key aborts the job with the
+    // remedy in the message. Codegen'd per-row null checks — no shuffle.
+    val nonNull = groupCols.map(g => s"`$g` IS NOT NULL").mkString(" AND ")
+    val guarded = df.filter(expr(
+      s"isnull(assert_true($nonNull, 'GlobalRank.withGroupedRowNumber: " +
+        "null group key — coalesce a sentinel before ranking'))"))
+    val parted = guarded
       .repartitionByRange(p, composite: _*)
       .withColumn("__gg_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -116,7 +116,22 @@ object Scd2 {
       keyCols: Seq[String],
       trackedCols: Seq[String],
       correctionDate: String): DataFrame = {
-    val chg = corrections.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
+    val chg0 = corrections.select((keyCols ++ trackedCols).map(c => col(c).as(s"__chg_$c")): _*)
+    // in-plan one-row-per-key guard: two correction rows for the same
+    // business key would fan out EVERY version of that key through the
+    // left join below and silently emit conflicting history. The guard
+    // joins the (small) corrections frame against its own per-key counts
+    // and aborts loudly on a duplicate (assert_true is NULL on success,
+    // so the filter keeps every valid row); AQE broadcasts the count
+    // side at change-set size.
+    val chgKeys = keyCols.map(k => s"__chg_$k")
+    val chg = chg0
+      .join(
+        chg0.groupBy(chgKeys.map(col): _*).agg(count(lit(1)).as("__chg_n")),
+        chgKeys)
+      .filter(expr("isnull(assert_true(__chg_n = 1, " +
+        "'Scd2.correct: corrections must carry exactly one row per business key'))"))
+      .drop("__chg_n")
     val joinCond: Column = keyCols.map(k => col(k) === col(s"__chg_$k")).reduce(_ && _)
     val cd = lit(correctionDate).cast("date")
     val differs: Column = trackedCols

@@ -22,7 +22,7 @@ object ExtOps {
   /** Fixed parquet location for io_zonemap_audit's clustered layout —
     * inside the repo so the oracle reads the same files after the Spark
     * JVM exits (the [[PipelineOps.BpeDictDir]] pattern). */
-  val ZonemapDir = "/root/repo/target/zonemapdata"
+  val ZonemapDir = graft.Artifacts.Root + "/zonemapdata"
 
   val ops: Seq[OpQuery] = Seq(
     // ── join_asof: for every click, the latest view of the same user at

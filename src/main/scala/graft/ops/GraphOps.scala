@@ -541,6 +541,20 @@ object GraphOps {
       fixed = n == coreN
       coreN = n
     }
+    // Seeded-peel semantics guard: a seeded peel that exhausts its round
+    // budget WITHOUT an observed fixpoint may sit strictly inside the
+    // from-scratch iterate at the same round count — the "both engines
+    // run exactly the same rounds" contract the unseeded peel has with
+    // its unrolled-CTE oracle no longer holds, and the divergence would
+    // be silent and seed-dependent. Fall back to the unseeded peel (same
+    // budget): if THAT converges the results agree anyway, and if not,
+    // engine and oracle at least run the identical round chain again.
+    // The common case never pays this — convergence is observed well
+    // inside the budget and the early exit fires.
+    if (seed.isDefined && !fixed) {
+      prev.foreach(_.unpersist(false))
+      return kcore(cached, k, rounds, edgesMaterialized = true, seed = None)
+    }
     // the edge artifact and the final generation back the returned frame;
     // the ContextCleaner reclaims them once the result is unreferenced
     survive(core).select(col("src").as("pk"), col("deg").as("core_deg"))

@@ -28,7 +28,7 @@ object LibraryOracleOps {
 
   /** Fixed location the oracle SQL references; inside the repo so no
     * foreign path is ever touched, deterministic at any launch cwd. */
-  val DataDir = "/root/repo/target/librarydata"
+  val DataDir = graft.Artifacts.Root + "/librarydata"
 
   // One-entry session cache instead of a SparkSession-keyed map: the
   // frames are deterministic (the golden specs pin their content) and

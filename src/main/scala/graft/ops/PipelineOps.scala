@@ -22,10 +22,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object PipelineOps {
 
-  /** Fixed parquet location for text_bpe_tokenize's trained dictionary —
-    * inside the repo so the oracle's read_parquet path is deterministic
-    * at any launch cwd (the [[LibraryOracleOps.DataDir]] pattern). */
-  val BpeDictDir = "/root/repo/target/bpedata/bpe_pieces.parquet"
+  /** Parquet location for text_bpe_tokenize's trained dictionary —
+    * under [[graft.Artifacts.Root]] so any checkout path works; engine
+    * write and oracle read interpolate the same constant (the
+    * [[LibraryOracleOps.DataDir]] pattern). */
+  val BpeDictDir = graft.Artifacts.Root + "/bpedata/bpe_pieces.parquet"
 
   /** The learned-quality-classifier holdout frame shared by
     * text_quality_learned and the eval family: (doc_id, n_tokens, score,
@@ -1748,7 +1749,8 @@ object PipelineOps {
         |      FROM c),
         |t AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w),
         |thr AS (SELECT source,
-        |               CAST((200 * wfp * 1000000) // (wtot * nh) AS BIGINT) AS t_micro
+        |               CAST((200 * CAST(wfp AS HUGEINT) * 1000000)
+        |                    // (CAST(wtot AS HUGEINT) * nh) AS BIGINT) AS t_micro
         |        FROM w, t)
         |SELECT d.doc_id, d.source, thr.t_micro
         |FROM documents d JOIN thr USING (source)
@@ -1758,9 +1760,16 @@ object PipelineOps {
       val cnt = d.groupBy("source").agg(count(lit(1)).as("nh"))
         .withColumn("wfp", floor(sqrt(col("nh").cast("double")) * 1048576).cast("long"))
       val tot = cnt.agg(sum(col("wfp")).as("wtot"))
+      // threshold numerator 200·wfp·10⁶ in 64-bit would wrap around
+      // ~10¹² rows per source (wfp = ⌊√n⌋·2²⁰) — Spark (non-ANSI) wraps
+      // silently where DuckDB raises, a silent cross-engine divergence
+      // at exactly the scale this op targets. Route the wide products
+      // through DECIMAL(38,0) ↔ HUGEINT (the agg_chi2_independence
+      // discipline); div on positive operands truncates identically.
       val thr = cnt.crossJoin(broadcast(tot))
         .select(col("source"),
-          expr("(200 * wfp * 1000000) div (wtot * nh)").as("t_micro"))
+          expr("(200 * cast(wfp as decimal(38,0)) * 1000000) " +
+            "div (cast(wtot as decimal(38,0)) * nh)").as("t_micro"))
       d.join(broadcast(thr), "source")
         .filter(Norm.hashBucket(col("doc_id"), 1000000) < col("t_micro"))
         .select(col("doc_id"), col("source"), col("t_micro"))

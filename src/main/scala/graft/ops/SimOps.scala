@@ -27,7 +27,14 @@ object SimOps {
     * centroids — inside the repo so the oracle replays the retrieval
     * against the identical centroid bytes (the PipelineOps.BpeDictDir
     * pattern). */
-  val IvfCentDir = "/root/repo/target/ivfdata/centroids.parquet"
+  val IvfCentDir = graft.Artifacts.Root + "/ivfdata/centroids.parquet"
+
+  /** Parquet location for eval_retrieval_recall_pq's trained residual
+    * codebooks (m=8 × 256, persisted next to the coarse centroids under
+    * the same content-fingerprint partition) — the oracle replays the
+    * whole IVFADC retrieval (assignment, residual PQ encode, LUT build,
+    * ADC scan, shortlist, exact re-rank) against identical bytes. */
+  val IvfPqBookDir = graft.Artifacts.Root + "/ivfdata/pqbooks.parquet"
 
   /** Left-to-right double-precision dot product — the native codegen'd
     * expression (graft.functions.VecDotFloat); numerically identical to
@@ -346,15 +353,21 @@ object SimOps {
         .as("pqword"): _*)
   }
 
-  /** Per-query ADC lookup tables: LUT(query, j, c) = q_j · codebook[j][c].
-    * Q×PqM×PqK rows — bounded by QueryCap, so broadcastable. */
+  /** Per-query ADC lookup tables: LUT(query, j, c) = q_j · codebook[j][c],
+    * carried as FIXED-POINT ⌊pdot·2²⁰⌋ BIGINT — the 8 per-candidate
+    * partials then SUM exactly and order-free in any engine (a double
+    * sum's value depends on accumulation order, which a hash aggregate
+    * does not pin; 2⁻²⁰ quantization of a shortlist-selection score is
+    * far below the re-rank's discrimination). Q×PqM×PqK rows — bounded
+    * by QueryCap, so broadcastable. */
   private def pqLut(queries: DataFrame, books: DataFrame): DataFrame =
     queries
       .select(col("query_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), j -> slice(qe, j * $PqDim + 1, $PqDim))")))
       .withColumnRenamed("pos", "sub_j").withColumnRenamed("col", "qsub")
       .join(broadcast(books), Seq("sub_j"))
-      .select(col("query_id"), col("sub_j"), col("code_id"), dot("qsub", "cvec").as("pdot"))
+      .select(col("query_id"), col("sub_j"), col("code_id"),
+        floor(dot("qsub", "cvec") * lit(1048576)).cast("long").as("pdot_fp"))
 
   /** The pure IVFADC branch (sim_topk_ivf_pq8's engine path): probed
     * cells are scanned reading ONLY (id, pqword) — 8 residual-code
@@ -369,33 +382,46 @@ object SimOps {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
     val centDf = trainCentroidsDf(spark, emb)
     val books = trainPqCodebooksDf(spark, emb, centDf)
+    ivfPq8Retrieve(emb, querySample(emb, 25), centDf, books, shortlist)
+  }
+
+  /** The IVFADC scan against a GIVEN coarse quantizer + codebooks —
+    * factored out of [[ivfPq8Approx]] so eval_retrieval_recall_pq can
+    * run the identical retrieval against PERSISTED artifacts the DuckDB
+    * oracle replays. Shortlist selection ranks on the exact BIGINT
+    * score qc_fp + Σ pdot_fp (see [[pqLut]]): dividing by the query's
+    * constant positive norm cannot change a per-query order, so the
+    * fixed-point rank IS the approx-cosine rank, engine-portable. */
+  private[ops] def ivfPq8Retrieve(
+      emb: DataFrame, q: DataFrame, centDf: DataFrame, books: DataFrame,
+      shortlist: Int): DataFrame = {
     val coded = pqEncode(residualVecs(emb, centDf), books, carryCols = Seq("bucket"))
-    val q = querySample(emb, 25)
     val probes = probeCells(q, centDf)
+      .withColumn("qc_fp", floor(col("qc_dot") * lit(1048576)).cast("long"))
     val lut = pqLut(q, books)
     // ADC scan: candidates are (query, neighbor) pairs from probed cells
     // — the corpus side carries ONLY (id, bucket, pqword); the codes
     // encode the residual from the cell centroid, whose q·c term rides
-    // in from the probe side (qc_dot), so no norm and no float vector
+    // in from the probe side (qc_fp), so no norm and no float vector
     // touches the scan. Each candidate unpacks its 8 code bytes, joins
     // the broadcast LUT, and sums the 8 partial dots with map-side
     // combine — the shuffle carries one row per candidate pair.
-    val adc = probes.select(col("query_id"), col("qn"), col("qc_dot"), col("bucket"))
+    val adc = probes.select(col("query_id"), col("qc_fp"), col("bucket"))
       .join(coded.select(col("vec_id").as("neighbor_id"), col("bucket"), col("pqword")),
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qn"), col("qc_dot"), col("neighbor_id"),
+      .select(col("query_id"), col("qc_fp"), col("neighbor_id"),
         posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
           "j -> named_struct('sub_j', j, 'code_id', CAST(shiftright(pqword, 8 * j) & 255 AS INT)))")))
-      .select(col("query_id"), col("qn"), col("qc_dot"), col("neighbor_id"),
+      .select(col("query_id"), col("qc_fp"), col("neighbor_id"),
         col("col.sub_j").as("sub_j"), col("col.code_id").as("code_id"))
       .join(broadcast(lut), Seq("query_id", "sub_j", "code_id"))
-      .groupBy("query_id", "qn", "qc_dot", "neighbor_id")
-      .agg(sum("pdot").as("adc_dot"))
+      .groupBy("query_id", "qc_fp", "neighbor_id")
+      .agg(sum("pdot_fp").as("adc_fp"))
     val short = adc
-      .withColumn("approx_cos", (col("qc_dot") + col("adc_dot")) / col("qn"))
+      .withColumn("score_fp", col("qc_fp") + col("adc_fp"))
       .withColumn("srank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id").asc)))
+        Window.partitionBy("query_id").orderBy(col("score_fp").desc, col("neighbor_id").asc)))
       .filter(col("srank") <= shortlist)
     // exact re-rank: float vectors are fetched for the shortlist ONLY —
     // at scale this is the point where the 32×-compressed scan hands a

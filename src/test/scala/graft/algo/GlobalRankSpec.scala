@@ -87,6 +87,24 @@ class GlobalRankSpec extends SparkSuite {
     }
   }
 
+  test("withGroupedRowNumber fails loudly on a null group key") {
+    // the cell join is null-unsafe; without the in-plan guard a null
+    // key's rows would silently vanish from the output — assert the
+    // guard converts that into a job failure naming the remedy
+    val g = df.withColumn(
+      "grp",
+      when(col("k") === 17, lit(null).cast("long")).otherwise(pmod(col("k"), lit(5))))
+    val ranked = GlobalRank
+      .withGroupedRowNumber(g, Seq("grp"), Seq(col("v").asc, col("k").asc), "r", "n", 8)
+    val ex = intercept[Exception] { ranked.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(
+      chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("null group key"))),
+      s"expected the null-group-key assert, got: $ex")
+  }
+
   test("withGroupedRowNumber: every data-side window is pid-partitioned") {
     val g = df.withColumn("grp", pmod(col("k"), lit(5)))
     val out = GlobalRank

@@ -68,6 +68,21 @@ class Scd2Spec extends SparkSuite {
     assert(noop.exceptAll(dim0).isEmpty && dim0.exceptAll(noop).isEmpty)
   }
 
+  test("scd2 correct rejects two correction rows for one business key") {
+    // duplicate keys in the corrections frame would fan out every
+    // version of the key through the left join — the in-plan guard must
+    // turn that into a loud failure, not duplicated history
+    val dup = Seq((1L, "SILVER"), (1L, "BRONZE")).toDF("id", "tier")
+    val corrected = Scd2.correct(dim0, dup, Seq("id"), Seq("tier"), "2020-09-01")
+    val ex = intercept[Exception] { corrected.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(
+      chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("exactly one row per business key"))),
+      s"expected the duplicate-correction assert, got: $ex")
+  }
+
   test("scd2 preserves one-current-row-per-key across two generations") {
     val g1 = Scd2.apply(dim0, Seq((1L, "PLATINUM")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2021-06-01")
     val g2 = Scd2.apply(g1, Seq((1L, "IRIDIUM"), (2L, "GOLD")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2022-01-01")

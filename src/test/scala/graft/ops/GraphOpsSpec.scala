@@ -318,6 +318,29 @@ class GraphOpsSpec extends SparkSuite {
     assert(r4.values.forall(_ >= 1), "every surviving edge keeps >= support triangles")
   }
 
+  test("kcore: a seeded peel that exhausts its budget falls back to the unseeded rounds") {
+    import spark.implicits._
+    // a 12-node path peels from both ends under k=2 — ~L/2 rounds to
+    // the (empty) fixpoint, so a 2-round budget CANNOT converge. A
+    // seeded 2-round peel must then match the unseeded 2-round peel
+    // (the round-count contract the oracle unrolls), not a
+    // seed-dependent partial iterate.
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val both = (path ++ path.map(_.swap)).toDF("src", "dst").localCheckpoint(true)
+    // seed = the ROUND-1 survivors {2..11} (a valid superset of the
+    // empty 2-core): without the fallback the seeded 2-round peel would
+    // land on the scratch peel's round-3 iterate — strictly fewer
+    // survivors than the scratch 2-round peel the oracle unrolls
+    val ahead = (2L to 11L).toDF("pk")
+    val seeded = GraphOps
+      .kcore(both, k = 2, rounds = 2, edgesMaterialized = true, seed = Some(ahead))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = GraphOps.kcore(both, k = 2, rounds = 2, edgesMaterialized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seeded == scratch,
+      "budget-exhausted seeded peel must reproduce the unseeded round chain")
+  }
+
   test("kcore: seeding from the (k-1)-core survivors changes nothing") {
     // core(k) ⊆ core(k-1), so the seeded peel must land on the SAME
     // fixpoint (values included) as the from-scratch peel — the
