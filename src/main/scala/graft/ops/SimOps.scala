@@ -45,6 +45,11 @@ object SimOps {
   private def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, 65), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)), 'sum')"
 
+  /** The 8-element fold for PQ subvectors — same left-to-right double
+    * accumulation as [[duckDot]]. */
+  private def duckDot8(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 9), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)), 'sum')"
+
   /** Embeddings with a precomputed L2 norm (computed once per row). */
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
@@ -1208,6 +1213,169 @@ object SimOps {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val ex = top5(broadcast(q)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot("qe", "ne") / (col("qn") * col("nn")), 6).as("cos_sim")))
+      val hits = ex.join(iv.toDF("q2", "hit_id"),
+          col("query_id") === col("q2") && col("neighbor_id") === col("hit_id"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(col("hit_id")).as("n_hits"))
+      val tot = hits.agg(sum(col("n_hits")).as("th"), count(lit(1)).as("nq"))
+      hits.crossJoin(broadcast(tot))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"),
+          (col("th").cast("double") / (lit(5) * col("nq")).cast("double")).as("mean_recall"))
+    },
+
+    // ── eval_retrieval_recall_pq: recall@5 of the FULL IVFADC tier
+    // (sim_topk_ivf_pq8's engine path: trained coarse quantizer, m=8×256
+    // residual codebooks, fixed-point ADC shortlist, exact re-rank)
+    // against the exact top-5 — the third point on the quantizer curve
+    // after sign-code (eval_retrieval_recall) and trained-kmeans
+    // (eval_retrieval_recall_trained), measuring the tier a 100 TB
+    // deployment actually ships. Trained artifacts (centroids AND
+    // codebooks) persist under the content-fingerprint partition; the
+    // oracle replays the ENTIRE pipeline — cell assignment, residual PQ
+    // encode (relational argmin over the persisted codebooks), LUT
+    // build, ADC scan, fixed-point shortlist, exact re-rank — against
+    // identical bytes. Cross-engine exactness rides on (a) float32
+    // residual arithmetic being identical in both engines (the
+    // binary64-intermediate double-rounding is provably exact for
+    // binary32 ops), (b) the ADC score being an order-free BIGINT sum
+    // of ⌊pdot·2²⁰⌋ fixed-point partials (see pqLut), and (c) every
+    // rank breaking ties on ids.
+    OpQuery.checked(
+      "eval_retrieval_recall_pq",
+      s"""WITH fpv AS (
+         |  SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS fp
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT centroid_id, cvec
+         |  FROM read_parquet('$IvfCentDir/corpus_fp=*/*.parquet', hive_partitioning=1)
+         |  WHERE corpus_fp = (SELECT fp FROM fpv)),
+         |books AS (
+         |  SELECT sub_j, code_id, cvec AS bvec, cnorm2
+         |  FROM read_parquet('$IvfPqBookDir/corpus_fp=*/*.parquet', hive_partitioning=1)
+         |  WHERE corpus_fp = (SELECT fp FROM fpv)),
+         |emb AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT e.vec_id, c.centroid_id AS bucket,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDot("e.embedding", "c.cvec")} / e.nrm DESC,
+         |                      c.centroid_id DESC) AS rk
+         |    FROM emb e CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |res AS (
+         |  SELECT e.vec_id, a.bucket,
+         |         list_transform(range(1, 65), i ->
+         |           CAST(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / e.nrm AS REAL)
+         |                - c.cvec[CAST(i AS INT)] AS REAL)) AS rv
+         |  FROM emb e JOIN asg a ON a.vec_id = e.vec_id
+         |  JOIN cent c ON c.centroid_id = a.bucket),
+         |sub AS (
+         |  SELECT vec_id, bucket, CAST(js.j AS INT) AS sub_j,
+         |         list_slice(rv, CAST(js.j * 8 + 1 AS INT), CAST(js.j * 8 + 8 AS INT)) AS sv
+         |  FROM res, (SELECT unnest(generate_series(0, 7)) AS j) js),
+         |enc AS (
+         |  SELECT vec_id, bucket, sub_j, code_id FROM (
+         |    SELECT s.vec_id, s.bucket, s.sub_j, b.code_id,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j
+         |             ORDER BY b.cnorm2 - 2.0 * ${duckDot8("s.sv", "b.bvec")} ASC,
+         |                      b.code_id ASC) AS rk
+         |    FROM sub s JOIN books b ON b.sub_j = s.sub_j)
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM emb
+         |      WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 4096),
+         |pr AS (
+         |  SELECT query_id, bucket, qc_fp FROM (
+         |    SELECT q.query_id, c.centroid_id AS bucket,
+         |           CAST(floor(${duckDot("q.qe", "c.cvec")} * 1048576) AS BIGINT) AS qc_fp,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckDot("q.qe", "c.cvec")} / q.qn DESC,
+         |                      c.centroid_id ASC) AS rk
+         |    FROM q CROSS JOIN cent c)
+         |  WHERE rk <= 4),
+         |lut AS (
+         |  SELECT q.query_id, b.sub_j, b.code_id,
+         |         CAST(floor(${duckDot8(
+                     "list_slice(q.qe, CAST(b.sub_j * 8 + 1 AS INT), CAST(b.sub_j * 8 + 8 AS INT))",
+                     "b.bvec")} * 1048576) AS BIGINT) AS pdot_fp
+         |  FROM q CROSS JOIN books b),
+         |adc AS (
+         |  SELECT p.query_id, p.qc_fp, e.vec_id AS neighbor_id,
+         |         CAST(sum(l.pdot_fp) AS BIGINT) AS adc_fp
+         |  FROM pr p JOIN enc e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub_j = e.sub_j
+         |            AND l.code_id = e.code_id
+         |  GROUP BY 1, 2, 3),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY qc_fp + adc_fp DESC, neighbor_id ASC) AS rk
+         |    FROM adc)
+         |  WHERE rk <= 64),
+         |iv AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |             ORDER BY round(${duckDot("q.qe", "e.embedding")}
+         |                            / (q.qn * e.nrm), 6) DESC, s.neighbor_id ASC) AS rnk
+         |    FROM short s JOIN q ON q.query_id = s.query_id
+         |    JOIN emb e ON e.vec_id = s.neighbor_id)
+         |  WHERE rnk <= 5),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckDot("q.qe", "e.embedding")}
+         |                            / (q.qn * e.nrm), 6) DESC, e.vec_id ASC) AS rnk
+         |    FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id)
+         |  WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+         |  FROM ex e LEFT JOIN iv i
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |tot AS (SELECT CAST(sum(n_hits) AS BIGINT) AS th,
+         |               CAST(count(*) AS BIGINT) AS nq FROM hits)
+         |SELECT h.query_id, h.n_hits,
+         |       CAST(h.n_hits AS DOUBLE) / 5 AS recall_at_5,
+         |       CAST(t.th AS DOUBLE) / CAST(5 * t.nq AS DOUBLE) AS mean_recall
+         |FROM hits h, tot t""".stripMargin
+    ) { (spark, dir) =>
+      val emb = cachedEmb(spark, dir)
+      val fp = emb
+        .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
+        .head().getLong(0)
+      // persist centroids + codebooks under the fingerprint partition;
+      // both writes are byte-deterministic under re-execution (id-ordered
+      // driver samples, fixed-iteration Lloyd's, coalesce(1)) — the
+      // round-9 requirement for any eager artifact write
+      val (centP, booksP) = SimOps.synchronized {
+        val cp = s"$IvfCentDir/corpus_fp=$fp"
+        trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(cp)
+        val cent = spark.read.parquet(cp)
+        val bp = s"$IvfPqBookDir/corpus_fp=$fp"
+        trainPqCodebooksDf(spark, emb, cent).coalesce(1).write.mode("overwrite").parquet(bp)
+        (cent, spark.read.parquet(bp))
+      }
+      val q = querySample(emb, 25)
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val iv = top5(ivfPq8Retrieve(emb, q, centP, booksP, Shortlist))
       val ex = top5(broadcast(q)
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("ne"), col("nrm").as("nn")))
