@@ -545,6 +545,54 @@ object AggOps {
           graft.algo.GlobalRank.ntileOfRank(col("rn"), col("n"), 10).as("decile"))
     },
 
+    // ── win_pctrank_grouped: per-cohort percent_rank + cume_dist at ROW
+    // grain WITH REAL TIE SEMANTICS (score = floor(value), so RANK and
+    // its peer class differ from ROW_NUMBER) — the same low-cardinality-
+    // partition-key trap as win_ntile_grouped, promoted the same way:
+    // ONE GlobalRank.withGroupedRowNumber over the composite order does
+    // all the sorting TeraSort-shaped, then RANK = the tie class's MIN
+    // row_number and the cume_dist numerator = its MAX row_number — one
+    // map-side-combined aggregate at the (group, distinct score) grain
+    // joined back (skew-safe: hot tie classes pre-reduce in the
+    // combine; AQE handles a hot join key). percent_rank = (rank−1)/
+    // (n−1) and cume_dist = max_rn/n are single BIGINT/BIGINT→DOUBLE
+    // divisions, bit-identical in both engines; the oracle is the
+    // explicit SQL-window form (rank(), partition counts) with the same
+    // two divisions.
+    OpQuery.checked(
+      "win_pctrank_grouped",
+      """WITH t AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(CAST(value AS DOUBLE)) AS BIGINT) AS score
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_id, event_type, score,
+        |         CAST(rank() OVER (PARTITION BY event_type ORDER BY score) AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |         CAST(count(*) OVER (PARTITION BY event_type, score) AS BIGINT) AS peers
+        |  FROM t)
+        |SELECT event_id, event_type, score,
+        |       CASE WHEN n = 1 THEN 0.0
+        |            ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct_rank,
+        |       CAST(rnk + peers - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS cume_dist
+        |FROM w""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value").cast("double")).cast("long").as("score"))
+      val ranked = graft.algo.GlobalRank.withGroupedRowNumber(
+        t, Seq("event_type"), Seq(col("score").asc, col("event_id").asc), "rn", "n")
+      val ties = ranked.groupBy("event_type", "score")
+        .agg(min(col("rn")).as("rnk"), max(col("rn")).as("max_rn"))
+      ranked.join(ties, Seq("event_type", "score"))
+        .select(col("event_id"), col("event_type"), col("score"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .as("pct_rank"),
+          (col("max_rn").cast("double") / col("n").cast("double")).as("cume_dist"))
+    },
+
     // ── agg_quantile_bands_grouped: EXACT per-group P10/P50/P90 as
     // value-at-rank ceil(p·n) — agg_percentile's scale path: Spark's
     // `percentile` aggregate buffers and sorts each group's values

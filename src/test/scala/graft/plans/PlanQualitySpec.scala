@@ -303,6 +303,7 @@ class PlanQualitySpec extends SparkSuite {
         "groupKeyWindow detector failed to flag a group-key window over a fact scan")
       for (q <- Seq("events_anomaly_mad", "sample_class_balance_threshold",
         "score_rfm_threshold", "win_running_total_global", "win_ntile_grouped",
+        "win_pctrank_grouped",
         "agg_gini_grouped", "agg_quantile_bands_grouped", "eval_score_auc")) {
         val df = graft.SparkEntry.queries(q)(spark, sf001)
         val bad = groupKeyWindow(df.queryExecution.executedPlan)
