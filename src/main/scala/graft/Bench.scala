@@ -63,9 +63,45 @@ object Bench {
         // the round-8 sweep). Dropping every persistent RDD between
         // measurements restores per-query isolation.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // storage hygiene snapshot: blocks that survive the per-query
+        // cleanup are exactly the leak class that inflated late-alphabet
+        // queries in rounds 8-9 (lingering localCheckpoint blocks, GC
+        // debt) — surface them immediately, attributed to the query
+        // that leaked them, instead of reconstructing it from tail
+        // timings after the fact
+        val lingering = spark.sparkContext.getPersistentRDDs.size
+        val storageUsed = spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, remaining) => max - remaining }.sum
+        if (lingering > 0 || storageUsed > 64L * 1024 * 1024)
+          System.err.println(s"[bench] $name leaked: $lingering persistent RDDs, " +
+            s"${storageUsed / 1024 / 1024} MiB storage still used after cleanup")
         // a failed query must not masquerade as a fast healthy timing
         (name, if (failed) -1.0 else times.min, failed)
       }
+    // Sweep-context self-check (round-9 finding: scd2_asof_lookup read
+    // 4.3 s in-sweep vs 0.5 s isolated — neighbor pressure, not the
+    // query): re-measure the slowest queries in isolation at the end of
+    // the sweep and report sweep/isolated ratios. A ratio > 3x on a
+    // non-trivial query means some earlier query leaks pressure into
+    // the sweep; the ratio map makes the distortion visible in every
+    // bench run instead of needing a manual isolated re-run.
+    val recheck = results.filterNot(_._3).sortBy(-_._2).take(12).map { case (name, sweepT, _) =>
+      val iso = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, sweepT, iso)
+    }
+    val inflated = recheck.collect {
+      case (n, s, i) if i > 0.2 && s / i > 3.0 => n -> (s / i)
+    }
+    recheck.foreach { case (n, s, i) =>
+      System.err.println(f"[bench] recheck $n%-34s sweep=$s%.3f iso=$i%.3f ratio=${s / i}%.2f")
+    }
     // millisecond precision keeps the one-line JSON short enough for the
     // driver's bounded tail capture — round 2's full-precision line got
     // head-truncated and failed to parse driver-side
@@ -84,7 +120,9 @@ object Bench {
     // comfortably inside the capture window.
     System.err.println(s"""{"queries":${qmap(results.sortBy(_._2))},"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedKeys,"sf":"$sfDir"}""")
     val slowest = results.filterNot(_._3).sortBy(-_._2).take(25).reverse
-    println(s"""{"queries":${qmap(slowest)},"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${slowest.size},"failed":$failedKeys,"sf":"$sfDir"}""")
+    val inflatedJson = inflated
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
+    println(s"""{"queries":${qmap(slowest)},"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${slowest.size},"failed":$failedKeys,"inflated":$inflatedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -557,6 +557,130 @@ object EventsOps {
           sum(col("bits")).cast("long").as("bits_total"),
           (sum(col("bits")).cast("double") / count(lit(1)).cast("double"))
             .as("bits_per_trans"))
+    },
+
+    // ── events_burst_kleinberg: burst detection over the daily event
+    // series — Kleinberg's two-state automaton (Kleinberg, KDD'02,
+    // "Bursty and Hierarchical Structure in Streams"): a low state
+    // expecting the base rate, a high state expecting 2× it, a cost γ
+    // to ENTER the high state, and the minimum-cost state sequence
+    // (Viterbi) labels the burst intervals — the principled alternative
+    // to per-day thresholding, because isolated spikes don't pay for γ
+    // but sustained ones do. Integer-exact variant: emission costs are
+    // L1 deviations in "2·D units" — cost_low = |2·D·n_t − 2·N|,
+    // cost_high = |2·D·n_t − 4·N| (N = type total, D = day count, so
+    // the targets N/D and 2N/D need no division), γ = 2·N — and every
+    // tie prefers the low/staying state, making the DP a pure BIGINT
+    // computation both engines replay bit-for-bit.
+    //
+    // Scale shape: the corpus-touching work is ONE map-side-combined
+    // aggregate to the (type, day) grain plus the day-spine outer join;
+    // the Viterbi itself runs on that BOUNDED frame (|types| × |days|,
+    // constant in corpus size — the events_decay/cusum grain-reduction
+    // contract). The DP is inherently sequential per type, so it runs
+    // as a bounded driver computation (the P×|groups| cell-frame
+    // class); the oracle replays it as a forward recursive CTE carrying
+    // (cost_low, cost_high, predecessor flags) plus a backward
+    // recursion re-walking the argmin decisions.
+    OpQuery.checked(
+      "events_burst_kleinberg",
+      """WITH RECURSIVE pd AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (
+        |  SELECT t.event_type, CAST(u.dd AS DATE) AS d
+        |  FROM types t, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
+        |grid AS (
+        |  SELECT s.event_type, s.d, COALESCE(pd.n, 0) AS n,
+        |         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN pd ON pd.event_type = s.event_type AND pd.d = s.d),
+        |par AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd
+        |        FROM grid GROUP BY 1),
+        |c AS (
+        |  SELECT g.event_type, g.t, g.d, g.n,
+        |         abs(2 * p.nd * g.n - 2 * p.tot) AS cl,
+        |         abs(2 * p.nd * g.n - 4 * p.tot) AS ch,
+        |         2 * p.tot AS gam
+        |  FROM grid g JOIN par p USING (event_type)),
+        |fwd AS (
+        |  SELECT event_type, t, cl AS lc, gam + ch AS hc,
+        |         CAST(NULL AS BOOLEAN) AS predl, CAST(NULL AS BOOLEAN) AS predh
+        |  FROM c WHERE t = 1
+        |  UNION ALL
+        |  SELECT c.event_type, c.t,
+        |         least(f.lc, f.hc) + c.cl,
+        |         least(f.lc + c.gam, f.hc) + c.ch,
+        |         f.lc <= f.hc,
+        |         f.hc <= f.lc + c.gam
+        |  FROM fwd f JOIN c ON c.event_type = f.event_type AND c.t = f.t + 1),
+        |bwd AS (
+        |  SELECT f.event_type, f.t, f.lc <= f.hc AS is_low
+        |  FROM fwd f JOIN (SELECT event_type, max(t) AS mt FROM fwd GROUP BY 1) m
+        |    ON m.event_type = f.event_type AND m.mt = f.t
+        |  UNION ALL
+        |  SELECT w.event_type, w.t - 1,
+        |         CASE WHEN w.is_low THEN f.predl ELSE NOT f.predh END
+        |  FROM bwd w JOIN fwd f ON f.event_type = w.event_type AND f.t = w.t
+        |  WHERE w.t > 1)
+        |SELECT g.event_type, g.d, g.n,
+        |       CAST(CASE WHEN w.is_low THEN 0 ELSE 1 END AS BIGINT) AS burst
+        |FROM grid g JOIN bwd w ON w.event_type = g.event_type AND w.t = g.t""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val pd = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+      val grid = spine.join(pd, Seq("event_type", "d"), "left_outer")
+        .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      // bounded driver read: |types| × |days| rows, constant in corpus
+      // size; Viterbi is sequential in t by nature, per type
+      val byType = grid.collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+        .groupBy(_._1)
+      val out = byType.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+        val states = kleinbergStates(sorted.map(_._3).toIndexedSeq)
+        sorted.zip(states).map { case ((tp, d, n), hi) =>
+          (tp, d, n, if (hi) 1L else 0L)
+        }
+      }
+      spark.createDataFrame(out).toDF("event_type", "d", "n", "burst")
     }
   )
+
+  /** The integer Viterbi behind events_burst_kleinberg: two states
+    * (low = base rate N/D, high = 2×), L1 deviation emission costs in
+    * 2·D units, entry cost γ = 2·N, ties prefer low/staying. Returns
+    * the high-state flag per step. Mirrors the oracle's fwd/bwd
+    * recursive CTEs decision-for-decision — any asymmetry in a tie
+    * rule here would hash-fail the driver compare. */
+  private[ops] def kleinbergStates(counts: IndexedSeq[Long]): IndexedSeq[Boolean] = {
+    val nd = counts.length
+    require(nd > 0, "at least one step")
+    val tot = counts.sum
+    val gam = 2L * tot
+    def cl(n: Long) = math.abs(2L * nd * n - 2L * tot)
+    def ch(n: Long) = math.abs(2L * nd * n - 4L * tot)
+    var lc = cl(counts(0))
+    var hc = gam + ch(counts(0))
+    val predl = new Array[Boolean](nd)
+    val predh = new Array[Boolean](nd)
+    for (t <- 1 until nd) {
+      val nlc = math.min(lc, hc) + cl(counts(t))
+      val nhc = math.min(lc + gam, hc) + ch(counts(t))
+      predl(t) = lc <= hc
+      predh(t) = hc <= lc + gam
+      lc = nlc; hc = nhc
+    }
+    val high = new Array[Boolean](nd)
+    high(nd - 1) = !(lc <= hc)
+    for (t <- nd - 1 to 1 by -1)
+      high(t - 1) = if (!high(t)) !predl(t) else predh(t)
+    high.toIndexedSeq
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** events_burst_kleinberg's DP against a sequential brute-force
+  * reference: with only 2^T state sequences, small fixtures can be
+  * verified by EXHAUSTIVE minimization — the DP must always land on
+  * the true minimum cost, and on the unique optimum whenever there is
+  * one. (Cross-engine agreement needs only that Spark and the oracle
+  * mirror the same tie DECISIONS, which they do by construction; this
+  * spec pins that those decisions solve the optimization at all.) */
+class KleinbergBurstSpec extends AnyFunSuite {
+
+  private def costs(counts: IndexedSeq[Long]) = {
+    val nd = counts.length
+    val tot = counts.sum
+    val gam = 2L * tot
+    (gam,
+      (n: Long) => math.abs(2L * nd * n - 2L * tot),
+      (n: Long) => math.abs(2L * nd * n - 4L * tot))
+  }
+
+  private def seqCost(counts: IndexedSeq[Long], states: IndexedSeq[Boolean]): Long = {
+    val (gam, cl, ch) = costs(counts)
+    var c = if (states(0)) gam + ch(counts(0)) else cl(counts(0))
+    for (t <- 1 until counts.length) {
+      if (states(t) && !states(t - 1)) c += gam
+      c += (if (states(t)) ch(counts(t)) else cl(counts(t)))
+    }
+    c
+  }
+
+  /** (minimum cost, set of optimal sequences) by exhaustive search. */
+  private def bruteForce(counts: IndexedSeq[Long]): (Long, Set[IndexedSeq[Boolean]]) = {
+    val all = (0 until (1 << counts.length))
+      .map(m => IndexedSeq.tabulate(counts.length)(t => ((m >> t) & 1) == 1))
+    val best = all.map(s => seqCost(counts, s)).min
+    (best, all.filter(s => seqCost(counts, s) == best).toSet)
+  }
+
+  test("a sustained spike is flagged as one burst; singles are not") {
+    // D=6, N=24: base 4/day, high target 8/day, gamma=48. The two
+    // 10-count days are worth entering the high state for; the
+    // flanking 1-count days are not.
+    val counts = IndexedSeq(1L, 1L, 10L, 10L, 1L, 1L)
+    val got = EventsOps.kleinbergStates(counts)
+    assert(got == IndexedSeq(false, false, true, true, false, false))
+    val (best, optima) = bruteForce(counts)
+    assert(seqCost(counts, got) == best && optima == Set(got))
+    // an isolated spike of the same height does NOT pay for gamma
+    val single = IndexedSeq(1L, 1L, 10L, 1L, 1L, 1L)
+    val gotSingle = EventsOps.kleinbergStates(single)
+    assert(gotSingle.forall(!_), s"isolated spike must stay low: $gotSingle")
+    assert(seqCost(single, gotSingle) == bruteForce(single)._1)
+  }
+
+  test("DP reaches the exhaustive minimum on random small series") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val nd = 2 + rnd.nextInt(9) // 2..10 days
+      val counts = IndexedSeq.fill(nd)(rnd.nextInt(12).toLong)
+      val dp = EventsOps.kleinbergStates(counts)
+      val (best, optima) = bruteForce(counts)
+      assert(seqCost(counts, dp) == best,
+        s"trial $trial counts=$counts dp=$dp cost=${seqCost(counts, dp)} best=$best")
+      if (optima.size == 1)
+        assert(dp == optima.head, s"trial $trial unique optimum mismatch: $dp")
+    }
+  }
+
+  test("flat series never bursts; uniformly doubled tail bursts at the tail") {
+    assert(EventsOps.kleinbergStates(IndexedSeq.fill(8)(5L)).forall(!_))
+    // tail at 12 ≈ 1.7× the 7/day base toward the 14/day high target —
+    // a 4-day run amortizes gamma (an 8-on-5 tail would not: verified
+    // all-low is then genuinely optimal)
+    val ramp = IndexedSeq(2L, 2L, 2L, 2L, 12L, 12L, 12L, 12L)
+    val got = EventsOps.kleinbergStates(ramp)
+    assert(seqCost(ramp, got) == bruteForce(ramp)._1)
+    assert(got.takeRight(4).forall(identity) && got.take(4).forall(!_),
+      s"tail must burst: $got")
+  }
+}
