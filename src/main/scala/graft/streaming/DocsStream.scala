@@ -131,4 +131,60 @@ object DocsStream {
       .queryName(queryName)
       .start()
   }
+
+  // ── Incremental shard packing — the streaming twin of the batch
+  // `multimodal_shard_pack` operator: payloads are assigned contiguous
+  // byte offsets (shard_id = offset div ShardBytes) AS THEY ARRIVE,
+  // instead of re-running the batch prefix sum over the whole corpus.
+  //
+  // Contiguous offsets are inherently sequential, so the scale-honest
+  // unit of sequence is the SOURCE: each source packs its own shard
+  // chain (the webdataset convention — shards don't mix sources anyway,
+  // so per-source chains are what the loader wants), sources pack in
+  // parallel, and the state per source is a SINGLE running offset —
+  // O(1), no timeout needed, total state = one long per live source.
+  // Within a micro-batch arrivals are ordered by doc_id so a replay
+  // delivering the same files yields byte-identical packing; across
+  // micro-batches the offset carries in the state store (the
+  // crash-recovery story is the state store's, same as sessionize).
+  //
+  // Replay contract (asserted in DocsStreamSpec): delivering the corpus
+  // in doc_id order reproduces exactly the batch per-source prefix-sum
+  // packing — the batch op IS the oracle for the incremental one.
+
+  val ShardBytes = 16384L
+
+  final case class PackedDoc(source: String, doc_id: Long, n_bytes: Long,
+    byte_offset: Long, shard_id: Long, offset_in_shard: Long)
+  final case class PackState(offset: Long)
+
+  def shardPack(docs: DataFrame): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, in: Iterator[(String, Long, Long)], state: GroupState[PackState]) => {
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = in.toArray.sortBy(_._2).map { case (_, id, nb) =>
+            val o = off
+            off += nb
+            PackedDoc(src, id, nb, o, o / ShardBytes, o % ShardBytes)
+          }
+          state.update(PackState(off))
+          out.iterator
+        })
+  }
+
+  def startShardPack(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(docSchema).parquet(sourceDir)
+    shardPack(src)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

@@ -318,6 +318,26 @@ class GraphOpsSpec extends SparkSuite {
     assert(r4.values.forall(_ >= 1), "every surviving edge keeps >= support triangles")
   }
 
+  test("coGraph artifact: set-equal to the direct derivation, rebuilt when torn") {
+    val li = graft.Tables(spark, sf001).lineitem.select("l_orderkey", "l_partkey")
+    val (edges, nodes) = GraphOps.coGraph(spark, li)
+    val direct = GraphOps.coEdges(li)
+    assert(edges.exceptAll(direct).isEmpty && direct.exceptAll(edges).isEmpty,
+      "persisted edge artifact must be SET-equal to the relational derivation")
+    assert(nodes.exceptAll(GraphOps.coNodes(li)).isEmpty,
+      "persisted node artifact must cover the node set")
+    // torn-write recovery: delete the _SUCCESS marker — the next coGraph
+    // call must rebuild rather than trust a possibly-partial directory
+    val fp = li.count()
+    val marker = new java.io.File(
+      s"${GraphOps.GraphArtifactDir}/co_edges.parquet/corpus_fp=$fp/_SUCCESS")
+    assert(marker.exists, "artifact write must leave a _SUCCESS marker")
+    assert(marker.delete())
+    val (rebuilt, _) = GraphOps.coGraph(spark, li)
+    assert(marker.exists, "coGraph must rebuild a torn artifact")
+    assert(rebuilt.exceptAll(direct).isEmpty && direct.exceptAll(rebuilt).isEmpty)
+  }
+
   test("kcore: a seeded peel that exhausts its budget falls back to the unseeded rounds") {
     import spark.implicits._
     // a 12-node path peels from both ends under k=2 — ~L/2 rounds to

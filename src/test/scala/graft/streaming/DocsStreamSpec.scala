@@ -128,4 +128,44 @@ class DocsStreamSpec extends SparkSuite {
         s"contaminated docs survived decontamination: ${streamKept.intersect(contaminated)}")
     } finally q.stop()
   }
+
+  test("incremental shard packing reproduces the batch per-source prefix-sum packing") {
+    // two sources interleaved across two deliveries: chains must pack in
+    // parallel per source, and each source's running offset must carry
+    // across the micro-batch boundary through the state store
+    def doc(id: Long, src: String, len: Int) =
+      (id, "x" * len, "en", src, len.toLong)
+    val wave1 = Seq(doc(0, "a", 9000), doc(1, "b", 5000), doc(2, "a", 9000), doc(3, "b", 4000))
+    val wave2 = Seq(doc(4, "a", 2000), doc(5, "b", 9000), doc(6, "a", 500))
+    val staged = java.nio.file.Files.createTempDirectory("graft_shard_pack").toString
+
+    wave1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = DocsStream.startShardPack(spark, staged, "shard_pack_test")
+    try {
+      q.processAllAvailable()
+      wave2.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+
+      val got = spark.table("shard_pack_test")
+        .select("source", "doc_id", "n_bytes", "byte_offset", "shard_id", "offset_in_shard")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+      // sequential reference: per-source prefix sums in delivery order
+      // (= doc_id order here) — exactly the batch op's per-source form
+      val want = (wave1 ++ wave2).groupBy(_._4).flatMap { case (src, docs) =>
+        var off = 0L
+        docs.sortBy(_._1).map { case (id, text, _, _, _) =>
+          val nb = text.getBytes("UTF-8").length.toLong
+          val o = off; off += nb
+          (src, id, nb, o, o / DocsStream.ShardBytes, o % DocsStream.ShardBytes)
+        }
+      }.toSet
+      assert(got == want, s"packing diverged:\n got=$got\nwant=$want")
+      // the cross-batch carry actually happened: doc 4 ("a", third in its
+      // chain) starts at 18000, inside shard 1 — not back at offset 0
+      assert(got.contains(("a", 4L, 2000L, 18000L, 1L, 1616L)))
+    } finally q.stop()
+  }
 }
