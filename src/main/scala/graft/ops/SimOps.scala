@@ -125,6 +125,52 @@ object SimOps {
   // SimOpsSpec).
   private val Shortlist = 64
 
+  /** Content fingerprint of the embeddings corpus — Σ ⌊dim₁·2²⁰⌋
+    * (the COUNT collides across sf0.001/sf0.01, both 500 vectors); the
+    * same sum the artifact-reading oracles compute in SQL. */
+  private def corpusFp(emb: DataFrame): Long = emb
+    .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
+    .head().getLong(0)
+
+  private def artifactReady(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The persisted trained coarse quantizer — ONE artifact per corpus
+    * (fingerprint hive partition, `_SUCCESS`-gated), used by the two
+    * trained-recall evals whose DuckDB oracles replay retrieval against
+    * these exact bytes. The OTHER k-means consumers (kmeans/pq/pq8
+    * retrieval, semantic dedup, knn graph) deliberately keep training
+    * in-memory: the fingerprint aggregate + parquet round-trip was
+    * MEASURED slower than the bounded driver-side fit at oracle scale
+    * (16.2 → 17.6 s over the 7-op family), and at true scale an
+    * explicit index-build step — not a query — would own the artifact.
+    * Training is deterministic (id-ordered sample, fixed iterations),
+    * so skip-if-present is byte-safe; if the hyper-parameters (K,
+    * Iters, sample) ever change, rename the artifact dir — the
+    * fingerprint keys the CORPUS, not the config. */
+  private[ops] def trainedCentroids(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame =
+    SimOps.synchronized {
+      val path = s"$IvfCentDir/corpus_fp=${corpusFp(emb)}"
+      if (!artifactReady(spark, path))
+        trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** Same discipline for the PQ residual codebooks (they train AGAINST
+    * the persisted centroids, so pass the frame [[trainedCentroids]]
+    * returned). */
+  private[ops] def trainedPqBooks(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame, centDf: DataFrame): DataFrame =
+    SimOps.synchronized {
+      val path = s"$IvfPqBookDir/corpus_fp=${corpusFp(emb)}"
+      if (!artifactReady(spark, path))
+        trainPqCodebooksDf(spark, emb, centDf).coalesce(1).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
   /** Train the coarse quantizer on a deterministic hash-sample
     * (id-ordered, bounded driver set — O(k × oversample) regardless of
     * corpus size) and return the broadcastable centroid frame. */
@@ -1191,14 +1237,7 @@ object SimOps {
          |FROM hits h, tot t""".stripMargin
     ) { (spark, dir) =>
       val emb = cachedEmb(spark, dir)
-      val fp = emb
-        .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
-        .head().getLong(0)
-      val centP = SimOps.synchronized {
-        val path = s"$IvfCentDir/corpus_fp=$fp"
-        trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      }
+      val centP = trainedCentroids(spark, emb)
       val assigned = emb.join(assignCells(emb, centP), Seq("vec_id"))
       val q = querySample(emb, 25)
       def top5(scored: DataFrame): DataFrame = scored
@@ -1353,21 +1392,11 @@ object SimOps {
          |FROM hits h, tot t""".stripMargin
     ) { (spark, dir) =>
       val emb = cachedEmb(spark, dir)
-      val fp = emb
-        .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
-        .head().getLong(0)
-      // persist centroids + codebooks under the fingerprint partition;
-      // both writes are byte-deterministic under re-execution (id-ordered
-      // driver samples, fixed-iteration Lloyd's, coalesce(1)) — the
-      // round-9 requirement for any eager artifact write
-      val (centP, booksP) = SimOps.synchronized {
-        val cp = s"$IvfCentDir/corpus_fp=$fp"
-        trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(cp)
-        val cent = spark.read.parquet(cp)
-        val bp = s"$IvfPqBookDir/corpus_fp=$fp"
-        trainPqCodebooksDf(spark, emb, cent).coalesce(1).write.mode("overwrite").parquet(bp)
-        (cent, spark.read.parquet(bp))
-      }
+      // centroids + codebooks via the shared persisted-artifact helpers
+      // (byte-deterministic training, skip-if-present, fingerprint
+      // partition — the round-9 eager-write discipline)
+      val centP = trainedCentroids(spark, emb)
+      val booksP = trainedPqBooks(spark, emb, centP)
       val q = querySample(emb, 25)
       def top5(scored: DataFrame): DataFrame = scored
         .withColumn("rnk", row_number().over(
