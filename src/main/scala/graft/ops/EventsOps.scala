@@ -584,18 +584,7 @@ object EventsOps {
     // recursion re-walking the argmin decisions.
     OpQuery.checked(
       "events_burst_kleinberg",
-      """WITH RECURSIVE pd AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT FROM events),
-        |types AS (SELECT DISTINCT event_type FROM events),
-        |spine AS (
-        |  SELECT t.event_type, CAST(u.dd AS DATE) AS d
-        |  FROM types t, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
-        |grid AS (
-        |  SELECT s.event_type, s.d, COALESCE(pd.n, 0) AS n,
-        |         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) AS BIGINT) AS t
-        |  FROM spine s LEFT JOIN pd ON pd.event_type = s.event_type AND pd.d = s.d),
+      s"""WITH RECURSIVE $dailyGridSql,
         |par AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd
         |        FROM grid GROUP BY 1),
         |c AS (
@@ -628,18 +617,9 @@ object EventsOps {
         |       CAST(CASE WHEN w.is_low THEN 0 ELSE 1 END AS BIGINT) AS burst
         |FROM grid g JOIN bwd w ON w.event_type = g.event_type AND w.t = g.t""".stripMargin
     ) { (spark, dir) =>
-      val ev = Tables(spark, dir).events
-      val pd = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-      val spine = ev.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-      val grid = spine.join(pd, Seq("event_type", "d"), "left_outer")
-        .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
       // bounded driver read: |types| × |days| rows, constant in corpus
       // size; Viterbi is sequential in t by nature, per type
-      val byType = grid.collect()
+      val byType = dailyGrid(Tables(spark, dir).events).collect()
         .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
         .groupBy(_._1)
       val out = byType.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
@@ -650,8 +630,97 @@ object EventsOps {
         }
       }
       spark.createDataFrame(out).toDF("event_type", "d", "n", "burst")
+    },
+
+    // ── events_forecast_ses: one-step-ahead forecasting of the daily
+    // event rate by simple exponential smoothing (Brown 1956; the
+    // baseline every forecasting comparison starts from): level_t =
+    // α·n_t + (1−α)·level_{t−1} with α = 1/4, realized as the INTEGER
+    // recursion level_t = (n_t + 3·level_{t−1}) div 4 — truncating
+    // division on non-negative counts is identical in both engines, so
+    // the whole smoothed series, the one-step-ahead forecast
+    // (= yesterday's level), and the residual are exact BIGINTs.
+    // Same shape as events_burst_kleinberg: the corpus collapses to
+    // the bounded (type, day) grid in one map-side-combined pass, the
+    // inherently-sequential recursion runs driver-side on that frame,
+    // and the oracle replays it as a forward recursive CTE.
+    OpQuery.checked(
+      "events_forecast_ses",
+      s"""WITH RECURSIVE $dailyGridSql,
+        |fwd AS (
+        |  SELECT event_type, t, d, n, n AS level, CAST(NULL AS BIGINT) AS forecast
+        |  FROM grid WHERE t = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.t, g.d, g.n,
+        |         (g.n + 3 * f.level) // 4,
+        |         f.level
+        |  FROM fwd f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)
+        |SELECT event_type, d, n, CAST(level AS BIGINT) AS level, forecast,
+        |       CAST(n - forecast AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      val byType = dailyGrid(Tables(spark, dir).events).collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+        .groupBy(_._1)
+      val out = byType.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+        val levels = sesLevels(sorted.map(_._3).toIndexedSeq)
+        sorted.zip(levels).map { case ((tp, d, n), (level, fc)) =>
+          (tp, d, n, level, fc, fc.map(n - _))
+        }
+      }
+      spark.createDataFrame(out)
+        .toDF("event_type", "d", "n", "level", "forecast", "resid")
     }
   )
+
+  /** The integer SES recursion behind events_forecast_ses: returns
+    * (level_t, forecast_t = level_{t−1}) per step; level_1 = n_1,
+    * level_t = (n_t + 3·level_{t−1}) div 4. */
+  private[ops] def sesLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Option[Long])] = {
+    require(counts.nonEmpty, "at least one step")
+    var level = counts(0)
+    counts.zipWithIndex.map { case (n, i) =>
+      if (i == 0) (level, None)
+      else {
+        val fc = level
+        level = (n + 3 * level) / 4
+        (level, Some(fc))
+      }
+    }
+  }
+
+  /** The indexed daily (type, day, count) grid both sequential-DP
+    * events ops run on — one map-side-combined aggregate to the
+    * (type, day) grain plus a zero-filled day spine; bounded
+    * (|types| × |days|, constant in corpus size). A `def` (not a val
+    * interpolated into ops built during object init). */
+  private def dailyGridSql: String =
+    """pd AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT FROM events),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |spine AS (
+      |  SELECT t.event_type, CAST(u.dd AS DATE) AS d
+      |  FROM types t, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
+      |grid AS (
+      |  SELECT s.event_type, s.d, COALESCE(pd.n, 0) AS n,
+      |         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) AS BIGINT) AS t
+      |  FROM spine s LEFT JOIN pd ON pd.event_type = s.event_type AND pd.d = s.d)""".stripMargin
+
+  /** Engine side of [[dailyGridSql]]'s `grid` (without the index —
+    * consumers collect the bounded frame and sort). */
+  private def dailyGrid(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pd = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+    spine.join(pd, Seq("event_type", "d"), "left_outer")
+      .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+  }
 
   /** The integer Viterbi behind events_burst_kleinberg: two states
     * (low = base rate N/D, high = 2×), L1 deviation emission costs in

@@ -68,6 +68,26 @@ class KleinbergBurstSpec extends AnyFunSuite {
     }
   }
 
+  test("sesLevels matches the hand-rolled recursion and converges on flat series") {
+    // pinned: levels for [8, 0, 8, 4]: 8, (0+24)/4=6, (8+18)/4=6, (4+18)/4=5
+    assert(EventsOps.sesLevels(IndexedSeq(8L, 0L, 8L, 4L)) ==
+      IndexedSeq((8L, None), (6L, Some(8L)), (6L, Some(6L)), (5L, Some(6L))))
+    // a flat series is its own fixpoint: level == n, residual 0 after t=1
+    val flat = EventsOps.sesLevels(IndexedSeq.fill(10)(12L))
+    assert(flat.forall(_._1 == 12L) && flat.tail.forall(_._2.contains(12L)))
+    // independent fold reference on random series
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val counts = IndexedSeq.fill(2 + rnd.nextInt(20))(rnd.nextInt(100).toLong)
+      var lvl = counts(0)
+      val want = counts.zipWithIndex.map { case (n, i) =>
+        if (i == 0) (lvl, None)
+        else { val fc = lvl; lvl = (n + 3 * lvl) / 4; (lvl, Some(fc)) }
+      }
+      assert(EventsOps.sesLevels(counts) == want)
+    }
+  }
+
   test("flat series never bursts; uniformly doubled tail bursts at the tail") {
     assert(EventsOps.kleinbergStates(IndexedSeq.fill(8)(5L)).forall(!_))
     // tail at 12 ≈ 1.7× the 7/day base toward the 14/day high target —
