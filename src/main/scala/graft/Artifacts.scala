@@ -22,4 +22,14 @@ object Artifacts {
     .get("graft.artifact.root")
     .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
     .getOrElse(sys.props("user.dir") + "/target")
+
+  /** True iff a previous write of `path` COMPLETED (its `_SUCCESS`
+    * marker exists) — the skip-if-present gate for byte-deterministic,
+    * fingerprint-keyed artifacts: content for a given partition never
+    * changes, so re-writing is pure waste, while a torn write (no
+    * marker) must rebuild. */
+  def ready(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 }

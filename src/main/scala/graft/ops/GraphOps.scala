@@ -667,12 +667,8 @@ object GraphOps {
       val fp = li.count()
       val ep = s"$GraphArtifactDir/co_edges.parquet/corpus_fp=$fp"
       val np = s"$GraphArtifactDir/co_nodes.parquet/corpus_fp=$fp"
-      def ready(p: String): Boolean = {
-        val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-      }
-      if (!ready(ep)) coEdges(li).write.mode("overwrite").parquet(ep)
-      if (!ready(np)) coNodes(li).write.mode("overwrite").parquet(np)
+      if (!graft.Artifacts.ready(spark, ep)) coEdges(li).write.mode("overwrite").parquet(ep)
+      if (!graft.Artifacts.ready(spark, np)) coNodes(li).write.mode("overwrite").parquet(np)
       (spark.read.parquet(ep), spark.read.parquet(np))
     }
 

@@ -719,12 +719,15 @@ object PipelineOps {
         .agg(sum(length(col("text")))).head().getLong(0)
       val pieces = PipelineOps.synchronized {
         val part = s"$BpeDictDir/corpus_fp=$corpusFp"
-        vocab.select("tok").as[String]
-          .mapPartitions { it =>
-            val r = bRanks.value
-            it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
-          }.toDF("tok", "n_pieces")
-          .coalesce(1).write.mode("overwrite").parquet(part)
+        // byte-deterministic + fingerprint-keyed ⇒ skip the re-write
+        // when this corpus's partition already completed (_SUCCESS)
+        if (!graft.Artifacts.ready(spark, part))
+          vocab.select("tok").as[String]
+            .mapPartitions { it =>
+              val r = bRanks.value
+              it.map(t => (t, graft.functions.Bpe.encode(t, r).length.toLong))
+            }.toDF("tok", "n_pieces")
+            .coalesce(1).write.mode("overwrite").parquet(part)
         spark.read.parquet(part)
       }
       toks.join(pieces, Seq("tok"))

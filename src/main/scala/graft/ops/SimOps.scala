@@ -132,11 +132,6 @@ object SimOps {
     .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
     .head().getLong(0)
 
-  private def artifactReady(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-  }
-
   /** The persisted trained coarse quantizer — ONE artifact per corpus
     * (fingerprint hive partition, `_SUCCESS`-gated), used by the two
     * trained-recall evals whose DuckDB oracles replay retrieval against
@@ -154,7 +149,7 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame =
     SimOps.synchronized {
       val path = s"$IvfCentDir/corpus_fp=${corpusFp(emb)}"
-      if (!artifactReady(spark, path))
+      if (!graft.Artifacts.ready(spark, path))
         trainCentroidsDf(spark, emb).coalesce(1).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
@@ -166,7 +161,7 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame, centDf: DataFrame): DataFrame =
     SimOps.synchronized {
       val path = s"$IvfPqBookDir/corpus_fp=${corpusFp(emb)}"
-      if (!artifactReady(spark, path))
+      if (!graft.Artifacts.ready(spark, path))
         trainPqCodebooksDf(spark, emb, centDf).coalesce(1).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
