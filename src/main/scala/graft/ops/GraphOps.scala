@@ -664,7 +664,19 @@ object GraphOps {
   private[ops] def coGraph(
       spark: org.apache.spark.sql.SparkSession, li: DataFrame): (DataFrame, DataFrame) =
     GraphOps.synchronized {
-      val fp = li.count()
+      // CONTENT fingerprint, not a row count: an order-free sum of
+      // per-row xxhash64(l_orderkey, l_partkey) residues — two corpora
+      // with equal row counts but different rows get different
+      // partitions. The sum rides DECIMAL(38,0) (a raw BIGINT sum of
+      // hashes overflows, which ANSI mode — Spark 4's default — turns
+      // into a job failure) and folds to a long driver-side. No oracle
+      // mirrors this value — the oracles derive the edges from
+      // lineitem independently.
+      val fp = li
+        .agg(sum(pmod(xxhash64(col(li.columns.head), col(li.columns(1))),
+          lit(1000000007L)).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+        .remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
       val ep = s"$GraphArtifactDir/co_edges.parquet/corpus_fp=$fp"
       val np = s"$GraphArtifactDir/co_nodes.parquet/corpus_fp=$fp"
       if (!graft.Artifacts.ready(spark, ep)) coEdges(li).write.mode("overwrite").parquet(ep)
