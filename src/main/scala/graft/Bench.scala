@@ -62,7 +62,11 @@ object Bench {
         // (measured: dedup_containment 2.3 s isolated vs 5.0 s late in
         // the round-8 sweep). Dropping every persistent RDD between
         // measurements restores per-query isolation.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // BLOCKING unpersist: the leak snapshot below reads storage state
+        // immediately — an async removal still in flight would misattribute
+        // a correctly-released block to an innocent query (costs ~ms per
+        // query; attribution accuracy is the point of the snapshot)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         // storage hygiene snapshot: blocks that survive the per-query
         // cleanup are exactly the leak class that inflated late-alphabet
         // queries in rounds 8-9 (lingering localCheckpoint blocks, GC
@@ -86,21 +90,29 @@ object Bench {
     // the sweep; the ratio map makes the distortion visible in every
     // bench run instead of needing a manual isolated re-run.
     val recheck = results.filterNot(_._3).sortBy(-_._2).take(12).map { case (name, sweepT, _) =>
+      var failed = false
       val iso = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] recheck $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (name, sweepT, iso)
+      // a failed isolated run's time-to-exception is NOT an isolated
+      // time — publishing a ratio against it would fabricate (or
+      // suppress) an inflation report
+      (name, sweepT, iso, failed)
     }
     val inflated = recheck.collect {
-      case (n, s, i) if i > 0.2 && s / i > 3.0 => n -> (s / i)
+      case (n, s, i, false) if i > 0.2 && s / i > 3.0 => n -> (s / i)
     }
-    recheck.foreach { case (n, s, i) =>
-      System.err.println(f"[bench] recheck $n%-34s sweep=$s%.3f iso=$i%.3f ratio=${s / i}%.2f")
+    recheck.foreach { case (n, s, i, f) =>
+      val tag = if (f) " (FAILED - ratio unusable)" else ""
+      System.err.println(f"[bench] recheck $n%-34s sweep=$s%.3f iso=$i%.3f ratio=${s / i}%.2f$tag")
     }
     // millisecond precision keeps the one-line JSON short enough for the
     // driver's bounded tail capture — round 2's full-precision line got

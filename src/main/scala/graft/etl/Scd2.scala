@@ -125,7 +125,13 @@ object Scd2 {
     // so the filter keeps every valid row); AQE broadcasts the count
     // side at change-set size.
     val chgKeys = keyCols.map(k => s"__chg_$k")
+    // null business keys would slip PAST the count join below (the
+    // equi-join is null-unsafe, so null-keyed rows vanish before the
+    // assert sees them) and are malformed anyway — fail them first
+    val keysNonNull = chgKeys.map(k => s"`$k` IS NOT NULL").mkString(" AND ")
     val chg = chg0
+      .filter(expr(s"isnull(assert_true($keysNonNull, " +
+        "'Scd2.correct: corrections must not carry null business keys'))"))
       .join(
         chg0.groupBy(chgKeys.map(col): _*).agg(count(lit(1)).as("__chg_n")),
         chgKeys)

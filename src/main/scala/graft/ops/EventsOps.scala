@@ -622,7 +622,10 @@ object EventsOps {
       val byType = dailyGrid(Tables(spark, dir).events).collect()
         .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
         .groupBy(_._1)
-      val out = byType.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+      // Option-sort: a null event_type is a legal grid group (the oracle
+      // carries it through its null-unsafe joins) and must not NPE the
+      // driver-side ordering
+      val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
         val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
         val states = kleinbergStates(sorted.map(_._3).toIndexedSeq)
         sorted.zip(states).map { case ((tp, d, n), hi) =>
@@ -662,7 +665,10 @@ object EventsOps {
       val byType = dailyGrid(Tables(spark, dir).events).collect()
         .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
         .groupBy(_._1)
-      val out = byType.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+      // Option-sort: a null event_type is a legal grid group (the oracle
+      // carries it through its null-unsafe joins) and must not NPE the
+      // driver-side ordering
+      val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
         val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
         val levels = sesLevels(sorted.map(_._3).toIndexedSeq)
         sorted.zip(levels).map { case ((tp, d, n), (level, fc)) =>

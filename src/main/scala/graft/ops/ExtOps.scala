@@ -1558,11 +1558,24 @@ object ExtOps {
          |         AND max(l_shipdate) >= DATE '1995-06-01' AS touched
          |FROM read_parquet('$ZonemapDir/corpus_fp=*/pid=*/*.parquet',
          |                  filename=true, hive_partitioning=1)
-         |WHERE corpus_fp = (SELECT count(*) FROM lineitem)
+         |WHERE corpus_fp = (
+         |  SELECT CAST(sum(CAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+         |                       AS HUGEINT)) % 1000000000000000 AS BIGINT)
+         |  FROM lineitem)
          |GROUP BY filename""".stripMargin
     ) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem
-      val fp = li.count()
+      // CONTENT fingerprint (a row count lets a same-cardinality corpus
+      // silently reuse a stale layout through the new _SUCCESS skip
+      // gate): sum of day-offsets of the cluster key itself, mod 10^15,
+      // via DECIMAL(38,0) <-> HUGEINT - exact, order-free, and mirrored
+      // by the oracle's WHERE corpus_fp subquery above (both operands
+      // positive, so % agrees across engines)
+      val fp = li
+        .agg(sum(datediff(to_date(col("l_shipdate")), lit("1990-01-01").cast("date"))
+          .cast("decimal(38,0)")))
+        .head().getDecimal(0)
+        .remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
       val path = s"$ZonemapDir/corpus_fp=$fp"
       // min/max as STRINGS: the column is a timestamp and the java8
       // datetime API would hand back LocalDateTime, not java.sql.Date

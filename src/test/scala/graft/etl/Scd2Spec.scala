@@ -83,6 +83,20 @@ class Scd2Spec extends SparkSuite {
       s"expected the duplicate-correction assert, got: $ex")
   }
 
+  test("scd2 correct rejects null business keys in corrections") {
+    // a null key would slip past the count join (null-unsafe equi-join)
+    // without its own guard — it must fail loudly, not vanish
+    val nullKey = Seq((Option.empty[Long], "SILVER")).toDF("id", "tier")
+    val corrected = Scd2.correct(dim0, nullKey, Seq("id"), Seq("tier"), "2020-09-01")
+    val ex = intercept[Exception] { corrected.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(
+      chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("null business keys"))),
+      s"expected the null-key assert, got: $ex")
+  }
+
   test("scd2 preserves one-current-row-per-key across two generations") {
     val g1 = Scd2.apply(dim0, Seq((1L, "PLATINUM")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2021-06-01")
     val g2 = Scd2.apply(g1, Seq((1L, "IRIDIUM"), (2L, "GOLD")).toDF("id", "tier"), Seq("id"), Seq("tier"), "2022-01-01")

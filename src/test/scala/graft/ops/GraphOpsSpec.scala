@@ -324,8 +324,9 @@ class GraphOpsSpec extends SparkSuite {
     val direct = GraphOps.coEdges(li)
     assert(edges.exceptAll(direct).isEmpty && direct.exceptAll(edges).isEmpty,
       "persisted edge artifact must be SET-equal to the relational derivation")
-    assert(nodes.exceptAll(GraphOps.coNodes(li)).isEmpty,
-      "persisted node artifact must cover the node set")
+    val directNodes = GraphOps.coNodes(li)
+    assert(directNodes.exceptAll(nodes).isEmpty && nodes.exceptAll(directNodes).isEmpty,
+      "persisted node artifact must equal the node set")
     // torn-write recovery: delete the _SUCCESS marker — the next coGraph
     // call must rebuild rather than trust a possibly-partial directory
     val fp = li
