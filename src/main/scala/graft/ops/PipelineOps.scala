@@ -684,7 +684,7 @@ object PipelineOps {
         |  FROM documents),
         |p AS (SELECT tok, n_pieces
         |      FROM read_parquet('$BpeDictDir/corpus_fp=*/*.parquet', hive_partitioning=1)
-        |      WHERE corpus_fp = (SELECT sum(length(text)) FROM documents))
+        |      WHERE corpus_fp = (SELECT sum(length(text) * (1 + doc_id % 97)) FROM documents))
         |SELECT t.doc_id,
         |       CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens,
@@ -710,13 +710,18 @@ object PipelineOps {
       // the corpus: persist it so the DuckDB oracle replays the corpus
       // arithmetic against the identical dictionary bytes; re-read so the
       // Spark side consumes the same files the oracle will. The write
-      // lands in THIS corpus's fingerprint partition (total text
-      // length — 153156 / 149174 / 1485576 across the test scales;
-      // the doc count would NOT distinguish sf0.001 from sf0.01), so
-      // runs against other corpora overwrite only their own partition
-      // and a pending compare at this scale stays consistent.
+      // lands in THIS corpus's fingerprint partition — Σ length(text) ×
+      // (1 + doc_id mod 97), mirrored by the oracle's corpus_fp
+      // subquery: the doc-id mix makes a stale-reuse collision need
+      // matching per-document length PROFILES, not just a matching
+      // total (Σ length alone got weaker once the _SUCCESS gate started
+      // SKIPPING re-writes; the plain doc count would not even
+      // distinguish sf0.001 from sf0.01). Runs against other corpora
+      // land in their own partition, so a pending compare at this
+      // scale stays consistent.
       val corpusFp = Tables(spark, dir).documents
-        .agg(sum(length(col("text")))).head().getLong(0)
+        .agg(sum(length(col("text")) * (lit(1L) + pmod(col("doc_id"), lit(97L)))))
+        .head().getLong(0)
       val pieces = PipelineOps.synchronized {
         val part = s"$BpeDictDir/corpus_fp=$corpusFp"
         // byte-deterministic + fingerprint-keyed ⇒ skip the re-write
