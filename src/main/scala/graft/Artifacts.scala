@@ -32,4 +32,19 @@ object Artifacts {
     val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
+
+  /** The shared content-fingerprint fold: Σ term over `df` carried in
+    * DECIMAL(38,0) (a raw BIGINT sum of hash-sized terms overflows,
+    * which ANSI mode — Spark 4's default — turns into a job failure),
+    * folded mod 10¹⁵ to a long driver-side. `term` must be
+    * non-negative so the modulus agrees with any SQL mirror's `%`.
+    * Empty input folds to 0. One definition — the fingerprint
+    * consumers (graph artifact, zonemap layout, their specs) must not
+    * drift apart on the modulus or the null handling. */
+  def decFp(df: org.apache.spark.sql.DataFrame, term: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.sum
+    val d = df.agg(sum(term.cast("decimal(38,0)"))).head().getDecimal(0)
+    if (d == null) 0L
+    else d.remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
+  }
 }

@@ -101,7 +101,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking, like the sweep loop's cleanup: an async removal still
+      // in flight would pressure the NEXT item's isolated timing and
+      // distort the very ratio this loop exists to measure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // a failed isolated run's time-to-exception is NOT an isolated
       // time — publishing a ratio against it would fabricate (or
       // suppress) an inflation report

@@ -622,9 +622,8 @@ object EventsOps {
       val byType = dailyGrid(Tables(spark, dir).events).collect()
         .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
         .groupBy(_._1)
-      // Option-sort: a null event_type is a legal grid group (the oracle
-      // carries it through its null-unsafe joins) and must not NPE the
-      // driver-side ordering
+      // dailyGrid excludes null types by contract; the Option-sort is
+      // defense in depth against a future grid change NPE-ing here
       val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
         val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
         val states = kleinbergStates(sorted.map(_._3).toIndexedSeq)
@@ -665,9 +664,8 @@ object EventsOps {
       val byType = dailyGrid(Tables(spark, dir).events).collect()
         .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
         .groupBy(_._1)
-      // Option-sort: a null event_type is a legal grid group (the oracle
-      // carries it through its null-unsafe joins) and must not NPE the
-      // driver-side ordering
+      // dailyGrid excludes null types by contract; the Option-sort is
+      // defense in depth against a future grid change NPE-ing here
       val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
         val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
         val levels = sesLevels(sorted.map(_._3).toIndexedSeq)
@@ -704,9 +702,9 @@ object EventsOps {
   private def dailyGridSql: String =
     """pd AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
       |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT FROM events),
-      |types AS (SELECT DISTINCT event_type FROM events),
+      |types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
       |spine AS (
       |  SELECT t.event_type, CAST(u.dd AS DATE) AS d
       |  FROM types t, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
@@ -717,7 +715,12 @@ object EventsOps {
 
   /** Engine side of [[dailyGridSql]]'s `grid` (without the index —
     * consumers collect the bounded frame and sort). */
-  private def dailyGrid(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def dailyGrid(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // null event types are EXCLUDED on both sides by contract (the SQL
+    // fragment filters identically): a null group would otherwise
+    // diverge — the engine can carry it, but the oracle's equi-joins
+    // drop or truncate it
+    val ev = ev0.filter(col("event_type").isNotNull)
     val pd = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
     val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))

@@ -1571,11 +1571,8 @@ object ExtOps {
       // via DECIMAL(38,0) <-> HUGEINT - exact, order-free, and mirrored
       // by the oracle's WHERE corpus_fp subquery above (both operands
       // positive, so % agrees across engines)
-      val fp = li
-        .agg(sum(datediff(to_date(col("l_shipdate")), lit("1990-01-01").cast("date"))
-          .cast("decimal(38,0)")))
-        .head().getDecimal(0)
-        .remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
+      val fp = graft.Artifacts.decFp(li,
+        datediff(to_date(col("l_shipdate")), lit("1990-01-01").cast("date")))
       val path = s"$ZonemapDir/corpus_fp=$fp"
       // min/max as STRINGS: the column is a timestamp and the java8
       // datetime API would hand back LocalDateTime, not java.sql.Date

@@ -661,11 +661,17 @@ object GraphOps {
     * follows it), which is why this needs no byte-determinism care
     * and no oracle read_parquet. Existence is gated on the _SUCCESS
     * marker, so a torn earlier write rebuilds. */
-  // single-slot fingerprint memo keyed by the input's analyzed-plan
-  // semantic hash: all nine graph ops derive `li` identically per
-  // corpus, so a sweep pays the fingerprint scan once, not nine times
-  // (the SimOps.cachedEmb one-entry-cache discipline)
-  private var fpMemo: Option[(Int, Long)] = None
+  // single-slot fingerprint memo keyed by (analyzed-plan semantic
+  // hash, scan size in bytes): all nine graph ops derive `li`
+  // identically per corpus, so a sweep pays the fingerprint scan once,
+  // not nine times (the SimOps.cachedEmb one-entry-cache discipline).
+  // The plan hash alone is PATH identity — an in-place corpus rewrite
+  // would hit the memo and defeat the content fingerprint — so the
+  // byte size rides in the key: any rewrite that changes a byte count
+  // misses (a same-path same-size different-content rewrite inside one
+  // JVM session remains out of scope, as it is for Spark's own file
+  // index caching)
+  private var fpMemo: Option[((Int, BigInt), Long)] = None
 
   private[ops] def coGraph(
       spark: org.apache.spark.sql.SparkSession, li: DataFrame): (DataFrame, DataFrame) =
@@ -678,15 +684,13 @@ object GraphOps {
       // into a job failure) and folds to a long driver-side. No oracle
       // mirrors this value — the oracles derive the edges from
       // lineitem independently.
-      val memoKey = li.queryExecution.analyzed.semanticHash()
+      val memoKey = (li.queryExecution.analyzed.semanticHash(),
+        li.queryExecution.optimizedPlan.stats.sizeInBytes)
       val fp = fpMemo match {
         case Some((k, v)) if k == memoKey => v
         case _ =>
-          val v = li
-            .agg(sum(pmod(xxhash64(col(li.columns.head), col(li.columns(1))),
-              lit(1000000007L)).cast("decimal(38,0)")))
-            .head().getDecimal(0)
-            .remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
+          val v = graft.Artifacts.decFp(li,
+            pmod(xxhash64(col(li.columns.head), col(li.columns(1))), lit(1000000007L)))
           fpMemo = Some((memoKey, v))
           v
       }

@@ -329,11 +329,8 @@ class GraphOpsSpec extends SparkSuite {
       "persisted node artifact must equal the node set")
     // torn-write recovery: delete the _SUCCESS marker — the next coGraph
     // call must rebuild rather than trust a possibly-partial directory
-    val fp = li
-      .agg(sum(pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(1000000007L))
-        .cast("decimal(38,0)")))
-      .head().getDecimal(0)
-      .remainder(new java.math.BigDecimal(1000000000000000L)).longValueExact()
+    val fp = graft.Artifacts.decFp(li,
+      pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(1000000007L)))
     val marker = new java.io.File(
       s"${GraphOps.GraphArtifactDir}/co_edges.parquet/corpus_fp=$fp/_SUCCESS")
     assert(marker.exists, "artifact write must leave a _SUCCESS marker")
