@@ -187,4 +187,26 @@ object DocsStream {
       .queryName(queryName)
       .start()
   }
+
+  /** Durable variant for the crash-recovery contract (the
+    * startWindowedExactTopKToDir pattern — the memory sink cannot
+    * restart from a checkpoint): batch-id-stamped parquet appends. A
+    * replayed batch after a restart recomputes IDENTICAL rows from the
+    * reloaded state version, so readers dedupe by (source, doc_id). */
+  def startShardPackToDir(spark: SparkSession, sourceDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val rd = spark.readStream.schema(docSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    shardPack(src).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .coalesce(1).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
 }
