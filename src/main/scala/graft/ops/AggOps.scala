@@ -533,10 +533,14 @@ object AggOps {
       """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
         |       CAST(ntile(10) OVER (PARTITION BY event_type
         |                            ORDER BY value, event_id) AS BIGINT) AS decile
-        |FROM events WHERE value IS NOT NULL""".stripMargin
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL""".stripMargin
     ) { (spark, dir) =>
+      // null group keys excluded on BOTH sides — the shared dailyGrid
+      // null-exclusion contract; GlobalRank's in-plan guard would
+      // otherwise turn a null event_type into a crash-vs-result
+      // divergence (DuckDB ranks nulls as their own partition)
       val t = Tables(spark, dir).events
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_id"), col("event_type"), col("value").cast("double").as("value"))
       graft.algo.GlobalRank
         .withGroupedRowNumber(
@@ -564,7 +568,7 @@ object AggOps {
       """WITH t AS (
         |  SELECT event_id, event_type,
         |         CAST(floor(CAST(value AS DOUBLE)) AS BIGINT) AS score
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |w AS (
         |  SELECT event_id, event_type, score,
         |         CAST(rank() OVER (PARTITION BY event_type ORDER BY score) AS BIGINT) AS rnk,
@@ -577,8 +581,11 @@ object AggOps {
         |       CAST(rnk + peers - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS cume_dist
         |FROM w""".stripMargin
     ) { (spark, dir) =>
+      // null group keys excluded on BOTH sides (dailyGrid contract) —
+      // GlobalRank's null-group guard vs DuckDB's null partition would
+      // otherwise diverge crash-vs-result
       val t = Tables(spark, dir).events
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_id"), col("event_type"),
           floor(col("value").cast("double")).cast("long").as("score"))
       val ranked = graft.algo.GlobalRank.withGroupedRowNumber(
@@ -607,7 +614,7 @@ object AggOps {
       "agg_quantile_bands_grouped",
       """WITH t AS (
         |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |r AS (
         |  SELECT event_type, v,
         |         row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
@@ -619,8 +626,9 @@ object AggOps {
         |UNION ALL
         |SELECT event_type, CAST(90 AS BIGINT) AS pct, v FROM r WHERE rn = (9 * n + 9) // 10""".stripMargin
     ) { (spark, dir) =>
+      // null group keys excluded on BOTH sides (dailyGrid contract)
       val t = Tables(spark, dir).events
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"), col("event_id"), col("value").cast("double").as("v"))
       // ONE pass over the ranked frame: each row emits the (possibly
       // empty) set of band ranks it occupies — three union branches

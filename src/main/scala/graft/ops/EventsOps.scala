@@ -675,6 +675,67 @@ object EventsOps {
       }
       spark.createDataFrame(out)
         .toDF("event_type", "d", "n", "level", "forecast", "resid")
+    },
+
+    // ── events_forecast_holt: one-step-ahead forecasting with Holt's
+    // linear trend (Holt 1957) — the rung above events_forecast_ses on
+    // the same bounded (type, day) grid: a LEVEL and a TREND double
+    // recursion with α = β = 1/4, so a steadily growing series stops
+    // lagging the way SES does. The state rides 2²⁰ FIXED-POINT
+    // micro-units: at unit granularity the floor makes every integer
+    // trend in 1..slope a spurious fixpoint (measured: a slope-4 ramp
+    // stuck at trend 1), while micro-unit floors lose < 2⁻²⁰ per step
+    // and the recursion converges like the real-valued one. Every
+    // smoothing step is FLOOR division realized as floor(x / 4.0) —
+    // NOT truncating `div`, because the trend (and hence a numerator)
+    // can go negative, where truncation is not portable — and the
+    // power-of-two idiom makes it exact: the BIGINT numerator is exact
+    // in a double while |x| < 2⁵³ (counts up to ~2³¹/day fit), /4
+    // shifts the exponent, floor is bit-identical in both engines.
+    //   L₁ = n₁·2²⁰, T₁ = 0
+    //   fcₜ = Lₜ₋₁ + Tₜ₋₁                       (micro-units)
+    //   Lₜ = ⌊(nₜ·2²⁰ + 3·fcₜ)/4⌋
+    //   Tₜ = ⌊(Lₜ − Lₜ₋₁ + 3·Tₜ₋₁)/4⌋
+    // forecast = ⌊fcₜ/2²⁰⌋ back at count scale. Corpus work is one
+    // map-side-combined pass to the bounded grid; the sequential DP
+    // runs driver-side on that constant frame; the oracle replays it
+    // as a forward recursive CTE (the new level expression is repeated
+    // inside the trend term — a recursive CTE row cannot reference its
+    // own aliases).
+    OpQuery.checked(
+      "events_forecast_holt",
+      s"""WITH RECURSIVE $dailyGridSql,
+        |fwd AS (
+        |  SELECT event_type, t, d, n, n * 1048576 AS level_u,
+        |         CAST(0 AS BIGINT) AS trend_u, CAST(NULL AS BIGINT) AS fc_u
+        |  FROM grid WHERE t = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.t, g.d, g.n,
+        |         CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
+        |         CAST(floor((CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+        |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
+        |         f.level_u + f.trend_u
+        |  FROM fwd f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)
+        |SELECT event_type, d, n, CAST(level_u AS BIGINT) AS level_u, trend_u,
+        |       CAST(floor(fc_u / 1048576.0) AS BIGINT) AS forecast,
+        |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      val byType = dailyGrid(Tables(spark, dir).events).collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+        .groupBy(_._1)
+      // dailyGrid excludes null types by contract; the Option-sort is
+      // defense in depth against a future grid change NPE-ing here
+      val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+        val states = holtLevels(sorted.map(_._3).toIndexedSeq)
+        sorted.zip(states).map { case ((tp, d, n), (lu, tu, fcU)) =>
+          val fc = fcU.map(Math.floorDiv(_, HoltUnit))
+          (tp, d, n, lu, tu, fc, fc.map(n - _))
+        }
+      }
+      spark.createDataFrame(out)
+        .toDF("event_type", "d", "n", "level_u", "trend_u", "forecast", "resid")
     }
   )
 
@@ -694,6 +755,30 @@ object EventsOps {
     }
   }
 
+  /** Fixed-point scale for the Holt recursion (2²⁰ micro-units). */
+  private[ops] val HoltUnit = 1L << 20
+
+  /** The fixed-point Holt recursion behind events_forecast_holt:
+    * returns (Lₜ, Tₜ, fcₜ = Lₜ₋₁ + Tₜ₋₁), all in [[HoltUnit]]
+    * micro-units. Math.floorDiv — NOT `/` — because the trend (and
+    * hence a numerator) can be negative, and the oracle's
+    * floor(x / 4.0) floors. */
+  private[ops] def holtLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Option[Long])] = {
+    require(counts.nonEmpty, "at least one step")
+    var level = counts(0) * HoltUnit
+    var trend = 0L
+    counts.zipWithIndex.map { case (n, i) =>
+      if (i == 0) (level, trend, None)
+      else {
+        val fc = level + trend
+        val nl = Math.floorDiv(n * HoltUnit + 3 * fc, 4)
+        trend = Math.floorDiv(nl - level + 3 * trend, 4)
+        level = nl
+        (level, trend, Some(fc))
+      }
+    }
+  }
+
   /** The indexed daily (type, day, count) grid both sequential-DP
     * events ops run on — one map-side-combined aggregate to the
     * (type, day) grain plus a zero-filled day spine; bounded
@@ -703,7 +788,8 @@ object EventsOps {
     """pd AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
-      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT FROM events),
+      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+      |      FROM events WHERE event_type IS NOT NULL),
       |types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
       |spine AS (
       |  SELECT t.event_type, CAST(u.dd AS DATE) AS d

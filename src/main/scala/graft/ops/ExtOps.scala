@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object ExtOps {
 
+  /** The zonemap layout's range-cut fan-out, baked into [[ZonemapDir]]'s
+    * name so a layout change misses the skip-if-present `_SUCCESS` gate
+    * mechanically (dir name keys the config, fingerprint partition keys
+    * the corpus). */
+  private[ops] val ZonemapCuts = 8
+
   /** Fixed parquet location for io_zonemap_audit's clustered layout —
     * inside the repo so the oracle reads the same files after the Spark
     * JVM exits (the [[PipelineOps.BpeDictDir]] pattern). */
-  val ZonemapDir = graft.Artifacts.Root + "/zonemapdata"
+  val ZonemapDir = graft.Artifacts.Root + s"/zonemapdata_c$ZonemapCuts"
 
   val ops: Seq[OpQuery] = Seq(
     // ── join_asof: for every click, the latest view of the same user at
@@ -962,7 +968,7 @@ object ExtOps {
       "events_anomaly_mad",
       """WITH t AS (
         |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
         |         count(*) OVER (PARTITION BY event_type) AS n
@@ -994,8 +1000,11 @@ object ExtOps {
         |WHERE CAST(2 * d.dd AS DOUBLE) > 3 * 1.4826 * CAST(a.mad4 AS DOUBLE)""".stripMargin
     ) { (spark, dir) =>
       graft.functions.KllQuantiles.register(spark)
+      // null group keys excluded on BOTH sides (dailyGrid contract) —
+      // GlobalRank's null-group guard vs DuckDB's null partition would
+      // otherwise diverge crash-vs-result
       val t = Tables(spark, dir).events
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
       // ── sketch branch (the 100 TB path): med and MAD from two KLL
       // passes; fixed-size mergeable partials, no per-type sort anywhere
@@ -1589,8 +1598,8 @@ object ExtOps {
         if (!graft.Artifacts.ready(spark, path))
           li.select("l_shipdate", "l_returnflag", "l_extendedprice")
             .withColumn("pid",
-              expr(s"cast((datediff(l_shipdate, date'$d0') * 8) div $span as int)"))
-            .repartition(8, col("pid"))
+              expr(s"cast((datediff(l_shipdate, date'$d0') * $ZonemapCuts) div $span as int)"))
+            .repartition(ZonemapCuts, col("pid"))
             .sortWithinPartitions("pid", "l_shipdate")
             .write.mode("overwrite").partitionBy("pid").parquet(path)
       }

@@ -670,7 +670,9 @@ object GraphOps {
   // byte size rides in the key: any rewrite that changes a byte count
   // misses (a same-path same-size different-content rewrite inside one
   // JVM session remains out of scope, as it is for Spark's own file
-  // index caching)
+  // index caching — the remediation is the same as Spark's `REFRESH
+  // TABLE`: drop the memo, here by setting `fpMemo = None` before the
+  // next coGraph call, so the fingerprint re-scans the rewritten bytes)
   private var fpMemo: Option[((Int, BigInt), Long)] = None
 
   private[ops] def coGraph(

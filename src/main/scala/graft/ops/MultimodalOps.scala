@@ -305,6 +305,84 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_bytes"), col("byte_offset"),
           expr("byte_offset div 16384").as("shard_id"),
           pmod(col("byte_offset"), lit(16384L)).as("offset_in_shard"))
+    },
+
+    // ── eval_phash_pr: precision/recall of multimodal_neardup_phash's
+    // BANDED candidate generation against exact nibble-Hamming ground
+    // truth — the media row of the eval family (text: eval_dedup_pr,
+    // retrieval: eval_retrieval_recall_*). Ground truth is inherently
+    // quadratic, so the eval runs on the eval_dedup_pr posture: a
+    // HARD-CAPPED deterministic sample (top-500 docs by (md5(doc_id),
+    // doc_id) — a GlobalLimit in the plan, 500² pairs CONSTANT at any
+    // corpus size). Gold = capped pairs with exact 16-nibble Hamming
+    // ≤ 3; predicted = the detector's band-collision candidates (4×4
+    // nibbles) restricted to the sample, BEFORE its Hamming verify —
+    // so recall measures the pigeonhole guarantee (Hamming ≤ 3 leaves
+    // ≥ 1 of 4 bands intact ⇒ recall must read 1.0; a future band-
+    // geometry change that breaks the guarantee hash-fails here), and
+    // precision is the candidate:accept ratio, THE tuning signal for
+    // the band geometry. Ratios are single integer divisions; degenerate
+    // denominators go NULL identically in both engines.
+    OpQuery.checked(
+      "eval_phash_pr",
+      """WITH capd AS (
+        |  SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 500),
+        |gold AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM capd a JOIN capd b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 17),
+        |          i -> substr(a.ph, CAST(i AS INT), 1) <> substr(b.ph, CAST(i AS INT), 1))) <= 3),
+        |bb AS (
+        |  SELECT doc_id, substr(ph, CAST(bi * 4 + 1 AS INT), 4) AS bv, bi
+        |  FROM capd CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+        |  FROM bb a JOIN bb c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id),
+        |m AS (
+        |  SELECT CAST((SELECT count(*) FROM gold) AS BIGINT) AS n_gold,
+        |         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+        |         CAST((SELECT count(*) FROM gold g JOIN cand c
+        |               ON g.a_id = c.a_id AND g.b_id = c.b_id) AS BIGINT) AS tp)
+        |SELECT CAST((SELECT count(*) FROM capd) AS BIGINT) AS n_docs,
+        |       n_gold, n_cand, tp,
+        |       CAST(tp AS DOUBLE) / nullif(n_cand, 0) AS precision_,
+        |       CAST(tp AS DOUBLE) / nullif(n_gold, 0) AS recall_,
+        |       CAST(2 * tp AS DOUBLE) / nullif(n_cand + n_gold, 0) AS f1
+        |FROM m""".stripMargin
+    ) { (spark, dir) =>
+      // repartition after the cap (the eval_dedup_pr lesson): LIMIT
+      // leaves the 500 rows on ONE partition and the all-pairs gold
+      // verify would run single-task; spreading the left side
+      // parallelizes the nested-loop probe
+      val capd = Tables(spark, dir).documents
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(500)
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("ph"))
+        .repartition(col("doc_id"))
+        .cache()
+      val hamming =
+        expr("size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1)))")
+      val gold = capd.toDF("a_id", "pa")
+        .join(broadcast(capd.toDF("b_id", "pb")), col("a_id") < col("b_id"))
+        .filter(hamming <= 3)
+        .select(col("a_id"), col("b_id"))
+      val bands = capd
+        .select(col("doc_id"), col("ph"),
+          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
+        .select(col("doc_id"), expr("substring(ph, cast(bi * 4 + 1 as int), 4)").as("bv"), col("bi"))
+      val cand = bands.toDF("a_id", "bv", "bi")
+        .join(bands.toDF("b_id", "bv", "bi"), Seq("bi", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val m = gold.agg(count(lit(1)).as("n_gold"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(gold.join(cand, Seq("a_id", "b_id")).agg(count(lit(1)).as("tp")))
+        .crossJoin(capd.agg(count(lit(1)).as("n_docs")))
+      m.select(col("n_docs"), col("n_gold"), col("n_cand"), col("tp"),
+        (col("tp").cast("double") / when(col("n_cand") =!= 0, col("n_cand"))).as("precision_"),
+        (col("tp").cast("double") / when(col("n_gold") =!= 0, col("n_gold"))).as("recall_"),
+        ((col("tp") * 2).cast("double")
+          / when(col("n_cand") + col("n_gold") =!= 0, col("n_cand") + col("n_gold"))).as("f1"))
     }
   )
 }

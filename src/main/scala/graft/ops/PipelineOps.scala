@@ -22,11 +22,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object PipelineOps {
 
+  /** BPE training config, baked into [[BpeDictDir]]'s name so a change
+    * misses the skip-if-present `_SUCCESS` gate mechanically (the
+    * corpus fingerprint partition keys the data, the dir name keys the
+    * config). */
+  private[ops] val BpeVocabCap = 2048
+  private[ops] val BpeMerges = 24
+
   /** Parquet location for text_bpe_tokenize's trained dictionary —
     * under [[graft.Artifacts.Root]] so any checkout path works; engine
     * write and oracle read interpolate the same constant (the
-    * [[LibraryOracleOps.DataDir]] pattern). */
-  val BpeDictDir = graft.Artifacts.Root + "/bpedata/bpe_pieces.parquet"
+    * [[LibraryOracleOps.DataDir]] pattern), and the training config is
+    * part of the name. */
+  val BpeDictDir =
+    graft.Artifacts.Root + s"/bpedata/bpe_pieces_v${BpeVocabCap}m$BpeMerges.parquet"
 
   /** The learned-quality-classifier holdout frame shared by
     * text_quality_learned and the eval family: (doc_id, n_tokens, score,
@@ -698,13 +707,13 @@ object PipelineOps {
         .select(col("doc_id"),
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val top = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(2048)
+      val top = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(BpeVocabCap)
         .as[(String, Long)].collect() // bounded: top-V vocabulary only
       // merge budget: real corpora train 32k+; this synthetic corpus has
       // a ~31-word vocabulary that ~100 merges would memorize outright
       // (every word one piece), so 24 keeps actual subword structure in
       // the output — frequent words collapse, rare ones stay split
-      val ranks = graft.functions.Bpe.train(top.toSeq, 24).zipWithIndex.toMap
+      val ranks = graft.functions.Bpe.train(top.toSeq, BpeMerges).zipWithIndex.toMap
       val bRanks = spark.sparkContext.broadcast(ranks)
       // the dictionary is vocabulary-grain (tiny) and a pure function of
       // the corpus: persist it so the DuckDB oracle replays the corpus
@@ -1841,5 +1850,351 @@ object PipelineOps {
           sum(col("cnt") * col("price")).as("rev_dec"))
         .select(col("replica"), col("n_draws"),
           col("rev_dec").cast("string").cast("double").as("revenue"))
+    },
+
+    // ── pipeline_pretrain_v2: the COMPOSED pretraining pipeline — the
+    // current gate suite as ONE DAG with per-stage drop accounting,
+    // because a real pretraining user runs the composition, not twenty
+    // separate gates. Seven stages, each the exact semantics of its
+    // standalone op restricted to the surviving set:
+    //   1 quality_learned   keep score > 0 under the even-split-trained
+    //                       Laplace fixed-point classifier
+    //                       (text_quality_learned's weights, applied to
+    //                       the WHOLE corpus — the teacher labels only
+    //                       ever touch the train split)
+    //   2 lm_surprisal      keep 4.4 ≤ bits/bigram ≤ 4.7 under the
+    //                       even-split bigram LM (too predictable =
+    //                       boilerplate, too surprising = gibberish);
+    //                       integer form 44·nb ≤ 10·sbits ≤ 47·nb, and
+    //                       bigram-less docs (< 2 tokens) drop here
+    //   3 token_entropy     keep entropy ≥ 3.2 bits/token
+    //                       (5·entropy_bits ≥ 16·n_tokens)
+    //   4 dedup_substring   drop docs where merged duplicated-span load
+    //                       covers ≥ half the doc — duplicate grams
+    //                       counted WITHIN the surviving corpus (the
+    //                       pipeline dedups what it is about to train
+    //                       on, not what it already discarded)
+    //   5 decontaminate     drop the benchmark bucket itself (hash
+    //                       bucket < 5 — those ARE the eval suite) and
+    //                       every doc sharing a WINNOWED word-8-gram
+    //                       fingerprint with it (k=8 words, w=4: any
+    //                       shared run ≥ 11 words is guaranteed a
+    //                       shared fingerprint at 2/5 the probe
+    //                       density); engine = Bloom prefilter inside
+    //                       codegen + exact verify join, oracle = plain
+    //                       containment — FPs never reach the result
+    //   6 mixture_temperature  α=1/2 temperature sampling over survivor
+    //                       source counts, target 100 docs (the
+    //                       sample_mixture_temperature fixed-point
+    //                       DECIMAL(38,0) thresholds — undersized
+    //                       sources saturate past 10⁶ and keep all)
+    //   7 seqlen_pack       pack survivors into 512-token shards per
+    //                       (lang, doc_id%4) and report the shard count
+    // Output = the 7-row funnel (docs_in, docs_kept, docs_dropped,
+    // tokens_kept, n_packs), so conservation is checkable in-result:
+    // docs_in(k+1) = docs_kept(k) and Σ drops + survivors = input
+    // (PipelineV2Spec pins it). Scale shape: every stage is the
+    // standalone op's shape (map-side-combined token/gram aggregates,
+    // the chunked two-explode shingle scan, broadcast thresholds); the
+    // survivor sets persisted between stages are doc_id-grain — bytes
+    // per doc, never corpus-proportional — and the funnel rows are
+    // crossed 1-row aggregates.
+    OpQuery.checked(
+      "pipeline_pretrain_v2",
+      """WITH base AS (SELECT doc_id, source, lang, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok FROM base),
+        |ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id),
+        |lab AS (
+        |  SELECT doc_id,
+        |         CASE WHEN 100 * sum(CASE WHEN tok IN ('a','the','of','and','to','in','is','it')
+        |                                  THEN 1 ELSE 0 END) >= 6 * count(*)
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM toks GROUP BY doc_id),
+        |train AS (SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)
+        |          WHERE t.doc_id % 2 = 0),
+        |prior AS (SELECT (1000 * (sum(label) + 1)) // (count(*) + 2) AS q0 FROM train),
+        |wts AS (SELECT tok, CAST((1000 * (sum(label) + 1)) // (count(*) + 2)
+        |                         - (SELECT q0 FROM prior) AS BIGINT) AS w
+        |        FROM train GROUP BY tok),
+        |k1 AS (SELECT t.doc_id FROM toks t LEFT JOIN wts w ON w.tok = t.tok
+        |       GROUP BY t.doc_id HAVING sum(COALESCE(w.w, 0)) > 0),
+        |tt AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS ws FROM base),
+        |bgs AS (
+        |  SELECT doc_id, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |                 i -> ws[i] || ' ' || ws[i+1])) AS b FROM tt)),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS tok FROM tt WHERE doc_id % 2 = 0) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bgs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |sb AS (SELECT g.doc_id, g.w1, g.w2, CAST(count(*) AS BIGINT) AS m
+        |       FROM bgs g JOIN k1 USING (doc_id) GROUP BY 1, 2, 3),
+        |jj AS (
+        |  SELECT sb.doc_id, sb.m, c2.c2, a.c1 AS c1w1, bb.c1 AS c1w2, tot.n_total
+        |  FROM sb LEFT JOIN c2 USING (w1, w2)
+        |          LEFT JOIN c1 a ON a.tok = sb.w1
+        |          LEFT JOIN c1 bb ON bb.tok = sb.w2
+        |          CROSS JOIN tot),
+        |surp AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS nb,
+        |         CAST(sum(m * CASE WHEN c2 IS NOT NULL
+        |                THEN (length(bin(c1w1)) - 1) - (length(bin(c2)) - 1)
+        |              WHEN c1w2 IS NOT NULL
+        |                THEN (length(bin(n_total)) - 1) - (length(bin(c1w2)) - 1) + 1
+        |              ELSE (length(bin(n_total)) - 1) + 2 END) AS BIGINT) AS sbits
+        |  FROM jj GROUP BY doc_id),
+        |k2 AS (SELECT doc_id FROM surp WHERE 10 * sbits >= 44 * nb AND 10 * sbits <= 47 * nb),
+        |ment AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS m
+        |         FROM toks t JOIN k2 USING (doc_id) GROUP BY 1, 2),
+        |ent AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nt,
+        |               CAST(sum(m * (length(bin(m)) - 1)) AS BIGINT) AS s
+        |        FROM ment GROUP BY 1),
+        |k3 AS (SELECT doc_id FROM ent
+        |       WHERE 5 * (nt * (length(bin(nt)) - 1) - s) >= 16 * nt),
+        |t4 AS (SELECT b.doc_id, b.text, length(b.text) AS n FROM base b JOIN k3 USING (doc_id)),
+        |sh4 AS (SELECT doc_id, unnest(range(1, n - 48)) AS p FROM t4 WHERE n >= 50),
+        |g4 AS (SELECT s.doc_id, s.p, md5(substr(t.text, CAST(s.p AS INT), 50)) AS h
+        |       FROM sh4 s JOIN t4 t ON t.doc_id = s.doc_id),
+        |cnt4 AS (SELECT h, count(*) AS c FROM g4 GROUP BY 1),
+        |dup4 AS (SELECT g.doc_id, g.p FROM g4 g JOIN cnt4 ON cnt4.h = g.h WHERE cnt4.c >= 2),
+        |runs4 AS (SELECT doc_id, p,
+        |                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |          FROM dup4),
+        |spans4 AS (SELECT doc_id, min(p) AS s0, max(p) + 49 AS e0 FROM runs4 GROUP BY doc_id, grp),
+        |dl AS (SELECT doc_id, CAST(sum(e0 - s0 + 1) AS BIGINT) AS dupload FROM spans4 GROUP BY doc_id),
+        |k4 AS (SELECT t.doc_id FROM t4 t LEFT JOIN dl USING (doc_id)
+        |       WHERE 2 * COALESCE(dl.dupload, 0) < t.n),
+        |w5 AS (SELECT doc_id, (doc_id % 2147483648) * 2654435761 % 100 AS b,
+        |              str_split(text, ' ') AS ws FROM base),
+        |g5 AS (SELECT doc_id, b,
+        |              list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+        |                i -> md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 7], ' '))) AS hs
+        |       FROM w5),
+        |f5 AS (SELECT doc_id, b,
+        |              unnest(list_distinct(list_transform(range(1, len(hs) - 3 + 1),
+        |                j -> list_aggregate(
+        |                       list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT)), 'min')))) AS fp
+        |       FROM g5 WHERE len(hs) >= 4),
+        |bench AS (SELECT DISTINCT fp FROM f5 WHERE b < 5),
+        |contam AS (SELECT DISTINCT f.doc_id FROM f5 f JOIN bench USING (fp) WHERE f.b >= 5),
+        |k5 AS (SELECT k4.doc_id FROM k4 JOIN w5 USING (doc_id)
+        |       LEFT JOIN contam c ON c.doc_id = k4.doc_id
+        |       WHERE w5.b >= 5 AND c.doc_id IS NULL),
+        |c6 AS (SELECT d.source, CAST(count(*) AS BIGINT) AS nh
+        |       FROM base d JOIN k5 USING (doc_id) GROUP BY 1),
+        |w6 AS (SELECT source, nh,
+        |              CAST(floor(sqrt(CAST(nh AS DOUBLE)) * 1048576) AS BIGINT) AS wfp
+        |       FROM c6),
+        |t6 AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w6),
+        |thr AS (SELECT source,
+        |               CAST((100 * CAST(wfp AS HUGEINT) * 1000000)
+        |                    // (CAST(wtot AS HUGEINT) * nh) AS BIGINT) AS t_micro
+        |        FROM w6, t6),
+        |k6 AS (SELECT d.doc_id FROM base d JOIN k5 USING (doc_id) JOIN thr USING (source)
+        |       WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000000 < thr.t_micro),
+        |p7 AS (SELECT d.doc_id, d.lang, d.doc_id % 4 AS bucket, n.n_tokens
+        |       FROM base d JOIN k6 USING (doc_id) JOIN ntok n USING (doc_id)),
+        |c7 AS (SELECT lang, bucket, n_tokens,
+        |              COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |       FROM p7),
+        |packs AS (SELECT DISTINCT lang, bucket, tokens_before // 512 AS shard FROM c7)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'quality_learned' AS stage,
+        |         CAST((SELECT count(*) FROM base) AS BIGINT) AS docs_in,
+        |         CAST((SELECT count(*) FROM k1) AS BIGINT) AS docs_kept,
+        |         CAST((SELECT count(*) FROM base) - (SELECT count(*) FROM k1) AS BIGINT) AS docs_dropped,
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k1 JOIN ntok n USING (doc_id)) AS BIGINT) AS tokens_kept,
+        |         CAST(NULL AS BIGINT) AS n_packs
+        |  UNION ALL
+        |  SELECT 2, 'lm_surprisal',
+        |         (SELECT count(*) FROM k1), (SELECT count(*) FROM k2),
+        |         (SELECT count(*) FROM k1) - (SELECT count(*) FROM k2),
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k2 JOIN ntok n USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 3, 'token_entropy',
+        |         (SELECT count(*) FROM k2), (SELECT count(*) FROM k3),
+        |         (SELECT count(*) FROM k2) - (SELECT count(*) FROM k3),
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k3 JOIN ntok n USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 4, 'dedup_substring',
+        |         (SELECT count(*) FROM k3), (SELECT count(*) FROM k4),
+        |         (SELECT count(*) FROM k3) - (SELECT count(*) FROM k4),
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k4 JOIN ntok n USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 5, 'decontaminate',
+        |         (SELECT count(*) FROM k4), (SELECT count(*) FROM k5),
+        |         (SELECT count(*) FROM k4) - (SELECT count(*) FROM k5),
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k5 JOIN ntok n USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 6, 'mixture_temperature',
+        |         (SELECT count(*) FROM k5), (SELECT count(*) FROM k6),
+        |         (SELECT count(*) FROM k5) - (SELECT count(*) FROM k6),
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k6 JOIN ntok n USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 7, 'seqlen_pack',
+        |         (SELECT count(*) FROM k6), (SELECT count(*) FROM k6),
+        |         0,
+        |         CAST((SELECT COALESCE(sum(n.n_tokens), 0) FROM k6 JOIN ntok n USING (doc_id)) AS BIGINT),
+        |         (SELECT count(*) FROM packs))""".stripMargin
+    ) { (spark, dir) =>
+      import graft.Norm.ilog2
+      import org.apache.spark.sql.DataFrame
+      graft.functions.BloomFilter.register(spark)
+      val base = Tables(spark, dir).documents.select("doc_id", "source", "lang", "text")
+      val toks = base.select(col("doc_id"),
+        explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      // doc_id-grain frames are persisted between stages: each survivor
+      // set feeds the next stage AND two funnel aggregates, and without
+      // the persist every funnel row would re-run the full upstream
+      // chain (including the S4 shingle scan). Bytes per doc, never
+      // corpus-proportional.
+      val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens")).persist()
+      // S1: train the Laplace fixed-point classifier on the even split,
+      // score EVERYONE (text_quality_learned trains identically)
+      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+      val lab = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
+        .select(col("doc_id"),
+          when(lit(100) * col("n_stop") >= lit(6) * col("nt"), 1L).otherwise(0L).as("label"))
+      val train = toks.join(lab, Seq("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
+      val prior = train.agg(expr("(1000 * (sum(label) + 1)) div (count(*) + 2)").as("q0"))
+      val wts = train.groupBy("tok")
+        .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(prior))
+        .select(col("tok"), expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
+      val k1 = toks.join(wts, Seq("tok"), "left_outer")
+        .groupBy("doc_id").agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+        .filter(col("score") > 0).select("doc_id").persist()
+      // S2: even-split bigram LM (text_lm_surprisal), scored over k1
+      val tt = base.select(col("doc_id"), expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
+      val bigrams = tt.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c1 = tt.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(explode(col("ws")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum("c1").as("n_total"))
+      val c2 = bigrams.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val sb = bigrams.join(k1, Seq("doc_id"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      val bits = when(col("c2").isNotNull, ilog2(col("c1w1")) - ilog2(col("c2")))
+        .when(col("c1w2").isNotNull, ilog2(col("n_total")) - ilog2(col("c1w2")) + 1)
+        .otherwise(ilog2(col("n_total")) + 2)
+      val k2 = sb
+        .join(c2, Seq("w1", "w2"), "left_outer")
+        .join(c1.toDF("w1", "c1w1"), Seq("w1"), "left_outer")
+        .join(c1.toDF("w2", "c1w2"), Seq("w2"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("nb"), sum(bits * col("m")).as("sbits"))
+        .filter(col("sbits") * 10 >= col("nb") * 44 && col("sbits") * 10 <= col("nb") * 47)
+        .select("doc_id").persist()
+      // S3: entropy floor (text_token_entropy) over k2
+      val k3 = toks.join(k2, Seq("doc_id"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("nt"), sum(col("m") * ilog2(col("m"))).as("s"))
+        .filter(lit(5) * (col("nt") * ilog2(col("nt")) - col("s")) >= lit(16) * col("nt"))
+        .select("doc_id").persist()
+      // S4: substring-span load within survivors (text_dedup_substring's
+      // chunked two-explode scan; xxhash64 anchors — only the dup SET
+      // must agree with the oracle's md5, same reasoning as the
+      // standalone op)
+      val chunk = 4096
+      val t4 = base.join(k3, Seq("doc_id"))
+        .select(col("doc_id"), col("text").cast("binary").as("bt"))
+        .withColumn("n", octet_length(col("bt")))
+      val g4 = t4.filter(col("n") >= 50)
+        .select(col("doc_id"), col("bt"), col("n"),
+          explode(expr(s"sequence(0, (n - 50) div $chunk)")).as("ci"))
+        .select(col("doc_id"), col("bt"),
+          explode(expr(
+            s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
+        .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
+        .persist(StorageLevel.DISK_ONLY)
+      val cnt4 = g4.groupBy("h").agg(count(lit(1)).as("c"))
+      val dl = g4.join(cnt4.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+        .groupBy("doc_id", "grp")
+        .agg((max(col("p")) - min(col("p")) + 50).as("span_len"))
+        .groupBy("doc_id").agg(sum("span_len").as("dupload"))
+      val k4 = t4.join(dl, Seq("doc_id"), "left_outer")
+        .filter(lit(2) * coalesce(col("dupload"), lit(0L)) < col("n"))
+        .select("doc_id").persist()
+      // S5: winnowed word-8-gram decontamination — Bloom prefilter in
+      // codegen, exact verify join kills FPs (text_contamination_bloom
+      // physical strategy, text_winnowing_fingerprint selection)
+      val w5 = base.select(col("doc_id"),
+        Norm.hashBucket(col("doc_id"), 100).as("b"), split(col("text"), " ").as("ws"))
+      val f5 = w5.select(col("doc_id"), col("b"), expr(
+          "transform(sequence(1, greatest(size(ws) - 7, 1)), " +
+            "i -> md5(concat_ws(' ', slice(ws, i, 8))))").as("hs"))
+        .filter(size(col("hs")) >= 4)
+        .select(col("doc_id"), col("b"), explode(expr(
+          "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"
+        )).as("fp"))
+      val benchFp = f5.filter(col("b") < 5).select("fp").distinct()
+      // the one collect: the fixed 128 KiB bitset, constant at any scale
+      val bloom = benchFp.agg(expr("bloom_build(fp, 1048576, 5)").as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val contam = f5.filter(col("b") >= 5)
+        .filter(call_function("bloom_contains", lit(bloom), col("fp"), lit(5)))
+        .join(benchFp, Seq("fp"))
+        .select("doc_id").distinct()
+      val k5 = k4.join(w5.select("doc_id", "b"), Seq("doc_id"))
+        .filter(col("b") >= 5)
+        .join(contam.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+        .filter(col("hit").isNull)
+        .select("doc_id").persist()
+      // S6: α=1/2 temperature thresholds over SURVIVOR source counts
+      // (sample_mixture_temperature's DECIMAL(38,0) wide products)
+      val d6 = base.select("doc_id", "source").join(k5, Seq("doc_id"))
+      val c6 = d6.groupBy("source").agg(count(lit(1)).as("nh"))
+        .withColumn("wfp", floor(sqrt(col("nh").cast("double")) * 1048576).cast("long"))
+      val t6 = c6.agg(sum(col("wfp")).as("wtot"))
+      val thr = c6.crossJoin(broadcast(t6))
+        .select(col("source"),
+          expr("(100 * cast(wfp as decimal(38,0)) * 1000000) " +
+            "div (cast(wtot as decimal(38,0)) * nh)").as("t_micro"))
+      val k6 = d6.join(broadcast(thr), Seq("source"))
+        .filter(Norm.hashBucket(col("doc_id"), 1000000) < col("t_micro"))
+        .select("doc_id").persist()
+      // S7: pack survivors into 512-token shards (text_seqlen_pack)
+      val w7 = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packs = base.select(col("doc_id"), col("lang")).join(k6, Seq("doc_id"))
+        .join(ntok, Seq("doc_id"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)))
+        .withColumn("tokens_before", coalesce(sum("n_tokens").over(w7), lit(0L)))
+        .select(col("lang"), col("bucket"), expr("tokens_before DIV 512").as("shard"))
+        .distinct()
+      // the funnel: 7 rows of crossed 1-row aggregates
+      def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).cast("long").as(as))
+      def tk(df: DataFrame) = df.join(ntok, Seq("doc_id"))
+        .agg(coalesce(sum("n_tokens"), lit(0L)).as("tokens_kept"))
+      def funnelRow(id: Long, name: String, in: DataFrame, out: DataFrame,
+          nPacks: Option[DataFrame]): DataFrame = {
+        val r = cnt(in, "docs_in").crossJoin(cnt(out, "docs_kept")).crossJoin(tk(out))
+        val withP = nPacks.fold(r.withColumn("n_packs", lit(null).cast("long")))(
+          p => r.crossJoin(cnt(p, "n_packs")))
+        withP.select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("docs_in"), col("docs_kept"),
+          (col("docs_in") - col("docs_kept")).as("docs_dropped"),
+          col("tokens_kept"), col("n_packs"))
+      }
+      funnelRow(1, "quality_learned", base.select("doc_id"), k1, None)
+        .unionByName(funnelRow(2, "lm_surprisal", k1, k2, None))
+        .unionByName(funnelRow(3, "token_entropy", k2, k3, None))
+        .unionByName(funnelRow(4, "dedup_substring", k3, k4, None))
+        .unionByName(funnelRow(5, "decontaminate", k4, k5, None))
+        .unionByName(funnelRow(6, "mixture_temperature", k5, k6, None))
+        .unionByName(funnelRow(7, "seqlen_pack", k6, k6, Some(packs)))
     })
 }

@@ -26,15 +26,26 @@ object SimOps {
   /** Fixed parquet location for eval_retrieval_recall_trained's trained
     * centroids — inside the repo so the oracle replays the retrieval
     * against the identical centroid bytes (the PipelineOps.BpeDictDir
-    * pattern). */
-  val IvfCentDir = graft.Artifacts.Root + "/ivfdata/centroids.parquet"
+    * pattern). The TRAINING config (K, Iters, SampleCap) is baked into
+    * the directory name, so a hyper-parameter change misses the
+    * skip-if-present `_SUCCESS` gate MECHANICALLY — the corpus
+    * fingerprint partition below it keys the data, the dir name keys
+    * the config. `lazy` because K/Iters/SampleCap are declared later in
+    * this object (a plain val would close over their zero-defaults
+    * during init); the ops Seq that interpolates these paths is built
+    * after those vals, so forcing is safe. */
+  lazy val IvfCentDir =
+    graft.Artifacts.Root + s"/ivfdata/centroids_k${K}i${Iters}s$SampleCap.parquet"
 
   /** Parquet location for eval_retrieval_recall_pq's trained residual
     * codebooks (m=8 × 256, persisted next to the coarse centroids under
     * the same content-fingerprint partition) — the oracle replays the
     * whole IVFADC retrieval (assignment, residual PQ encode, LUT build,
-    * ADC scan, shortlist, exact re-rank) against identical bytes. */
-  val IvfPqBookDir = graft.Artifacts.Root + "/ivfdata/pqbooks.parquet"
+    * ADC scan, shortlist, exact re-rank) against identical bytes.
+    * Config-keyed like [[IvfCentDir]]: the residual books depend on the
+    * coarse config too, so both tokens appear. */
+  lazy val IvfPqBookDir = graft.Artifacts.Root +
+    s"/ivfdata/pqbooks_k${K}i${Iters}s${SampleCap}_m${PqM}x${PqK}i$PqIters.parquet"
 
   /** Left-to-right double-precision dot product — the native codegen'd
     * expression (graft.functions.VecDotFloat); numerically identical to
@@ -142,9 +153,10 @@ object SimOps {
     * (16.2 → 17.6 s over the 7-op family), and at true scale an
     * explicit index-build step — not a query — would own the artifact.
     * Training is deterministic (id-ordered sample, fixed iterations),
-    * so skip-if-present is byte-safe; if the hyper-parameters (K,
-    * Iters, sample) ever change, rename the artifact dir — the
-    * fingerprint keys the CORPUS, not the config. */
+    * so skip-if-present is byte-safe; the fingerprint keys the CORPUS
+    * and the directory NAME keys the config (K/Iters/SampleCap baked
+    * into [[IvfCentDir]]), so a hyper-parameter change misses the cache
+    * mechanically rather than by convention. */
   private[ops] def trainedCentroids(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame =
     SimOps.synchronized {

@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Parquet location for eval_dedup_pr's exact-Jaccard gold-pair set —
+    * the [[GraphOps.coGraph]] artifact discipline applied to the eval's
+    * one expensive input: the capped 500²-pair ground truth is a pure
+    * deterministic function of the capped sample, so it is built ONCE
+    * per corpus (content-fingerprint hive partition, `_SUCCESS`-gated)
+    * and every later sweep reads it back instead of re-paying the
+    * quadratic verify. The eval config (cap 500, 8-gram shingles,
+    * J ≥ 0.5) is baked into the name so a config change misses the
+    * skip gate mechanically. The DuckDB oracle keeps deriving gold
+    * independently — a stronger check than replaying persisted bytes. */
+  val DedupGoldDir =
+    graft.Artifacts.Root + "/dedupdata/gold_pairs_c500n8j50.parquet"
+
   /** 8-char shingle array of a document (distinct, document-local). */
   private val shingleArr =
     "array_distinct(transform(sequence(1, greatest(char_length(text) - 7, 1)), i -> substr(text, i, 8)))"
@@ -392,17 +405,34 @@ object TextOps {
       // parallelizes the nested-loop probe across the cluster. Shingle
       // AFTER the cap — the shared docBase artifact would shingle the
       // whole corpus to keep 500 rows
-      val capd = tables(spark, dir).documents
+      val capDocs = tables(spark, dir).documents
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(500)
+        .select(col("doc_id"), col("text"))
+      val capd = capDocs
         .select(col("doc_id"), expr(shingleArr).as("shingles"))
         .repartition(col("doc_id"))
         .cache()
-      val gold = capd.toDF("a_id", "sa")
-        .join(broadcast(capd.toDF("b_id", "sb")), col("a_id") < col("b_id"))
-        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
-        .filter(col("ni").cast("double")
-          / (size(col("sa")) + size(col("sb")) - col("ni")) >= 0.5)
-        .select(col("a_id"), col("b_id"))
+      // gold pairs from the persisted artifact (build-once per corpus):
+      // fingerprint = Σ length(text) × (1 + doc_id mod 97) over the
+      // CAPPED sample — exactly the bytes gold depends on, with the
+      // BpeDictDir doc-id mix so a stale-reuse collision needs matching
+      // per-document length PROFILES, not just a matching total. 500
+      // bounded rows ⇒ the fingerprint aggregate is ~free.
+      val goldFp = capDocs
+        .agg(sum(length(col("text")) * (lit(1L) + pmod(col("doc_id"), lit(97L)))))
+        .head().getLong(0)
+      val goldPath = s"$DedupGoldDir/corpus_fp=$goldFp"
+      val gold = TextOps.synchronized {
+        if (!graft.Artifacts.ready(spark, goldPath))
+          capd.toDF("a_id", "sa")
+            .join(broadcast(capd.toDF("b_id", "sb")), col("a_id") < col("b_id"))
+            .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+            .filter(col("ni").cast("double")
+              / (size(col("sa")) + size(col("sb")) - col("ni")) >= 0.5)
+            .select(col("a_id"), col("b_id"))
+            .coalesce(1).write.mode("overwrite").parquet(goldPath)
+        spark.read.parquet(goldPath)
+      }
       val fp = capd.select(col("doc_id"), expr("min_md5_multi(shingles, 16)").as("sig"))
       val banded = fp.select(
         col("doc_id"),

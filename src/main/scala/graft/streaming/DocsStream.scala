@@ -161,8 +161,16 @@ object DocsStream {
   def shardPack(docs: DataFrame): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
     docs
+      // null-safety contract: a null text packs as 0 bytes (mirrors the
+      // batch op, where a NULL n_bytes contributes nothing to the
+      // running offset) — without the coalesce the primitive-Long tuple
+      // encoder throws on the null and kills the query; a null source
+      // has no shard chain to join, so those rows are dropped rather
+      // than minting a null state-store key
+      .filter(col("source").isNotNull)
       .select(col("source"), col("doc_id"),
-        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        coalesce(octet_length(col("text").cast("binary")).cast("long"), lit(0L))
+          .as("n_bytes"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

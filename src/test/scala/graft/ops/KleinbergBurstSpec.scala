@@ -88,6 +88,48 @@ class KleinbergBurstSpec extends AnyFunSuite {
     }
   }
 
+  test("holtLevels matches the fold reference, floors negatives, and tracks a linear ramp") {
+    val U = EventsOps.HoltUnit
+    // pinned: [8, 0, 8, 4] in micro-units — the trend goes NEGATIVE at
+    // t=2, exercising the floorDiv-vs-truncation distinction (all
+    // numerators here divide exactly, so the values are readable):
+    // t=2: fc=8U, L=⌊(0+24U)/4⌋=6U, T=⌊(6U−8U)/4⌋=−U/2
+    // t=3: fc=5.5U, L=⌊(8U+16.5U)/4⌋, T from it, etc.
+    val pinned = EventsOps.holtLevels(IndexedSeq(8L, 0L, 8L, 4L))
+    assert(pinned.head == ((8L * U, 0L, None)))
+    assert(pinned(1) == ((6L * U, -U / 2, Some(8L * U))))
+    // a flat series is its own fixpoint: level == n·U, trend == 0
+    val flat = EventsOps.holtLevels(IndexedSeq.fill(10)(12L))
+    assert(flat.forall(s => s._1 == 12L * U && s._2 == 0L) &&
+      flat.tail.forall(_._3.contains(12L * U)))
+    // on a long linear ramp the trend converges to the slope and the
+    // forecast stops lagging (THE property SES lacks, and the property
+    // unit-granularity integer floors LOSE — a slope-4 ramp sticks at
+    // trend 1 without the fixed point scale)
+    val ramp = (0 until 40).map(i => 10L + 4L * i)
+    val h = EventsOps.holtLevels(ramp)
+    assert(Math.floorDiv(h.last._2, U) == 4L, s"trend must converge to the slope: ${h.last}")
+    val fcFloor = h.last._3.map(Math.floorDiv(_, U)).get
+    assert(fcFloor >= ramp.last - 1 && fcFloor <= ramp.last,
+      s"forecast must stop lagging (within 1 count): $fcFloor vs ${ramp.last}")
+    // independent fold reference on random series (spans negative trends)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val counts = IndexedSeq.fill(2 + rnd.nextInt(20))(rnd.nextInt(100).toLong)
+      var lvl = counts(0) * U; var tr = 0L
+      val want = counts.zipWithIndex.map { case (n, i) =>
+        if (i == 0) (lvl, tr, None)
+        else {
+          val fc = lvl + tr
+          val nl = Math.floorDiv(n * U + 3 * fc, 4)
+          tr = Math.floorDiv(nl - lvl + 3 * tr, 4); lvl = nl
+          (lvl, tr, Some(fc))
+        }
+      }
+      assert(EventsOps.holtLevels(counts) == want)
+    }
+  }
+
   test("flat series never bursts; uniformly doubled tail bursts at the tail") {
     assert(EventsOps.kleinbergStates(IndexedSeq.fill(8)(5L)).forall(!_))
     // tail at 12 ≈ 1.7× the 7/day base toward the 14/day high target —
