@@ -736,6 +736,125 @@ object EventsOps {
       }
       spark.createDataFrame(out)
         .toDF("event_type", "d", "n", "level_u", "trend_u", "forecast", "resid")
+    },
+
+    // ── events_burst_grouped: Kleinberg burst detection PER USER — the
+    // scale path for when the group key is high-cardinality and the
+    // |groups| × |days| grid no longer fits the driver (events_burst_
+    // kleinberg's |types| grid does; a per-user / per-domain grid grows
+    // with the corpus). Identical automaton, different physical shape:
+    // the sequential Viterbi runs INSIDE the plan as Catalyst
+    // higher-order folds over each group's bounded day array —
+    // `aggregate()` carries (lc, hc, pred-flag arrays) forward, a
+    // second fold walks the argmin decisions backward — so the DP is
+    // distributed by group key with ZERO driver sequencing and no UDF
+    // (native HigherOrderFunction expressions; per-group state is
+    // O(|days|), bounded by the analysis window). Corpus work is one
+    // map-side-combined pass to (user, day) plus the spine join; the
+    // per-group array is |days| elements (30 here; a year-long window
+    // is 365 — still constant per group). The oracle replays the exact
+    // fwd/bwd recursion as recursive CTEs keyed by user — the
+    // events_burst_kleinberg oracle with the group key swapped, so the
+    // two ops share their decision-for-decision tie contract, and the
+    // grouped spec cross-checks the in-plan fold against the pinned
+    // driver-side kleinbergStates on every group.
+    OpQuery.checked(
+      "events_burst_grouped",
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+        |      FROM events WHERE user_id IS NOT NULL),
+        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |spine AS (
+        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
+        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
+        |grid AS (
+        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
+        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+        |par AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd
+        |        FROM grid GROUP BY 1),
+        |c AS (
+        |  SELECT g.user_id, g.t, g.d, g.n,
+        |         abs(2 * p.nd * g.n - 2 * p.tot) AS cl,
+        |         abs(2 * p.nd * g.n - 4 * p.tot) AS ch,
+        |         2 * p.tot AS gam
+        |  FROM grid g JOIN par p USING (user_id)),
+        |fwd AS (
+        |  SELECT user_id, t, cl AS lc, gam + ch AS hc,
+        |         CAST(NULL AS BOOLEAN) AS predl, CAST(NULL AS BOOLEAN) AS predh
+        |  FROM c WHERE t = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.t,
+        |         least(f.lc, f.hc) + c.cl,
+        |         least(f.lc + c.gam, f.hc) + c.ch,
+        |         f.lc <= f.hc,
+        |         f.hc <= f.lc + c.gam
+        |  FROM fwd f JOIN c ON c.user_id = f.user_id AND c.t = f.t + 1),
+        |bwd AS (
+        |  SELECT f.user_id, f.t, f.lc <= f.hc AS is_low
+        |  FROM fwd f JOIN (SELECT user_id, max(t) AS mt FROM fwd GROUP BY 1) m
+        |    ON m.user_id = f.user_id AND m.mt = f.t
+        |  UNION ALL
+        |  SELECT w.user_id, w.t - 1,
+        |         CASE WHEN w.is_low THEN f.predl ELSE NOT f.predh END
+        |  FROM bwd w JOIN fwd f ON f.user_id = w.user_id AND f.t = w.t
+        |  WHERE w.t > 1)
+        |SELECT g.user_id, g.d, g.n,
+        |       CAST(CASE WHEN w.is_low THEN 0 ELSE 1 END AS BIGINT) AS burst
+        |FROM grid g JOIN bwd w ON w.user_id = g.user_id AND w.t = g.t""".stripMargin
+    ) { (spark, dir) =>
+      // null group keys excluded on BOTH sides (the dailyGrid contract,
+      // applied to user_id)
+      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
+      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      grid.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
+        .select(col("user_id"),
+          expr("transform(s, x -> x.d)").as("ds"),
+          expr("transform(s, x -> x.n)").as("ns"))
+        .withColumn("nd", size(col("ns")).cast("long"))
+        .withColumn("tot", expr("aggregate(ns, cast(0 as bigint), (a, x) -> a + x)"))
+        // forward Viterbi: fold t = 2..nd carrying (lc, hc) and the
+        // per-step predecessor flags (placeholder at position 1 keeps
+        // the arrays aligned with the 1-indexed step number)
+        .withColumn("fwd", expr(
+          """aggregate(
+            |  slice(ns, 2, cast(nd - 1 as int)),
+            |  named_struct(
+            |    'lc', abs(2 * nd * element_at(ns, 1) - 2 * tot),
+            |    'hc', 2 * tot + abs(2 * nd * element_at(ns, 1) - 4 * tot),
+            |    'predl', array(false),
+            |    'predh', array(false)),
+            |  (s, x) -> named_struct(
+            |    'lc', least(s.lc, s.hc) + abs(2 * nd * x - 2 * tot),
+            |    'hc', least(s.lc + 2 * tot, s.hc) + abs(2 * nd * x - 4 * tot),
+            |    'predl', concat(s.predl, array(s.lc <= s.hc)),
+            |    'predh', concat(s.predh, array(s.hc <= s.lc + 2 * tot))))""".stripMargin))
+        // backward walk: prepend high(t-1) decided by high(t) and the
+        // forward flags — exactly kleinbergStates' backward loop
+        .withColumn("labels", expr(
+          """case when nd = 1 then array(not (fwd.lc <= fwd.hc))
+            |else aggregate(
+            |  sequence(cast(nd as int) - 1, 1, -1),
+            |  array(not (fwd.lc <= fwd.hc)),
+            |  (acc, t) -> concat(
+            |    array(case when not element_at(acc, 1)
+            |               then not element_at(fwd.predl, t + 1)
+            |               else element_at(fwd.predh, t + 1) end),
+            |    acc))
+            |end""".stripMargin))
+        .select(col("user_id"), explode(expr("arrays_zip(ds, ns, labels)")).as("z"))
+        .select(col("user_id"), col("z.ds").as("d"), col("z.ns").as("n"),
+          when(col("z.labels"), 1L).otherwise(0L).as("burst"))
     }
   )
 

@@ -28,17 +28,33 @@ import org.apache.spark.sql.types.StructType
 object Scd2Stream {
 
   /** Start maintaining `targetDir` as an SCD2 dim from parquet change
-    * files appearing under `sourceDir`. */
+    * files appearing under `sourceDir`.
+    *
+    * `checkpointDir` makes the sink RESTARTABLE: on a kill-and-restart
+    * from the same checkpoint, committed source files are never re-read
+    * (their versions are already in the target parquet) and only
+    * not-yet-committed deliveries apply on top of the reloaded dimension
+    * — the durable-sink posture the shard packer uses, proven by the
+    * crash spec in Scd2StreamSpec. Without it Spark falls back to a
+    * per-run temp checkpoint (fine for fire-once jobs, no restart
+    * contract). `maxFilesPerTrigger` bounds a batch for test
+    * choreography and backpressure. */
   def startScd2Sink(
       spark: SparkSession,
       sourceDir: String,
       targetDir: String,
       schema: StructType,
       keyCols: Seq[String],
-      trackedCols: Seq[String]): StreamingQuery = {
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
-    src.writeStream
+      trackedCols: Seq[String],
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val rd = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val wr = src.writeStream
       .outputMode("append")
+    checkpointDir.foreach(wr.option("checkpointLocation", _))
+    wr
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         // Bit-identical duplicate rows are harmless (a restart or backlog

@@ -141,4 +141,24 @@ class KleinbergBurstSpec extends AnyFunSuite {
     assert(got.takeRight(4).forall(identity) && got.take(4).forall(!_),
       s"tail must burst: $got")
   }
+
+  test("events_burst_grouped's in-plan fold equals kleinbergStates on every group") {
+    // the distributed Catalyst-fold Viterbi must agree with the pinned
+    // driver-side DP (itself exhaustively verified above) group by
+    // group — any drift in the fold's tie handling or the pred-array
+    // indexing shows up here as a per-user label mismatch
+    val spark = graft.SparkSuite.session
+    val rows = graft.SparkEntry.queries("events_burst_grouped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "grouped burst must produce rows")
+    val byUser = rows.map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byUser.size > 5, "the group key must be genuinely high-cardinality")
+    byUser.foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+      val want = EventsOps.kleinbergStates(sorted.map(_._3).toIndexedSeq)
+      val gotLabels = sorted.map(_._4 == 1L).toIndexedSeq
+      assert(gotLabels == want, s"user $uid: fold labels diverge from the reference DP")
+    }
+  }
 }

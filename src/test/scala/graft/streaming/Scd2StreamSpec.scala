@@ -146,4 +146,85 @@ class Scd2StreamSpec extends SparkSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
       "streamed SCD2 dim must equal the batch op on the same inputs")
   }
+
+  test("SCD2 sink survives a kill-and-restart from its checkpoint mid-history") {
+    // the kill lands where the state is most intricate: member 1's
+    // version is OPEN at the cut, and the post-restart delivery must
+    // CLOSE it — a restart that wrongly re-bootstrapped would overwrite
+    // the history (one open Penang version, member 2 gone); a restart
+    // with a fresh checkpoint would re-read the committed wave-1 file
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_crash_src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_crash_tgt").toString + "/dim"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_crash_ck").toString + "/c"
+    val day1 = Seq((1L, "Ipoh", "2024-01-01"), (2L, "Kuching", "2024-01-01"))
+      .toDF("member_id", "city", "change_date")
+    val day2 = Seq((1L, "Penang", "2024-02-01"), (3L, "Johor", "2024-02-01"))
+      .toDF("member_id", "city", "change_date")
+
+    day1.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q1 = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"),
+      checkpointDir = Some(ckpt), maxFilesPerTrigger = Some(1))
+    try q1.processAllAvailable() finally q1.stop() // the kill
+    val atCut = spark.read.parquet(target)
+    assert(atCut.count() == 2 && atCut.filter($"curr_ind" === "Y").count() == 2,
+      "the cut must straddle two open versions")
+    // checkpoint state at the cut: committed offsets + the file-source
+    // log naming the wave-1 files (numInputRows is useless here —
+    // foreachBatch's multiple actions re-scan the source, multiplying
+    // the metric — so the evidence reads the checkpoint itself)
+    def entries(sub: String) = Option(new java.io.File(ckpt, sub).list())
+      .fold(Set.empty[String])(_.toSet)
+      .filterNot(_.startsWith(".")) // hadoop .crc shadows
+    val offsetsAtCut = entries("offsets")
+    val srcLogAtCut = entries("sources/0")
+    val wave1Files = new java.io.File(staged).list().filter(_.endsWith(".parquet")).toSet
+    assert(offsetsAtCut.nonEmpty && srcLogAtCut.nonEmpty, "wave 1 must commit to the checkpoint")
+
+    day2.coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+    val wave2Files = new java.io.File(staged).list().filter(_.endsWith(".parquet")).toSet -- wave1Files
+    val q2 = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"),
+      checkpointDir = Some(ckpt), maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+    // direct checkpoint evidence: the restart EXTENDED this checkpoint
+    // (new committed offsets on top of wave 1's, not a fresh log), and
+    // every post-restart source-log entry lists only wave-2 files — the
+    // committed wave-1 file was never re-read
+    val newOffsets = entries("offsets") -- offsetsAtCut
+    assert(newOffsets.nonEmpty, "restart must extend the same checkpoint's offset log")
+    val newSrcEntries = entries("sources/0") -- srcLogAtCut
+    assert(newSrcEntries.nonEmpty, "restart must log its newly discovered files")
+    newSrcEntries.foreach { e =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(ckpt, s"sources/0/$e").toPath))
+      assert(!wave1Files.exists(txt.contains),
+        s"post-restart source log $e re-lists a committed wave-1 file")
+      assert(wave2Files.exists(txt.contains),
+        s"post-restart source log $e must list the wave-2 file")
+    }
+
+    // the post-restart history equals the batch Scd2 chain ...
+    val streamed = spark.read.parquet(target)
+    val expected = {
+      val init = Scd2.initial(day1.drop("change_date"), "2024-01-01")
+      val chg = day2.drop("change_date")
+      Scd2.apply(init, chg.filter($"member_id" === 1L), Seq("member_id"), Seq("city"), "2024-02-01")
+        .unionByName(Scd2.initial(chg.filter($"member_id" === 3L), "2024-02-01"))
+    }
+    assert(streamed.count() == 4)
+    assert(streamed.except(expected).count() == 0 && expected.except(streamed).count() == 0,
+      "post-restart dimension must equal the batch SCD2 chain")
+    // ... and is CONTIGUOUS across the cut: the version open at the
+    // kill closed the day before its successor opened, one current
+    // version per key
+    val m1 = streamed.filter($"member_id" === 1L).orderBy("effective_date")
+      .select("city", "curr_ind", "effective_date", "expiration_date").collect()
+    assert(m1.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("Ipoh", "N"), ("Penang", "Y")))
+    assert(m1.head.getDate(3).toLocalDate.plusDays(1) == m1.last.getDate(2).toLocalDate,
+      "the straddled version must close contiguously with its successor")
+    val perKey = streamed.filter($"curr_ind" === "Y").groupBy("member_id").count()
+    assert(perKey.filter($"count" =!= 1).count() == 0, "exactly one current version per key")
+  }
 }
