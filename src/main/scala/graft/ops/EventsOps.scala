@@ -649,14 +649,7 @@ object EventsOps {
     OpQuery.checked(
       "events_forecast_ses",
       s"""WITH RECURSIVE $dailyGridSql,
-        |fwd AS (
-        |  SELECT event_type, t, d, n, n AS level, CAST(NULL AS BIGINT) AS forecast
-        |  FROM grid WHERE t = 1
-        |  UNION ALL
-        |  SELECT g.event_type, g.t, g.d, g.n,
-        |         (g.n + 3 * f.level) // 4,
-        |         f.level
-        |  FROM fwd f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)
+        |${sesFwdSql("fwd")}
         |SELECT event_type, d, n, CAST(level AS BIGINT) AS level, forecast,
         |       CAST(n - forecast AS BIGINT) AS resid
         |FROM fwd""".stripMargin
@@ -705,17 +698,7 @@ object EventsOps {
     OpQuery.checked(
       "events_forecast_holt",
       s"""WITH RECURSIVE $dailyGridSql,
-        |fwd AS (
-        |  SELECT event_type, t, d, n, n * 1048576 AS level_u,
-        |         CAST(0 AS BIGINT) AS trend_u, CAST(NULL AS BIGINT) AS fc_u
-        |  FROM grid WHERE t = 1
-        |  UNION ALL
-        |  SELECT g.event_type, g.t, g.d, g.n,
-        |         CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
-        |         CAST(floor((CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
-        |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
-        |         f.level_u + f.trend_u
-        |  FROM fwd f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)
+        |${holtFwdSql("fwd")}
         |SELECT event_type, d, n, CAST(level_u AS BIGINT) AS level_u, trend_u,
         |       CAST(floor(fc_u / 1048576.0) AS BIGINT) AS forecast,
         |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
@@ -855,6 +838,168 @@ object EventsOps {
         .select(col("user_id"), explode(expr("arrays_zip(ds, ns, labels)")).as("z"))
         .select(col("user_id"), col("z.ds").as("d"), col("z.ns").as("n"),
           when(col("z.labels"), 1L).otherwise(0L).as("burst"))
+    },
+
+    // ── events_seasonal_decompose: classical trend/seasonal/residual
+    // decomposition of the daily series (the moving-average step of
+    // STL's ancestor, Macaulay 1931 / the "classical decomposition" of
+    // every forecasting text): trend = centered 7-day moving average,
+    // seasonal = per-day-of-week mean of the detrended series, residual
+    // = the rest. Everything rides a ×7 integer scale so no division
+    // happens until the seasonal mean, and THAT division is the
+    // portable floor-div identity (a − ((a%b + b) % b)) / b — both
+    // engines truncate `%` toward the dividend, so the non-negative
+    // remainder subtracts exactly and the remaining division is exact.
+    // dow = days-since-epoch mod 7 (0 = Thursday) rather than either
+    // engine's dayofweek(), which disagree on week start.
+    //
+    // Scale shape: unlike the recursive forecasting ops this one is
+    // FULLY in-plan — the corpus collapses to the bounded grid in one
+    // map-side-combined pass, the centered window runs over that
+    // aggregated frame (|types| × |days|, constant in corpus size; the
+    // group-key-window detector allows windows above an aggregate by
+    // construction), and the seasonal profile is a broadcast-sized
+    // (|types| × 7) join back. No driver sequencing at all — the
+    // decomposition would run identically on a 1000-executor grid.
+    OpQuery.checked(
+      "events_seasonal_decompose",
+      s"""WITH RECURSIVE $dailyGridSql,
+        |win AS (
+        |  SELECT event_type, d, n,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY t
+        |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY t
+        |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7,
+        |         (CAST(d AS DATE) - DATE '1970-01-01') % 7 AS dow
+        |  FROM grid),
+        |det AS (SELECT event_type, d, n, w7, dow, 7 * n - w7 AS detr
+        |        FROM win WHERE c7 = 7),
+        |seas AS (
+        |  SELECT event_type, dow, CAST(sum(detr) AS BIGINT) AS s_num,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM det GROUP BY 1, 2)
+        |SELECT det.event_type, det.d, det.n,
+        |       CAST(det.w7 AS BIGINT) AS trend_x7,
+        |       CAST((s_num - ((s_num % cnt + cnt) % cnt)) // cnt AS BIGINT) AS seas_x7,
+        |       CAST(det.detr - (s_num - ((s_num % cnt + cnt) % cnt)) // cnt AS BIGINT) AS resid_x7
+        |FROM det JOIN seas ON seas.event_type = det.event_type AND seas.dow = det.dow""".stripMargin
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+      val det = dailyGrid(Tables(spark, dir).events)
+        .withColumn("w7", sum(col("n")).over(w))
+        .withColumn("c7", count(lit(1)).over(w))
+        .filter(col("c7") === 7)
+        .withColumn("detr", lit(7L) * col("n") - col("w7"))
+        .withColumn("dow", expr("datediff(d, DATE'1970-01-01') % 7"))
+      val seas = det.groupBy("event_type", "dow")
+        .agg(sum(col("detr")).as("s_num"), count(lit(1)).as("cnt"))
+        .withColumn("seas_x7",
+          expr("(s_num - ((s_num % cnt + cnt) % cnt)) div cnt"))
+        .select("event_type", "dow", "seas_x7")
+      det.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("d"), col("n"),
+          col("w7").as("trend_x7"), col("seas_x7"),
+          (col("detr") - col("seas_x7")).as("resid_x7"))
+    },
+
+    // ── events_forecast_hw: one-step-ahead forecasting with additive
+    // Holt–Winters (Winters 1960) — the seasonal rung above
+    // events_forecast_holt on the same bounded grid, period m = 7
+    // (day-of-week), α = β = γ = 1/4, the same 2²⁰ fixed-point
+    // micro-units and portable-floor discipline:
+    //   fcₜ = Lₜ₋₁ + Tₜ₋₁ + Sₜ₋₇
+    //   Lₜ = ⌊(nₜ·2²⁰ − Sₜ₋₇ + 3·(Lₜ₋₁+Tₜ₋₁))/4⌋
+    //   Tₜ = ⌊(Lₜ − Lₜ₋₁ + 3·Tₜ₋₁)/4⌋
+    //   Sₜ = ⌊(nₜ·2²⁰ − Lₜ + 3·Sₜ₋₇)/4⌋
+    // Seasonal slots warm up from 0 — deterministic on both sides. The
+    // oracle's recursive CTE threads the last seven seasonal values
+    // forward as a BIGINT list (a constant-width ring buffer in the
+    // row), because a recursive CTE can only see the previous
+    // iteration — there is no joining back to t−7.
+    OpQuery.checked(
+      "events_forecast_hw",
+      s"""WITH RECURSIVE $dailyGridSql,
+        |${hwFwdSql("fwd")}
+        |SELECT event_type, d, n, CAST(level_u AS BIGINT) AS level_u, trend_u, seas_u,
+        |       CAST(floor(fc_u / 1048576.0) AS BIGINT) AS forecast,
+        |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      val byType = dailyGrid(Tables(spark, dir).events).collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+        .groupBy(_._1)
+      // dailyGrid excludes null types by contract; the Option-sort is
+      // defense in depth against a future grid change NPE-ing here
+      val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+        val states = hwLevels(sorted.map(_._3).toIndexedSeq)
+        sorted.zip(states).map { case ((tp, d, n), (lu, tu, su, fcU)) =>
+          val fc = fcU.map(Math.floorDiv(_, HoltUnit))
+          (tp, d, n, lu, tu, su, fc, fc.map(n - _))
+        }
+      }
+      spark.createDataFrame(out)
+        .toDF("event_type", "d", "n", "level_u", "trend_u", "seas_u", "forecast", "resid")
+    },
+
+    // ── eval_forecast_backtest: the forecasting tier measures ITSELF —
+    // a rolling-origin backtest (the standard one-step-ahead holdout
+    // evaluation, Hyndman & Athanasopoulos §5.10) of all four methods
+    // (naive = yesterday's count, SES, Holt, Holt–Winters) on the last
+    // 7 days of the shared grid. Every method's forecast at step t uses
+    // only data before t by construction, so the full-series recursions
+    // ARE the rolling backtest — no re-training per origin. The error
+    // totals are sums of |n − forecast| over the holdout: pure BIGINTs,
+    // so the comparison is exact, and the eval family (langid, dedup,
+    // score, retrieval ×3, pHash) now covers forecasting too. The
+    // oracle instantiates the SES/Holt/HW recursive CTEs next to each
+    // other — the exact fragments the standalone ops check — plus a
+    // lag() for naive, and aggregates the same tail.
+    OpQuery.checked(
+      "eval_forecast_backtest",
+      s"""WITH RECURSIVE $dailyGridSql,
+        |${sesFwdSql("fses")},
+        |${holtFwdSql("fholt")},
+        |${hwFwdSql("fhw")},
+        |nd AS (SELECT event_type, max(t) AS nd FROM grid GROUP BY 1),
+        |naive AS (
+        |  SELECT event_type, t, n,
+        |         lag(n) OVER (PARTITION BY event_type ORDER BY t) AS forecast
+        |  FROM grid),
+        |allm AS (
+        |  SELECT event_type, t, n, 'naive' AS method, forecast FROM naive
+        |  UNION ALL
+        |  SELECT event_type, t, n, 'ses', forecast FROM fses
+        |  UNION ALL
+        |  SELECT event_type, t, n, 'holt',
+        |         CAST(floor(fc_u / 1048576.0) AS BIGINT) FROM fholt
+        |  UNION ALL
+        |  SELECT event_type, t, n, 'hw',
+        |         CAST(floor(fc_u / 1048576.0) AS BIGINT) FROM fhw)
+        |SELECT a.event_type, a.method,
+        |       CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(sum(abs(a.n - a.forecast)) AS BIGINT) AS abs_err
+        |FROM allm a JOIN nd ON nd.event_type = a.event_type
+        |WHERE a.t > nd.nd - 7 AND a.forecast IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
+    ) { (spark, dir) =>
+      val byType = dailyGrid(Tables(spark, dir).events).collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+        .groupBy(_._1)
+      val out = byType.toSeq.sortBy(t => Option(t._1)).flatMap { case (tp, rs) =>
+        val ns = rs.sortBy(_._2.toLocalDate.toEpochDay).map(_._3).toIndexedSeq
+        val nd = ns.length
+        val fcs: Seq[(String, IndexedSeq[Option[Long]])] = Seq(
+          "naive" -> ns.indices.map(i => if (i == 0) None else Some(ns(i - 1))),
+          "ses"   -> sesLevels(ns).map(_._2),
+          "holt"  -> holtLevels(ns).map(_._3.map(Math.floorDiv(_, HoltUnit))),
+          "hw"    -> hwLevels(ns).map(_._4.map(Math.floorDiv(_, HoltUnit))))
+        fcs.map { case (m, fc) =>
+          val tail = (0 until nd).filter(i => i + 1 > nd - 7 && fc(i).isDefined)
+          (tp, m, tail.size.toLong, tail.map(i => math.abs(ns(i) - fc(i).get)).sum)
+        }
+      }
+      spark.createDataFrame(out).toDF("event_type", "method", "n_eval", "abs_err")
     }
   )
 
@@ -917,6 +1062,94 @@ object EventsOps {
       |  SELECT s.event_type, s.d, COALESCE(pd.n, 0) AS n,
       |         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) AS BIGINT) AS t
       |  FROM spine s LEFT JOIN pd ON pd.event_type = s.event_type AND pd.d = s.d)""".stripMargin
+
+  /** The SES forward recursion as a recursive-CTE fragment over `grid`
+    * (named so [[eval_forecast_backtest]] can instantiate it next to the
+    * Holt and Holt–Winters recursions in one oracle query). */
+  private def sesFwdSql(name: String): String =
+    s"""$name AS (
+      |  SELECT event_type, t, d, n, n AS level, CAST(NULL AS BIGINT) AS forecast
+      |  FROM grid WHERE t = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.t, g.d, g.n,
+      |         (g.n + 3 * f.level) // 4,
+      |         f.level
+      |  FROM $name f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)""".stripMargin
+
+  /** The fixed-point Holt forward recursion as a recursive-CTE fragment
+    * over `grid` — the new level expression is repeated inside the trend
+    * term because a recursive CTE row cannot reference its own aliases. */
+  private def holtFwdSql(name: String): String =
+    s"""$name AS (
+      |  SELECT event_type, t, d, n, n * 1048576 AS level_u,
+      |         CAST(0 AS BIGINT) AS trend_u, CAST(NULL AS BIGINT) AS fc_u
+      |  FROM grid WHERE t = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.t, g.d, g.n,
+      |         CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
+      |         CAST(floor((CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+      |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
+      |         f.level_u + f.trend_u
+      |  FROM $name f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)""".stripMargin
+
+  /** The fixed-point additive Holt–Winters forward recursion (period 7)
+    * as a recursive-CTE fragment over `grid`. The row carries the last
+    * seven seasonal micro-unit values as a BIGINT list — `seas[1]` is
+    * S_{t−7}, the slot this step consumes; the new S_t appends and the
+    * head drops, so the list is a constant-width ring buffer the
+    * recursion threads forward. The new level expression is repeated
+    * (three times) for the same no-self-alias reason as Holt's. */
+  private def hwFwdSql(name: String): String =
+    s"""$name AS (
+      |  SELECT event_type, t, d, n, n * 1048576 AS level_u,
+      |         CAST(0 AS BIGINT) AS trend_u,
+      |         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS seas,
+      |         CAST(0 AS BIGINT) AS seas_u,
+      |         CAST(NULL AS BIGINT) AS fc_u
+      |  FROM grid WHERE t = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.t, g.d, g.n,
+      |         CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
+      |         CAST(floor((CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+      |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
+      |         list_append(f.seas[2:7],
+      |           CAST(floor((g.n * 1048576
+      |                       - CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+      |                       + 3 * f.seas[1]) / 4) AS BIGINT)),
+      |         CAST(floor((g.n * 1048576
+      |                     - CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+      |                     + 3 * f.seas[1]) / 4) AS BIGINT),
+      |         f.level_u + f.trend_u + f.seas[1]
+      |  FROM $name f JOIN grid g ON g.event_type = f.event_type AND g.t = f.t + 1)""".stripMargin
+
+  /** The fixed-point additive Holt–Winters recursion (period m = 7,
+    * α = β = γ = 1/4) behind events_forecast_hw: returns
+    * (Lₜ, Tₜ, Sₜ, fcₜ = Lₜ₋₁ + Tₜ₋₁ + Sₜ₋₇), all in [[HoltUnit]]
+    * micro-units. Seasonal slots warm up from 0 (the first seven steps
+    * forecast with no seasonal term — deterministic, and both engines
+    * share it), so a day-of-week pattern is fully absorbed from the
+    * second week on. Math.floorDiv for the same negative-numerator
+    * portability reason as [[holtLevels]]. */
+  private[ops] def hwLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Long, Option[Long])] = {
+    require(counts.nonEmpty, "at least one step")
+    var level = counts(0) * HoltUnit
+    var trend = 0L
+    // invariant: after step t this holds [S_{t−6} … S_t]; S_{≤1} = 0
+    var seas = Vector.fill(7)(0L)
+    counts.zipWithIndex.map { case (n, i) =>
+      if (i == 0) (level, trend, 0L, None)
+      else {
+        val sm = seas.head
+        val fc = level + trend + sm
+        val nl = Math.floorDiv(n * HoltUnit - sm + 3 * (level + trend), 4)
+        trend = Math.floorDiv(nl - level + 3 * trend, 4)
+        val ns = Math.floorDiv(n * HoltUnit - nl + 3 * sm, 4)
+        level = nl
+        seas = seas.tail :+ ns
+        (level, trend, ns, Some(fc))
+      }
+    }
+  }
 
   /** Engine side of [[dailyGridSql]]'s `grid` (without the index —
     * consumers collect the bounded frame and sort). */

@@ -1862,11 +1862,16 @@ object PipelineOps {
     //                       (text_quality_learned's weights, applied to
     //                       the WHOLE corpus — the teacher labels only
     //                       ever touch the train split)
-    //   2 lm_surprisal      keep 4.4 ≤ bits/bigram ≤ 4.7 under the
-    //                       even-split bigram LM (too predictable =
-    //                       boilerplate, too surprising = gibberish);
-    //                       integer form 44·nb ≤ 10·sbits ≤ 47·nb, and
-    //                       bigram-less docs (< 2 tokens) drop here
+    //   2 lm_surprisal      keep docs within ±0.1 bits/bigram of the
+    //                       corpus-mean surprisal under the even-split
+    //                       bigram LM (too predictable = boilerplate,
+    //                       too surprising = gibberish) — the band is
+    //                       RELATIVE, CCNet-style, because the backoff
+    //                       penalty scales with ilog2(vocab) and an
+    //                       absolute window empties as the corpus
+    //                       grows; integer form 10·|sbits·N − S·nb| ≤
+    //                       nb·N, and bigram-less docs (< 2 tokens)
+    //                       drop here
     //   3 token_entropy     keep entropy ≥ 3.2 bits/token
     //                       (5·entropy_bits ≥ 16·n_tokens)
     //   4 dedup_substring   drop docs where merged duplicated-span load
@@ -1945,7 +1950,9 @@ object PipelineOps {
         |                THEN (length(bin(n_total)) - 1) - (length(bin(c1w2)) - 1) + 1
         |              ELSE (length(bin(n_total)) - 1) + 2 END) AS BIGINT) AS sbits
         |  FROM jj GROUP BY doc_id),
-        |k2 AS (SELECT doc_id FROM surp WHERE 10 * sbits >= 44 * nb AND 10 * sbits <= 47 * nb),
+        |gl AS (SELECT CAST(sum(sbits) AS BIGINT) AS s_all, CAST(sum(nb) AS BIGINT) AS n_all FROM surp),
+        |k2 AS (SELECT doc_id FROM surp CROSS JOIN gl
+        |       WHERE 10 * abs(sbits * n_all - s_all * nb) <= nb * n_all),
         |ment AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS m
         |         FROM toks t JOIN k2 USING (doc_id) GROUP BY 1, 2),
         |ent AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nt,
@@ -2043,6 +2050,18 @@ object PipelineOps {
       import graft.Norm.ilog2
       import org.apache.spark.sql.DataFrame
       graft.functions.BloomFilter.register(spark)
+      // dev instrumentation: GRAFT_STAGE_TIMING=1 forces each stage's
+      // materialization eagerly and prints its wall time to stderr —
+      // the lazy DAG otherwise interleaves stage costs inside the first
+      // funnel action, making the composition unprofilable
+      def mark(name: String)(df: DataFrame): DataFrame = {
+        if (sys.env.contains("GRAFT_STAGE_TIMING")) {
+          val t0 = System.nanoTime()
+          val c = df.count()
+          System.err.println(f"[v2-stage] $name%-18s rows=$c%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        df
+      }
       val base = Tables(spark, dir).documents.select("doc_id", "source", "lang", "text")
       val toks = base.select(col("doc_id"),
         explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
@@ -2051,7 +2070,7 @@ object PipelineOps {
       // the persist every funnel row would re-run the full upstream
       // chain (including the S4 shingle scan). Bytes per doc, never
       // corpus-proportional.
-      val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens")).persist()
+      val ntok = mark("ntok")(toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens")).persist())
       // S1: train the Laplace fixed-point classifier on the even split,
       // score EVERYONE (text_quality_learned trains identically)
       val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
@@ -2069,6 +2088,7 @@ object PipelineOps {
       val k1 = toks.join(wts, Seq("tok"), "left_outer")
         .groupBy("doc_id").agg(sum(coalesce(col("w"), lit(0L))).as("score"))
         .filter(col("score") > 0).select("doc_id").persist()
+      mark("k1_quality")(k1)
       // S2: even-split bigram LM (text_lm_surprisal), scored over k1
       val tt = base.select(col("doc_id"), expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
       val bigrams = tt.filter(size(col("ws")) >= 2)
@@ -2086,15 +2106,28 @@ object PipelineOps {
       val bits = when(col("c2").isNotNull, ilog2(col("c1w1")) - ilog2(col("c2")))
         .when(col("c1w2").isNotNull, ilog2(col("n_total")) - ilog2(col("c1w2")) + 1)
         .otherwise(ilog2(col("n_total")) + 2)
-      val k2 = sb
+      val surp2 = sb
         .join(c2, Seq("w1", "w2"), "left_outer")
         .join(c1.toDF("w1", "c1w1"), Seq("w1"), "left_outer")
         .join(c1.toDF("w2", "c1w2"), Seq("w2"), "left_outer")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(sum(col("m")).as("nb"), sum(bits * col("m")).as("sbits"))
-        .filter(col("sbits") * 10 >= col("nb") * 44 && col("sbits") * 10 <= col("nb") * 47)
+        .persist()
+      // relative band: |bits/bigram − corpus mean| ≤ 0.1, the CCNet
+      // posture — an absolute band is scale-dependent (the backoff
+      // penalty grows with ilog2(vocab total), so the whole
+      // distribution shifts up as the corpus grows and a fixed window
+      // empties out). Integer-exact: with S = Σsbits, N = Σnb over the
+      // scored survivors, keep 10·|sbits·N − S·nb| ≤ nb·N. Magnitudes:
+      // sbits ≈ 5·nb, so sbits·N ≈ 5·nb_doc·N — under 10¹⁸ until
+      // N ≈ 10¹⁴ bigrams (≫ 100 TB of text), BIGINT-safe.
+      val gl2 = surp2.agg(sum("sbits").as("s_all"), sum("nb").as("n_all"))
+      val k2 = surp2.crossJoin(broadcast(gl2))
+        .filter(lit(10) * abs(col("sbits") * col("n_all") - col("s_all") * col("nb"))
+          <= col("nb") * col("n_all"))
         .select("doc_id").persist()
+      mark("k2_surprisal")(k2)
       // S3: entropy floor (text_token_entropy) over k2
       val k3 = toks.join(k2, Seq("doc_id"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
@@ -2102,6 +2135,7 @@ object PipelineOps {
         .agg(sum(col("m")).as("nt"), sum(col("m") * ilog2(col("m"))).as("s"))
         .filter(lit(5) * (col("nt") * ilog2(col("nt")) - col("s")) >= lit(16) * col("nt"))
         .select("doc_id").persist()
+      mark("k3_entropy")(k3)
       // S4: substring-span load within survivors (text_dedup_substring's
       // chunked two-explode scan; xxhash64 anchors — only the dup SET
       // must agree with the oracle's md5, same reasoning as the
@@ -2118,6 +2152,7 @@ object PipelineOps {
             s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
         .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
         .persist(StorageLevel.DISK_ONLY)
+      mark("g4_grams")(g4)
       val cnt4 = g4.groupBy("h").agg(count(lit(1)).as("c"))
       val dl = g4.join(cnt4.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
         .withColumn("grp", col("p") - row_number().over(
@@ -2125,25 +2160,50 @@ object PipelineOps {
         .groupBy("doc_id", "grp")
         .agg((max(col("p")) - min(col("p")) + 50).as("span_len"))
         .groupBy("doc_id").agg(sum("span_len").as("dupload"))
+      // localCheckpoint, not persist: from S4 on, stages reference their
+      // predecessors 2-3× each (f5 embeds k4; contam reads f5 twice;
+      // thr crosses c6 with its own total; every funnel row re-reads two
+      // stages) — persist truncates EXECUTION but not the analyzed plan,
+      // so the composed lineage grows multiplicatively and Catalyst
+      // analysis alone OOMs the driver. Checkpointing cuts the plan at
+      // the stage boundary; frames are doc_id-grain (bytes per doc). On
+      // a real cluster, point spark.checkpoint.dir at durable storage
+      // and use .checkpoint() for executor-loss tolerance.
       val k4 = t4.join(dl, Seq("doc_id"), "left_outer")
         .filter(lit(2) * coalesce(col("dupload"), lit(0L)) < col("n"))
-        .select("doc_id").persist()
+        .select("doc_id").localCheckpoint(true)
+      mark("k4_substr")(k4)
       // S5: winnowed word-8-gram decontamination — Bloom prefilter in
       // codegen, exact verify join kills FPs (text_contamination_bloom
       // physical strategy, text_winnowing_fingerprint selection)
       val w5 = base.select(col("doc_id"),
         Norm.hashBucket(col("doc_id"), 100).as("b"), split(col("text"), " ").as("ws"))
-      val f5 = w5.select(col("doc_id"), col("b"), expr(
+      // fingerprint only the docs the stage can actually consult: the
+      // bench bucket (b < 5 — ALL of it, the bench set is a corpus-level
+      // definition) plus the k4 survivors it screens. The oracle
+      // fingerprints every doc, but contam is only ever intersected
+      // with k4, so the restriction is result-equivalent — and it stops
+      // the pipeline paying the full-corpus winnowing scan (the single
+      // most expensive per-row expression in the DAG) for docs earlier
+      // stages already dropped. Persisted once: benchFp, the Bloom
+      // build, and the verify join all read the same materialization.
+      val f5 = w5.filter(col("b") < 5)
+        .unionByName(w5.filter(col("b") >= 5).join(k4, Seq("doc_id")))
+        .select(col("doc_id"), col("b"), expr(
           "transform(sequence(1, greatest(size(ws) - 7, 1)), " +
             "i -> md5(concat_ws(' ', slice(ws, i, 8))))").as("hs"))
         .filter(size(col("hs")) >= 4)
         .select(col("doc_id"), col("b"), explode(expr(
           "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"
         )).as("fp"))
+        .persist()
       val benchFp = f5.filter(col("b") < 5).select("fp").distinct()
       // the one collect: the fixed 128 KiB bitset, constant at any scale
+      val tBloom = System.nanoTime()
       val bloom = benchFp.agg(expr("bloom_build(fp, 1048576, 5)").as("bf"))
         .head().getAs[Array[Byte]](0)
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[v2-stage] bloom_build       ${(System.nanoTime() - tBloom) / 1e9}%.2f s")
       val contam = f5.filter(col("b") >= 5)
         .filter(call_function("bloom_contains", lit(bloom), col("fp"), lit(5)))
         .join(benchFp, Seq("fp"))
@@ -2152,7 +2212,8 @@ object PipelineOps {
         .filter(col("b") >= 5)
         .join(contam.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
         .filter(col("hit").isNull)
-        .select("doc_id").persist()
+        .select("doc_id").localCheckpoint(true)  // see k4: plan-growth cut
+      mark("k5_decontam")(k5)
       // S6: α=1/2 temperature thresholds over SURVIVOR source counts
       // (sample_mixture_temperature's DECIMAL(38,0) wide products)
       val d6 = base.select("doc_id", "source").join(k5, Seq("doc_id"))
@@ -2166,6 +2227,7 @@ object PipelineOps {
       val k6 = d6.join(broadcast(thr), Seq("source"))
         .filter(Norm.hashBucket(col("doc_id"), 1000000) < col("t_micro"))
         .select("doc_id").persist()
+      mark("k6_mixture")(k6)
       // S7: pack survivors into 512-token shards (text_seqlen_pack)
       val w7 = Window.partitionBy("lang", "bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
