@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -278,6 +278,166 @@ case class SimHashMd5(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken 2003) in one
+  * pass. Shared engine for the two surface forms below; semantics are
+  * bit-identical to the composed SQL
+  * `array_distinct(transform(sequence(1, n_hs - w + 1), j ->
+  *    array_min(slice(hs, j, w))))`
+  * where `hs` is the md5-hex of each k-gram: window minima are taken on
+  * the RAW 16-byte digests (lowercase-hex order equals unsigned-byte
+  * order, so the min is the same element) and only the distinct minima
+  * are hex-encoded — the composed form allocates a slice + concat + hex
+  * string per POSITION, this allocates per FINGERPRINT (expected density
+  * 2/(w+1)). Returns null when fewer than w grams exist (the callers'
+  * `size(hs) >= w` gate), so `explode` drops short docs for free. */
+private[functions] object Winnow {
+  /** Unsigned lexicographic compare of two equal-length digests. */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  /** Distinct window-w minima of `digests`, first-occurrence order,
+    * hex-encoded. */
+  def fingerprints(digests: Array[Array[Byte]], w: Int): GenericArrayData = {
+    val nh = digests.length
+    val seen = new java.util.HashSet[java.nio.ByteBuffer]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    while (j <= nh - w) {
+      var best = digests(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (cmp(digests(t), best) < 0) best = digests(t)
+        t += 1
+      }
+      if (seen.add(java.nio.ByteBuffer.wrap(best)))
+        out += UTF8String.fromString(MinMd5Salted.toHex(best))
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Winnowed fingerprints over word k-grams: the k-gram is
+  * `concat_ws(' ', slice(ws, i, k))` (null words skipped, single-space
+  * joined), hashed with md5 — the pipeline_pretrain_v2 decontamination
+  * selection. `winnow_fps_words(ws, k, w)`. */
+case class WinnowFpsWords(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps_words"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int, int), got ($a, $b, $c)")
+    }
+
+  override def nullSafeEval(wsAny: Any, kAny: Any, wAny: Any): Any = {
+    val arr = wsAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    // hs length matches greatest(size(ws) - (k-1), 1): even a doc shorter
+    // than one full k-gram contributes a single (truncated) gram
+    val nh = math.max(n - (k - 1), 1)
+    if (nh < w) return null
+    // word bytes extracted ONCE per row — each word is re-read by k
+    // overlapping grams, and getBytes per (gram × word) was the composed
+    // form's dominant allocation
+    val words = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nh)
+    val space = ' '.toByte
+    i = 0
+    while (i < nh) {
+      md.reset()
+      var firstWord = true
+      var t = i
+      val end = math.min(i + k, n)
+      while (t < end) {
+        if (words(t) != null) { // concat_ws skips nulls
+          if (!firstWord) md.update(space)
+          md.update(words(t))
+          firstWord = false
+        }
+        t += 1
+      }
+      digests(i) = md.digest()
+      i += 1
+    }
+    Winnow.fingerprints(digests, w)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Winnowed fingerprints over CHARACTER k-grams: the k-gram is
+  * `substring(text, i, k)` (code points, exactly Spark's substring /
+  * DuckDB's substr), hashed with md5 over its UTF-8 bytes — the
+  * text_winnowing_fingerprint selection. Zero per-gram allocation: a
+  * code-point → byte-offset table is built once and each gram is hashed
+  * directly from the row's UTF-8 buffer. `winnow_fps_chars(text, k, w)`. */
+case class WinnowFpsChars(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps_chars"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int), got ($a, $b, $c)")
+    }
+
+  override def nullSafeEval(textAny: Any, kAny: Any, wAny: Any): Any = {
+    val s = textAny.asInstanceOf[UTF8String]
+    val k = kAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    val bytes = s.getBytes
+    // offsets(c) = byte offset where code point c starts; offsets(nChars)
+    // = total bytes. UTF-8 continuation bytes have the 10xxxxxx prefix.
+    val offBuf = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { offBuf(nChars) = b; nChars += 1 }
+      b += 1
+    }
+    offBuf(nChars) = bytes.length
+    val nh = nChars - k + 1 // callers gate on length >= k + w - 1
+    if (nh < w) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nh)
+    var i = 0
+    while (i < nh) {
+      md.reset()
+      md.update(bytes, offBuf(i), offBuf(i + k) - offBuf(i))
+      digests(i) = md.digest()
+      i += 1
+    }
+    Winnow.fingerprints(digests, w)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object MinMd5Salted {
   private val digits = "0123456789abcdef".toCharArray
   def toHex(bytes: Array[Byte]): String = {
@@ -302,5 +462,7 @@ object TextExprs {
     reg.createOrReplaceTempFunction("max_md5_salted", exprs => MaxMd5Salted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("min_md5_multi", exprs => MinMd5Multi(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64_md5", exprs => SimHashMd5(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fps_words", exprs => WinnowFpsWords(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fps_chars", exprs => WinnowFpsChars(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -1728,15 +1728,19 @@ object PipelineOps {
         |       list_aggregate(fps, 'max') AS fp_max
         |FROM w""".stripMargin
     ) { (spark, dir) =>
+      // winnow_fps_chars: the native one-pass expression — identical
+      // fingerprint set to the composed transform/substring/md5 +
+      // window-min/distinct form (TextExprs scaladoc), but each gram is
+      // hashed straight out of the row's UTF-8 buffer via a code-point
+      // offset table, so the scan allocates per FINGERPRINT, not per
+      // POSITION. n_grams stays derivable as char_length - 7.
+      graft.functions.TextExprs.register(spark)
       Tables(spark, dir).documents
         .filter(length(col("text")) >= 11)
         .select(col("doc_id"),
-          expr("transform(sequence(1, char_length(text) - 7), i -> md5(substring(text, i, 8)))")
-            .as("hs"))
-        .filter(size(col("hs")) >= 4)
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-          expr("array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))")
-            .as("fps"))
+          (length(col("text")) - 7).cast("long").as("n_grams"),
+          expr("winnow_fps_chars(text, 8, 4)").as("fps"))
+        .filter(col("fps").isNotNull)
         .select(col("doc_id"), col("n_grams"),
           size(col("fps")).cast("long").as("n_fps"),
           array_min(col("fps")).as("fp_min"),
@@ -2050,6 +2054,7 @@ object PipelineOps {
       import graft.Norm.ilog2
       import org.apache.spark.sql.DataFrame
       graft.functions.BloomFilter.register(spark)
+      graft.functions.TextExprs.register(spark)
       // dev instrumentation: GRAFT_STAGE_TIMING=1 forces each stage's
       // materialization eagerly and prints its wall time to stderr —
       // the lazy DAG otherwise interleaves stage costs inside the first
@@ -2150,8 +2155,13 @@ object PipelineOps {
         .select(col("doc_id"), col("bt"),
           explode(expr(
             s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
+        // MEMORY_AND_DISK, not DISK_ONLY: the gram frame is ~24 bytes/
+        // position (id, p, hash) — tens of MiB at sf0.1, and at cluster
+        // scale the spill path degrades gracefully; r11's DISK_ONLY
+        // forced a disk round-trip on every one of cnt4's and dl's reads
+        // where the standalone op keeps the same frame in memory
         .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       mark("g4_grams")(g4)
       val cnt4 = g4.groupBy("h").agg(count(lit(1)).as("c"))
       val dl = g4.join(cnt4.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
@@ -2187,15 +2197,16 @@ object PipelineOps {
       // most expensive per-row expression in the DAG) for docs earlier
       // stages already dropped. Persisted once: benchFp, the Bloom
       // build, and the verify join all read the same materialization.
+      // winnow_fps_words: the native one-pass winnowing expression —
+      // bit-identical fingerprints to the composed
+      // transform/slice/md5 + window-min/distinct form (TextExprs
+      // scaladoc has the equivalence argument), at per-FINGERPRINT
+      // instead of per-POSITION allocation; it returns null below w
+      // grams, so explode performs the size(hs) >= 4 gate
       val f5 = w5.filter(col("b") < 5)
         .unionByName(w5.filter(col("b") >= 5).join(k4, Seq("doc_id")))
-        .select(col("doc_id"), col("b"), expr(
-          "transform(sequence(1, greatest(size(ws) - 7, 1)), " +
-            "i -> md5(concat_ws(' ', slice(ws, i, 8))))").as("hs"))
-        .filter(size(col("hs")) >= 4)
-        .select(col("doc_id"), col("b"), explode(expr(
-          "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"
-        )).as("fp"))
+        .select(col("doc_id"), col("b"),
+          explode(expr("winnow_fps_words(ws, 8, 4)")).as("fp"))
         .persist()
       val benchFp = f5.filter(col("b") < 5).select("fp").distinct()
       // the one collect: the fixed 128 KiB bitset, constant at any scale
@@ -2237,26 +2248,50 @@ object PipelineOps {
         .withColumn("tokens_before", coalesce(sum("n_tokens").over(w7), lit(0L)))
         .select(col("lang"), col("bucket"), expr("tokens_before DIV 512").as("shard"))
         .distinct()
-      // the funnel: 7 rows of crossed 1-row aggregates
-      def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).cast("long").as(as))
-      def tk(df: DataFrame) = df.join(ntok, Seq("doc_id"))
-        .agg(coalesce(sum("n_tokens"), lit(0L)).as("tokens_kept"))
-      def funnelRow(id: Long, name: String, in: DataFrame, out: DataFrame,
-          nPacks: Option[DataFrame]): DataFrame = {
-        val r = cnt(in, "docs_in").crossJoin(cnt(out, "docs_kept")).crossJoin(tk(out))
-        val withP = nPacks.fold(r.withColumn("n_packs", lit(null).cast("long")))(
-          p => r.crossJoin(cnt(p, "n_packs")))
-        withP.select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("docs_in"), col("docs_kept"),
-          (col("docs_in") - col("docs_kept")).as("docs_dropped"),
-          col("tokens_kept"), col("n_packs"))
-      }
-      funnelRow(1, "quality_learned", base.select("doc_id"), k1, None)
-        .unionByName(funnelRow(2, "lm_surprisal", k1, k2, None))
-        .unionByName(funnelRow(3, "token_entropy", k2, k3, None))
-        .unionByName(funnelRow(4, "dedup_substring", k3, k4, None))
-        .unionByName(funnelRow(5, "decontaminate", k4, k5, None))
-        .unionByName(funnelRow(6, "mixture_temperature", k5, k6, None))
-        .unionByName(funnelRow(7, "seqlen_pack", k6, k6, Some(packs)))
+      // the funnel: ONE pass, not 22 crossed 1-row aggregates. The r11
+      // shape ran 2 counts + a tokens join per stage row (≈22 Spark
+      // jobs); per-job scheduling overhead is noise in isolation but
+      // multiplies under a long sweep's GC pressure — it was the
+      // single biggest slice of the 28.5 s driver-sweep reading (the
+      // stages themselves profile at ≈3.5 s warm). Instead: left-join
+      // the six survivor sets onto the doc spine as 0/1 flags, fold
+      // ALL funnel stats in one aggregate (count + 6 survivor sums +
+      // 6 flag-masked token sums), and explode the 7 rows from the
+      // single result row — 1 job over doc_id-grain frames, and at
+      // cluster scale one co-partitioned shuffle instead of 22 rounds.
+      def flag(df: DataFrame, as: String) =
+        df.withColumn(as, lit(1L))
+      val flags = base.select(col("doc_id"))
+        .join(ntok, Seq("doc_id"), "left_outer")
+        .join(flag(k1, "f1"), Seq("doc_id"), "left_outer")
+        .join(flag(k2, "f2"), Seq("doc_id"), "left_outer")
+        .join(flag(k3, "f3"), Seq("doc_id"), "left_outer")
+        .join(flag(k4, "f4"), Seq("doc_id"), "left_outer")
+        .join(flag(k5, "f5"), Seq("doc_id"), "left_outer")
+        .join(flag(k6, "f6"), Seq("doc_id"), "left_outer")
+        .select(coalesce(col("n_tokens"), lit(0L)).as("nt") +:
+          (1 to 6).map(i => coalesce(col(s"f$i"), lit(0L)).as(s"f$i")): _*)
+      val statExprs = count(lit(1)).as("n0") +: (1 to 6).flatMap(i => Seq(
+        coalesce(sum(col(s"f$i")), lit(0L)).as(s"n$i"),
+        coalesce(sum(col(s"f$i") * col("nt")), lit(0L)).as(s"t$i")))
+      val stats = flags.agg(statExprs.head, statExprs.tail: _*)
+      val row = stats.crossJoin(
+        broadcast(packs.agg(count(lit(1)).cast("long").as("np"))))
+      mark("flags_funnel")(flags)
+      mark("packs")(packs)
+      val names = Seq("quality_learned", "lm_surprisal", "token_entropy",
+        "dedup_substring", "decontaminate", "mixture_temperature")
+      val stageRows = names.zipWithIndex.map { case (nm, ix) =>
+        val i = ix + 1
+        struct(lit(i.toLong).as("stage_id"), lit(nm).as("stage"),
+          col(s"n${i - 1}").as("docs_in"), col(s"n$i").as("docs_kept"),
+          (col(s"n${i - 1}") - col(s"n$i")).as("docs_dropped"),
+          col(s"t$i").as("tokens_kept"),
+          lit(null).cast("long").as("n_packs"))
+      } :+ struct(lit(7L).as("stage_id"), lit("seqlen_pack").as("stage"),
+        col("n6").as("docs_in"), col("n6").as("docs_kept"),
+        lit(0L).as("docs_dropped"), col("t6").as("tokens_kept"),
+        col("np").as("n_packs"))
+      row.select(explode(array(stageRows: _*)).as("r")).select("r.*")
     })
 }
