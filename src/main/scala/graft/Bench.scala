@@ -100,7 +100,19 @@ object Bench {
     // non-trivial query means some earlier query leaks pressure into
     // the sweep; the ratio map makes the distortion visible in every
     // bench run instead of needing a manual isolated re-run.
-    val recheck = results.filterNot(_._3).sortBy(-_._2).take(12).map { case (name, sweepT, _) =>
+    // Two recheck strata: the 12 slowest (where inflation hurts the
+    // total most) PLUS a deterministic mid-pack sample (every 29th of
+    // the remaining queries by sorted rank) — folding isolated minima
+    // into only the tail would floor-bias the slowest queries' numbers
+    // relative to mid-pack ones measured solely under sweep pressure.
+    // A GC first: the recheck exists to measure each query WITHOUT the
+    // sweep's accumulated heap debt, so start it from a collected heap.
+    System.gc()
+    val ok = results.filterNot(_._3)
+    val slowest12 = ok.sortBy(-_._2).take(12)
+    val midPack = ok.sortBy(-_._2).drop(12).zipWithIndex
+      .collect { case (r, i) if i % 29 == 14 => r }
+    val recheck = (slowest12 ++ midPack).map { case (name, sweepT, _) =>
       var failed = false
       val iso = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -147,6 +159,10 @@ object Bench {
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedKeys = folded.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = folded.collect { case (_, v, false) => v }.sum
+    // value_sweep = the un-folded sum of in-sweep times, published next
+    // to the folded metric so the two regimes stay separately visible
+    // (and comparable against rounds measured sweep-only)
+    val totalSweep = results.collect { case (_, v, false) if v >= 0 => v }.sum
     // The driver keeps only the LAST ~2000 chars of stdout, and a
     // 165-entry query map blows that budget — every prior round's
     // BENCH_r*.json.parsed came back null because the driver could only
@@ -159,7 +175,7 @@ object Bench {
     val slowest = folded.filterNot(_._3).sortBy(-_._2).take(25).reverse
     val inflatedJson = inflated
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
-    println(s"""{"queries":${qmap(slowest)},"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${folded.size},"n_reported":${slowest.size},"failed":$failedKeys,"inflated":$inflatedJson,"sf":"$sfDir"}""")
+    println(s"""{"queries":${qmap(slowest)},"metric":"total","value":${fmt(total)},"value_sweep":${fmt(totalSweep)},"unit":"sec","n_queries":${folded.size},"n_reported":${slowest.size},"failed":$failedKeys,"inflated":$inflatedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

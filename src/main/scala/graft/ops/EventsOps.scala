@@ -994,9 +994,14 @@ object EventsOps {
           "ses"   -> sesLevels(ns).map(_._2),
           "holt"  -> holtLevels(ns).map(_._3.map(Math.floorDiv(_, HoltUnit))),
           "hw"    -> hwLevels(ns).map(_._4.map(Math.floorDiv(_, HoltUnit))))
-        fcs.map { case (m, fc) =>
+        // flatMap + emptiness guard, not map: on a degenerate series
+        // (one day — every forecast NULL at t=1) the oracle's
+        // WHERE-then-GROUP BY emits no group at all, so emitting an
+        // (event_type, method, 0, 0) row here would diverge
+        fcs.flatMap { case (m, fc) =>
           val tail = (0 until nd).filter(i => i + 1 > nd - 7 && fc(i).isDefined)
-          (tp, m, tail.size.toLong, tail.map(i => math.abs(ns(i) - fc(i).get)).sum)
+          if (tail.isEmpty) None
+          else Some((tp, m, tail.size.toLong, tail.map(i => math.abs(ns(i) - fc(i).get)).sum))
         }
       }
       spark.createDataFrame(out).toDF("event_type", "method", "n_eval", "abs_err")

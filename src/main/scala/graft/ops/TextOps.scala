@@ -413,14 +413,15 @@ object TextOps {
         .repartition(col("doc_id"))
         .cache()
       // gold pairs from the persisted artifact (build-once per corpus):
-      // fingerprint = Σ length(text) × (1 + doc_id mod 97) over the
-      // CAPPED sample — exactly the bytes gold depends on, with the
-      // BpeDictDir doc-id mix so a stale-reuse collision needs matching
-      // per-document length PROFILES, not just a matching total. 500
-      // bounded rows ⇒ the fingerprint aggregate is ~free.
-      val goldFp = capDocs
-        .agg(sum(length(col("text")) * (lit(1L) + pmod(col("doc_id"), lit(97L)))))
-        .head().getLong(0)
+      // fingerprint = Σ xxhash64(doc_id, text) over the CAPPED sample —
+      // a CONTENT hash, not a length profile: an edit that preserves
+      // per-doc lengths must invalidate the artifact too (a stale reuse
+      // only ever surfaced later as an opaque oracle hash mismatch).
+      // Wrapping i64 sum is fine — it's a cache key, not a statistic.
+      // Null-safe read: an empty capped sample leaves the sum NULL.
+      val goldFp = Option(capDocs
+        .agg(sum(xxhash64(col("doc_id"), col("text"))))
+        .head().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
       val goldPath = s"$DedupGoldDir/corpus_fp=$goldFp"
       val gold = TextOps.synchronized {
         if (!graft.Artifacts.ready(spark, goldPath))

@@ -23,9 +23,66 @@ import org.apache.spark.sql.types.StructType
   * memory), so the target snapshots driver-side per batch exactly like
   * the aggregate-grain merge sink — the FACT-sized path never goes
   * through this operator. A transactional table format's MERGE would
-  * replace the snapshot-overwrite; the SCD2 semantics are unchanged.
+  * replace the snapshot protocol below; the SCD2 semantics are unchanged.
+  *
+  * Durability protocol (single writer): the target directory is never
+  * overwritten in place — a crash mid-`mode("overwrite")` would leave a
+  * moment with no committed files at all, and a restart would then
+  * "bootstrap" over the destroyed history. Instead each batch writes a
+  * fresh `snapshot-<id>-<nonce>/` subdirectory and PROMOTES it by
+  * renaming a hidden temp file to `manifest-<id>` (rename-to-new-name:
+  * atomic on HDFS and POSIX). Manifest ids are strictly monotonic
+  * (`max(batchId, lastId + 1)`), so no manifest is ever deleted or
+  * rewritten on the commit path and there is no window where the
+  * current pointer is missing; readers resolve the NEWEST manifest
+  * whose snapshot has a `_SUCCESS` marker (see [[readDim]]). The
+  * previous snapshot + manifest are retained until the next promotion,
+  * older ones are garbage-collected best-effort.
   */
 object Scd2Stream {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private val ManifestPrefix = "manifest-"
+  private val SnapshotPrefix = "snapshot-"
+
+  private def manifestId(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix))
+      scala.util.Try(name.stripPrefix(ManifestPrefix).toLong).toOption
+    else None
+
+  /** All manifests under `tgt`, newest first, as (id, snapshot dir name). */
+  private def manifests(fs: FileSystem, tgt: Path): Seq[(Long, String)] = {
+    if (!fs.exists(tgt)) return Nil
+    fs.listStatus(tgt).toIndexedSeq
+      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st.getPath)))
+      .sortBy(-_._1)
+      .flatMap { case (id, p) =>
+        scala.util.Try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        }.toOption.filter(_.nonEmpty).map(id -> _)
+      }
+  }
+
+  /** The newest COMMITTED snapshot: its manifest parses and the snapshot
+    * directory carries the `_SUCCESS` the writing job left — a manifest
+    * whose write raced a crash is skipped in favor of its predecessor. */
+  private def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
+    manifests(fs, tgt).collectFirst {
+      case (id, snapName)
+          if fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
+        (id, new Path(tgt, snapName))
+    }
+
+  /** Read the current committed state of a streamed SCD2 dimension —
+    * the reader half of the snapshot/manifest protocol. Returns None
+    * when no snapshot has ever been committed. */
+  def readDim(spark: SparkSession, targetDir: String): Option[DataFrame] = {
+    val tgt = new Path(targetDir)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, tgt).map { case (_, snap) => spark.read.parquet(snap.toString) }
+  }
 
   /** Start maintaining `targetDir` as an SCD2 dim from parquet change
     * files appearing under `sourceDir`.
@@ -55,7 +112,7 @@ object Scd2Stream {
       .outputMode("append")
     checkpointDir.foreach(wr.option("checkpointLocation", _))
     wr
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         // Bit-identical duplicate rows are harmless (a restart or backlog
         // can coalesce several individually-valid deliveries into one
@@ -85,23 +142,23 @@ object Scd2Stream {
               dup.mkString("; "))
         val dates = changes.select("change_date").distinct()
           .collect().map(_.getString(0)).sorted
-        // Bootstrap ONLY when no committed data exists yet: path missing,
-        // or present without any committed part file (a first write that
-        // died mid-job leaves exactly that — bootstrapping again is the
-        // correct recovery, since no history was ever committed). Once
-        // committed parquet IS present, a read failure must fail the
+        // Bootstrap ONLY when no snapshot was ever PROMOTED: a first
+        // write that died mid-job leaves an un-manifested snapshot dir
+        // (or one without _SUCCESS) — bootstrapping again is the correct
+        // recovery, since no history was ever committed. Once a manifest
+        // points at a committed snapshot, a read failure must fail the
         // batch (and be retried) — falling through to the bootstrap path
-        // would overwrite and destroy the dimension's history.
-        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        // would destroy the dimension's history.
+        val tgt = new Path(targetDir)
         val fs = tgt.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val hasCommittedData = fs.exists(tgt) &&
-          fs.globStatus(new org.apache.hadoop.fs.Path(tgt, "*.parquet")).nonEmpty
-        // snapshot the (dim-sized) target into memory so no lazy scan
-        // races the overwrite below
-        var dim: DataFrame = if (!hasCommittedData) null
-        else {
-          val d = sp.read.parquet(targetDir)
-          sp.createDataFrame(d.collectAsList(), d.schema)
+        val current = currentSnapshot(fs, tgt)
+        // snapshot the (dim-sized) state into memory so no lazy scan
+        // races the snapshot-directory GC below
+        var dim: DataFrame = current match {
+          case None => null
+          case Some((_, snap)) =>
+            val d = sp.read.parquet(snap.toString)
+            sp.createDataFrame(d.collectAsList(), d.schema)
         }
         for (date <- dates) {
           val chg = changes.filter(col("change_date") === date).drop("change_date")
@@ -114,9 +171,43 @@ object Scd2Stream {
               .unionByName(Scd2.initial(fresh, date))
           }
         }
-        if (dim != null) {
-          dim.write.mode("overwrite").parquet(targetDir)
-          sp.catalog.refreshByPath(targetDir)
+        if (dim != null && dates.nonEmpty) {
+          // Commit = write a NEW snapshot dir, then promote it with an
+          // atomic rename to a NEVER-EXISTING manifest name. Ids are
+          // strictly monotonic (a checkpoint replay of batch N after a
+          // crash-after-promote gets N's successor, and a FRESH
+          // checkpoint over an old target continues past the old ids
+          // rather than colliding below them); the nonce keeps a replay
+          // from overwriting the very directory the live manifest
+          // references. Every crash window leaves either the new
+          // manifest (promoted) or the previous one (still current) —
+          // at no instant is the committed pointer absent.
+          val nextId = math.max(batchId, current.map(_._1 + 1).getOrElse(0L))
+          val nonce = java.util.UUID.randomUUID().toString.take(8)
+          val snapName = f"$SnapshotPrefix$nextId%020d-$nonce"
+          dim.write.mode("overwrite").parquet(new Path(tgt, snapName).toString)
+          val tmp = new Path(tgt, f".$ManifestPrefix$nextId%020d.$nonce.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(snapName.getBytes("UTF-8")) finally out.close()
+          val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
+          if (!fs.rename(tmp, mPath))
+            throw new IllegalStateException(
+              s"Scd2Stream: failed to promote $snapName via $mPath (concurrent writer?)")
+          // GC, best-effort: keep the two newest manifests and the
+          // snapshots they reference; a reader that just resolved the
+          // previous manifest still finds its directory intact.
+          try {
+            val all = manifests(fs, tgt)
+            val keepSnaps = all.take(2).map(_._2).toSet + snapName
+            all.drop(2).foreach { case (id, _) =>
+              fs.delete(new Path(tgt, f"$ManifestPrefix$id%020d"), false)
+            }
+            fs.listStatus(tgt).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
+                fs.delete(st.getPath, true)
+            }
+          } catch { case _: java.io.IOException => () }
         }
       }
       .start()

@@ -34,7 +34,7 @@ class Scd2StreamSpec extends SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(target)
+    val streamed = Scd2Stream.readDim(spark, target).get
     // the batch engine over the same deliveries
     val expected = {
       val init = Scd2.initial(day1.drop("change_date"), "2024-01-01")
@@ -69,7 +69,7 @@ class Scd2StreamSpec extends SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val dim = spark.read.parquet(target)
+    val dim = Scd2Stream.readDim(spark, target).get
     assert(dim.count() == 1, "replay minted a spurious version")
     assert(dim.filter($"curr_ind" === "Y" && $"city" === "Melaka").count() == 1)
   }
@@ -91,8 +91,8 @@ class Scd2StreamSpec extends SparkSuite {
         Option(e.getCause).exists(_.getMessage.contains("contract violation")))
     } finally q.stop()
     // nothing was committed to the dimension
-    assert(!new java.io.File(target).exists() ||
-      spark.read.parquet(target).isEmpty)
+    assert(Scd2Stream.readDim(spark, target).isEmpty,
+      "a failed batch must not promote a snapshot")
   }
 
   test("bit-identical duplicate rows in one coalesced delivery are harmless") {
@@ -108,7 +108,7 @@ class Scd2StreamSpec extends SparkSuite {
     val q = Scd2Stream.startScd2Sink(spark, staged, target, schema,
       keyCols = Seq("member_id"), trackedCols = Seq("city"))
     try q.processAllAvailable() finally q.stop()
-    val dim = spark.read.parquet(target)
+    val dim = Scd2Stream.readDim(spark, target).get
     assert(dim.count() == 1, "bit-identical duplicates must collapse to one version")
     assert(dim.filter($"curr_ind" === "Y" && $"city" === "Sibu").count() == 1)
   }
@@ -140,11 +140,61 @@ class Scd2StreamSpec extends SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(target)
+    val streamed = Scd2Stream.readDim(spark, target).get
     val batch = graft.SparkEntry.queries("etl_scd2_apply")(spark, sf0001)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
       "streamed SCD2 dim must equal the batch op on the same inputs")
+  }
+
+  test("a torn snapshot write cannot destroy committed history (crash-mid-write window)") {
+    // the r11 sink overwrote the target in place: a crash between the
+    // delete and the commit of mode("overwrite") left ZERO committed
+    // files, and the next restart re-bootstrapped over the destroyed
+    // history. The snapshot/manifest protocol must make that window
+    // unobservable: simulate the torn write's debris — a snapshot dir
+    // with no _SUCCESS plus a manifest pointing at it, both NEWER than
+    // the committed state — and the reader and a restarted sink must
+    // both resolve the last COMMITTED snapshot.
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_torn_src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_torn_tgt").toString + "/dim"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_torn_ck").toString + "/c"
+    val day1 = Seq((1L, "Ipoh", "2024-01-01"), (2L, "Kuching", "2024-01-01"))
+      .toDF("member_id", "city", "change_date")
+    day1.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q1 = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"),
+      checkpointDir = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Scd2Stream.readDim(spark, target).get.count() == 2)
+
+    // torn-write debris: partial snapshot (no _SUCCESS), manifest already
+    // promoted to it (the worst ordering — pointer ahead of data)
+    val torn = new java.io.File(target, "snapshot-00000000000000000099-dead")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      new java.io.File(target, "manifest-00000000000000000099").toPath,
+      "snapshot-00000000000000000099-dead".getBytes("UTF-8"))
+
+    // reader: falls back past the un-committed snapshot
+    val dim = Scd2Stream.readDim(spark, target).get
+    assert(dim.count() == 2 && dim.filter($"curr_ind" === "Y").count() == 2,
+      "reader must resolve the last committed snapshot, not the torn one")
+
+    // restarted sink: applies day 2 ON TOP of the committed history —
+    // a re-bootstrap would leave member 2 gone and Penang as the only row
+    Seq((1L, "Penang", "2024-02-01")).toDF("member_id", "city", "change_date")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+    val q2 = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"),
+      checkpointDir = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    val after = Scd2Stream.readDim(spark, target).get
+    assert(after.count() == 3, "history must survive the torn write")
+    assert(after.filter($"member_id" === 1L && $"curr_ind" === "N" && $"city" === "Ipoh").count() == 1)
+    assert(after.filter($"member_id" === 2L && $"curr_ind" === "Y").count() == 1)
   }
 
   test("SCD2 sink survives a kill-and-restart from its checkpoint mid-history") {
@@ -166,7 +216,7 @@ class Scd2StreamSpec extends SparkSuite {
       keyCols = Seq("member_id"), trackedCols = Seq("city"),
       checkpointDir = Some(ckpt), maxFilesPerTrigger = Some(1))
     try q1.processAllAvailable() finally q1.stop() // the kill
-    val atCut = spark.read.parquet(target)
+    val atCut = Scd2Stream.readDim(spark, target).get
     assert(atCut.count() == 2 && atCut.filter($"curr_ind" === "Y").count() == 2,
       "the cut must straddle two open versions")
     // checkpoint state at the cut: committed offsets + the file-source
@@ -205,7 +255,7 @@ class Scd2StreamSpec extends SparkSuite {
     }
 
     // the post-restart history equals the batch Scd2 chain ...
-    val streamed = spark.read.parquet(target)
+    val streamed = Scd2Stream.readDim(spark, target).get
     val expected = {
       val init = Scd2.initial(day1.drop("change_date"), "2024-01-01")
       val chg = day2.drop("change_date")
