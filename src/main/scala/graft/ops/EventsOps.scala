@@ -840,6 +840,80 @@ object EventsOps {
           when(col("z.labels"), 1L).otherwise(0L).as("burst"))
     },
 
+    // ── events_forecast_ses_grouped: SES forecasting PER USER — the
+    // events_burst_grouped treatment applied to the forecasting tier:
+    // when the series key is high-cardinality (one series per user /
+    // customer / domain — the real workload shape), the |groups|×|days|
+    // grid outgrows the driver, so the inherently-sequential smoothing
+    // recursion runs INSIDE the plan as a Catalyst higher-order fold
+    // over each group's bounded day array (O(|days|) state per group,
+    // zero driver sequencing, no UDF). Identical integer recursion to
+    // events_forecast_ses — level₁ = n₁, levelₜ = (nₜ + 3·levelₜ₋₁)
+    // div 4, forecastₜ = levelₜ₋₁ — on the same per-user day spine as
+    // events_burst_grouped. The oracle is the sesFwdSql recursive CTE
+    // keyed by user; the grouped spec cross-checks the fold against
+    // the pinned sesLevels recursion on every group.
+    OpQuery.checked(
+      "events_forecast_ses_grouped",
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+        |      FROM events WHERE user_id IS NOT NULL),
+        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |spine AS (
+        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
+        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
+        |grid AS (
+        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
+        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+        |fwd AS (
+        |  SELECT user_id, t, d, n, n AS level, CAST(NULL AS BIGINT) AS forecast
+        |  FROM grid WHERE t = 1
+        |  UNION ALL
+        |  SELECT g.user_id, g.t, g.d, g.n,
+        |         (g.n + 3 * f.level) // 4,
+        |         f.level
+        |  FROM fwd f JOIN grid g ON g.user_id = f.user_id AND g.t = f.t + 1)
+        |SELECT user_id, d, n, CAST(level AS BIGINT) AS level, forecast,
+        |       CAST(n - forecast AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      // same bounded per-user grid as events_burst_grouped: null keys
+      // excluded both sides, day spine broadcast from the corpus bounds
+      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
+      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      grid.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
+        .select(col("user_id"),
+          expr("transform(s, x -> x.d)").as("ds"),
+          expr("transform(s, x -> x.n)").as("ns"))
+        .withColumn("nd", size(col("ns")))
+        // the SES recursion as a fold: acc = the level series so far,
+        // each step appends (nₜ + 3·last) div 4 — truncating div is
+        // portable on the non-negative counts
+        .withColumn("levels", expr(
+          """aggregate(
+            |  slice(ns, 2, nd - 1),
+            |  array(element_at(ns, 1)),
+            |  (acc, x) -> concat(acc, array((x + 3 * element_at(acc, size(acc))) div 4)))""".stripMargin))
+        // forecastₜ = levelₜ₋₁: null at t = 1, then the levels shifted
+        .withColumn("fcs", expr(
+          "concat(array(cast(null as bigint)), slice(levels, 1, nd - 1))"))
+        .select(col("user_id"), explode(expr("arrays_zip(ds, ns, levels, fcs)")).as("z"))
+        .select(col("user_id"), col("z.ds").as("d"), col("z.ns").as("n"),
+          col("z.levels").as("level"), col("z.fcs").as("forecast"),
+          (col("z.ns") - col("z.fcs")).as("resid"))
+    },
+
     // ── events_seasonal_decompose: classical trend/seasonal/residual
     // decomposition of the daily series (the moving-average step of
     // STL's ancestor, Macaulay 1931 / the "classical decomposition" of

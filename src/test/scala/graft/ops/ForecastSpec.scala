@@ -90,6 +90,26 @@ class ForecastSpec extends AnyFunSuite {
       }
   }
 
+  test("events_forecast_ses_grouped's in-plan fold equals sesLevels on every group") {
+    // the distributed Catalyst-fold SES must agree with the pinned
+    // driver-side recursion (the one events_forecast_ses runs and the
+    // oracle replays) group by group — drift in the fold's append
+    // indexing or the forecast shift shows up as a per-user mismatch
+    val spark = graft.SparkSuite.session
+    val rows = graft.SparkEntry.queries("events_forecast_ses_grouped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "grouped SES must produce rows")
+    val byUser = rows.map(r => (r.getLong(0), r.getDate(1), r.getLong(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).groupBy(_._1)
+    assert(byUser.size > 5, "the group key must be genuinely high-cardinality")
+    byUser.foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+      val want = EventsOps.sesLevels(sorted.map(_._3).toIndexedSeq)
+      val got = sorted.map(r => (r._4, r._5)).toIndexedSeq
+      assert(got == want, s"user $uid: fold (level, forecast) diverge from sesLevels")
+    }
+  }
+
   test("eval_forecast_backtest totals equal the standalone ops' holdout residuals") {
     val spark = graft.SparkSuite.session
     val dir = "/root/testdata/sf0.001"
