@@ -383,6 +383,154 @@ object MultimodalOps {
         (col("tp").cast("double") / when(col("n_gold") =!= 0, col("n_gold"))).as("recall_"),
         ((col("tp") * 2).cast("double")
           / when(col("n_cand") + col("n_gold") =!= 0, col("n_cand") + col("n_gold"))).as("f1"))
+    },
+
+    // ── pipeline_media_v1: the COMPOSED media-ingest pipeline — the
+    // multimodal sibling of pipeline_pretrain_v2, applying its lessons
+    // from the start (one-pass flag-join funnel, no per-stage crossed
+    // aggregates; budget ≤ 5 s). Four stages, each the semantics of its
+    // standalone op restricted to the surviving set:
+    //   1 decode_gate     keep payloads ≥ 50 bytes — the decode
+    //                     CONTRACT's validity floor (a payload below
+    //                     the magic-bytes + header size cannot decode;
+    //                     the real codec check is stubbed, the gate
+    //                     shape is real)
+    //   2 dedup_exact     canonical-copy election per content sha
+    //                     (multimodal_dedup's min(source|doc_id) key):
+    //                     only the elected copy survives
+    //   3 neardup_phash   banded perceptual-hash join among survivors
+    //                     (multimodal_neardup_phash's 4×4-nibble bands,
+    //                     Hamming ≤ 3 verify): the LARGER doc_id of a
+    //                     verified pair drops — deterministic, and the
+    //                     smaller id is stage 2's election order too
+    //   4 shard_pack      pack survivors into ~16 KiB shards by exact
+    //                     global byte offset (multimodal_shard_pack's
+    //                     TeraSort-shaped prefix sum — no partition-less
+    //                     window over the corpus)
+    // Output = the 4-row funnel (docs_in/kept/dropped, bytes_kept,
+    // n_shards); PipelineMediaSpec pins the chain/conservation
+    // identities. Scale shape: payload bytes never shuffle (hashes and
+    // lengths computed in the scan projection ride the exchanges);
+    // survivor sets persist at doc_id grain; the banded join's key is
+    // (band idx, 4 nibbles) — candidate cost ∝ bucket collisions, never
+    // all-pairs; the funnel is ONE flag-join aggregate pass.
+    OpQuery.checked(
+      "pipeline_media_v1",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |         substr(md5(text), 1, 16) AS ph,
+        |         sha256(text) AS sha,
+        |         source || '|' || CAST(doc_id AS VARCHAR) AS kk
+        |  FROM documents),
+        |k1 AS (SELECT doc_id FROM p WHERE n_bytes >= 50),
+        |w2 AS (SELECT p.* FROM p JOIN k1 USING (doc_id)),
+        |c2 AS (SELECT sha, min(kk) AS keep FROM w2 GROUP BY 1),
+        |k2 AS (SELECT w2.doc_id FROM w2 JOIN c2 ON c2.sha = w2.sha AND c2.keep = w2.kk),
+        |b3 AS (
+        |  SELECT s.doc_id, s.ph, s.bi,
+        |         substr(s.ph, CAST(s.bi * 4 + 1 AS INT), 4) AS bv
+        |  FROM (SELECT w2.doc_id, w2.ph, CAST(unnest(range(0, 4)) AS BIGINT) AS bi
+        |        FROM w2 JOIN k2 USING (doc_id)) s),
+        |pr3 AS (SELECT DISTINCT a.doc_id AS da, a.ph AS pa, c.doc_id AS db, c.ph AS pb
+        |        FROM b3 a JOIN b3 c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id),
+        |drop3 AS (
+        |  SELECT DISTINCT db AS doc_id FROM pr3
+        |  WHERE len(list_filter(range(1, 17),
+        |          i -> substr(pa, CAST(i AS INT), 1) <> substr(pb, CAST(i AS INT), 1))) <= 3),
+        |k3 AS (SELECT k2.doc_id FROM k2 LEFT JOIN drop3 USING (doc_id)
+        |       WHERE drop3.doc_id IS NULL),
+        |c4 AS (
+        |  SELECT p.doc_id, p.n_bytes,
+        |         CAST(coalesce(sum(p.n_bytes) OVER (ORDER BY p.doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM p JOIN k3 USING (doc_id)),
+        |shards AS (SELECT DISTINCT off // 16384 AS shard FROM c4)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'decode_gate' AS stage,
+        |         CAST((SELECT count(*) FROM p) AS BIGINT) AS docs_in,
+        |         CAST((SELECT count(*) FROM k1) AS BIGINT) AS docs_kept,
+        |         CAST((SELECT count(*) FROM p) - (SELECT count(*) FROM k1) AS BIGINT) AS docs_dropped,
+        |         CAST((SELECT COALESCE(sum(p.n_bytes), 0) FROM p JOIN k1 USING (doc_id)) AS BIGINT) AS bytes_kept,
+        |         CAST(NULL AS BIGINT) AS n_shards
+        |  UNION ALL
+        |  SELECT 2, 'dedup_exact',
+        |         (SELECT count(*) FROM k1), (SELECT count(*) FROM k2),
+        |         (SELECT count(*) FROM k1) - (SELECT count(*) FROM k2),
+        |         CAST((SELECT COALESCE(sum(p.n_bytes), 0) FROM p JOIN k2 USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 3, 'neardup_phash',
+        |         (SELECT count(*) FROM k2), (SELECT count(*) FROM k3),
+        |         (SELECT count(*) FROM k2) - (SELECT count(*) FROM k3),
+        |         CAST((SELECT COALESCE(sum(p.n_bytes), 0) FROM p JOIN k3 USING (doc_id)) AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 4, 'shard_pack',
+        |         (SELECT count(*) FROM k3), (SELECT count(*) FROM k3),
+        |         0,
+        |         CAST((SELECT COALESCE(sum(p.n_bytes), 0) FROM p JOIN k3 USING (doc_id)) AS BIGINT),
+        |         (SELECT count(*) FROM shards))""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.DataFrame
+      // one scan projection computes every hash/length the stages need;
+      // persisted at (doc_id, small-fixed-width) grain — payload bytes
+      // are read once and never shuffle
+      val p = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          substring(md5(col("text")), 1, 16).as("ph"),
+          sha2(col("text"), 256).as("sha"),
+          // concat, not concat_ws: null source must null-propagate like
+          // the oracle's || (multimodal_dedup's election contract)
+          concat(col("source"), lit("|"), col("doc_id").cast("string")).as("kk"))
+        .persist()
+      val k1 = p.filter(col("n_bytes") >= 50).select("doc_id").persist()
+      val w2 = p.join(k1, Seq("doc_id"))
+      val c2 = w2.groupBy("sha").agg(min(col("kk")).as("keep"))
+      val k2 = w2.join(c2, w2("sha") === c2("sha") && w2("kk") === c2("keep"))
+        .select(w2("doc_id")).persist()
+      val b3 = w2.join(k2, Seq("doc_id"))
+        .select(col("doc_id"), col("ph"),
+          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
+        .withColumn("bv", expr("substring(ph, cast(bi * 4 + 1 as int), 4)"))
+      val drop3 = b3.toDF("da", "pa", "bi", "bv")
+        .join(b3.toDF("db", "pb", "bi", "bv"), Seq("bi", "bv"))
+        .filter(col("da") < col("db"))
+        .select("da", "pa", "db", "pb").distinct()
+        .filter(expr(
+          "size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1))) <= 3"))
+        .select(col("db").as("doc_id")).distinct()
+      val k3 = k2.join(drop3, Seq("doc_id"), "left_anti").persist()
+      val packed = graft.algo.GlobalRank.withPrefixSum(
+        p.join(k3, Seq("doc_id")).select("doc_id", "n_bytes"),
+        Seq(col("doc_id").asc), col("n_bytes"), "byte_offset")
+      val shards = packed.select(expr("byte_offset div 16384").as("shard")).distinct()
+      // the funnel: the v2 lesson applied from day one — one flag-join
+      // aggregate pass, 4 rows exploded from the single result row
+      def flag(df: DataFrame, as: String) = df.withColumn(as, lit(1L))
+      val flags = p.select(col("doc_id"), col("n_bytes"))
+        .join(flag(k1, "f1"), Seq("doc_id"), "left_outer")
+        .join(flag(k2, "f2"), Seq("doc_id"), "left_outer")
+        .join(flag(k3, "f3"), Seq("doc_id"), "left_outer")
+        .select(col("n_bytes").as("nb") +:
+          (1 to 3).map(i => coalesce(col(s"f$i"), lit(0L)).as(s"f$i")): _*)
+      val statExprs = count(lit(1)).as("n0") +: (1 to 3).flatMap(i => Seq(
+        coalesce(sum(col(s"f$i")), lit(0L)).as(s"n$i"),
+        coalesce(sum(col(s"f$i") * col("nb")), lit(0L)).as(s"b$i")))
+      val row = flags.agg(statExprs.head, statExprs.tail: _*)
+        .crossJoin(broadcast(shards.agg(count(lit(1)).cast("long").as("ns"))))
+      val names = Seq("decode_gate", "dedup_exact", "neardup_phash")
+      val stageRows = names.zipWithIndex.map { case (nm, ix) =>
+        val i = ix + 1
+        struct(lit(i.toLong).as("stage_id"), lit(nm).as("stage"),
+          col(s"n${i - 1}").as("docs_in"), col(s"n$i").as("docs_kept"),
+          (col(s"n${i - 1}") - col(s"n$i")).as("docs_dropped"),
+          col(s"b$i").as("bytes_kept"),
+          lit(null).cast("long").as("n_shards"))
+      } :+ struct(lit(4L).as("stage_id"), lit("shard_pack").as("stage"),
+        col("n3").as("docs_in"), col("n3").as("docs_kept"),
+        lit(0L).as("docs_dropped"), col("b3").as("bytes_kept"),
+        col("ns").as("n_shards"))
+      row.select(explode(array(stageRows: _*)).as("r")).select("r.*")
     }
   )
 }

@@ -413,14 +413,16 @@ object TextOps {
         .repartition(col("doc_id"))
         .cache()
       // gold pairs from the persisted artifact (build-once per corpus):
-      // fingerprint = Σ xxhash64(doc_id, text) over the CAPPED sample —
-      // a CONTENT hash, not a length profile: an edit that preserves
-      // per-doc lengths must invalidate the artifact too (a stale reuse
-      // only ever surfaced later as an opaque oracle hash mismatch).
-      // Wrapping i64 sum is fine — it's a cache key, not a statistic.
-      // Null-safe read: an empty capped sample leaves the sum NULL.
+      // fingerprint = XOR of xxhash64(doc_id, text) over the CAPPED
+      // sample — a CONTENT hash, not a length profile: an edit that
+      // preserves per-doc lengths must invalidate the artifact too (a
+      // stale reuse only ever surfaced later as an opaque oracle hash
+      // mismatch). bit_xor, not sum: an i64 SUM of hashes overflows
+      // under ANSI mode (it's a cache key, not a statistic, and XOR of
+      // per-row-unique hashes keys content just as well). Null-safe
+      // read: an empty capped sample leaves the aggregate NULL.
       val goldFp = Option(capDocs
-        .agg(sum(xxhash64(col("doc_id"), col("text"))))
+        .agg(expr("bit_xor(xxhash64(doc_id, text))"))
         .head().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
       val goldPath = s"$DedupGoldDir/corpus_fp=$goldFp"
       val gold = TextOps.synchronized {
