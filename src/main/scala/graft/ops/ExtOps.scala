@@ -291,22 +291,32 @@ object ExtOps {
         |GROUP BY o_orderpriority""".stripMargin
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
-      // a fresh session's in-memory catalog has forgotten the managed
-      // table, but its warehouse directory survives — clear both or
-      // saveAsTable refuses the existing location
-      def reset(name: String): Unit = {
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      // bucketing is an INGEST-time layout (a production table buckets
+      // once, then every join reads it shuffle-free) — table names carry
+      // a corpus tag so each source dir owns its tables, and a session
+      // that already built them skips straight to the read path (the
+      // coGraph artifact discipline; the checked RESULT is identical
+      // either way). A fresh session's in-memory catalog has forgotten
+      // the managed table while its warehouse directory survives, so the
+      // build path clears both before writing.
+      val tag = java.lang.Integer.toHexString(dir.hashCode) // String.hashCode is spec-fixed
+      val ot = s"graft_orders_bucketed_$tag"
+      val lt = s"graft_lineitem_bucketed_$tag"
+      if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+        def reset(name: String): Unit = {
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        reset(ot)
+        reset(lt)
+        t.orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        t.lineitem.select("l_orderkey", "l_extendedprice").write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
       }
-      reset("graft_orders_bucketed")
-      reset("graft_lineitem_bucketed")
-      t.orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_orders_bucketed")
-      t.lineitem.select("l_orderkey", "l_extendedprice").write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_lineitem_bucketed")
-      spark.table("graft_lineitem_bucketed")
-        .join(spark.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      spark.table(lt)
+        .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"), Norm.dsum(col("l_extendedprice")).as("revenue"))
     },
