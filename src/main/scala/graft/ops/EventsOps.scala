@@ -914,6 +914,98 @@ object EventsOps {
           (col("z.ns") - col("z.fcs")).as("resid"))
     },
 
+    // ── events_forecast_holt_grouped: Holt linear-trend forecasting PER
+    // USER — the fold pattern's hardest forecasting instance: a DOUBLE
+    // recursion (level + trend, each step reading both predecessors)
+    // carried through the plan as ONE struct-of-arrays fold per group.
+    // Identical fixed-point recursion to events_forecast_holt (2²⁰
+    // micro-units, floor(x/4.0) smoothing steps — floor division
+    // because the trend can go negative where truncation is not
+    // portable; exact while the BIGINT numerator sits under 2⁵³), on
+    // the events_burst_grouped day spine. Oracle = holtFwdSql's
+    // recursive CTE keyed by user; the grouped spec cross-checks the
+    // fold against the pinned holtLevels recursion on every group.
+    OpQuery.checked(
+      "events_forecast_holt_grouped",
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+        |      FROM events WHERE user_id IS NOT NULL),
+        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |spine AS (
+        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
+        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
+        |grid AS (
+        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
+        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+        |fwd AS (
+        |  SELECT user_id, t, d, n, n * 1048576 AS level_u,
+        |         CAST(0 AS BIGINT) AS trend_u, CAST(NULL AS BIGINT) AS fc_u
+        |  FROM grid WHERE t = 1
+        |  UNION ALL
+        |  SELECT g.user_id, g.t, g.d, g.n,
+        |         CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
+        |         CAST(floor((CAST(floor((g.n * 1048576 + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+        |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
+        |         f.level_u + f.trend_u
+        |  FROM fwd f JOIN grid g ON g.user_id = f.user_id AND g.t = f.t + 1)
+        |SELECT user_id, d, n, CAST(level_u AS BIGINT) AS level_u, trend_u,
+        |       CAST(floor(fc_u / 1048576.0) AS BIGINT) AS forecast,
+        |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
+      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      grid.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
+        .select(col("user_id"),
+          expr("transform(s, x -> x.d)").as("ds"),
+          expr("transform(s, x -> x.n)").as("ns"))
+        .withColumn("nd", size(col("ns")))
+        // the double recursion as one struct-of-arrays fold: each step
+        // reads the LAST level and trend, appends the forecast fc =
+        // L+T, the new level, and the new trend; floor(x / 4.0) is the
+        // exact-portable smoothing step (see events_forecast_holt)
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(ns, 2, nd - 1),
+            |  named_struct(
+            |    'lus', array(element_at(ns, 1) * 1048576L),
+            |    'tus', array(0L),
+            |    'fcs', cast(array() as array<bigint>)),
+            |  (acc, x) -> named_struct(
+            |    'lus', concat(acc.lus, array(
+            |       cast(floor((x * 1048576L
+            |                   + 3 * (element_at(acc.lus, size(acc.lus))
+            |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint))),
+            |    'tus', concat(acc.tus, array(
+            |       cast(floor((cast(floor((x * 1048576L
+            |                   + 3 * (element_at(acc.lus, size(acc.lus))
+            |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint)
+            |                   - element_at(acc.lus, size(acc.lus))
+            |                   + 3 * element_at(acc.tus, size(acc.tus))) / 4.0) as bigint))),
+            |    'fcs', concat(acc.fcs, array(
+            |       element_at(acc.lus, size(acc.lus)) + element_at(acc.tus, size(acc.tus))))))""".stripMargin))
+        .select(col("user_id"), col("ds"), col("ns"),
+          col("st.lus").as("lus"), col("st.tus").as("tus"),
+          expr("concat(array(cast(null as bigint)), st.fcs)").as("fcs"))
+        .select(col("user_id"),
+          explode(expr("arrays_zip(ds, ns, lus, tus, fcs)")).as("z"))
+        .select(col("user_id"), col("z.ds").as("d"), col("z.ns").as("n"),
+          col("z.lus").as("level_u"), col("z.tus").as("trend_u"),
+          expr("cast(floor(z.fcs / 1048576.0) as bigint)").as("forecast"))
+        .withColumn("resid", col("n") - col("forecast"))
+    },
+
     // ── events_seasonal_decompose: classical trend/seasonal/residual
     // decomposition of the daily series (the moving-average step of
     // STL's ancestor, Macaulay 1931 / the "classical decomposition" of

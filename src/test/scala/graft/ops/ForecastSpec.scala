@@ -110,6 +110,28 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("events_forecast_holt_grouped's struct fold equals holtLevels on every group") {
+    // the double recursion (level + trend, each step reading both
+    // predecessors) is the fold pattern's hardest forecasting instance —
+    // any drift in the struct-of-arrays append or the floor-division
+    // step shows up as a per-user (level_u, trend_u, forecast) mismatch
+    val spark = graft.SparkSuite.session
+    val rows = graft.SparkEntry.queries("events_forecast_holt_grouped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "grouped Holt must produce rows")
+    val byUser = rows.map(r => (r.getLong(0), r.getDate(1), r.getLong(2),
+      r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))).groupBy(_._1)
+    assert(byUser.size > 5, "the group key must be genuinely high-cardinality")
+    byUser.foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+      val want = EventsOps.holtLevels(sorted.map(_._3).toIndexedSeq)
+        .map { case (lu, tu, fcU) => (lu, tu, fcU.map(Math.floorDiv(_, EventsOps.HoltUnit))) }
+      val got = sorted.map(r => (r._4, r._5, r._6)).toIndexedSeq
+      assert(got == want, s"user $uid: fold (level_u, trend_u, forecast) diverge from holtLevels")
+    }
+  }
+
   test("eval_forecast_backtest totals equal the standalone ops' holdout residuals") {
     val spark = graft.SparkSuite.session
     val dir = "/root/testdata/sf0.001"
