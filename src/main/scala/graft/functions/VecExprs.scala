@@ -53,10 +53,87 @@ case class VecDotFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full product-quantization encode of one vector in one pass:
+  * `pq_encode_packed(v, cvecs_flat, cnorm2)` → the packed BIGINT code
+  * word Σ code_j << 8j. The codebooks ride as FOLDABLE literal arrays —
+  * cvecs_flat = all PqM×PqK centroids' dims ordered by (sub_j, code_id,
+  * dim), cnorm2 = the matching ‖c‖² — decoded ONCE per expression
+  * instance, not per row.
+  *
+  * Replaces the relational argmin (posexplode into N×PqM subvectors ×
+  * broadcast-join against PqK codebook rows × two aggregates — a
+  * PqK-fold row blowup through an exchange) with a tight per-row loop.
+  * Numerics are BIT-IDENTICAL to the relational form: the distance is
+  * cnorm2 − 2·(left-to-right double accumulation over double-cast
+  * floats) — exactly [[VecDotFloat]]'s op order — and the tie rule
+  * (strictly-smaller keeps the first, so the lowest code_id wins ties)
+  * matches min(struct(dist, code_id)). PqM/PqK/PqDim derive from the
+  * array shapes; PqK ≤ 256 is required by the byte packing. */
+case class PqEncodePacked(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode_packed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), ArrayType(DoubleType, _))
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, foldable array<float>, foldable array<double>), got ($a, $b, $c)")
+    }
+
+  // codebook literals decoded once per expression instance, not per row
+  @transient private lazy val cvecs: Array[Float] =
+    second.eval(null).asInstanceOf[ArrayData].toFloatArray()
+  @transient private lazy val cnorm2: Array[Double] =
+    third.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override def nullSafeEval(vAny: Any, ignoredB: Any, ignoredC: Any): Any = {
+    val vArr = vAny.asInstanceOf[ArrayData]
+    val nCodes = cnorm2.length            // PqM × PqK
+    val dim = cvecs.length / nCodes       // PqDim
+    val m = vArr.numElements() / dim      // PqM
+    val k = nCodes / m                    // PqK
+    var word = 0L
+    var j = 0
+    while (j < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val entry = j * k + c
+        val base = entry * dim
+        var acc = 0d
+        var i = 0
+        while (i < dim) {
+          acc += vArr.getFloat(j * dim + i).toDouble * cvecs(base + i).toDouble
+          i += 1
+        }
+        val dist = cnorm2(entry) - 2.0 * acc
+        if (dist < best) { best = dist; bestC = c }
+        c += 1
+      }
+      word += bestC.toLong << (8 * j)
+      j += 1
+    }
+    word
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VecExprs {
   /** Register the vector expressions in this session's function registry
     * (idempotent) so they are usable from `expr(...)` and SQL. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotFloat(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode_packed", exprs => PqEncodePacked(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }
