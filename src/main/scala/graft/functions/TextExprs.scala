@@ -278,6 +278,35 @@ case class SimHashMd5(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** The PORTABLE 64-bit string hash as a standalone scalar: the lower 64
+  * bits of md5 (digest bytes 8..15 read little-endian) — bit-identical
+  * to DuckDB's `md5_number_lower` (same bits; DuckDB renders them
+  * unsigned, Spark signed — low-bit masks like `& 1023` agree either
+  * way). [[SimHashMd5]] uses this hash internally per token; this
+  * exposes it for feature-hashing ops (hashed n-gram buckets). */
+case class Md5Lower64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_lower64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(input.asInstanceOf[UTF8String].getBytes)
+    val d = md.digest()
+    var h = 0L
+    var j = 0
+    while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
 /** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken 2003) in one
   * pass. Shared engine for the two surface forms below; semantics are
   * bit-identical to the composed SQL
@@ -462,6 +491,7 @@ object TextExprs {
     reg.createOrReplaceTempFunction("max_md5_salted", exprs => MaxMd5Salted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("min_md5_multi", exprs => MinMd5Multi(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64_md5", exprs => SimHashMd5(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("md5_lower64", exprs => Md5Lower64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fps_words", exprs => WinnowFpsWords(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fps_chars", exprs => WinnowFpsChars(exprs(0), exprs(1), exprs(2)), "built-in")
   }

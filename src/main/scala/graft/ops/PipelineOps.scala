@@ -1804,6 +1804,89 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("t_micro"))
     },
 
+    // ── sample_dsir: data selection by importance resampling (DSIR —
+    // Xie et al., NeurIPS 2023, "Data Selection for Language Models
+    // via Importance Resampling"): pick raw documents whose HASHED
+    // n-gram feature distribution looks like a target domain, the
+    // principled scale-path alternative to training a quality
+    // classifier per domain. Feature space = bigrams hashed into 1024
+    // buckets with the portable md5-lower-64 hash (bucket = low 10
+    // bits — Spark's `& 1023` on the signed long and DuckDB's
+    // `% 1024` on the same bits rendered unsigned agree exactly);
+    // importance weight = Σ_bigrams [ilog2(tc_b+1) − ilog2(rc_b+1) +
+    // ilog2(R+1) − ilog2(T+1)] — the integer-bits log-likelihood
+    // ratio log p̂_target(b)/p̂_raw(b) with Laplace smoothing, the
+    // normalizers constant per corpus (T, R = total target/raw bigram
+    // mass). Target = the doc_id hash bucket < 5 (the same
+    // corpus-level device the decontamination stage uses for its
+    // bench set); raw docs keep when the summed bits are positive —
+    // more target-like than raw-like. Deterministic: no sampling
+    // noise, re-runnable, engine-portable.
+    //
+    // Scale shape: ONE corpus pass explodes bigrams to the (doc,
+    // bucket) grain (map-side combined); the two count tables are
+    // bounded at 1024 rows each and BROADCAST; the weight sum is a
+    // second map-side-combined aggregate at doc grain. Nothing
+    // corpus-proportional ever sits on the driver or a broadcast.
+    OpQuery.checked(
+      "sample_dsir",
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483648) * 2654435761) % 100 AS hb,
+        |         str_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, hb, md5_number_lower(b) % 1024 AS bkt
+        |  FROM (SELECT doc_id, hb, unnest(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1])) AS b FROM tt)),
+        |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tcnt FROM bgs WHERE hb < 5 GROUP BY 1),
+        |rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rcnt FROM bgs WHERE hb >= 5 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN hb < 5 THEN 1 ELSE 0 END) AS BIGINT) AS t_all,
+        |               CAST(sum(CASE WHEN hb >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS r_all
+        |        FROM bgs),
+        |db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS m
+        |       FROM bgs WHERE hb >= 5 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT db.doc_id,
+        |         CAST(sum(db.m) AS BIGINT) AS nb,
+        |         CAST(sum(db.m * ((length(bin(COALESCE(tc.tcnt, 0) + 1)) - 1)
+        |                        - (length(bin(COALESCE(rc.rcnt, 0) + 1)) - 1)
+        |                        + (length(bin(t.r_all + 1)) - 1)
+        |                        - (length(bin(t.t_all + 1)) - 1))) AS BIGINT) AS w_bits
+        |  FROM db LEFT JOIN tc USING (bkt) LEFT JOIN rc USING (bkt) CROSS JOIN tot t
+        |  GROUP BY 1)
+        |SELECT doc_id, nb, w_bits, w_bits > 0 AS kept FROM w""".stripMargin
+    ) { (spark, dir) =>
+      import graft.Norm.ilog2
+      graft.functions.TextExprs.register(spark)
+      val tt = Tables(spark, dir).documents
+        .select(col("doc_id"), Norm.hashBucket(col("doc_id"), 100).as("hb"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
+      val bgs = tt.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("hb"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("b"))
+        .select(col("doc_id"), col("hb"), expr("md5_lower64(b) & 1023").as("bkt"))
+        .persist() // three aggregates read the hashed-bigram frame
+      val tc = bgs.filter(col("hb") < 5).groupBy("bkt").agg(count(lit(1)).as("tcnt"))
+      val rc = bgs.filter(col("hb") >= 5).groupBy("bkt").agg(count(lit(1)).as("rcnt"))
+      val tot = bgs.agg(
+        sum(when(col("hb") < 5, 1L).otherwise(0L)).as("t_all"),
+        sum(when(col("hb") >= 5, 1L).otherwise(0L)).as("r_all"))
+      val db = bgs.filter(col("hb") >= 5).groupBy("doc_id", "bkt").agg(count(lit(1)).as("m"))
+      db
+        .join(broadcast(tc), Seq("bkt"), "left_outer")
+        .join(broadcast(rc), Seq("bkt"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("m"),
+          (ilog2(coalesce(col("tcnt"), lit(0L)) + 1)
+            - ilog2(coalesce(col("rcnt"), lit(0L)) + 1)
+            + ilog2(col("r_all") + 1) - ilog2(col("t_all") + 1)).as("bits"))
+        .groupBy("doc_id")
+        .agg(sum("m").as("nb"), sum(col("m") * col("bits")).as("w_bits"))
+        .select(col("doc_id"), col("nb"), col("w_bits"), (col("w_bits") > 0).as("kept"))
+    },
+
     // ── sample_bootstrap_poisson: the distributed bootstrap — estimator
     // uncertainty without resampling shuffles (Poisson bootstrap,
     // Chamandy et al. 2012 / Efron's classic with Poisson(1) replicate
