@@ -1,0 +1,130 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-pointer table format — the lightweight native
+  * answer to the "Delta/Iceberg ACID sink" scope decision (SURVEY
+  * §7.3): versioned snapshot directories promoted by atomic renames of
+  * monotonic manifest files, giving crash-safe commits, readers that
+  * never observe a torn write, and O(1) time travel — without any
+  * dependency beyond the filesystem.
+  *
+  * Protocol (single writer):
+  *   - each commit writes a fresh `snapshot-<id>-<nonce>/` directory
+  *     (never overwriting one a live manifest references), then
+  *     promotes it by renaming a hidden temp file to `manifest-<id>` —
+  *     rename-to-new-name, atomic on HDFS and POSIX;
+  *   - manifest ids are strictly monotonic (`max(preferredId,
+  *     lastId + 1)`), so no manifest is ever deleted or rewritten on
+  *     the commit path and there is no instant without a committed
+  *     pointer;
+  *   - readers resolve the NEWEST manifest whose snapshot carries the
+  *     `_SUCCESS` marker its writing job left, falling back past any
+  *     torn write; `readVersion` resolves an exact id the same way;
+  *   - GC (best-effort, inside the commit) retains the newest `keep`
+  *     manifests and the snapshots they reference — `keep =
+  *     Int.MaxValue` turns the table into a full time-travel log.
+  *
+  * [[graft.streaming.Scd2Stream]] commits its dimension through this
+  * store; `etl_snapshot_timetravel` demonstrates the batch-side
+  * version-travel read.
+  */
+object SnapshotStore {
+
+  private val ManifestPrefix = "manifest-"
+  private val SnapshotPrefix = "snapshot-"
+
+  private def manifestId(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix))
+      scala.util.Try(name.stripPrefix(ManifestPrefix).toLong).toOption
+    else None
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All manifests under `tgt`, newest first, as (id, snapshot dir name). */
+  private[graft] def manifests(fs: FileSystem, tgt: Path): Seq[(Long, String)] = {
+    if (!fs.exists(tgt)) return Nil
+    fs.listStatus(tgt).toIndexedSeq
+      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st.getPath)))
+      .sortBy(-_._1)
+      .flatMap { case (id, p) =>
+        scala.util.Try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        }.toOption.filter(_.nonEmpty).map(id -> _)
+      }
+  }
+
+  /** The newest COMMITTED snapshot: its manifest parses and the snapshot
+    * directory carries `_SUCCESS` — a manifest whose write raced a crash
+    * is skipped in favor of its predecessor. */
+  private[graft] def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
+    manifests(fs, tgt).collectFirst {
+      case (id, snapName)
+          if fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
+        (id, new Path(tgt, snapName))
+    }
+
+  /** Latest committed version id, if any commit ever succeeded. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentSnapshot(fs, tgt).map(_._1)
+  }
+
+  /** Read the latest committed state. None when nothing was ever committed. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentSnapshot(fs, tgt).map { case (_, snap) => spark.read.parquet(snap.toString) }
+  }
+
+  /** Time travel: read exactly version `id` (committed), if its manifest
+    * and snapshot are still retained. */
+  def readVersion(spark: SparkSession, dir: String, id: Long): Option[DataFrame] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifests(fs, tgt).collectFirst {
+      case (mid, snapName)
+          if mid == id && fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
+        spark.read.parquet(new Path(tgt, snapName).toString)
+    }
+  }
+
+  /** Commit `df` as the next version and return its id. `preferredId`
+    * seeds the monotonic id (a stream passes its batchId so fresh
+    * checkpoints over old tables continue PAST the old ids rather than
+    * colliding below them); `keep` bounds the retained history. */
+  def promote(spark: SparkSession, dir: String, df: DataFrame,
+      preferredId: Long = 0L, keep: Int = 2): Long = {
+    val (fs, tgt) = fsOf(spark, dir)
+    val current = currentSnapshot(fs, tgt)
+    val nextId = math.max(preferredId, current.map(_._1 + 1).getOrElse(0L))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val snapName = f"$SnapshotPrefix$nextId%020d-$nonce"
+    df.write.mode("overwrite").parquet(new Path(tgt, snapName).toString)
+    val tmp = new Path(tgt, f".$ManifestPrefix$nextId%020d.$nonce.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
+    if (!fs.rename(tmp, mPath))
+      throw new IllegalStateException(
+        s"SnapshotStore: failed to promote $snapName via $mPath (concurrent writer?)")
+    // GC, best-effort: a reader that just resolved a retained manifest
+    // still finds its directory intact
+    try {
+      val all = manifests(fs, tgt)
+      val keepSnaps = all.take(keep).map(_._2).toSet + snapName
+      all.drop(keep).foreach { case (id, _) =>
+        fs.delete(new Path(tgt, f"$ManifestPrefix$id%020d"), false)
+      }
+      fs.listStatus(tgt).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
+    nextId
+  }
+}

@@ -82,6 +82,65 @@ object EtlOps {
       Scd2.apply(dim, changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
     },
 
+    // ── etl_snapshot_timetravel: versioned table commits + time travel
+    // through the native manifest-pointer format ([[graft.etl
+    // .SnapshotStore]]) — the lightweight answer to the Delta/Iceberg
+    // scope decision (SURVEY §7.3): crash-safe atomic commits and
+    // as-of-version reads with nothing but parquet + rename. The op
+    // commits the customer dimension TWICE (version 0 = the initial
+    // SCD2 load; version 1 = after the MACHINERY change set — exactly
+    // etl_scd2_apply's semantics), then reads BOTH versions back
+    // through the store and emits them tagged. The oracle recomputes
+    // each version's state relationally, so the store must neither
+    // lose nor mix history — a wrong manifest resolution, a stale GC,
+    // or a torn-commit fallback error all surface as a row diff.
+    // Readers never shuffle: version resolution is an O(#manifests)
+    // driver listing; the snapshots are plain parquet scans.
+    OpQuery.checked(
+      "etl_snapshot_timetravel",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         DATE '1992-01-01' AS effective_date,
+        |         DATE '9999-12-31' AS expiration_date,
+        |         'Y' AS curr_ind
+        |  FROM customer),
+        |chg AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+        |v1 AS (
+        |  SELECT d.* FROM dim d LEFT JOIN chg c USING (c_custkey)
+        |  WHERE c.c_custkey IS NULL OR d.c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.effective_date,
+        |         DATE '1996-05-31', 'N'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY'
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_name, 'MACHINERY', DATE '1996-06-01',
+        |         DATE '9999-12-31', 'Y'
+        |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY')
+        |SELECT CAST(0 AS BIGINT) AS version, * FROM dim
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM v1""".stripMargin
+    ) { (spark, dir) =>
+      val c = Tables(spark, dir).customer
+      val table = CoreOps.scratch(dir, "timetravel_dim")
+      val v0 = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
+      // commit twice only when this process has not already built the
+      // table (scratch is per-process); keep = 16 retains the history
+      if (graft.etl.SnapshotStore.currentVersion(spark, table).forall(_ < 1L)) {
+        val id0 = graft.etl.SnapshotStore.promote(spark, table, v0, preferredId = 0L, keep = 16)
+        val changes = c
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+        val v1 = Scd2.apply(
+          graft.etl.SnapshotStore.readVersion(spark, table, id0).get,
+          changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
+        graft.etl.SnapshotStore.promote(spark, table, v1, preferredId = 1L, keep = 16): Unit
+      }
+      graft.etl.SnapshotStore.readVersion(spark, table, 0L).get
+        .select(lit(0L).as("version"), col("*"))
+        .unionByName(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get
+          .select(lit(1L).as("version"), col("*")))
+    },
+
     // ── etl_scd2_correction: retroactive SCD2 history repair — the
     // "wrong attribute was recorded back then" case close-old/open-new
     // cannot express: the version interval CONTAINING the correction

@@ -41,48 +41,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Scd2Stream {
 
-  import org.apache.hadoop.fs.{FileSystem, Path}
-
-  private val ManifestPrefix = "manifest-"
-  private val SnapshotPrefix = "snapshot-"
-
-  private def manifestId(name: String): Option[Long] =
-    if (name.startsWith(ManifestPrefix))
-      scala.util.Try(name.stripPrefix(ManifestPrefix).toLong).toOption
-    else None
-
-  /** All manifests under `tgt`, newest first, as (id, snapshot dir name). */
-  private def manifests(fs: FileSystem, tgt: Path): Seq[(Long, String)] = {
-    if (!fs.exists(tgt)) return Nil
-    fs.listStatus(tgt).toIndexedSeq
-      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st.getPath)))
-      .sortBy(-_._1)
-      .flatMap { case (id, p) =>
-        scala.util.Try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        }.toOption.filter(_.nonEmpty).map(id -> _)
-      }
-  }
-
-  /** The newest COMMITTED snapshot: its manifest parses and the snapshot
-    * directory carries the `_SUCCESS` the writing job left — a manifest
-    * whose write raced a crash is skipped in favor of its predecessor. */
-  private def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
-    manifests(fs, tgt).collectFirst {
-      case (id, snapName)
-          if fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
-        (id, new Path(tgt, snapName))
-    }
+  import graft.etl.SnapshotStore
 
   /** Read the current committed state of a streamed SCD2 dimension —
-    * the reader half of the snapshot/manifest protocol. Returns None
+    * the reader half of the snapshot/manifest protocol (see
+    * [[graft.etl.SnapshotStore]], which owns the format). Returns None
     * when no snapshot has ever been committed. */
-  def readDim(spark: SparkSession, targetDir: String): Option[DataFrame] = {
-    val tgt = new Path(targetDir)
-    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentSnapshot(fs, tgt).map { case (_, snap) => spark.read.parquet(snap.toString) }
-  }
+  def readDim(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    SnapshotStore.read(spark, targetDir)
 
   /** Start maintaining `targetDir` as an SCD2 dim from parquet change
     * files appearing under `sourceDir`.
@@ -149,16 +115,11 @@ object Scd2Stream {
         // points at a committed snapshot, a read failure must fail the
         // batch (and be retried) — falling through to the bootstrap path
         // would destroy the dimension's history.
-        val tgt = new Path(targetDir)
-        val fs = tgt.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val current = currentSnapshot(fs, tgt)
         // snapshot the (dim-sized) state into memory so no lazy scan
-        // races the snapshot-directory GC below
-        var dim: DataFrame = current match {
+        // races the snapshot-directory GC inside the next promote
+        var dim: DataFrame = SnapshotStore.read(sp, targetDir) match {
           case None => null
-          case Some((_, snap)) =>
-            val d = sp.read.parquet(snap.toString)
-            sp.createDataFrame(d.collectAsList(), d.schema)
+          case Some(d) => sp.createDataFrame(d.collectAsList(), d.schema)
         }
         for (date <- dates) {
           val chg = changes.filter(col("change_date") === date).drop("change_date")
@@ -172,42 +133,15 @@ object Scd2Stream {
           }
         }
         if (dim != null && dates.nonEmpty) {
-          // Commit = write a NEW snapshot dir, then promote it with an
-          // atomic rename to a NEVER-EXISTING manifest name. Ids are
-          // strictly monotonic (a checkpoint replay of batch N after a
-          // crash-after-promote gets N's successor, and a FRESH
-          // checkpoint over an old target continues past the old ids
-          // rather than colliding below them); the nonce keeps a replay
-          // from overwriting the very directory the live manifest
-          // references. Every crash window leaves either the new
-          // manifest (promoted) or the previous one (still current) —
-          // at no instant is the committed pointer absent.
-          val nextId = math.max(batchId, current.map(_._1 + 1).getOrElse(0L))
-          val nonce = java.util.UUID.randomUUID().toString.take(8)
-          val snapName = f"$SnapshotPrefix$nextId%020d-$nonce"
-          dim.write.mode("overwrite").parquet(new Path(tgt, snapName).toString)
-          val tmp = new Path(tgt, f".$ManifestPrefix$nextId%020d.$nonce.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(snapName.getBytes("UTF-8")) finally out.close()
-          val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
-          if (!fs.rename(tmp, mPath))
-            throw new IllegalStateException(
-              s"Scd2Stream: failed to promote $snapName via $mPath (concurrent writer?)")
-          // GC, best-effort: keep the two newest manifests and the
-          // snapshots they reference; a reader that just resolved the
-          // previous manifest still finds its directory intact.
-          try {
-            val all = manifests(fs, tgt)
-            val keepSnaps = all.take(2).map(_._2).toSet + snapName
-            all.drop(2).foreach { case (id, _) =>
-              fs.delete(new Path(tgt, f"$ManifestPrefix$id%020d"), false)
-            }
-            fs.listStatus(tgt).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
-                fs.delete(st.getPath, true)
-            }
-          } catch { case _: java.io.IOException => () }
+          // Commit through the store: a NEW snapshot dir promoted by an
+          // atomic rename to a NEVER-EXISTING monotonic manifest (ids =
+          // max(batchId, last + 1): a replay of batch N after a
+          // crash-after-promote gets N's successor, a fresh checkpoint
+          // over an old target continues past the old ids). Every crash
+          // window leaves either the new manifest (promoted) or the
+          // previous one (still current). The previous snapshot is
+          // retained until the next promotion (keep = 2).
+          SnapshotStore.promote(sp, targetDir, dim, preferredId = batchId): Unit
         }
       }
       .start()
