@@ -1006,6 +1006,114 @@ object EventsOps {
         .withColumn("resid", col("n") - col("forecast"))
     },
 
+    // ── events_forecast_hw_grouped: Holt–Winters additive seasonal
+    // forecasting PER USER — the grouped-fold family's capstone: a
+    // TRIPLE recursion (level + trend + a 7-slot seasonal RING BUFFER,
+    // each step reading the slot that falls due and rotating a new one
+    // in) carried through the plan as one struct-of-arrays fold per
+    // group. SQL lambdas have no `let`, so the step binds its
+    // intermediates (the due slot, the two predecessors, then the new
+    // level) through two nested single-element transform()s before
+    // building the next accumulator — the fold stays a pure
+    // expression, zero driver sequencing, zero UDF. Identical
+    // fixed-point recursion to events_forecast_hw (2²⁰ micro-units,
+    // floor(x/4.0) steps, seasonal slots warm up from 0). Oracle =
+    // hwFwdSql's recursive CTE keyed by user (the seasonal ring
+    // threads through the CTE as an array column); the grouped spec
+    // cross-checks the fold against the pinned hwLevels on every group.
+    OpQuery.checked(
+      "events_forecast_hw_grouped",
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+        |      FROM events WHERE user_id IS NOT NULL),
+        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |spine AS (
+        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
+        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
+        |grid AS (
+        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
+        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+        |fwd AS (
+        |  SELECT user_id, t, d, n, n * 1048576 AS level_u,
+        |         CAST(0 AS BIGINT) AS trend_u,
+        |         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS seas,
+        |         CAST(0 AS BIGINT) AS seas_u,
+        |         CAST(NULL AS BIGINT) AS fc_u
+        |  FROM grid WHERE t = 1
+        |  UNION ALL
+        |  SELECT g.user_id, g.t, g.d, g.n,
+        |         CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT),
+        |         CAST(floor((CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+        |                     - f.level_u + 3 * f.trend_u) / 4) AS BIGINT),
+        |         list_append(f.seas[2:7],
+        |           CAST(floor((g.n * 1048576
+        |                       - CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+        |                       + 3 * f.seas[1]) / 4) AS BIGINT)),
+        |         CAST(floor((g.n * 1048576
+        |                     - CAST(floor((g.n * 1048576 - f.seas[1] + 3 * (f.level_u + f.trend_u)) / 4) AS BIGINT)
+        |                     + 3 * f.seas[1]) / 4) AS BIGINT),
+        |         f.level_u + f.trend_u + f.seas[1]
+        |  FROM fwd f JOIN grid g ON g.user_id = f.user_id AND g.t = f.t + 1)
+        |SELECT user_id, d, n, CAST(level_u AS BIGINT) AS level_u, trend_u, seas_u,
+        |       CAST(floor(fc_u / 1048576.0) AS BIGINT) AS forecast,
+        |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
+        |FROM fwd""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
+      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      grid.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
+        .select(col("user_id"),
+          expr("transform(s, x -> x.d)").as("ds"),
+          expr("transform(s, x -> x.n)").as("ns"))
+        .withColumn("nd", size(col("ns")))
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(ns, 2, nd - 1),
+            |  named_struct(
+            |    'lus', array(element_at(ns, 1) * 1048576L),
+            |    'tus', array(0L),
+            |    'sus', array(0L),
+            |    'fcs', cast(array() as array<bigint>),
+            |    'ring', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+            |  (acc, x) -> element_at(transform(
+            |    array(named_struct(
+            |      'sm', element_at(acc.ring, 1),
+            |      'll', element_at(acc.lus, size(acc.lus)),
+            |      'lt', element_at(acc.tus, size(acc.tus)))),
+            |    v -> element_at(transform(
+            |      array(cast(floor((x * 1048576L - v.sm + 3 * (v.ll + v.lt)) / 4.0) as bigint)),
+            |      nl -> named_struct(
+            |        'lus', concat(acc.lus, array(nl)),
+            |        'tus', concat(acc.tus, array(
+            |          cast(floor((nl - v.ll + 3 * v.lt) / 4.0) as bigint))),
+            |        'sus', concat(acc.sus, array(
+            |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))),
+            |        'fcs', concat(acc.fcs, array(v.ll + v.lt + v.sm)),
+            |        'ring', concat(slice(acc.ring, 2, 6), array(
+            |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))))), 1)), 1))""".stripMargin))
+        .select(col("user_id"), col("ds"), col("ns"),
+          col("st.lus").as("lus"), col("st.tus").as("tus"), col("st.sus").as("sus"),
+          expr("concat(array(cast(null as bigint)), st.fcs)").as("fcs"))
+        .select(col("user_id"),
+          explode(expr("arrays_zip(ds, ns, lus, tus, sus, fcs)")).as("z"))
+        .select(col("user_id"), col("z.ds").as("d"), col("z.ns").as("n"),
+          col("z.lus").as("level_u"), col("z.tus").as("trend_u"),
+          col("z.sus").as("seas_u"),
+          expr("cast(floor(z.fcs / 1048576.0) as bigint)").as("forecast"))
+        .withColumn("resid", col("n") - col("forecast"))
+    },
+
     // ── events_seasonal_decompose: classical trend/seasonal/residual
     // decomposition of the daily series (the moving-average step of
     // STL's ancestor, Macaulay 1931 / the "classical decomposition" of

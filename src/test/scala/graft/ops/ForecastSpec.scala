@@ -132,6 +132,29 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("events_forecast_hw_grouped's ring-buffer fold equals hwLevels on every group") {
+    // the capstone: level + trend + the 7-slot seasonal ring rotate
+    // through nested lambda bindings — drift in the ring rotation, the
+    // due-slot read, or the let-binding transform trick shows up as a
+    // per-user (level_u, trend_u, seas_u, forecast) mismatch
+    val spark = graft.SparkSuite.session
+    val rows = graft.SparkEntry.queries("events_forecast_hw_grouped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "grouped HW must produce rows")
+    val byUser = rows.map(r => (r.getLong(0), r.getDate(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5),
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))).groupBy(_._1)
+    assert(byUser.size > 5, "the group key must be genuinely high-cardinality")
+    byUser.foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.toLocalDate.toEpochDay)
+      val want = EventsOps.hwLevels(sorted.map(_._3).toIndexedSeq)
+        .map { case (lu, tu, su, fcU) =>
+          (lu, tu, su, fcU.map(Math.floorDiv(_, EventsOps.HoltUnit))) }
+      val got = sorted.map(r => (r._4, r._5, r._6, r._7)).toIndexedSeq
+      assert(got == want, s"user $uid: fold state diverges from hwLevels")
+    }
+  }
+
   test("eval_forecast_backtest totals equal the standalone ops' holdout residuals") {
     val spark = graft.SparkSuite.session
     val dir = "/root/testdata/sf0.001"
