@@ -64,6 +64,53 @@ object ExtOps {
         .select(col("event_id"), col("user_id"), col("ts"), col("asof_view_ts"))
     },
 
+    // ── join_asof_tolerance: as-of with a MAX-GAP bound — the
+    // attribution-window form every ad/event pipeline actually runs
+    // ("the latest view within 1 hour of the click", not "ever"):
+    // join_asof's union + running-max shape (one shuffle on user_id,
+    // zero per-user pair blowup), then the tolerance applied as a plain
+    // post-filter on the matched timestamp — a view older than the
+    // window nulls out, exactly pandas merge_asof(tolerance=...) /
+    // QuestDB ASOF ... TOLERANCE semantics. The gap rides as BIGINT
+    // microseconds (unix_micros ↔ epoch_us, integer in both engines;
+    // second-granularity epoch() is a DOUBLE in DuckDB and not hashable
+    // bit-exactly).
+    OpQuery.checked(
+      "join_asof_tolerance",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_asof
+        |  FROM ev),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - epoch_us(raw_asof) AS gap_us, raw_asof
+        |  FROM w WHERE event_type = 'click')
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN gap_us <= 3600000000 THEN raw_asof END AS asof_view_ts,
+        |       CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
+        |FROM g""".stripMargin
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .filter(col("event_type").isin("view", "click"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "view", col("ts")).as("view_ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tolUs = 3600L * 1000000L
+      ev.withColumn("raw_asof", max(col("view_ts")).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("raw_asof")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("gap_us") <= tolUs, col("raw_asof")).as("asof_view_ts"),
+          when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"))
+    },
+
     // ── win_first_last: FIRST_VALUE / LAST_VALUE / NTH_VALUE over the
     // full partition frame (SURVEY §2.5 noted frames unused by the
     // reference; this is the standard frame-dependent value family).
