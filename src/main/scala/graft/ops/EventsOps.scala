@@ -1285,7 +1285,7 @@ object EventsOps {
   /** The integer SES recursion behind events_forecast_ses: returns
     * (level_t, forecast_t = level_{t−1}) per step; level_1 = n_1,
     * level_t = (n_t + 3·level_{t−1}) div 4. */
-  private[ops] def sesLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Option[Long])] = {
+  private[graft] def sesLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Option[Long])] = {
     require(counts.nonEmpty, "at least one step")
     var level = counts(0)
     counts.zipWithIndex.map { case (n, i) =>

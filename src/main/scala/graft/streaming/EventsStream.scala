@@ -249,6 +249,79 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming per-user SES forecasting ────────────────────────────────
+
+  final case class SesState(curDay: Long, curCount: Long, level: Long, closedDays: Long)
+  final case class SesDay(user_id: Long, day: Long, n: Long, level: Long,
+      forecast: Option[Long])
+
+  /** Streaming per-user SES — the incremental feed of the grouped
+    * forecasting fold (events_forecast_ses_grouped's recursion, run as
+    * each day CLOSES instead of over a collected day array): state per
+    * user is ONE (open day, its running count, the level through the
+    * last closed day) triple, and a day closes the moment a later-day
+    * event for that user arrives — emitting its (n, level, forecast =
+    * previous level) row, with interior silent days closing as n = 0
+    * steps so the recursion advances exactly like the batch day spine.
+    * The final open day never emits (its count is not yet complete; a
+    * live deployment flushes it by timeout).
+    *
+    * Domain contract: the recursion starts at each USER's first observed
+    * day — a stream cannot know the corpus-global spine start the batch
+    * grid uses — so replay equivalence is against [[graft.ops.EventsOps
+    * .sesLevels]] over the user's own observed span (the spec pins
+    * exactly that). Late handling matches [[transitions]]: an event for
+    * an already-closed day is a regression and drops deterministically.
+    * `day` rides as epoch days (tsMicros div 86.4e9 — micros are UTC,
+    * matching the batch ops' session timezone). */
+  def sesDays(events: Dataset[EvT]): Dataset[SesDay] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EvT], state: GroupState[SesState]) => {
+          val sorted = orderedArrivals(evs)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SesDay]
+          // close the open day: emit its row and fold it into the level
+          def close(s: SesState, n: Long, day: Long): SesState = {
+            val (level, fc) =
+              if (s.closedDays == 0L) (n, None)
+              else (Math.floorDiv(n + 3 * s.level, 4), Some(s.level))
+            out += SesDay(userId, day, n, level, fc)
+            SesState(day, 0L, level, s.closedDays + 1)
+          }
+          sorted.foreach { e =>
+            val day = Math.floorDiv(tsMicros(e.ts), dayUs)
+            if (st == null) st = SesState(day, 1L, 0L, 0L)
+            else if (day == st.curDay) st = st.copy(curCount = st.curCount + 1)
+            else if (day > st.curDay) {
+              st = close(st, st.curCount, st.curDay)
+              var gap = st.curDay + 1
+              while (gap < day) { st = close(st, 0L, gap); gap += 1 }
+              st = SesState(day, 1L, st.level, st.closedDays)
+            } // else: event for an already-closed day — late, dropped
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Start the streaming SES feed from a parquet directory into a memory
+    * sink. */
+  def startSesDays(spark: SparkSession, sourceDir: String,
+                   queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id", "event_type").as[EvT]
+    sesDays(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming windowed heavy hitters ──────────────────────────────────
 
   /** Windowed streaming heavy hitters — the same mergeable SpaceSaving

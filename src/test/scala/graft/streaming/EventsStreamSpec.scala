@@ -537,4 +537,46 @@ class EventsStreamSpec extends SparkSuite {
         b.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))))
     } finally q.stop()
   }
+
+  test("streaming per-user SES replays the pinned recursion over each user's observed span") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_ses_stream").toString
+    // two waves split mid-corpus: the recursion must continue across
+    // micro-batches from the state store, not restart per delivery
+    val ev = Tables(spark, sf0001).events
+      .filter($"user_id".isNotNull)
+      .orderBy("ts", "event_id")
+    val n = ev.count()
+    val rows = ev.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.take((n / 2).toInt).toSeq), ev.schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = EventsStream.startSesDays(spark, staged, "ses_stream_test")
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq), ev.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+      val streamed = spark.table("ses_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(_._1)
+      assert(streamed.nonEmpty && streamed.size > 5, "needs many user series")
+      // reference: sesLevels over each user's own observed day span,
+      // zero-filled, excluding the final (still open) day
+      val byUser = rows
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          Math.floorDiv(r.getTimestamp(r.fieldIndex("ts")).getTime, 86400000L)))
+        .groupBy(_._1)
+      streamed.foreach { case (uid, emitted) =>
+        val days = byUser(uid).map(_._2)
+        val d0 = days.min
+        val dN = days.max
+        val counts = (d0 until dN).map(d => days.count(_ == d).toLong).toIndexedSeq
+        val want = graft.ops.EventsOps.sesLevels(counts)
+          .zipWithIndex.map { case ((lvl, fc), i) =>
+            (uid, d0 + i, counts(i), lvl, fc) }
+        val got = emitted.sortBy(_._2).toIndexedSeq
+        assert(got == want, s"user $uid: streamed SES diverges from sesLevels")
+      }
+    } finally q.stop()
+  }
 }
