@@ -45,29 +45,34 @@ object SnapshotStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** All manifests under `tgt`, newest first, as (id, snapshot dir name). */
-  private[graft] def manifests(fs: FileSystem, tgt: Path): Seq[(Long, String)] = {
+  /** Manifest FILES under `tgt` as (id, path), newest first — one
+    * directory listing, NO content reads: resolution is lazy so reads
+    * and commits stay O(1)-ish in retained history instead of opening
+    * every manifest (a full time-travel log would otherwise pay one
+    * filesystem round trip per retained version per operation). */
+  private def manifestFiles(fs: FileSystem, tgt: Path): Seq[(Long, Path)] = {
     if (!fs.exists(tgt)) return Nil
     fs.listStatus(tgt).toIndexedSeq
       .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st.getPath)))
       .sortBy(-_._1)
-      .flatMap { case (id, p) =>
-        scala.util.Try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        }.toOption.filter(_.nonEmpty).map(id -> _)
-      }
   }
 
-  /** The newest COMMITTED snapshot: its manifest parses and the snapshot
-    * directory carries `_SUCCESS` — a manifest whose write raced a crash
-    * is skipped in favor of its predecessor. */
+  /** Resolve ONE manifest to its committed snapshot name: content parses
+    * and the snapshot directory carries `_SUCCESS` — a manifest whose
+    * write raced a crash resolves to None. */
+  private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[String] =
+    scala.util.Try {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }.toOption.filter(_.nonEmpty)
+      .filter(snap => fs.exists(new Path(new Path(tgt, snap), "_SUCCESS")))
+
+  /** The newest COMMITTED snapshot — walks newest-first and stops at the
+    * first manifest that resolves (normally the very first). */
   private[graft] def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
-    manifests(fs, tgt).collectFirst {
-      case (id, snapName)
-          if fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
-        (id, new Path(tgt, snapName))
-    }
+    manifestFiles(fs, tgt).iterator
+      .map { case (id, p) => (id, resolve(fs, tgt, p)) }
+      .collectFirst { case (id, Some(snap)) => (id, new Path(tgt, snap)) }
 
   /** Latest committed version id, if any commit ever succeeded. */
   def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
@@ -82,14 +87,13 @@ object SnapshotStore {
   }
 
   /** Time travel: read exactly version `id` (committed), if its manifest
-    * and snapshot are still retained. */
+    * and snapshot are still retained — short-circuits on the id before
+    * any content read. */
   def readVersion(spark: SparkSession, dir: String, id: Long): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
-    manifests(fs, tgt).collectFirst {
-      case (mid, snapName)
-          if mid == id && fs.exists(new Path(new Path(tgt, snapName), "_SUCCESS")) =>
-        spark.read.parquet(new Path(tgt, snapName).toString)
-    }
+    manifestFiles(fs, tgt).find(_._1 == id)
+      .flatMap { case (_, p) => resolve(fs, tgt, p) }
+      .map(snap => spark.read.parquet(new Path(tgt, snap).toString))
   }
 
   /** Commit `df` as the next version and return its id. `preferredId`
@@ -112,17 +116,25 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"SnapshotStore: failed to promote $snapName via $mPath (concurrent writer?)")
     // GC, best-effort: a reader that just resolved a retained manifest
-    // still finds its directory intact
+    // still finds its directory intact. Skipped entirely while history
+    // fits the retention bound, so content reads stay proportional to
+    // the KEPT set only when something is actually collected.
     try {
-      val all = manifests(fs, tgt)
-      val keepSnaps = all.take(keep).map(_._2).toSet + snapName
-      all.drop(keep).foreach { case (id, _) =>
-        fs.delete(new Path(tgt, f"$ManifestPrefix$id%020d"), false)
-      }
-      fs.listStatus(tgt).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
-          fs.delete(st.getPath, true)
+      val all = manifestFiles(fs, tgt)
+      if (all.size > keep) {
+        val (kept, dropped) = all.splitAt(keep)
+        val keepSnaps = kept.flatMap { case (_, p) =>
+          scala.util.Try {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+          }.toOption
+        }.toSet + snapName
+        dropped.foreach { case (_, p) => fs.delete(p, false) }
+        fs.listStatus(tgt).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
+            fs.delete(st.getPath, true)
+        }
       }
     } catch { case _: java.io.IOException => () }
     nextId

@@ -121,23 +121,25 @@ object EtlOps {
         |SELECT CAST(1 AS BIGINT) AS version, * FROM v1""".stripMargin
     ) { (spark, dir) =>
       val c = Tables(spark, dir).customer
-      val table = CoreOps.scratch(dir, "timetravel_dim")
+      // fresh table per invocation (a UUID leaf under the per-process
+      // scratch): version ids are then ALWAYS 0 and 1 by construction —
+      // a partially-built table from a failed earlier run can neither be
+      // resumed with shifted ids (re-promoting v0 after a crash between
+      // the two commits would mint it as version 1) nor read stale
+      val table = CoreOps.scratch(dir,
+        "timetravel_dim_" + java.util.UUID.randomUUID().toString.take(8))
       val v0 = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
-      // commit twice only when this process has not already built the
-      // table (scratch is per-process); keep = 16 retains the history
-      if (graft.etl.SnapshotStore.currentVersion(spark, table).forall(_ < 1L)) {
-        val id0 = graft.etl.SnapshotStore.promote(spark, table, v0, preferredId = 0L, keep = 16)
-        val changes = c
-          .filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
-        val v1 = Scd2.apply(
-          graft.etl.SnapshotStore.readVersion(spark, table, id0).get,
-          changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
-        graft.etl.SnapshotStore.promote(spark, table, v1, preferredId = 1L, keep = 16): Unit
-      }
-      graft.etl.SnapshotStore.readVersion(spark, table, 0L).get
+      val id0 = graft.etl.SnapshotStore.promote(spark, table, v0, preferredId = 0L, keep = 16)
+      val changes = c
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+      val v1 = Scd2.apply(
+        graft.etl.SnapshotStore.readVersion(spark, table, id0).get,
+        changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
+      val id1 = graft.etl.SnapshotStore.promote(spark, table, v1, preferredId = 1L, keep = 16)
+      graft.etl.SnapshotStore.readVersion(spark, table, id0).get
         .select(lit(0L).as("version"), col("*"))
-        .unionByName(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get
+        .unionByName(graft.etl.SnapshotStore.readVersion(spark, table, id1).get
           .select(lit(1L).as("version"), col("*")))
     },
 

@@ -743,19 +743,7 @@ object EventsOps {
     // driver-side kleinbergStates on every group.
     OpQuery.checked(
       "events_burst_grouped",
-      """WITH RECURSIVE pd AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-        |      FROM events WHERE user_id IS NOT NULL),
-        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-        |spine AS (
-        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
-        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
-        |grid AS (
-        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
-        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
-        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+      s"""$userGridSql,
         |par AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd
         |        FROM grid GROUP BY 1),
         |c AS (
@@ -790,20 +778,7 @@ object EventsOps {
     ) { (spark, dir) =>
       // null group keys excluded on BOTH sides (the dailyGrid contract,
       // applied to user_id)
-      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
-      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-      val spine = ev.select("user_id").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-      grid.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
-        .select(col("user_id"),
-          expr("transform(s, x -> x.d)").as("ds"),
-          expr("transform(s, x -> x.n)").as("ns"))
+      userDayArrays(Tables(spark, dir).events)
         .withColumn("nd", size(col("ns")).cast("long"))
         .withColumn("tot", expr("aggregate(ns, cast(0 as bigint), (a, x) -> a + x)"))
         // forward Viterbi: fold t = 2..nd carrying (lc, hc) and the
@@ -855,19 +830,7 @@ object EventsOps {
     // the pinned sesLevels recursion on every group.
     OpQuery.checked(
       "events_forecast_ses_grouped",
-      """WITH RECURSIVE pd AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-        |      FROM events WHERE user_id IS NOT NULL),
-        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-        |spine AS (
-        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
-        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
-        |grid AS (
-        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
-        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
-        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+      s"""$userGridSql,
         |fwd AS (
         |  SELECT user_id, t, d, n, n AS level, CAST(NULL AS BIGINT) AS forecast
         |  FROM grid WHERE t = 1
@@ -882,20 +845,7 @@ object EventsOps {
     ) { (spark, dir) =>
       // same bounded per-user grid as events_burst_grouped: null keys
       // excluded both sides, day spine broadcast from the corpus bounds
-      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
-      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-      val spine = ev.select("user_id").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-      grid.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
-        .select(col("user_id"),
-          expr("transform(s, x -> x.d)").as("ds"),
-          expr("transform(s, x -> x.n)").as("ns"))
+      userDayArrays(Tables(spark, dir).events)
         .withColumn("nd", size(col("ns")))
         // the SES recursion as a fold: acc = the level series so far,
         // each step appends (nₜ + 3·last) div 4 — truncating div is
@@ -927,19 +877,7 @@ object EventsOps {
     // fold against the pinned holtLevels recursion on every group.
     OpQuery.checked(
       "events_forecast_holt_grouped",
-      """WITH RECURSIVE pd AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-        |      FROM events WHERE user_id IS NOT NULL),
-        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-        |spine AS (
-        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
-        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
-        |grid AS (
-        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
-        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
-        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+      s"""$userGridSql,
         |fwd AS (
         |  SELECT user_id, t, d, n, n * 1048576 AS level_u,
         |         CAST(0 AS BIGINT) AS trend_u, CAST(NULL AS BIGINT) AS fc_u
@@ -956,20 +894,7 @@ object EventsOps {
         |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
         |FROM fwd""".stripMargin
     ) { (spark, dir) =>
-      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
-      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-      val spine = ev.select("user_id").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-      grid.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
-        .select(col("user_id"),
-          expr("transform(s, x -> x.d)").as("ds"),
-          expr("transform(s, x -> x.n)").as("ns"))
+      userDayArrays(Tables(spark, dir).events)
         .withColumn("nd", size(col("ns")))
         // the double recursion as one struct-of-arrays fold: each step
         // reads the LAST level and trend, appends the forecast fc =
@@ -1023,19 +948,7 @@ object EventsOps {
     // cross-checks the fold against the pinned hwLevels on every group.
     OpQuery.checked(
       "events_forecast_hw_grouped",
-      """WITH RECURSIVE pd AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-        |      FROM events WHERE user_id IS NOT NULL),
-        |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-        |spine AS (
-        |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
-        |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
-        |grid AS (
-        |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
-        |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
-        |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d),
+      s"""$userGridSql,
         |fwd AS (
         |  SELECT user_id, t, d, n, n * 1048576 AS level_u,
         |         CAST(0 AS BIGINT) AS trend_u,
@@ -1062,20 +975,7 @@ object EventsOps {
         |       CAST(n - floor(fc_u / 1048576.0) AS BIGINT) AS resid
         |FROM fwd""".stripMargin
     ) { (spark, dir) =>
-      val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
-      val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-      val spine = ev.select("user_id").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-      val grid = spine.join(pd, Seq("user_id", "d"), "left_outer")
-        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-      grid.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
-        .select(col("user_id"),
-          expr("transform(s, x -> x.d)").as("ds"),
-          expr("transform(s, x -> x.n)").as("ns"))
+      userDayArrays(Tables(spark, dir).events)
         .withColumn("nd", size(col("ns")))
         .withColumn("st", expr(
           """aggregate(
@@ -1428,6 +1328,47 @@ object EventsOps {
         (level, trend, ns, Some(fc))
       }
     }
+  }
+
+  /** The per-user day-spine grid as a recursive-CTE-ready SQL prefix —
+    * [[dailyGridSql]] with the group key swapped to user_id. The FOUR
+    * grouped fold ops (burst, SES, Holt, HW) interpolate this one
+    * definition, so the null-key exclusion and corpus-bounds contracts
+    * cannot drift per-op between their engine and oracle sides. */
+  private def userGridSql: String =
+    """WITH RECURSIVE pd AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
+      |      FROM events WHERE user_id IS NOT NULL),
+      |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+      |spine AS (
+      |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
+      |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
+      |grid AS (
+      |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
+      |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
+      |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d)""".stripMargin
+
+  /** Engine side of [[userGridSql]], reduced to what every grouped fold
+    * starts from: (user_id, ds, ns) — each user's sorted day array and
+    * the matching zero-filled counts on the shared corpus-bounds spine.
+    * Null user keys excluded on BOTH sides by the dailyGrid contract. */
+  private def userDayArrays(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.filter(col("user_id").isNotNull)
+    val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
+    val spine = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+    spine.join(pd, Seq("user_id", "d"), "left_outer")
+      .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
+      .select(col("user_id"),
+        expr("transform(s, x -> x.d)").as("ds"),
+        expr("transform(s, x -> x.n)").as("ns"))
   }
 
   /** Engine side of [[dailyGridSql]]'s `grid` (without the index —

@@ -340,13 +340,19 @@ object ExtOps {
       val t = Tables(spark, dir)
       // bucketing is an INGEST-time layout (a production table buckets
       // once, then every join reads it shuffle-free) — table names carry
-      // a corpus tag so each source dir owns its tables, and a session
-      // that already built them skips straight to the read path (the
-      // coGraph artifact discipline; the checked RESULT is identical
-      // either way). A fresh session's in-memory catalog has forgotten
-      // the managed table while its warehouse directory survives, so the
-      // build path clears both before writing.
-      val tag = java.lang.Integer.toHexString(dir.hashCode) // String.hashCode is spec-fixed
+      // a corpus tag so each source owns its tables, and a session that
+      // already built them skips straight to the read path (the coGraph
+      // artifact discipline; the checked RESULT is identical either
+      // way). The tag is dir + CONTENT fingerprint (both sides' row
+      // counts — parquet-footer metadata, ~free), the same
+      // changed-data-misses-the-cache-mechanically rule every other
+      // artifact gate here follows: a corpus regenerated in place gets
+      // fresh tables instead of silently reading stale buckets. A fresh
+      // session's in-memory catalog has forgotten the managed table
+      // while its warehouse directory survives, so the build path
+      // clears both before writing.
+      val tag = java.lang.Integer.toHexString(dir.hashCode) +
+        s"_${t.orders.count()}_${t.lineitem.count()}"
       val ot = s"graft_orders_bucketed_$tag"
       val lt = s"graft_lineitem_bucketed_$tag"
       if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {

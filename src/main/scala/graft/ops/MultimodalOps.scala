@@ -19,6 +19,25 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** The ONE band-geometry definition every pHash consumer shares —
+    * explode a (doc_id, ph) frame into 4 bands of 4 nibbles; any pair
+    * within Hamming ≤ 3 shares ≥ 1 intact band by pigeonhole. The
+    * detector (multimodal_neardup_phash), the composed media pipeline,
+    * and the eval that PINS the guarantee (eval_phash_pr) all call this
+    * — a geometry change moves all three together instead of silently
+    * leaving the eval validating a geometry nothing ships. */
+  private def phashBands(p: DataFrame): DataFrame =
+    p.select(col("doc_id"), col("ph"),
+        explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
+      .withColumn("bv", expr("substring(ph, cast(bi * 4 + 1 as int), 4)"))
+
+  /** Exact 16-nibble Hamming distance between hash columns `pa`/`pb` —
+    * the verify the band candidates feed. */
+  private def nibbleHamming: Column =
+    expr("size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1)))")
+
   val ops: Seq[OpQuery] = Seq(
     // ── multimodal_meta: binary payload + typed metadata projection —
     // content length, content hash, and the (stubbed) decoded media
@@ -253,19 +272,14 @@ object MultimodalOps {
     ) { (spark, dir) =>
       val p = Tables(spark, dir).documents
         .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("ph"))
-      val bands = p
-        .select(col("doc_id"), col("ph"),
-          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
-        .withColumn("bv", expr("substring(ph, cast(bi * 4 + 1 as int), 4)"))
+      val bands = phashBands(p)
       val pairs = bands.toDF("doc_a", "pa", "bi", "bv")
         .join(bands.toDF("doc_b", "pb", "bi", "bv"), Seq("bi", "bv"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
         .distinct()
       pairs
-        .withColumn("hamming",
-          expr("size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1)))")
-            .cast("long"))
+        .withColumn("hamming", nibbleHamming.cast("long"))
         .select(col("doc_a"), col("doc_b"), col("hamming"),
           (col("hamming") <= 3).as("is_neardup"))
     },
@@ -360,18 +374,13 @@ object MultimodalOps {
         .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("ph"))
         .repartition(col("doc_id"))
         .cache()
-      val hamming =
-        expr("size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1)))")
       val gold = capd.toDF("a_id", "pa")
         .join(broadcast(capd.toDF("b_id", "pb")), col("a_id") < col("b_id"))
-        .filter(hamming <= 3)
+        .filter(nibbleHamming <= 3)
         .select(col("a_id"), col("b_id"))
-      val bands = capd
-        .select(col("doc_id"), col("ph"),
-          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
-        .select(col("doc_id"), expr("substring(ph, cast(bi * 4 + 1 as int), 4)").as("bv"), col("bi"))
-      val cand = bands.toDF("a_id", "bv", "bi")
-        .join(bands.toDF("b_id", "bv", "bi"), Seq("bi", "bv"))
+      val bands = phashBands(capd).select("doc_id", "bi", "bv")
+      val cand = bands.toDF("a_id", "bi", "bv")
+        .join(bands.toDF("b_id", "bi", "bv"), Seq("bi", "bv"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       val m = gold.agg(count(lit(1)).as("n_gold"))
@@ -488,16 +497,12 @@ object MultimodalOps {
       val c2 = w2.groupBy("sha").agg(min(col("kk")).as("keep"))
       val k2 = w2.join(c2, w2("sha") === c2("sha") && w2("kk") === c2("keep"))
         .select(w2("doc_id")).persist()
-      val b3 = w2.join(k2, Seq("doc_id"))
-        .select(col("doc_id"), col("ph"),
-          explode(expr("sequence(cast(0 as bigint), cast(3 as bigint))")).as("bi"))
-        .withColumn("bv", expr("substring(ph, cast(bi * 4 + 1 as int), 4)"))
+      val b3 = phashBands(w2.join(k2, Seq("doc_id")).select("doc_id", "ph"))
       val drop3 = b3.toDF("da", "pa", "bi", "bv")
         .join(b3.toDF("db", "pb", "bi", "bv"), Seq("bi", "bv"))
         .filter(col("da") < col("db"))
         .select("da", "pa", "db", "pb").distinct()
-        .filter(expr(
-          "size(filter(sequence(1, 16), i -> substring(pa, i, 1) != substring(pb, i, 1))) <= 3"))
+        .filter(nibbleHamming <= 3)
         .select(col("db").as("doc_id")).distinct()
       val k3 = k2.join(drop3, Seq("doc_id"), "left_anti").persist()
       val packed = graft.algo.GlobalRank.withPrefixSum(

@@ -106,8 +106,19 @@ object Scd2Stream {
             "Scd2Stream contract violation: conflicting (key, change_date) rows in one delivery " +
               "(remove or fix the offending source files; retry alone cannot succeed): " +
               dup.mkString("; "))
-        val dates = changes.select("change_date").distinct()
-          .collect().map(_.getString(0)).sorted
+        val rawDates = changes.select("change_date").distinct()
+          .collect().map(_.getString(0))
+        // a NULL change_date has no defined position in the apply order
+        // and its rows could never be selected by the per-date filter
+        // below — they would be silently LOST (and a multi-date delivery
+        // would NPE inside the sort as an unattributed stack trace on
+        // every retry). Same posture as the duplicate-key guard: fail
+        // the batch loudly and name the producer-side fix.
+        if (rawDates.contains(null))
+          throw new IllegalStateException(
+            "Scd2Stream contract violation: a delivery carries a NULL change_date " +
+              "(remove or fix the offending source files; retry alone cannot succeed)")
+        val dates = rawDates.sorted
         // Bootstrap ONLY when no snapshot was ever PROMOTED: a first
         // write that died mid-job leaves an un-manifested snapshot dir
         // (or one without _SUCCESS) — bootstrapping again is the correct

@@ -95,6 +95,29 @@ class Scd2StreamSpec extends SparkSuite {
       "a failed batch must not promote a snapshot")
   }
 
+  test("a NULL change_date in a delivery fails the batch loudly (not silent row loss)") {
+    // a null date has no defined position in the apply order and its
+    // rows can never match the per-date filter — without the guard they
+    // would be silently dropped (single-date delivery) or NPE inside
+    // the sort as an unattributed stack trace (multi-date delivery)
+    val staged = java.nio.file.Files.createTempDirectory("graft_scd2_nulldate").toString
+    val target = java.nio.file.Files.createTempDirectory("graft_scd2_ndt").toString + "/dim"
+    Seq((3L, "Ipoh", Option.empty[String]), (4L, "Kuching", Option("2024-06-01")))
+      .toDF("member_id", "city", "change_date")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = Scd2Stream.startScd2Sink(spark, staged, target, schema,
+      keyCols = Seq("member_id"), trackedCols = Seq("city"))
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("NULL change_date") ||
+        Option(e.getCause).exists(_.getMessage.contains("NULL change_date")))
+    } finally q.stop()
+    assert(Scd2Stream.readDim(spark, target).isEmpty,
+      "a failed batch must not promote a snapshot")
+  }
+
   test("bit-identical duplicate rows in one coalesced delivery are harmless") {
     val staged = java.nio.file.Files.createTempDirectory("graft_scd2_bitdup").toString
     val target = java.nio.file.Files.createTempDirectory("graft_scd2_bt").toString + "/dim"
