@@ -69,4 +69,72 @@ object NativeFnProps extends Properties("graft.functions") {
       BloomProbe.fnv(bytes, 0L) == BloomProbe.fnv(bytes, 0L) &&
         (s.isEmpty || BloomProbe.fnv(bytes, 0L) != BloomProbe.fnv(bytes, 1L))
     }
+
+  // ── winnowing expressions vs an independent straight-line reference ──
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    MinMd5Salted.toHex(md.digest(bytes))
+  }
+
+  /** Independent reference for the winnowing selection: k-gram hashes →
+    * sliding-window-w string minima → first-occurrence distinct. */
+  private def winnowRef(hs: IndexedSeq[String], w: Int): Option[IndexedSeq[String]] =
+    if (hs.size < w) None
+    else Some(hs.sliding(w).map(_.min).toIndexedSeq.distinct)
+
+  private val wordGen = Gen.frequency(
+    (8, Gen.listOf(Gen.alphaNumChar).map(_.mkString)),
+    (1, Gen.const("naïve…")), // multi-byte UTF-8
+    (1, Gen.const("")))
+  private val wsGen = Gen.listOfN(20, wordGen).flatMap(l => Gen.choose(0, 20).map(l.take))
+  private val kwGen = for { k <- Gen.choose(2, 8); w <- Gen.choose(2, 5) } yield (k, w)
+
+  property("winnow_fps_words equals the straight-line reference") =
+    Prop.forAll(wsGen, kwGen) { case (ws, (k, w)) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(s => UTF8String.fromString(s).asInstanceOf[Any]).toArray)
+      val got = WinnowFpsWords(null, null, null).nullSafeEval(arr, k, w)
+      val n = ws.size
+      val nh = math.max(n - (k - 1), 1)
+      val hs = (0 until nh).map { i =>
+        md5Hex(ws.slice(i, math.min(i + k, n)).mkString(" ").getBytes("UTF-8"))
+      }
+      (winnowRef(hs, w), got) match {
+        case (None, null) => true
+        case (Some(want), g: org.apache.spark.sql.catalyst.util.GenericArrayData) =>
+          g.array.toIndexedSeq.map(_.toString) == want
+        case _ => false
+      }
+    }
+
+  private val textGen = Gen.frequency(
+    (8, Gen.listOf(Gen.alphaNumChar).map(_.mkString)),
+    (2, Gen.listOf(Gen.oneOf('a', ' ', 'ß', '漢', 'é')).map(_.mkString)))
+
+  property("winnow_fps_chars equals the straight-line code-point reference") =
+    Prop.forAll(textGen, kwGen) { case (text, (k, w)) =>
+      val got = WinnowFpsChars(null, null, null)
+        .nullSafeEval(UTF8String.fromString(text), k, w)
+      val cps = text.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      val nh = cps.length - k + 1
+      val want =
+        if (nh < w) None
+        else winnowRef((0 until nh).map(i =>
+          md5Hex(cps.slice(i, i + k).mkString.getBytes("UTF-8"))), w)
+      (want, got) match {
+        case (None, null) => true
+        case (Some(ref), g: org.apache.spark.sql.catalyst.util.GenericArrayData) =>
+          g.array.toIndexedSeq.map(_.toString) == ref
+        case _ => false
+      }
+    }
+
+  property("md5_lower64 equals the little-endian low half of the md5 digest") =
+    Prop.forAll(strGen) { t =>
+      val got = Md5Lower64(null).nullSafeEval(UTF8String.fromString(t)).asInstanceOf[Long]
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val want = (0 until 8).map(j => (d(8 + j) & 0xffL) << (8 * j)).foldLeft(0L)(_ | _)
+      got == want
+    }
 }
