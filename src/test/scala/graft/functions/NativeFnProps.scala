@@ -137,4 +137,36 @@ object NativeFnProps extends Properties("graft.functions") {
       val want = (0 until 8).map(j => (d(8 + j) & 0xffL) << (8 * j)).foldLeft(0L)(_ | _)
       got == want
     }
+
+  property("pq_encode_packed equals the relational argmin it replaced") =
+    Prop.forAll(
+      Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)),       // one 16-dim vector
+      Gen.listOfN(4 * 8 * 4, Gen.chooseNum(-1.0f, 1.0f)) // m=4 subs × k=8 codes × 4 dims
+    ) { (v, cb) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      val cnorm2 = cb.grouped(4).map(_.map(x => x.toDouble * x.toDouble).sum).toArray
+      val e = PqEncodePacked(
+        Literal.create(null, ArrayType(FloatType)),
+        Literal.create(cb.toArray, ArrayType(FloatType)),
+        Literal.create(cnorm2, ArrayType(DoubleType)))
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(_.asInstanceOf[Any]).toArray)
+      val got = e.nullSafeEval(arr, null, null).asInstanceOf[Long]
+      // reference: per sub, min(struct(dist, code)) with left-to-right
+      // double-accumulated dots — the exact relational form
+      var want = 0L
+      for (j <- 0 until 4) {
+        var best = Double.PositiveInfinity; var bestC = 0
+        for (c <- 0 until 8) {
+          var acc = 0d
+          for (i <- 0 until 4)
+            acc += v(j * 4 + i).toDouble * cb((j * 8 + c) * 4 + i).toDouble
+          val dist = cnorm2(j * 8 + c) - 2.0 * acc
+          if (dist < best) { best = dist; bestC = c }
+        }
+        want += bestC.toLong << (8 * j)
+      }
+      got == want
+    }
 }
