@@ -57,14 +57,17 @@ object SnapshotStore {
       .sortBy(-_._1)
   }
 
+  private def readContent(fs: FileSystem, p: Path): Option[String] =
+    scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }.toOption.filter(_.nonEmpty)
+
   /** Resolve ONE manifest to its committed snapshot name: content parses
     * and the snapshot directory carries `_SUCCESS` — a manifest whose
     * write raced a crash resolves to None. */
   private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[String] =
-    scala.util.Try {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-    }.toOption.filter(_.nonEmpty)
+    readContent(fs, manifest)
       .filter(snap => fs.exists(new Path(new Path(tgt, snap), "_SUCCESS")))
 
   /** The newest COMMITTED snapshot — walks newest-first and stops at the
@@ -116,24 +119,39 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"SnapshotStore: failed to promote $snapName via $mPath (concurrent writer?)")
     // GC, best-effort: a reader that just resolved a retained manifest
-    // still finds its directory intact. Skipped entirely while history
-    // fits the retention bound, so content reads stay proportional to
-    // the KEPT set only when something is actually collected.
+    // still finds its directory intact. Skipped entirely while the
+    // manifest count fits the retention bound (orphan snapshot dirs from
+    // crashed writes linger until the first GC-triggering commit — and
+    // forever in the keep = Int.MaxValue full-log mode, where nothing is
+    // ever collected). Retention counts COMMITTED manifests: torn
+    // debris with ids above the head must not occupy keep slots, or a
+    // couple of junk files could push every committed manifest —
+    // including the one just promoted — into the dropped set and
+    // destroy the table's whole history. The cutoff is the keep-th
+    // newest committed id; everything at or above it (committed or
+    // debris) is left alone, everything below it goes.
     try {
       val all = manifestFiles(fs, tgt)
       if (all.size > keep) {
-        val (kept, dropped) = all.splitAt(keep)
-        val keepSnaps = kept.flatMap { case (_, p) =>
-          scala.util.Try {
-            val in = fs.open(p)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-          }.toOption
-        }.toSet + snapName
-        dropped.foreach { case (_, p) => fs.delete(p, false) }
-        fs.listStatus(tgt).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n))
-            fs.delete(st.getPath, true)
+        val committed = all.iterator
+          .map { case (id, p) => (id, resolve(fs, tgt, p)) }
+          .collect { case (id, Some(snap)) => (id, snap) }
+          .take(keep).toSeq
+        if (committed.size == keep) {
+          val cutoff = committed.last._1
+          val keepSnaps = committed.map(_._2).toSet + snapName
+          all.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, false) }
+          fs.listStatus(tgt).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n)) {
+              // only sweep snapshots BELOW the cutoff or never promoted:
+              // a dir referenced by a retained (>= cutoff) manifest must
+              // survive even if its manifest was unreadable this pass
+              val referencedAbove = all.filter(_._1 >= cutoff)
+                .exists { case (_, p) => readContent(fs, p).contains(n) }
+              if (!referencedAbove) fs.delete(st.getPath, true)
+            }
+          }
         }
       }
     } catch { case _: java.io.IOException => () }

@@ -1227,20 +1227,28 @@ object EventsOps {
     * (type, day) grain plus a zero-filled day spine; bounded
     * (|types| × |days|, constant in corpus size). A `def` (not a val
     * interpolated into ops built during object init). */
-  private def dailyGridSql: String =
-    """pd AS (
-      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+  /** The per-GROUP day-spine grid as a CTE block, parameterized by the
+    * group key — ONE definition serves both grid families (the bounded
+    * per-event_type grid the driver-side recursions collect, and the
+    * high-cardinality per-user_id grid the in-plan folds consume), so
+    * the null-key exclusion and corpus-bounds contracts cannot drift
+    * between them. */
+  private def groupGridSql(key: String): String =
+    s"""pd AS (
+      |  SELECT $key, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE $key IS NOT NULL GROUP BY 1, 2),
       |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-      |      FROM events WHERE event_type IS NOT NULL),
-      |types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+      |      FROM events WHERE $key IS NOT NULL),
+      |ks AS (SELECT DISTINCT $key FROM events WHERE $key IS NOT NULL),
       |spine AS (
-      |  SELECT t.event_type, CAST(u.dd AS DATE) AS d
-      |  FROM types t, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
+      |  SELECT k.$key, CAST(u.dd AS DATE) AS d
+      |  FROM ks k, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS u(dd)),
       |grid AS (
-      |  SELECT s.event_type, s.d, COALESCE(pd.n, 0) AS n,
-      |         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) AS BIGINT) AS t
-      |  FROM spine s LEFT JOIN pd ON pd.event_type = s.event_type AND pd.d = s.d)""".stripMargin
+      |  SELECT s.$key, s.d, COALESCE(pd.n, 0) AS n,
+      |         CAST(row_number() OVER (PARTITION BY s.$key ORDER BY s.d) AS BIGINT) AS t
+      |  FROM spine s LEFT JOIN pd ON pd.$key = s.$key AND pd.d = s.d)""".stripMargin
+
+  private def dailyGridSql: String = groupGridSql("event_type")
 
   /** The SES forward recursion as a recursive-CTE fragment over `grid`
     * (named so [[eval_forecast_backtest]] can instantiate it next to the
@@ -1335,59 +1343,41 @@ object EventsOps {
     * grouped fold ops (burst, SES, Holt, HW) interpolate this one
     * definition, so the null-key exclusion and corpus-bounds contracts
     * cannot drift per-op between their engine and oracle sides. */
-  private def userGridSql: String =
-    """WITH RECURSIVE pd AS (
-      |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-      |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dT
-      |      FROM events WHERE user_id IS NOT NULL),
-      |us AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-      |spine AS (
-      |  SELECT u.user_id, CAST(x.dd AS DATE) AS d
-      |  FROM us u, b, unnest(generate_series(b.d0, b.dT, INTERVAL 1 DAY)) AS x(dd)),
-      |grid AS (
-      |  SELECT s.user_id, s.d, COALESCE(pd.n, 0) AS n,
-      |         CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.d) AS BIGINT) AS t
-      |  FROM spine s LEFT JOIN pd ON pd.user_id = s.user_id AND pd.d = s.d)""".stripMargin
+  private def userGridSql: String = "WITH RECURSIVE " + groupGridSql("user_id")
 
   /** Engine side of [[userGridSql]], reduced to what every grouped fold
     * starts from: (user_id, ds, ns) — each user's sorted day array and
     * the matching zero-filled counts on the shared corpus-bounds spine.
     * Null user keys excluded on BOTH sides by the dailyGrid contract. */
-  private def userDayArrays(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val ev = ev0.filter(col("user_id").isNotNull)
-    val pd = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+  /** Engine side of [[groupGridSql]]: (key, d, n) rows on the shared
+    * corpus-bounds spine, null keys excluded on both sides. */
+  private def groupGrid(ev0: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.filter(col(key).isNotNull)
+    val pd = ev.groupBy(col(key), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
     val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-    val spine = ev.select("user_id").distinct()
+    val spine = ev.select(key).distinct()
       .crossJoin(broadcast(bounds))
-      .select(col("user_id"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-    spine.join(pd, Seq("user_id", "d"), "left_outer")
-      .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      .select(col(key), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
+    spine.join(pd, Seq(key, "d"), "left_outer")
+      .select(col(key), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** [[groupGrid]] at the user key, reduced to what every grouped fold
+    * starts from: (user_id, ds, ns) — each user's sorted day array and
+    * the matching zero-filled counts. */
+  private def userDayArrays(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    groupGrid(ev0, "user_id")
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("s"))
       .select(col("user_id"),
         expr("transform(s, x -> x.d)").as("ds"),
         expr("transform(s, x -> x.n)").as("ns"))
-  }
 
   /** Engine side of [[dailyGridSql]]'s `grid` (without the index —
     * consumers collect the bounded frame and sort). */
-  private def dailyGrid(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // null event types are EXCLUDED on both sides by contract (the SQL
-    // fragment filters identically): a null group would otherwise
-    // diverge — the engine can carry it, but the oracle's equi-joins
-    // drop or truncate it
-    val ev = ev0.filter(col("event_type").isNotNull)
-    val pd = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("n"))
-    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dT"))
-    val spine = ev.select("event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"), explode(expr("sequence(d0, dT, interval 1 day)")).as("d"))
-    spine.join(pd, Seq("event_type", "d"), "left_outer")
-      .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
-  }
+  private def dailyGrid(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    groupGrid(ev0, "event_type")
 
   /** The integer Viterbi behind events_burst_kleinberg: two states
     * (low = base rate N/D, high = 2×), L1 deviation emission costs in

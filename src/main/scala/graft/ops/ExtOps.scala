@@ -30,6 +30,11 @@ object ExtOps {
     * JVM exits (the [[PipelineOps.BpeDictDir]] pattern). */
   val ZonemapDir = graft.Artifacts.Root + s"/zonemapdata_c$ZonemapCuts"
 
+  /** dir → io_bucketed_join's corpus tag (dir hash + row counts),
+    * computed once per process so the cache-hit path is job-free. */
+  private val bucketedTags =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val ops: Seq[OpQuery] = Seq(
     // ── join_asof: for every click, the latest view of the same user at
     // or before it (the reference's closest analog is the range joins of
@@ -343,16 +348,20 @@ object ExtOps {
       // a corpus tag so each source owns its tables, and a session that
       // already built them skips straight to the read path (the coGraph
       // artifact discipline; the checked RESULT is identical either
-      // way). The tag is dir + CONTENT fingerprint (both sides' row
-      // counts — parquet-footer metadata, ~free), the same
-      // changed-data-misses-the-cache-mechanically rule every other
-      // artifact gate here follows: a corpus regenerated in place gets
-      // fresh tables instead of silently reading stale buckets. A fresh
-      // session's in-memory catalog has forgotten the managed table
-      // while its warehouse directory survives, so the build path
-      // clears both before writing.
-      val tag = java.lang.Integer.toHexString(dir.hashCode) +
-        s"_${t.orders.count()}_${t.lineitem.count()}"
+      // way). The tag is dir + both sides' row counts — parquet-footer
+      // metadata, computed ONCE per (process, dir) via the memo so the
+      // hot repeat path costs a map lookup, catching cross-JVM
+      // regeneration that changes cardinalities. (A count-preserving
+      // in-place edit still slips past — a full content hash would cost
+      // a real scan per call; the trade-off is the same one the scratch
+      // layouts accept.) A fresh session's in-memory catalog has
+      // forgotten the managed table while its warehouse directory
+      // survives, so the build path clears both before writing — and
+      // also sweeps SUPERSEDED tags for this dir, or regenerations
+      // would leak one abandoned table pair per rebuild.
+      val dirTag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = ExtOps.bucketedTags.computeIfAbsent(dir,
+        _ => s"${dirTag}_${t.orders.count()}_${t.lineitem.count()}")
       val ot = s"graft_orders_bucketed_$tag"
       val lt = s"graft_lineitem_bucketed_$tag"
       if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
@@ -360,6 +369,16 @@ object ExtOps {
           spark.sql(s"DROP TABLE IF EXISTS $name")
           val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
           loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        // sweep superseded tags of the SAME dir (stale warehouse dirs
+        // from older row-count fingerprints)
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          val stale = (n.startsWith(s"graft_orders_bucketed_$dirTag") ||
+            n.startsWith(s"graft_lineitem_bucketed_$dirTag")) && n != ot && n != lt
+          if (stale) reset(n)
         }
         reset(ot)
         reset(lt)

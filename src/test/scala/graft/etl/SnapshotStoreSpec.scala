@@ -45,6 +45,32 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, t, 2L).isEmpty, "older versions are collected")
   }
 
+  test("torn debris above the head cannot push committed history out of the GC keep set") {
+    // retention must count COMMITTED manifests: if raw id order picked
+    // the keep set, two junk manifests with huge ids would occupy both
+    // keep slots and the next promote's GC would delete every committed
+    // manifest - including the one it just wrote
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((1L, "a")).toDF("k", "v"), keep = 2)
+    SnapshotStore.promote(spark, t, Seq((1L, "b")).toDF("k", "v"), keep = 2)
+    for (id <- Seq("98", "99")) {
+      val torn = new java.io.File(t, s"snapshot-000000000000000000$id-dead")
+      torn.mkdirs()
+      java.nio.file.Files.write(new java.io.File(torn, "junk.parquet").toPath, Array[Byte](1))
+      java.nio.file.Files.write(
+        new java.io.File(t, s"manifest-000000000000000000$id").toPath,
+        s"snapshot-000000000000000000$id-dead".getBytes("UTF-8"))
+    }
+    val id = SnapshotStore.promote(spark, t, Seq((1L, "c")).toDF("k", "v"), keep = 2)
+    assert(id == 2L)
+    assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "c",
+      "the just-promoted commit must survive its own GC")
+    assert(SnapshotStore.readVersion(spark, t, 1L).isDefined,
+      "the previous committed version must survive despite the debris")
+    assert(SnapshotStore.readVersion(spark, t, 0L).isEmpty,
+      "normal retention still collects beyond keep")
+  }
+
   test("a torn write (manifest ahead of data) is skipped by every reader") {
     val t = freshTable()
     SnapshotStore.promote(spark, t, Seq((1L, "good")).toDF("k", "v"), keep = 16)
