@@ -17,6 +17,11 @@ object EtlOps {
   private val timetravelTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (bootstrap + refresh committed) versioned
+    * incremental-load table of etl_incremental_versioned. */
+  private val incrVersionedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val ops: Seq[OpQuery] = Seq(
     // ── etl_dim_date: the DimDate spine + calendar attributes + holiday
     // lookup (ref 05_InitialLoading.sql:157-203), set-based. Holidays
@@ -94,13 +99,18 @@ object EtlOps {
     // as-of-version reads with nothing but parquet + rename. The op
     // commits the customer dimension TWICE (version 0 = the initial
     // SCD2 load; version 1 = after the MACHINERY change set — exactly
-    // etl_scd2_apply's semantics), then reads BOTH versions back
-    // through the store and emits them tagged. The oracle recomputes
-    // each version's state relationally, so the store must neither
-    // lose nor mix history — a wrong manifest resolution, a stale GC,
-    // or a torn-commit fallback error all surface as a row diff.
-    // Readers never shuffle: version resolution is an O(#manifests)
-    // driver listing; the snapshots are plain parquet scans.
+    // etl_scd2_apply's semantics), each commit carrying its PINNED
+    // as-of timestamp (the change set's effective instant — never wall
+    // clock, so replays commit identical metadata), then reads the
+    // history back three ways and emits the legs tagged: version-id
+    // travel to 0 and 1, plus a TIMESTAMP-travel read as of 1994-01-01
+    // (between the two commits — must resolve the v0 state). The
+    // oracle recomputes each leg's state relationally, so the store
+    // must neither lose nor mix history — a wrong manifest resolution,
+    // a stale GC, a torn-commit fallback error, or a mis-ordered
+    // timestamp resolution all surface as a row diff. Readers never
+    // shuffle: version resolution is an O(#manifests) driver listing;
+    // the snapshots are plain parquet scans.
     OpQuery.checked(
       "etl_snapshot_timetravel",
       """WITH dim AS (
@@ -123,9 +133,15 @@ object EtlOps {
         |  FROM dim d JOIN chg c USING (c_custkey) WHERE d.c_mktsegment <> 'MACHINERY')
         |SELECT CAST(0 AS BIGINT) AS version, * FROM dim
         |UNION ALL
-        |SELECT CAST(1 AS BIGINT) AS version, * FROM v1""".stripMargin
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, * FROM dim""".stripMargin
     ) { (spark, dir) =>
       val c = Tables(spark, dir).customer
+      // pinned as-of instants for the two commits (epoch micros of the
+      // change sets' effective dates — replays commit identical metadata)
+      val asOf0 = 694224000000000L // 1992-01-01T00:00:00Z
+      val asOf1 = 833587200000000L // 1996-06-01T00:00:00Z
       // fresh table per BUILD (a UUID leaf under the per-process
       // scratch): version ids are then ALWAYS 0 and 1 by construction —
       // a partially-built table from a failed earlier run can neither be
@@ -135,23 +151,44 @@ object EtlOps {
       // it is set only AFTER both promotes succeed, so a failed build
       // throws without memoizing and the next invocation rebuilds clean.
       val table = EtlOps.timetravelTables.computeIfAbsent(dir, _ => {
+        // sweep abandoned siblings first (failed earlier attempts, prior
+        // crashed processes under the same tmpdir): superseded UUID
+        // tables are pure leak — the io_bucketed_join superseded-tag
+        // discipline applied to the scratch root
+        val parent = new java.io.File(CoreOps.scratch(dir, "."))
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("timetravel_dim_"))
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
         val t = CoreOps.scratch(dir,
           "timetravel_dim_" + java.util.UUID.randomUUID().toString.take(8))
         val v0 = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
-        val id0 = graft.etl.SnapshotStore.promote(spark, t, v0, preferredId = 0L, keep = 16)
+        val id0 = graft.etl.SnapshotStore.promote(spark, t, v0,
+          preferredId = 0L, keep = 16, asOfMicros = Some(asOf0))
         val changes = c
           .filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
         val v1 = Scd2.apply(
           graft.etl.SnapshotStore.readVersion(spark, t, id0).get,
           changes, Seq("c_custkey"), Seq("c_mktsegment"), "1996-06-01")
-        graft.etl.SnapshotStore.promote(spark, t, v1, preferredId = 1L, keep = 16)
+        graft.etl.SnapshotStore.promote(spark, t, v1,
+          preferredId = 1L, keep = 16, asOfMicros = Some(asOf1))
         t
       })
+      // leg 3: timestamp travel to 1994-01-01 — strictly between the two
+      // commits' pinned instants, so it MUST resolve the v0 state
+      val asOfQuery = 757382400000000L // 1994-01-01T00:00:00Z
       graft.etl.SnapshotStore.readVersion(spark, table, 0L).get
         .select(lit(0L).as("version"), col("*"))
         .unionByName(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get
           .select(lit(1L).as("version"), col("*")))
+        .unionByName(graft.etl.SnapshotStore.readAsOf(spark, table, asOfQuery).get
+          .select(lit(2L).as("version"), col("*")))
     },
 
     // ── etl_scd2_correction: retroactive SCD2 history repair — the
@@ -282,6 +319,79 @@ object EtlOps {
         .insertMissing(existing, batch, Seq("o_orderkey"))
         .groupBy(year(col("od")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── etl_incremental_versioned: the incremental fact refresh COMMITTED
+    // through the manifest-pointer store ([[graft.etl.VersionedLoad]]) —
+    // the reference's subsequent-load contract (07_SubsequentLoading.sql:
+    // 324-442) with the crash-safety the streaming SCD2 sink has: the
+    // existing fact bootstraps as version 0, the overlapping batch's
+    // anti-join merge commits atomically as version 1 (each with its
+    // pinned as-of instant), and BOTH states read back through the store
+    // tagged and aggregated to the year grain. A refresh that dies
+    // mid-write leaves version 0 current — readers never observe a
+    // half-appended fact — and the oracle recomputes both states
+    // relationally, so a lost batch row, a double-applied overlap, or a
+    // mis-resolved version all surface as row diffs. The merge itself is
+    // etl_incremental's exact semantics (NOT-EXISTS-guarded append);
+    // this op proves the same refresh is ALSO durable and auditable.
+    OpQuery.checked(
+      "etl_incremental_versioned",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |existing AS (SELECT * FROM o WHERE od < DATE '1996-01-01'),
+        |batch AS (
+        |  SELECT * FROM o
+        |  WHERE od BETWEEN DATE '1995-06-01' AND DATE '1996-12-31'),
+        |loaded AS (
+        |  SELECT * FROM existing
+        |  UNION ALL
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = b.o_orderkey))
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM existing GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM loaded GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      // memoized build (the etl_snapshot_timetravel discipline: fresh
+      // UUID table per build, abandoned siblings swept, memo set only
+      // after both commits succeed so bench repeats are read-only)
+      val table = EtlOps.incrVersionedTables.computeIfAbsent(dir, _ => {
+        val parent = new java.io.File(CoreOps.scratch(dir, "."))
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("incr_versioned_"))
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        val t = CoreOps.scratch(dir,
+          "incr_versioned_" + java.util.UUID.randomUUID().toString.take(8))
+        val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
+        graft.etl.VersionedLoad.bootstrap(spark, t, existing,
+          asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z, the load horizon
+        val batch = o.filter(
+          col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+        graft.etl.VersionedLoad.refresh(spark, t, batch, Seq("o_orderkey"),
+          asOfMicros = 852076800000000L) // 1997-01-01T00:00:00Z, post-refresh horizon
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(ver).as("version"), col("yr"), col("n_orders"), col("spend"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, 0L)
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
     },
 
     // ── etl_validation_report: CHECK-constraint semantics as violation

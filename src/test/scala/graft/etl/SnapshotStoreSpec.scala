@@ -62,7 +62,7 @@ class SnapshotStoreSpec extends SparkSuite {
         s"snapshot-000000000000000000$id-dead".getBytes("UTF-8"))
     }
     val id = SnapshotStore.promote(spark, t, Seq((1L, "c")).toDF("k", "v"), keep = 2)
-    assert(id == 2L)
+    assert(id == 100L, "the id moves past every LISTED manifest, debris included")
     assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "c",
       "the just-promoted commit must survive its own GC")
     assert(SnapshotStore.readVersion(spark, t, 1L).isDefined,
@@ -85,8 +85,77 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "good")
     assert(SnapshotStore.currentVersion(spark, t).contains(0L))
     assert(SnapshotStore.readVersion(spark, t, 99L).isEmpty)
-    // and the NEXT promotion moves past the torn id rather than under it
+    // and the NEXT promotion moves PAST the torn id — if it recomputed
+    // committed-head + 1 = 1 forever while debris squatted there, a
+    // debris file at exactly that id would wedge every retry (the
+    // ADVICE-flagged failure; here debris sits at 99, so the promotion
+    // must land at 100)
     val id = SnapshotStore.promote(spark, t, Seq((1L, "next")).toDF("k", "v"), keep = 16)
-    assert(id == 1L, "ids derive from the newest COMMITTED version")
+    assert(id == 100L, "promotion always moves past listed debris")
+    assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "next")
+  }
+
+  test("debris squatting at the next id cannot wedge promotion") {
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((1L, "a")).toDF("k", "v"), keep = 16)
+    // an unresolvable manifest at exactly committed-head + 1: the old
+    // committed-head rule would recompute nextId = 1, fail the rename,
+    // and fail identically on every retry
+    java.nio.file.Files.write(
+      new java.io.File(t, "manifest-00000000000000000001").toPath,
+      "snapshot-gone".getBytes("UTF-8"))
+    val id = SnapshotStore.promote(spark, t, Seq((1L, "b")).toDF("k", "v"), keep = 16)
+    assert(id == 2L)
+    assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "b")
+  }
+
+  test("readAsOf resolves the newest commit at or before the pinned timestamp") {
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((1L, "jan")).toDF("k", "v"),
+      keep = 16, asOfMicros = Some(1000L))
+    SnapshotStore.promote(spark, t, Seq((1L, "jun")).toDF("k", "v"),
+      keep = 16, asOfMicros = Some(5000L))
+    // exact hit on a commit timestamp
+    assert(SnapshotStore.readAsOf(spark, t, 1000L).get.select("v").head().getString(0) == "jan")
+    assert(SnapshotStore.readAsOf(spark, t, 5000L).get.select("v").head().getString(0) == "jun")
+    // between two commits -> the earlier one
+    assert(SnapshotStore.readAsOf(spark, t, 4999L).get.select("v").head().getString(0) == "jan")
+    // after the last -> the head
+    assert(SnapshotStore.readAsOf(spark, t, Long.MaxValue).get.select("v").head().getString(0) == "jun")
+    // before the first commit -> absent
+    assert(SnapshotStore.readAsOf(spark, t, 999L).isEmpty)
+  }
+
+  test("untimestamped commits are invisible to timestamp travel but fine for version travel") {
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((1L, "old")).toDF("k", "v"), keep = 16)
+    SnapshotStore.promote(spark, t, Seq((1L, "new")).toDF("k", "v"),
+      keep = 16, asOfMicros = Some(7000L))
+    assert(SnapshotStore.readAsOf(spark, t, 6999L).isEmpty,
+      "an untimestamped commit has no defined as-of position")
+    assert(SnapshotStore.readAsOf(spark, t, 7000L).get.select("v").head().getString(0) == "new")
+    assert(SnapshotStore.readVersion(spark, t, 0L).get.select("v").head().getString(0) == "old")
+  }
+
+  test("a zombie writer's promote fails by fence contract; exactly one writer wins") {
+    val t = freshTable()
+    val fenceA = SnapshotStore.acquireFence(spark, t)
+    // writer B takes over (failover): its fence supersedes A's
+    val fenceB = SnapshotStore.acquireFence(spark, t)
+    assert(fenceB > fenceA)
+    // zombie A wakes up and tries to promote — dies loudly pre-rename
+    intercept[SnapshotStore.FencedException] {
+      SnapshotStore.promote(spark, t, Seq((1L, "zombie")).toDF("k", "v"),
+        keep = 2, fence = Some(fenceA))
+    }
+    // B promotes fine; A's unpromoted snapshot is orphan debris that the
+    // next GC-triggering commit may sweep (never referenced by a manifest)
+    val id = SnapshotStore.promote(spark, t, Seq((1L, "b")).toDF("k", "v"),
+      keep = 2, fence = Some(fenceB))
+    assert(id == 0L)
+    assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "b")
+    val orphans = new java.io.File(t).listFiles().map(_.getName)
+      .filter(_.startsWith("snapshot-")).toSeq
+    assert(orphans.size == 2, "the zombie's snapshot dir exists but is unreferenced")
   }
 }

@@ -1,0 +1,67 @@
+package graft.etl
+
+import graft.SparkSuite
+
+/** The versioned batch incremental load's contract: re-runnable merge
+  * semantics (overlap is a no-op), both pre/post states time-travelable,
+  * and — the reason it exists — a refresh that crashes between its
+  * snapshot write and its manifest promotion leaves the previous version
+  * current, readable, and cleanly retryable. */
+class VersionedLoadSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_vload").toString + "/t"
+
+  private def fact(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+
+  test("bootstrap + refresh: overlapping batch rows are a no-op, both versions readable") {
+    val t = freshTable()
+    val id0 = VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    assert(id0 == 0L)
+    // batch overlaps key 2 (conflicting value — must NOT overwrite) and adds key 3
+    val id1 = VersionedLoad.refresh(spark, t, fact(2L -> "X", 3L -> "c"),
+      Seq("k"), asOfMicros = 2000L)
+    assert(id1 == 1L)
+    val v1 = SnapshotStore.readVersion(spark, t, 1L).get.as[(Long, String)].collect().sorted
+    assert(v1.toSeq == Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      "existing rows win; only genuinely new keys append")
+    assert(SnapshotStore.readVersion(spark, t, 0L).get.count() == 2,
+      "the pre-refresh state stays time-travelable")
+    // replaying the SAME batch commits a new version with IDENTICAL content
+    val id2 = VersionedLoad.refresh(spark, t, fact(2L -> "X", 3L -> "c"),
+      Seq("k"), asOfMicros = 3000L)
+    val v2 = SnapshotStore.readVersion(spark, t, id2).get.as[(Long, String)].collect().sorted
+    assert(v2.toSeq == v1.toSeq, "replay is a content no-op — the re-runnable contract")
+  }
+
+  test("a refresh crashed between snapshot write and promotion: previous version stays current, retry succeeds") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L)
+    // simulate the torn window: the refresh wrote its snapshot (without
+    // _SUCCESS — the job died mid-write) AND its manifest landed; this is
+    // the worst crash point, because a naive reader would follow the
+    // newest manifest into garbage
+    val torn = new java.io.File(t, "snapshot-00000000000000000001-dead")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "part-torn.parquet").toPath, Array[Byte](7))
+    java.nio.file.Files.write(
+      new java.io.File(t, "manifest-00000000000000000001").toPath,
+      "snapshot-00000000000000000001-dead".getBytes("UTF-8"))
+    // readers resolve past the torn write to the committed bootstrap
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().toSeq == Seq(1L -> "a"))
+    // the RETRY merges against that committed state and promotes PAST the
+    // debris id (the debris-proof monotonic rule) — no manual cleanup
+    val id = VersionedLoad.refresh(spark, t, fact(2L -> "b"), Seq("k"), asOfMicros = 2000L)
+    assert(id == 2L, "retry moves past the torn manifest id")
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("refreshing a never-bootstrapped table fails loudly") {
+    val t = freshTable()
+    intercept[IllegalStateException] {
+      VersionedLoad.refresh(spark, t, fact(1L -> "a"), Seq("k"), asOfMicros = 1000L)
+    }
+  }
+}
