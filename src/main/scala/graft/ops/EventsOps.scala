@@ -1206,7 +1206,7 @@ object EventsOps {
     * micro-units. Math.floorDiv — NOT `/` — because the trend (and
     * hence a numerator) can be negative, and the oracle's
     * floor(x / 4.0) floors. */
-  private[ops] def holtLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Option[Long])] = {
+  private[graft] def holtLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Option[Long])] = {
     require(counts.nonEmpty, "at least one step")
     var level = counts(0) * HoltUnit
     var trend = 0L

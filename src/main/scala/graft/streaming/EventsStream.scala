@@ -251,7 +251,8 @@ object EventsStream {
 
   // ── streaming per-user SES forecasting ────────────────────────────────
 
-  final case class SesState(curDay: Long, curCount: Long, level: Long, closedDays: Long)
+  final case class SesState(curDay: Long, curCount: Long, level: Long, closedDays: Long,
+      lastMicros: Long, lastEventId: Long)
   final case class SesDay(user_id: Long, day: Long, n: Long, level: Long,
       forecast: Option[Long])
 
@@ -259,21 +260,26 @@ object EventsStream {
     * forecasting fold (events_forecast_ses_grouped's recursion, run as
     * each day CLOSES instead of over a collected day array): state per
     * user is ONE (open day, its running count, the level through the
-    * last closed day) triple, and a day closes the moment a later-day
-    * event for that user arrives — emitting its (n, level, forecast =
-    * previous level) row, with interior silent days closing as n = 0
-    * steps so the recursion advances exactly like the batch day spine.
-    * The final open day never emits (its count is not yet complete; a
-    * live deployment flushes it by timeout).
+    * last closed day) triple plus the last (micros, event_id) position,
+    * and a day closes the moment a later-day event for that user
+    * arrives — emitting its (n, level, forecast = previous level) row,
+    * with interior silent days closing as n = 0 steps so the recursion
+    * advances exactly like the batch day spine. The final open day
+    * never emits (its count is not yet complete; a live deployment
+    * flushes it by timeout).
     *
     * Domain contract: the recursion starts at each USER's first observed
     * day — a stream cannot know the corpus-global spine start the batch
     * grid uses — so replay equivalence is against [[graft.ops.EventsOps
     * .sesLevels]] over the user's own observed span (the spec pins
-    * exactly that). Late handling matches [[transitions]]: an event for
-    * an already-closed day is a regression and drops deterministically.
-    * `day` rides as epoch days (tsMicros div 86.4e9 — micros are UTC,
-    * matching the batch ops' session timezone). */
+    * exactly that). Late handling matches [[transitions]] EXACTLY: the
+    * stored (micros, event_id) position drops any non-strictly-after
+    * arrival, so an at-least-once RE-DELIVERY of an event on the still
+    * open day cannot double-count it (day-level regression checks alone
+    * would) — counts are exact under per-user in-order delivery,
+    * re-deliveries of already-seen positions included. `day` rides as
+    * epoch days (tsMicros div 86.4e9 — micros are UTC, matching the
+    * batch ops' session timezone). */
   def sesDays(events: Dataset[EvT]): Dataset[SesDay] = {
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L
@@ -290,18 +296,25 @@ object EventsStream {
               if (s.closedDays == 0L) (n, None)
               else (Math.floorDiv(n + 3 * s.level, 4), Some(s.level))
             out += SesDay(userId, day, n, level, fc)
-            SesState(day, 0L, level, s.closedDays + 1)
+            s.copy(curDay = day, curCount = 0L, level = level, closedDays = s.closedDays + 1)
           }
           sorted.foreach { e =>
-            val day = Math.floorDiv(tsMicros(e.ts), dayUs)
-            if (st == null) st = SesState(day, 1L, 0L, 0L)
-            else if (day == st.curDay) st = st.copy(curCount = st.curCount + 1)
-            else if (day > st.curDay) {
+            val m = tsMicros(e.ts)
+            val day = Math.floorDiv(m, dayUs)
+            if (st == null) st = SesState(day, 1L, 0L, 0L, m, e.event_id)
+            else if (isLate(st.lastMicros, st.lastEventId, m, e.event_id)) {
+              // re-delivery or out-of-order straggler — dropped (the
+              // shared ordered-feed rule; covers both an already-closed
+              // day AND a re-delivered event on the still-open day)
+            } else if (day == st.curDay)
+              st = st.copy(curCount = st.curCount + 1, lastMicros = m, lastEventId = e.event_id)
+            else {
+              // strictly-after position ⇒ day > curDay here
               st = close(st, st.curCount, st.curDay)
               var gap = st.curDay + 1
               while (gap < day) { st = close(st, 0L, gap); gap += 1 }
-              st = SesState(day, 1L, st.level, st.closedDays)
-            } // else: event for an already-closed day — late, dropped
+              st = st.copy(curDay = day, curCount = 1L, lastMicros = m, lastEventId = e.event_id)
+            }
           }
           if (st != null) state.update(st)
           out.iterator
@@ -316,6 +329,85 @@ object EventsStream {
     val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
       .select("event_id", "ts", "user_id", "event_type").as[EvT]
     sesDays(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
+  // ── streaming per-user Holt forecasting ───────────────────────────────
+
+  final case class HoltState(curDay: Long, curCount: Long, levelU: Long, trendU: Long,
+      closedDays: Long, lastMicros: Long, lastEventId: Long)
+  final case class HoltDay(user_id: Long, day: Long, n: Long, level_u: Long,
+      trend_u: Long, fc_u: Option[Long])
+
+  /** Streaming per-user Holt — [[sesDays]]'s single-state recursion
+    * extended to the DOUBLE (level, trend) recursion of
+    * events_forecast_holt_grouped, run incrementally as each day
+    * closes: state per user grows from one smoothing value to the
+    * (levelU, trendU) pair in 2²⁰ fixed-point micro-units, and each
+    * closing day folds exactly the batch step — fc = L + T, L' =
+    * floor((n·2²⁰ + 3·fc) / 4), T' = floor((L' − L + 3·T) / 4), all
+    * floorDiv because the trend (hence numerators) can go negative
+    * where truncating division is not portable. Day-close mechanics,
+    * silent-day n = 0 steps, the user's-first-observed-day domain
+    * contract, and the shared (micros, event_id) late-drop rule are
+    * [[sesDays]]'s verbatim; replay equivalence is against
+    * [[graft.ops.EventsOps.holtLevels]] over each user's observed span
+    * (the spec pins it across micro-batches, so the double recursion
+    * provably continues from the state store). */
+  def holtDays(events: Dataset[EvT]): Dataset[HoltDay] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    val unit  = 1L << 20
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EvT], state: GroupState[HoltState]) => {
+          val sorted = orderedArrivals(evs)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltDay]
+          def close(s: HoltState, n: Long, day: Long): HoltState = {
+            val (lvl, tr, fc) =
+              if (s.closedDays == 0L) (n * unit, 0L, None)
+              else {
+                val f  = s.levelU + s.trendU
+                val nl = Math.floorDiv(n * unit + 3 * f, 4)
+                (nl, Math.floorDiv(nl - s.levelU + 3 * s.trendU, 4), Some(f))
+              }
+            out += HoltDay(userId, day, n, lvl, tr, fc)
+            s.copy(curDay = day, curCount = 0L, levelU = lvl, trendU = tr,
+              closedDays = s.closedDays + 1)
+          }
+          sorted.foreach { e =>
+            val m = tsMicros(e.ts)
+            val day = Math.floorDiv(m, dayUs)
+            if (st == null) st = HoltState(day, 1L, 0L, 0L, 0L, m, e.event_id)
+            else if (isLate(st.lastMicros, st.lastEventId, m, e.event_id)) {
+              // re-delivery or straggler — dropped (shared ordered-feed rule)
+            } else if (day == st.curDay)
+              st = st.copy(curCount = st.curCount + 1, lastMicros = m, lastEventId = e.event_id)
+            else {
+              st = close(st, st.curCount, st.curDay)
+              var gap = st.curDay + 1
+              while (gap < day) { st = close(st, 0L, gap); gap += 1 }
+              st = st.copy(curDay = day, curCount = 1L, lastMicros = m, lastEventId = e.event_id)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Start the streaming Holt feed from a parquet directory into a
+    * memory sink. */
+  def startHoltDays(spark: SparkSession, sourceDir: String,
+                    queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id", "event_type").as[EvT]
+    holtDays(src).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)

@@ -579,4 +579,91 @@ class EventsStreamSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming SES drops at-least-once re-deliveries instead of double-counting the open day") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_ses_redeliver").toString
+    val ev = Tables(spark, sf0001).events
+      .filter($"user_id".isNotNull)
+      .orderBy("ts", "event_id")
+    val n = ev.count()
+    val rows = ev.collect()
+    val wave1 = rows.take((n / 2).toInt).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(wave1), ev.schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = EventsStream.startSesDays(spark, staged, "ses_redeliver_test")
+    try {
+      q.processAllAvailable()
+      // an at-least-once source re-delivers wave 1 VERBATIM — every event
+      // sits at or before each user's stored (micros, event_id) position,
+      // including events on the still-open day, and must be dropped (the
+      // pre-fix state only rejected whole-day regressions, so open-day
+      // re-deliveries double-counted)
+      spark.createDataFrame(spark.sparkContext.parallelize(wave1), ev.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq), ev.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+      val streamed = spark.table("ses_redeliver_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(_._1)
+      // the reference is the CLEAN single-delivery recursion: re-delivery
+      // must change nothing
+      val byUser = rows
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          Math.floorDiv(r.getTimestamp(r.fieldIndex("ts")).getTime, 86400000L)))
+        .groupBy(_._1)
+      streamed.foreach { case (uid, emitted) =>
+        val days = byUser(uid).map(_._2)
+        val d0 = days.min
+        val counts = (d0 until days.max).map(d => days.count(_ == d).toLong).toIndexedSeq
+        val want = graft.ops.EventsOps.sesLevels(counts)
+          .zipWithIndex.map { case ((lvl, fc), i) => (uid, d0 + i, counts(i), lvl, fc) }
+        assert(emitted.sortBy(_._2).toIndexedSeq == want,
+          s"user $uid: re-delivery skewed the SES recursion")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming per-user Holt replays the pinned double recursion across micro-batches") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_holt_stream").toString
+    // two waves split mid-corpus: the (level, trend) pair must continue
+    // across micro-batches from the state store, not restart per delivery
+    val ev = Tables(spark, sf0001).events
+      .filter($"user_id".isNotNull)
+      .orderBy("ts", "event_id")
+    val n = ev.count()
+    val rows = ev.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.take((n / 2).toInt).toSeq), ev.schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = EventsStream.startHoltDays(spark, staged, "holt_stream_test")
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq), ev.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+      val streamed = spark.table("holt_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .groupBy(_._1)
+      assert(streamed.nonEmpty && streamed.size > 5, "needs many user series")
+      // reference: holtLevels over each user's own observed day span,
+      // zero-filled, excluding the final (still open) day
+      val byUser = rows
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          Math.floorDiv(r.getTimestamp(r.fieldIndex("ts")).getTime, 86400000L)))
+        .groupBy(_._1)
+      streamed.foreach { case (uid, emitted) =>
+        val days = byUser(uid).map(_._2)
+        val d0 = days.min
+        val counts = (d0 until days.max).map(d => days.count(_ == d).toLong).toIndexedSeq
+        val want = graft.ops.EventsOps.holtLevels(counts)
+          .zipWithIndex.map { case ((lvl, tr, fc), i) =>
+            (uid, d0 + i, counts(i), lvl, tr, fc) }
+        val got = emitted.sortBy(_._2).toIndexedSeq
+        assert(got == want, s"user $uid: streamed Holt diverges from holtLevels")
+      }
+    } finally q.stop()
+  }
 }
