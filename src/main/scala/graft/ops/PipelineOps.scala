@@ -1887,6 +1887,158 @@ object PipelineOps {
         .select(col("doc_id"), col("nb"), col("w_bits"), (col("w_bits") > 0).as("kept"))
     },
 
+    // ── eval_dsir: the selection tier measuring itself — does DSIR's
+    // hashed-bigram log-likelihood ratio actually ORDER domain members
+    // above non-members? sample_dsir's own target is a hash bucket
+    // (the right device for a deterministic selection op, but
+    // definitionally indistinguishable from the raw corpus), and this
+    // corpus's lang/source columns label text drawn from ONE shared
+    // vocabulary (measured: all five langs emit the same 31 words) —
+    // so the eval targets the one profile with recoverable signal:
+    // the learned-quality gate's stopword-teacher labels (the
+    // text_quality_learned fixture). Train the 1024-bucket integer-
+    // bits ratio on the even-doc_id half (target = label-1 evens),
+    // score the odd-doc_id holdout with exactly sample_dsir's weight
+    // arithmetic, and measure the RANKING — threshold-free exact AUC
+    // (the Mann–Whitney tie-midrank identity of eval_score_auc) plus
+    // precision at the target-prevalence budget (DSIR in production
+    // keeps a budget of top-weighted docs, so "of the top n_pos docs
+    // by weight, how many are true positives" is its operating
+    // point; kept_pos is the integer numerator, one edge division).
+    // The raw keep-rule (w_bits > 0) rides along as kept_sign — its
+    // near-total keep rate on this fixture is itself a finding the
+    // AUC puts in context.
+    //
+    // Scale shape: identical to sample_dsir — one corpus pass to the
+    // (doc, bucket) grain, 1024-row count tables broadcast — then the
+    // AUC prefix-sum and the budget rank both ride GlobalRank (range-
+    // partitioned, never a partition-less window). Holdout docs with
+    // fewer than two tokens have no bigram features and sit out on
+    // both engines by construction.
+    OpQuery.checked(
+      "eval_dsir",
+      """WITH tt AS (
+        |  SELECT doc_id, doc_id % 2 AS split,
+        |         str_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, split, ws,
+        |         CASE WHEN 100 * len(list_filter(ws,
+        |                x -> x IN ('a','the','of','and','to','in','is','it')))
+        |              >= 6 * len(ws) THEN 1 ELSE 0 END AS is_t
+        |  FROM tt),
+        |bgs AS (
+        |  SELECT doc_id, is_t, split, md5_number_lower(b) % 1024 AS bkt
+        |  FROM (SELECT doc_id, is_t, split, unnest(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1])) AS b FROM lab)),
+        |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tcnt
+        |       FROM bgs WHERE split = 0 AND is_t = 1 GROUP BY 1),
+        |rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rcnt
+        |       FROM bgs WHERE split = 0 AND is_t = 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_all,
+        |               CAST(sum(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_all
+        |        FROM bgs WHERE split = 0),
+        |db AS (SELECT doc_id, is_t, bkt, CAST(count(*) AS BIGINT) AS m
+        |       FROM bgs WHERE split = 1 GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT db.doc_id, db.is_t,
+        |         CAST(sum(db.m * ((length(bin(COALESCE(tc.tcnt, 0) + 1)) - 1)
+        |                        - (length(bin(COALESCE(rc.rcnt, 0) + 1)) - 1)
+        |                        + (length(bin(t.r_all + 1)) - 1)
+        |                        - (length(bin(t.t_all + 1)) - 1))) AS BIGINT) AS w_bits
+        |  FROM db LEFT JOIN tc USING (bkt) LEFT JOIN rc USING (bkt) CROSS JOIN tot t
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT w_bits,
+        |         CAST(sum(is_t) AS BIGINT) AS np,
+        |         CAST(sum(1 - is_t) AS BIGINT) AS nn
+        |  FROM w GROUP BY w_bits),
+        |c AS (
+        |  SELECT np, nn,
+        |         CAST(coalesce(sum(nn) OVER (ORDER BY w_bits
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+        |  FROM g),
+        |auc AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |         CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS u2
+        |  FROM c),
+        |topk AS (
+        |  SELECT CAST(sum(is_t) AS BIGINT) AS kept_pos
+        |  FROM (SELECT is_t, row_number() OVER (ORDER BY w_bits DESC, doc_id) AS rn FROM w)
+        |  WHERE rn <= (SELECT n_pos FROM auc))
+        |SELECT n_pos + n_neg AS n_eval, n_pos, n_neg, u2,
+        |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+        |       kept_pos,
+        |       CAST(kept_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) AS prec_at_prevalence,
+        |       (SELECT CAST(sum(CASE WHEN w_bits > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM w) AS kept_sign
+        |FROM auc, topk""".stripMargin
+    ) { (spark, dir) =>
+      import graft.Norm.ilog2
+      graft.functions.TextExprs.register(spark)
+      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+      val tt = Tables(spark, dir).documents
+        .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("split"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("ws"))
+      val lab = tt.select(col("doc_id"), col("split"), col("ws"),
+        when(lit(100) * size(filter(col("ws"),
+            x => x.isin(stops.map(lit(_)): _*))) >= lit(6) * size(col("ws")), 1L)
+          .otherwise(0L).as("is_t"))
+      val bgs = lab.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("is_t"), col("split"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("b"))
+        .select(col("doc_id"), col("is_t"), col("split"),
+          expr("md5_lower64(b) & 1023").as("bkt"))
+        .persist() // the train counts and the holdout features share it
+      val train = bgs.filter(col("split") === 0)
+      val tc = train.filter(col("is_t") === 1).groupBy("bkt").agg(count(lit(1)).as("tcnt"))
+      val rc = train.filter(col("is_t") === 0).groupBy("bkt").agg(count(lit(1)).as("rcnt"))
+      val tot = train.agg(
+        sum(when(col("is_t") === 1, 1L).otherwise(0L)).as("t_all"),
+        sum(when(col("is_t") === 0, 1L).otherwise(0L)).as("r_all"))
+      val db = bgs.filter(col("split") === 1)
+        .groupBy("doc_id", "is_t", "bkt").agg(count(lit(1)).as("m"))
+      val w = db
+        .join(broadcast(tc), Seq("bkt"), "left_outer")
+        .join(broadcast(rc), Seq("bkt"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("is_t"), col("m"),
+          (ilog2(coalesce(col("tcnt"), lit(0L)) + 1)
+            - ilog2(coalesce(col("rcnt"), lit(0L)) + 1)
+            + ilog2(col("r_all") + 1) - ilog2(col("t_all") + 1)).as("bits"))
+        .groupBy("doc_id", "is_t")
+        .agg(sum(col("m") * col("bits")).as("w_bits"))
+        .persist() // the AUC grain, the budget rank, and the sign count share it
+      // exact tie-midrank AUC at the distinct-score grain (eval_score_auc)
+      val g = w.groupBy("w_bits").agg(
+        sum(col("is_t")).as("np"),
+        sum(lit(1) - col("is_t")).as("nn"))
+      val auc = graft.algo.GlobalRank
+        .withPrefixSum(g, Seq(col("w_bits").asc), col("nn"), "cneg")
+        .agg(
+          sum(col("np")).as("n_pos"),
+          sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2) * col("cneg") + col("nn"))).as("u2"))
+      // precision at the target-prevalence budget: top-n_pos by weight
+      val keptPos = graft.algo.GlobalRank
+        .withRowNumber(w, Seq(col("w_bits").desc, col("doc_id").asc), "rn", "n_all")
+        .crossJoin(broadcast(auc.select(col("n_pos").as("budget"))))
+        .filter(col("rn") <= col("budget"))
+        .agg(sum(col("is_t")).as("kept_pos"))
+      val keptSign = w.agg(
+        sum(when(col("w_bits") > 0, 1L).otherwise(0L)).as("kept_sign"))
+      auc.crossJoin(broadcast(keptPos)).crossJoin(broadcast(keptSign))
+        .select(
+          (col("n_pos") + col("n_neg")).as("n_eval"),
+          col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double")
+            / (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+          col("kept_pos"),
+          (col("kept_pos").cast("double") / col("n_pos").cast("double"))
+            .as("prec_at_prevalence"),
+          col("kept_sign"))
+    },
+
     // ── sample_bootstrap_poisson: the distributed bootstrap — estimator
     // uncertainty without resampling shuffles (Poisson bootstrap,
     // Chamandy et al. 2012 / Efron's classic with Poisson(1) replicate
