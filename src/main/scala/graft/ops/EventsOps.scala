@@ -850,11 +850,7 @@ object EventsOps {
         // the SES recursion as a fold: acc = the level series so far,
         // each step appends (nₜ + 3·last) div 4 — truncating div is
         // portable on the non-negative counts
-        .withColumn("levels", expr(
-          """aggregate(
-            |  slice(ns, 2, nd - 1),
-            |  array(element_at(ns, 1)),
-            |  (acc, x) -> concat(acc, array((x + 3 * element_at(acc, size(acc))) div 4)))""".stripMargin))
+        .withColumn("levels", expr(sesFoldSql))
         // forecastₜ = levelₜ₋₁: null at t = 1, then the levels shifted
         .withColumn("fcs", expr(
           "concat(array(cast(null as bigint)), slice(levels, 1, nd - 1))"))
@@ -900,26 +896,7 @@ object EventsOps {
         // reads the LAST level and trend, appends the forecast fc =
         // L+T, the new level, and the new trend; floor(x / 4.0) is the
         // exact-portable smoothing step (see events_forecast_holt)
-        .withColumn("st", expr(
-          """aggregate(
-            |  slice(ns, 2, nd - 1),
-            |  named_struct(
-            |    'lus', array(element_at(ns, 1) * 1048576L),
-            |    'tus', array(0L),
-            |    'fcs', cast(array() as array<bigint>)),
-            |  (acc, x) -> named_struct(
-            |    'lus', concat(acc.lus, array(
-            |       cast(floor((x * 1048576L
-            |                   + 3 * (element_at(acc.lus, size(acc.lus))
-            |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint))),
-            |    'tus', concat(acc.tus, array(
-            |       cast(floor((cast(floor((x * 1048576L
-            |                   + 3 * (element_at(acc.lus, size(acc.lus))
-            |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint)
-            |                   - element_at(acc.lus, size(acc.lus))
-            |                   + 3 * element_at(acc.tus, size(acc.tus))) / 4.0) as bigint))),
-            |    'fcs', concat(acc.fcs, array(
-            |       element_at(acc.lus, size(acc.lus)) + element_at(acc.tus, size(acc.tus))))))""".stripMargin))
+        .withColumn("st", expr(holtFoldSql))
         .select(col("user_id"), col("ds"), col("ns"),
           col("st.lus").as("lus"), col("st.tus").as("tus"),
           expr("concat(array(cast(null as bigint)), st.fcs)").as("fcs"))
@@ -977,31 +954,7 @@ object EventsOps {
     ) { (spark, dir) =>
       userDayArrays(Tables(spark, dir).events)
         .withColumn("nd", size(col("ns")))
-        .withColumn("st", expr(
-          """aggregate(
-            |  slice(ns, 2, nd - 1),
-            |  named_struct(
-            |    'lus', array(element_at(ns, 1) * 1048576L),
-            |    'tus', array(0L),
-            |    'sus', array(0L),
-            |    'fcs', cast(array() as array<bigint>),
-            |    'ring', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
-            |  (acc, x) -> element_at(transform(
-            |    array(named_struct(
-            |      'sm', element_at(acc.ring, 1),
-            |      'll', element_at(acc.lus, size(acc.lus)),
-            |      'lt', element_at(acc.tus, size(acc.tus)))),
-            |    v -> element_at(transform(
-            |      array(cast(floor((x * 1048576L - v.sm + 3 * (v.ll + v.lt)) / 4.0) as bigint)),
-            |      nl -> named_struct(
-            |        'lus', concat(acc.lus, array(nl)),
-            |        'tus', concat(acc.tus, array(
-            |          cast(floor((nl - v.ll + 3 * v.lt) / 4.0) as bigint))),
-            |        'sus', concat(acc.sus, array(
-            |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))),
-            |        'fcs', concat(acc.fcs, array(v.ll + v.lt + v.sm)),
-            |        'ring', concat(slice(acc.ring, 2, 6), array(
-            |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))))), 1)), 1))""".stripMargin))
+        .withColumn("st", expr(hwFoldSql))
         .select(col("user_id"), col("ds"), col("ns"),
           col("st.lus").as("lus"), col("st.tus").as("tus"), col("st.sus").as("sus"),
           expr("concat(array(cast(null as bigint)), st.fcs)").as("fcs"))
@@ -1181,6 +1134,81 @@ object EventsOps {
       spark.createDataFrame(out).toDF("event_type", "method", "n_eval", "abs_err")
     }
   )
+
+  // ── the grouped-fold expressions ─────────────────────────────────────
+  // The in-plan recursions of events_forecast_{ses,holt,hw}_grouped as
+  // reusable SQL over a group's (ns, nd) day-count array. COST BOUND:
+  // each fold step appends to its accumulator arrays via concat, which
+  // COPIES the prior array — O(|days|) longs per step, O(|days|²) per
+  // group total (NOT the O(|days|) of the recursion itself; only the
+  // LIVE state is O(1..9) values). Bounded by the day spine, never the
+  // event count: ≈ 6.7M copied longs per group at a 10-year span
+  // (3650²/2), ~54 MiB of transient copying per group per array —
+  // real but tolerable, and ForecastSpec pins correctness + completion
+  // at a decade-long spine. The alternative (emitting via an index
+  // transform so the accumulator carries O(1) state) does not exist in
+  // SQL: transform's lambda cannot read its own prior outputs, which is
+  // the definition of this recursion — so the quadratic append is the
+  // price of running a sequential recursion as a pure expression, paid
+  // in L1-bandwidth array copies rather than driver round trips.
+
+  /** events_forecast_ses_grouped's fold: the level series over (ns, nd). */
+  private[graft] def sesFoldSql: String =
+    """aggregate(
+      |  slice(ns, 2, nd - 1),
+      |  array(element_at(ns, 1)),
+      |  (acc, x) -> concat(acc, array((x + 3 * element_at(acc, size(acc))) div 4)))""".stripMargin
+
+  /** events_forecast_holt_grouped's fold: the (lus, tus, fcs)
+    * struct-of-arrays double recursion over (ns, nd). */
+  private[graft] def holtFoldSql: String =
+    """aggregate(
+      |  slice(ns, 2, nd - 1),
+      |  named_struct(
+      |    'lus', array(element_at(ns, 1) * 1048576L),
+      |    'tus', array(0L),
+      |    'fcs', cast(array() as array<bigint>)),
+      |  (acc, x) -> named_struct(
+      |    'lus', concat(acc.lus, array(
+      |       cast(floor((x * 1048576L
+      |                   + 3 * (element_at(acc.lus, size(acc.lus))
+      |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint))),
+      |    'tus', concat(acc.tus, array(
+      |       cast(floor((cast(floor((x * 1048576L
+      |                   + 3 * (element_at(acc.lus, size(acc.lus))
+      |                          + element_at(acc.tus, size(acc.tus)))) / 4.0) as bigint)
+      |                   - element_at(acc.lus, size(acc.lus))
+      |                   + 3 * element_at(acc.tus, size(acc.tus))) / 4.0) as bigint))),
+      |    'fcs', concat(acc.fcs, array(
+      |       element_at(acc.lus, size(acc.lus)) + element_at(acc.tus, size(acc.tus))))))""".stripMargin
+
+  /** events_forecast_hw_grouped's fold: the (lus, tus, sus, fcs, ring)
+    * triple recursion with the 7-slot seasonal ring over (ns, nd). */
+  private[graft] def hwFoldSql: String =
+    """aggregate(
+      |  slice(ns, 2, nd - 1),
+      |  named_struct(
+      |    'lus', array(element_at(ns, 1) * 1048576L),
+      |    'tus', array(0L),
+      |    'sus', array(0L),
+      |    'fcs', cast(array() as array<bigint>),
+      |    'ring', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+      |  (acc, x) -> element_at(transform(
+      |    array(named_struct(
+      |      'sm', element_at(acc.ring, 1),
+      |      'll', element_at(acc.lus, size(acc.lus)),
+      |      'lt', element_at(acc.tus, size(acc.tus)))),
+      |    v -> element_at(transform(
+      |      array(cast(floor((x * 1048576L - v.sm + 3 * (v.ll + v.lt)) / 4.0) as bigint)),
+      |      nl -> named_struct(
+      |        'lus', concat(acc.lus, array(nl)),
+      |        'tus', concat(acc.tus, array(
+      |          cast(floor((nl - v.ll + 3 * v.lt) / 4.0) as bigint))),
+      |        'sus', concat(acc.sus, array(
+      |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))),
+      |        'fcs', concat(acc.fcs, array(v.ll + v.lt + v.sm)),
+      |        'ring', concat(slice(acc.ring, 2, 6), array(
+      |          cast(floor((x * 1048576L - nl + 3 * v.sm) / 4.0) as bigint))))), 1)), 1))""".stripMargin
 
   /** The integer SES recursion behind events_forecast_ses: returns
     * (level_t, forecast_t = level_{t−1}) per step; level_1 = n_1,

@@ -155,6 +155,41 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("the grouped folds stay correct at a decade-long day spine (quadratic-append bound)") {
+    // the fold accumulators append via concat, copying the prior array
+    // each step — O(|days|²) element copies per group (the scaladoc
+    // bound in EventsOps). This pins that at a 3,700-step spine (a
+    // 10-year daily series) all three folds still complete promptly
+    // AND agree with the pinned driver recursions element-for-element,
+    // so the bound note stays an honest cost statement, not a cliff.
+    val spark = graft.SparkSuite.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 3700
+    val counts = IndexedSeq.tabulate(n)(i => ((i * 2654435761L) >>> 20) % 7)
+    val df = Seq((1L, counts)).toDF("user_id", "ns")
+      .withColumn("nd", size(col("ns")))
+    val t0 = System.nanoTime()
+    val ses = df.withColumn("levels", expr(EventsOps.sesFoldSql))
+      .select("levels").head().getSeq[Long](0).toIndexedSeq
+    assert(ses == EventsOps.sesLevels(counts).map(_._1),
+      "decade-spine SES fold diverges from the pinned recursion")
+    val holt = df.withColumn("st", expr(EventsOps.holtFoldSql))
+      .select(col("st.lus"), col("st.tus")).head()
+    val wantHolt = EventsOps.holtLevels(counts)
+    assert(holt.getSeq[Long](0).toIndexedSeq == wantHolt.map(_._1), "decade-spine Holt levels diverge")
+    assert(holt.getSeq[Long](1).toIndexedSeq == wantHolt.map(_._2), "decade-spine Holt trends diverge")
+    val hw = df.withColumn("st", expr(EventsOps.hwFoldSql))
+      .select(col("st.lus"), col("st.tus"), col("st.sus")).head()
+    val wantHw = EventsOps.hwLevels(counts)
+    assert(hw.getSeq[Long](0).toIndexedSeq == wantHw.map(_._1), "decade-spine HW levels diverge")
+    assert(hw.getSeq[Long](1).toIndexedSeq == wantHw.map(_._2), "decade-spine HW trends diverge")
+    assert(hw.getSeq[Long](2).toIndexedSeq == wantHw.map(_._3), "decade-spine HW seasonals diverge")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"decade-spine folds (3 x 3700 steps) ran in $secs%.2f s")
+    assert(secs < 120, "the quadratic append must stay tolerable at a decade spine")
+  }
+
   test("eval_forecast_backtest totals equal the standalone ops' holdout residuals") {
     val spark = graft.SparkSuite.session
     val dir = "/root/testdata/sf0.001"
