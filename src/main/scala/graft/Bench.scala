@@ -86,10 +86,13 @@ object Bench {
         // sweep accumulates dead blocks and heap debt that the young
         // collector then pays INSIDE some later query's measured window
         // (the round-10 driver run flagged agg_topk_heap at 4.25× its
-        // isolated time under exactly this kind of pressure). Every 8th
-        // query keeps the debt bounded at a few ms amortized cost.
+        // isolated time under exactly this kind of pressure). Every 4th
+        // query — or immediately after any >2 s query, which is where
+        // the debt is created (big shuffles, wide broadcasts; the r12
+        // driver artifact showed exactly the heavy tail inflating) —
+        // keeps the debt bounded at a few ms amortized cost.
         sinceGc += 1
-        if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+        if (sinceGc >= 4 || times.min > 2.0) { sinceGc = 0; System.gc() }
         // a failed query must not masquerade as a fast healthy timing
         (name, if (failed) -1.0 else times.min, failed)
       }
@@ -100,19 +103,25 @@ object Bench {
     // non-trivial query means some earlier query leaks pressure into
     // the sweep; the ratio map makes the distortion visible in every
     // bench run instead of needing a manual isolated re-run.
-    // Two recheck strata: the 12 slowest (where inflation hurts the
-    // total most) PLUS a deterministic mid-pack sample (every 29th of
-    // the remaining queries by sorted rank) — folding isolated minima
-    // into only the tail would floor-bias the slowest queries' numbers
-    // relative to mid-pack ones measured solely under sweep pressure.
+    // Two recheck strata: the 30 slowest (the r12 driver artifact showed
+    // mid-tier queries ranked 13th-30th absorbing ~1.5 s of sweep
+    // pressure each — q3_gross_margin read 2.91 s in-sweep vs 0.75 s
+    // isolated — and the old 12-deep stratum never relieved them) PLUS
+    // a deterministic mid-pack sample (every 29th of the remaining
+    // queries by sorted rank) — folding isolated minima into only the
+    // tail would floor-bias the slowest queries' numbers relative to
+    // mid-pack ones measured solely under sweep pressure.
     // A GC first: the recheck exists to measure each query WITHOUT the
-    // sweep's accumulated heap debt, so start it from a collected heap.
+    // sweep's accumulated heap debt, so start it from a collected heap —
+    // and periodically inside the loop, so the 30-deep stratum's own
+    // debt doesn't pressure its later items.
     System.gc()
     val ok = results.filterNot(_._3)
-    val slowest12 = ok.sortBy(-_._2).take(12)
-    val midPack = ok.sortBy(-_._2).drop(12).zipWithIndex
+    val slowest30 = ok.sortBy(-_._2).take(30)
+    val midPack = ok.sortBy(-_._2).drop(30).zipWithIndex
       .collect { case (r, i) if i % 29 == 14 => r }
-    val recheck = (slowest12 ++ midPack).map { case (name, sweepT, _) =>
+    var recheckSinceGc = 0
+    val recheck = (slowest30 ++ midPack).map { case (name, sweepT, _) =>
       var failed = false
       val iso = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -128,6 +137,8 @@ object Bench {
       // in flight would pressure the NEXT item's isolated timing and
       // distort the very ratio this loop exists to measure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      recheckSinceGc += 1
+      if (recheckSinceGc >= 4) { recheckSinceGc = 0; System.gc() }
       // a failed isolated run's time-to-exception is NOT an isolated
       // time — publishing a ratio against it would fabricate (or
       // suppress) an inflation report
@@ -141,7 +152,7 @@ object Bench {
       System.err.println(f"[bench] recheck $n%-34s sweep=$s%.3f iso=$i%.3f ratio=${s / i}%.2f$tag")
     }
     // The reported metric is best-of-N per query, and the recheck just
-    // produced two more honest measurements of the 12 slowest — fold
+    // produced two more honest measurements of the 30 slowest — fold
     // them in, so a transient load spike during a query's sweep window
     // doesn't become the committed number when a cleaner measurement of
     // the same query exists in the same run. The `inflated` ratios

@@ -1345,7 +1345,7 @@ object EventsOps {
     * share it), so a day-of-week pattern is fully absorbed from the
     * second week on. Math.floorDiv for the same negative-numerator
     * portability reason as [[holtLevels]]. */
-  private[ops] def hwLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Long, Option[Long])] = {
+  private[graft] def hwLevels(counts: IndexedSeq[Long]): IndexedSeq[(Long, Long, Long, Option[Long])] = {
     require(counts.nonEmpty, "at least one step")
     var level = counts(0) * HoltUnit
     var trend = 0L

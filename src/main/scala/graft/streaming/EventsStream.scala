@@ -414,6 +414,89 @@ object EventsStream {
       .start()
   }
 
+  // ── streaming per-user Holt–Winters forecasting ───────────────────────
+
+  final case class HwState(curDay: Long, curCount: Long, levelU: Long, trendU: Long,
+      ring: Seq[Long], closedDays: Long, lastMicros: Long, lastEventId: Long)
+  final case class HwDay(user_id: Long, day: Long, n: Long, level_u: Long,
+      trend_u: Long, seas_u: Long, fc_u: Option[Long])
+
+  /** Streaming per-user Holt–Winters — the recursion family's streaming
+    * capstone: [[holtDays]]'s state pair grows to (levelU, trendU, a
+    * 7-slot seasonal RING), so every batch fold shape (single-state
+    * SES, double Holt, ring-buffer HW) now has an incremental twin.
+    * Each closing day folds exactly the batch step of
+    * [[graft.ops.EventsOps.hwLevels]]: sm = due slot; fc = L + T + sm;
+    * L' = floor((n·2²⁰ − sm + 3(L+T)) / 4); T' = floor((L' − L + 3T) /
+    * 4); S' = floor((n·2²⁰ − L' + 3·sm) / 4); ring rotates S' in.
+    * State per user is 9 longs + the 7-slot ring — still O(1) and
+    * bounded at any event rate. Day-close mechanics, silent-day n = 0
+    * steps, the first-observed-day domain contract, and the
+    * (micros, event_id) late-drop rule are [[sesDays]]'s verbatim;
+    * the replay spec pins hwLevels equivalence across micro-batches,
+    * proving the ring rotates correctly through the state store. */
+  def hwDays(events: Dataset[EvT]): Dataset[HwDay] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    val unit  = 1L << 20
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[EvT], state: GroupState[HwState]) => {
+          val sorted = orderedArrivals(evs)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwDay]
+          def close(s: HwState, n: Long, day: Long): HwState = {
+            val (lvl, tr, sn, fc, ring) =
+              if (s.closedDays == 0L)
+                (n * unit, 0L, 0L, None, s.ring)
+              else {
+                val sm = s.ring.head
+                val f  = s.levelU + s.trendU + sm
+                val nl = Math.floorDiv(n * unit - sm + 3 * (s.levelU + s.trendU), 4)
+                val nt = Math.floorDiv(nl - s.levelU + 3 * s.trendU, 4)
+                val ns = Math.floorDiv(n * unit - nl + 3 * sm, 4)
+                (nl, nt, ns, Some(f), s.ring.tail :+ ns)
+              }
+            out += HwDay(userId, day, n, lvl, tr, sn, fc)
+            s.copy(curDay = day, curCount = 0L, levelU = lvl, trendU = tr,
+              ring = ring, closedDays = s.closedDays + 1)
+          }
+          sorted.foreach { e =>
+            val m = tsMicros(e.ts)
+            val day = Math.floorDiv(m, dayUs)
+            if (st == null)
+              st = HwState(day, 1L, 0L, 0L, Vector.fill(7)(0L), 0L, m, e.event_id)
+            else if (isLate(st.lastMicros, st.lastEventId, m, e.event_id)) {
+              // re-delivery or straggler — dropped (shared ordered-feed rule)
+            } else if (day == st.curDay)
+              st = st.copy(curCount = st.curCount + 1, lastMicros = m, lastEventId = e.event_id)
+            else {
+              st = close(st, st.curCount, st.curDay)
+              var gap = st.curDay + 1
+              while (gap < day) { st = close(st, 0L, gap); gap += 1 }
+              st = st.copy(curDay = day, curCount = 1L, lastMicros = m, lastEventId = e.event_id)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Start the streaming Holt–Winters feed from a parquet directory into
+    * a memory sink. */
+  def startHwDays(spark: SparkSession, sourceDir: String,
+                  queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select("event_id", "ts", "user_id", "event_type").as[EvT]
+    hwDays(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   // ── streaming windowed heavy hitters ──────────────────────────────────
 
   /** Windowed streaming heavy hitters — the same mergeable SpaceSaving

@@ -666,4 +666,43 @@ class EventsStreamSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming per-user Holt-Winters replays the pinned ring-buffer recursion across micro-batches") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_hw_stream").toString
+    // two waves split mid-corpus: level, trend AND the 7-slot seasonal
+    // ring must continue across micro-batches from the state store
+    val ev = Tables(spark, sf0001).events
+      .filter($"user_id".isNotNull)
+      .orderBy("ts", "event_id")
+    val n = ev.count()
+    val rows = ev.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.take((n / 2).toInt).toSeq), ev.schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    val q = EventsStream.startHwDays(spark, staged, "hw_stream_test")
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq), ev.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(staged)
+      q.processAllAvailable()
+      val streamed = spark.table("hw_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+        .groupBy(_._1)
+      assert(streamed.nonEmpty && streamed.size > 5, "needs many user series")
+      val byUser = rows
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          Math.floorDiv(r.getTimestamp(r.fieldIndex("ts")).getTime, 86400000L)))
+        .groupBy(_._1)
+      streamed.foreach { case (uid, emitted) =>
+        val days = byUser(uid).map(_._2)
+        val d0 = days.min
+        val counts = (d0 until days.max).map(d => days.count(_ == d).toLong).toIndexedSeq
+        val want = graft.ops.EventsOps.hwLevels(counts)
+          .zipWithIndex.map { case ((lvl, tr, sn, fc), i) =>
+            (uid, d0 + i, counts(i), lvl, tr, sn, fc) }
+        val got = emitted.sortBy(_._2).toIndexedSeq
+        assert(got == want, s"user $uid: streamed HW diverges from hwLevels")
+      }
+    } finally q.stop()
+  }
 }
