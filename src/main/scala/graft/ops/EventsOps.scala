@@ -472,14 +472,16 @@ object EventsOps {
       // (1) one conditional aggregation to the user grain; consumed twice
       // (top-k selection + the stats join back) — persist the grain, not
       // the raw events, so the second consumer re-reads user-proportional
-      // spill instead of rescanning the corpus (DISK_ONLY: user grain is
-      // still data-proportional at 100 TB)
+      // state instead of rescanning the corpus (MEMORY_AND_DISK: user
+      // grain is still data-proportional at 100 TB, and the level
+      // degrades to disk under pressure without forcing the round-trip
+      // when it fits — the text_dedup_substring storage story)
       val pc = tagged.groupBy("user_id")
         .agg(
           sum(when(col("day") < col("cut"), 1L).otherwise(0L)).cast("long").as("n_a"),
           sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).cast("long").as("n_b"))
         .withColumn("delta", col("n_b") - col("n_a"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (2) top-10 movers through the mergeable aggregate — no window
       // (abs(delta) is BIGINT — a primitive numeric the aggregate's
       // checkInputDataTypes admits and its update() widens at eval)

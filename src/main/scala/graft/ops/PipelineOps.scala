@@ -1236,11 +1236,14 @@ object PipelineOps {
             s"sequence(ci * $chunk + 1, least((ci + 1) * $chunk, n - 49))")).as("p"))
         .select(col("doc_id"), col("p"), xxhash64(expr("substring(bt, p, 50)")).as("h"))
         // (doc_id, p, h) = 24 bytes/gram, consumed twice (count + join):
-        // persisting beats re-running the shingle scan, but the frame is
-        // corpus-proportional (~24 B per corpus character) — DISK_ONLY,
-        // never executor memory, so at 100 TB it spills to local disk
-        // instead of evicting the cluster's block cache
-        .persist(StorageLevel.DISK_ONLY)
+        // persisting beats re-running the shingle scan. MEMORY_AND_DISK,
+        // not DISK_ONLY (the r12 v2 lesson): the frame is
+        // corpus-proportional (~24 B per corpus character), and under
+        // storage pressure MEMORY_AND_DISK degrades to exactly
+        // DISK_ONLY's behavior — while DISK_ONLY forces the disk
+        // round-trip even when the frame fits, which is pure tax at
+        // every scale where memory is provisioned for the working set
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cnt = g.groupBy("h").agg(count(lit(1)).as("c"))
       val dup = g.join(cnt.filter(col("c") >= 2), Seq("h")).select("doc_id", "p")
       dup
@@ -1308,9 +1311,11 @@ object PipelineOps {
       // bytes per distinct gram, not 24 per occurrence, and at 100 TB it
       // is read, not rebuilt
       val hist = grams(t.filter(col("b") < 80)).select("h").distinct()
-      // batch grams consumed twice (self-count + index probe): DISK_ONLY,
-      // batch-proportional — the text_dedup_substring storage story
-      val bat = grams(t.filter(col("b") >= 80)).persist(StorageLevel.DISK_ONLY)
+      // batch grams consumed twice (self-count + index probe):
+      // MEMORY_AND_DISK, batch-proportional — the text_dedup_substring
+      // storage story (degrades to disk under pressure, no forced
+      // round-trip when the batch fits)
+      val bat = grams(t.filter(col("b") >= 80)).persist(StorageLevel.MEMORY_AND_DISK)
       val bc = bat.groupBy("h").agg(count(lit(1)).as("c"))
       val dup = bat.join(bc, Seq("h"))
         .join(hist.withColumn("in_hist", lit(1)), Seq("h"), "left")
