@@ -27,6 +27,26 @@ object VersionedLoad {
     SnapshotStore.promote(spark, table, initial,
       preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros))
 
+  /** Compact the CURRENT version's files into `numFiles` as a NEW
+    * commit — the table-format answer to small-file accumulation (many
+    * incremental refreshes each writing a few files): readers never
+    * observe a half-compacted directory (the rewrite is invisible until
+    * its manifest promotes), the pre-compaction version stays
+    * time-travelable until GC, and a crash mid-rewrite leaves only an
+    * unreferenced snapshot directory. Pass the compacted version's own
+    * `asOfMicros` so the LOGICAL timeline is unchanged: readAsOf at
+    * that instant resolves the compacted (newest) physical version.
+    * Content is identical by construction — coalesce only merges
+    * partitions. */
+  def compact(spark: SparkSession, table: String, numFiles: Int,
+      asOfMicros: Option[Long] = None, keep: Int = 16): Long = {
+    val current = SnapshotStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedLoad.compact: $table has no committed version"))
+    SnapshotStore.promote(spark, table, current.coalesce(numFiles),
+      keep = keep, asOfMicros = asOfMicros)
+  }
+
   /** One incremental refresh: anti-join `batch` against the CURRENT
     * committed version on `keys` (replaying an overlapping batch is a
     * no-op — the reference's re-runnable contract), commit the merged

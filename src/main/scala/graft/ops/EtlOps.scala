@@ -22,6 +22,11 @@ object EtlOps {
   private val incrVersionedTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (fragmented bootstrap + compaction committed)
+    * table of etl_snapshot_compact. */
+  private val compactTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val ops: Seq[OpQuery] = Seq(
     // ── etl_dim_date: the DimDate spine + calendar attributes + holiday
     // lookup (ref 05_InitialLoading.sql:157-203), set-based. Holidays
@@ -384,6 +389,64 @@ object EtlOps {
           col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
         graft.etl.VersionedLoad.refresh(spark, t, batch, Seq("o_orderkey"),
           asOfMicros = 852076800000000L) // 1997-01-01T00:00:00Z, post-refresh horizon
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(ver).as("version"), col("yr"), col("n_orders"), col("spend"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, 0L)
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
+    },
+
+    // ── etl_snapshot_compact: small-file COMPACTION as a versioned
+    // commit ([[graft.etl.VersionedLoad.compact]]) — the table-format
+    // answer to what many incremental refreshes leave behind (the
+    // OPTIMIZE of the heavyweight formats, on the native store): the
+    // fact bootstraps FRAGMENTED (16 shuffle files — io_compact_small_
+    // files' hazard materialized through the store), then compacts to 2
+    // files as version 1 carrying the SAME pinned as-of instant, so the
+    // logical timeline is unchanged while the physical layout heals.
+    // Readers never observe a half-compacted directory (the rewrite is
+    // invisible until its manifest promotes) and the fragmented version
+    // stays travelable. The op reads BOTH versions back and emits their
+    // year-grain aggregates tagged — the oracle computes the same
+    // aggregate twice, so compaction must be content-IDENTICAL: any
+    // dropped or duplicated row in the rewrite is a hash diff. The
+    // file-count drop and the shared-timestamp readAsOf resolution are
+    // pinned in VersionedLoadSpec (filesystem facts DuckDB cannot see).
+    OpQuery.checked(
+      "etl_snapshot_compact",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |a AS (
+        |  SELECT CAST(year(od) AS BIGINT) AS yr,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM o GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS version, * FROM a
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM a""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.compactTables.computeIfAbsent(dir, _ => {
+        val parent = new java.io.File(CoreOps.scratch(dir, "."))
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("compact_tbl_"))
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        val t = CoreOps.scratch(dir,
+          "compact_tbl_" + java.util.UUID.randomUUID().toString.take(8))
+        val asOf = 852076800000000L // 1997-01-01T00:00:00Z, the load horizon
+        graft.etl.VersionedLoad.bootstrap(spark, t, o.repartition(16), asOfMicros = asOf)
+        graft.etl.VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(asOf))
         t
       })
       def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =

@@ -58,6 +58,31 @@ class VersionedLoadSpec extends SparkSuite {
       Seq(1L -> "a", 2L -> "b"))
   }
 
+  test("compaction commits a content-identical version with fewer files; the logical timeline is unchanged") {
+    val t = freshTable()
+    val rows = (1L to 100L).map(k => (k, s"v$k"))
+    VersionedLoad.bootstrap(spark, t,
+      rows.toDF("k", "v").repartition(8), asOfMicros = 5000L)
+    def dataFiles(version: Long): Int = {
+      val dir = new java.io.File(t)
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"manifest-$version%020d").toPath), "UTF-8")
+      val snap = manifest.split("\n")(0).trim
+      new java.io.File(dir, snap).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles(0L) == 8, "the bootstrap is deliberately fragmented")
+    val id = VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(5000L))
+    assert(id == 1L)
+    assert(dataFiles(1L) <= 2, "compaction merges the files")
+    // content identical, fragmented version still travelable
+    val v0 = SnapshotStore.readVersion(spark, t, 0L).get.as[(Long, String)].collect().sorted
+    val v1 = SnapshotStore.readVersion(spark, t, 1L).get.as[(Long, String)].collect().sorted
+    assert(v0.toSeq == rows && v1.toSeq == rows, "compaction is a pure rewrite")
+    // the shared pinned timestamp resolves to the COMPACTED (newest)
+    // physical version - same logical instant, healed layout
+    assert(SnapshotStore.readAsOf(spark, t, 5000L).get.inputFiles.length <= 2)
+  }
+
   test("refreshing a never-bootstrapped table fails loudly") {
     val t = freshTable()
     intercept[IllegalStateException] {
