@@ -27,6 +27,25 @@ object EtlOps {
   private val compactTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Sweep abandoned UUID-named store tables with `prefix` under the
+    * corpus's scratch root (failed earlier attempts, prior crashed
+    * processes sharing the tmpdir) — superseded tables are pure leak
+    * (the io_bucketed_join superseded-tag discipline applied to the
+    * scratch root) — then return a fresh table path. */
+  private def freshStoreTable(dir: String, prefix: String): String = {
+    val parent = new java.io.File(CoreOps.scratch(dir, "."))
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    CoreOps.scratch(dir, prefix + java.util.UUID.randomUUID().toString.take(8))
+  }
+
   val ops: Seq[OpQuery] = Seq(
     // ── etl_dim_date: the DimDate spine + calendar attributes + holiday
     // lookup (ref 05_InitialLoading.sql:157-203), set-based. Holidays
@@ -156,22 +175,7 @@ object EtlOps {
       // it is set only AFTER both promotes succeed, so a failed build
       // throws without memoizing and the next invocation rebuilds clean.
       val table = EtlOps.timetravelTables.computeIfAbsent(dir, _ => {
-        // sweep abandoned siblings first (failed earlier attempts, prior
-        // crashed processes under the same tmpdir): superseded UUID
-        // tables are pure leak — the io_bucketed_join superseded-tag
-        // discipline applied to the scratch root
-        val parent = new java.io.File(CoreOps.scratch(dir, "."))
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("timetravel_dim_"))
-          .foreach { f =>
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
-        val t = CoreOps.scratch(dir,
-          "timetravel_dim_" + java.util.UUID.randomUUID().toString.take(8))
+        val t = EtlOps.freshStoreTable(dir, "timetravel_dim_")
         val v0 = Scd2.initial(c.select("c_custkey", "c_name", "c_mktsegment"), "1992-01-01")
         val id0 = graft.etl.SnapshotStore.promote(spark, t, v0,
           preferredId = 0L, keep = 16, asOfMicros = Some(asOf0))
@@ -370,18 +374,7 @@ object EtlOps {
       // UUID table per build, abandoned siblings swept, memo set only
       // after both commits succeed so bench repeats are read-only)
       val table = EtlOps.incrVersionedTables.computeIfAbsent(dir, _ => {
-        val parent = new java.io.File(CoreOps.scratch(dir, "."))
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("incr_versioned_"))
-          .foreach { f =>
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
-        val t = CoreOps.scratch(dir,
-          "incr_versioned_" + java.util.UUID.randomUUID().toString.take(8))
+        val t = EtlOps.freshStoreTable(dir, "incr_versioned_")
         val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
         graft.etl.VersionedLoad.bootstrap(spark, t, existing,
           asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z, the load horizon
@@ -432,18 +425,7 @@ object EtlOps {
       val o = Tables(spark, dir).orders
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
       val table = EtlOps.compactTables.computeIfAbsent(dir, _ => {
-        val parent = new java.io.File(CoreOps.scratch(dir, "."))
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("compact_tbl_"))
-          .foreach { f =>
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
-        val t = CoreOps.scratch(dir,
-          "compact_tbl_" + java.util.UUID.randomUUID().toString.take(8))
+        val t = EtlOps.freshStoreTable(dir, "compact_tbl_")
         val asOf = 852076800000000L // 1997-01-01T00:00:00Z, the load horizon
         graft.etl.VersionedLoad.bootstrap(spark, t, o.repartition(16), asOfMicros = asOf)
         graft.etl.VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(asOf))
