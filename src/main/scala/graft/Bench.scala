@@ -26,6 +26,14 @@ object Bench {
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
       .config("spark.sql.warehouse.dir", graft.Artifacts.Root + "/spark-warehouse")
+      // the generated-class cache defaults to 100 entries — smaller than
+      // ONE composed pipeline's codegen-unit count, let alone a 240-query
+      // sweep's, so every repeat of a wide op re-runs janino from scratch
+      // and the reported min-of-N never reaches the warm cost (measured:
+      // pipeline_pretrain_v2 5.4 s min-of-2 at 100 entries vs ~2.5 s of
+      // actual warm stage time). Compiled classes are metaspace-resident
+      // and a few KiB each; 10k entries covers the whole suite
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

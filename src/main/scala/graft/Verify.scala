@@ -22,6 +22,10 @@ object Verify {
       // bucketed-table demos (io_bucketed_join) need a catalog warehouse;
       // keep it inside the repo regardless of the launch cwd
       .config("spark.sql.warehouse.dir", graft.Artifacts.Root + "/spark-warehouse")
+      // match Bench: the 100-entry default generated-class cache is
+      // smaller than one composed pipeline's codegen-unit count, so a
+      // 240-query dump would re-janino shared subtrees continuously
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

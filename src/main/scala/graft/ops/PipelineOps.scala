@@ -2338,6 +2338,13 @@ object PipelineOps {
         .agg(sum(col("label")).as("pos"), count(lit(1)).as("n"))
         .crossJoin(broadcast(prior))
         .select(col("tok"), expr("(1000 * (pos + 1)) div (n + 2) - q0").as("w"))
+      // k1-k3/k6 stay PERSIST, not the k4/k5 localCheckpoint: an A/B
+      // (r14) measured eager checkpoints here at +1.5 s — each one is a
+      // separate serial job, while the lazy persists let Spark schedule
+      // the S1-S3 subtrees inside the downstream actions' DAGs. The
+      // plan-growth hazard the k4/k5 checkpoints cut only bites once the
+      // composed lineage multiplies (f5/contam re-reads), not at these
+      // linear depths.
       val k1 = toks.join(wts, Seq("tok"), "left_outer")
         .groupBy("doc_id").agg(sum(coalesce(col("w"), lit(0L))).as("score"))
         .filter(col("score") > 0).select("doc_id").persist()
