@@ -5,16 +5,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A minimal manifest-pointer table format — the lightweight native
   * answer to the "Delta/Iceberg ACID sink" scope decision (SURVEY
-  * §7.3): versioned snapshot directories promoted by atomic renames of
+  * §7.3): versioned snapshot directories promoted by atomically-claimed
   * monotonic manifest files, giving crash-safe commits, readers that
-  * never observe a torn write, and O(1) time travel — without any
+  * never observe a torn write, O(1) time travel, and (since r14)
+  * FILE-LEVEL manifests so an incremental refresh commits only its new
+  * files and reuses the previous version's by reference — without any
   * dependency beyond the filesystem.
   *
-  * Protocol (single writer):
+  * Protocol (single writer; multi-writer via [[retryingPromote]]):
   *   - each commit writes a fresh `snapshot-<id>-<nonce>/` directory
   *     (never overwriting one a live manifest references), then
-  *     promotes it by renaming a hidden temp file to `manifest-<id>` —
-  *     rename-to-new-name, atomic on HDFS and POSIX;
+  *     promotes it by atomically CLAIMING `manifest-<id>` with
+  *     create-no-overwrite (O_EXCL through java.io on the local
+  *     filesystem, `fs.create(p, overwrite = false)` elsewhere — atomic
+  *     on HDFS, the store's conditional-put on object stores). The
+  *     earlier tmp+rename protocol was dropped because POSIX rename(2)
+  *     silently REPLACES an existing destination, so rename success
+  *     never proved exclusive ownership on a local filesystem (the
+  *     r13 ADVICE finding); an exclusive create does. A reader that
+  *     lists a just-claimed manifest before its content lands sees an
+  *     empty/torn manifest and resolves past it — the commit point is
+  *     "content readable AND snapshot `_SUCCESS` present";
   *   - manifest ids are strictly monotonic and always move PAST every
   *     id already listed — committed or debris (`max(preferredId,
   *     max listed id + 1)`): no manifest is ever deleted or rewritten
@@ -22,27 +33,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     pointer, and torn debris squatting on an id can never wedge the
   *     table into recomputing the same colliding id on every retry
   *     (resolution still walks COMMITTED manifests only);
-  *   - a manifest records the snapshot name plus optional commit
-  *     metadata: an as-of TIMESTAMP (epoch micros, pinned by the
-  *     caller — the engine's `asOfDate` determinism discipline, never
-  *     wall clock) that [[readAsOf]] resolves for timestamp travel;
-  *   - readers resolve the NEWEST manifest whose snapshot carries the
-  *     `_SUCCESS` marker its writing job left, falling back past any
-  *     torn write; `readVersion` resolves an exact id the same way;
+  *   - a manifest records the commit's PRIMARY snapshot directory plus
+  *     optional metadata: an as-of TIMESTAMP (epoch micros, pinned by
+  *     the caller — the engine's `asOfDate` determinism discipline,
+  *     never wall clock) that [[readAsOf]] resolves for timestamp
+  *     travel, and an optional explicit FILE LIST (`f <path relative
+  *     to the table root>` lines) mixing files from the primary
+  *     directory with files REUSED from earlier versions' directories.
+  *     A manifest without a file list means "every data file of the
+  *     primary directory" — the r13 format, still written by full
+  *     promotes and still readable;
+  *   - readers resolve the NEWEST manifest whose primary snapshot
+  *     carries the `_SUCCESS` marker its writing job left, falling back
+  *     past any torn write; `readVersion` resolves an exact id the
+  *     same way;
   *   - GC (best-effort, inside the commit) retains the newest `keep`
-  *     manifests and the snapshots they reference — `keep =
-  *     Int.MaxValue` turns the table into a full time-travel log;
+  *     committed manifests and every FILE they reference — file-level:
+  *     a directory whose own manifest aged out survives in part as long
+  *     as newer commits reuse some of its files. `keep = Int.MaxValue`
+  *     turns the table into a full time-travel log;
   *   - writer FENCING (optional): [[acquireFence]] mints a monotonic
-  *     fence id by the same rename-to-new-name device; a promote
-  *     carrying a fence fails by contract when a NEWER fence exists —
-  *     a zombie writer that stalled across a failover dies loudly
-  *     before its rename, instead of racing it. The manifest rename
-  *     stays the final arbiter either way.
+  *     fence id by the same exclusive-create device; a promote carrying
+  *     a fence fails by contract when a NEWER fence exists — a zombie
+  *     writer that stalled across a failover dies loudly before its
+  *     claim, instead of racing it;
+  *   - OPTIMISTIC CONCURRENCY (optional): a promote carrying
+  *     `expectCurrent` fails with [[ConflictException]] when the
+  *     committed head moved past what the writer's merge read — and the
+  *     exclusive manifest claim is the final arbiter for the race the
+  *     pre-check cannot see. [[retryingPromote]] wraps the
+  *     re-read → re-merge → re-promote loop so two genuine writers both
+  *     commit, exactly once each, instead of ping-ponging exceptions.
   *
   * Read laziness contract: [[read]]/[[readVersion]]/[[readAsOf]] return
-  * a LAZY DataFrame over the resolved snapshot directory — the caller
+  * a LAZY DataFrame over the resolved snapshot files — the caller
   * must run its action while the version is still retained. With a
-  * small `keep`, further promotes can GC the directory out from under a
+  * small `keep`, further promotes can GC the files out from under a
   * parked frame (the scan then fails loudly mid-action, never returns
   * wrong rows). Callers that hold results across commits either
   * materialize promptly (the [[graft.streaming.Scd2Stream]] sink
@@ -51,8 +77,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * [[graft.streaming.Scd2Stream]] commits its dimension through this
   * store; `etl_snapshot_timetravel` demonstrates the batch-side
-  * version/timestamp travel and `etl_incremental_versioned` the
-  * crash-safe batch refresh.
+  * version/timestamp travel, `etl_incremental_versioned` the crash-safe
+  * batch refresh, and VersionedLoadSpec pins the file-reuse commit
+  * (unchanged files byte-identical across a refresh).
   */
 object SnapshotStore {
 
@@ -60,9 +87,24 @@ object SnapshotStore {
   private val SnapshotPrefix = "snapshot-"
   private val FencePrefix    = "fence-"
 
+  /** Sentinel for [[promote]]'s `expectCurrent`: the writer read an
+    * empty (never-committed) table. */
+  val NoVersion: Long = -1L
+
   /** A promote carrying a stale fence observed a newer writer's fence
     * and refused to race it. */
   final class FencedException(msg: String) extends IllegalStateException(msg)
+
+  /** A promote lost an optimistic-concurrency race: the committed head
+    * moved (or the manifest id was claimed) after the writer read its
+    * base state. Retry by re-reading and re-merging —
+    * [[retryingPromote]] does exactly that. */
+  final class ConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** One committed manifest's content: the primary snapshot directory,
+    * the optional pinned as-of instant, and the optional explicit file
+    * list (table-root-relative; empty = all data files of `snap`). */
+  private final case class ManifestData(snap: String, asOf: Option[Long], files: Seq[String])
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -92,51 +134,91 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
     }.toOption.filter(_.nonEmpty)
 
-  /** Manifest content: line 1 = snapshot dir name; line 2 (optional) =
-    * the commit's pinned as-of timestamp in epoch micros. Commits
-    * predating the metadata line parse with no timestamp. */
-  private def parseManifest(content: String): (String, Option[Long]) = {
+  /** Manifest content: line 1 = primary snapshot dir name; line 2
+    * (optional, may be blank) = the commit's pinned as-of timestamp in
+    * epoch micros; lines 3+ (optional) = `f <relative path>` explicit
+    * file list. Commits predating the metadata lines parse with no
+    * timestamp and no file list. */
+  private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
-    (lines(0).trim, asOf)
+    val files = lines.drop(2).collect { case l if l.startsWith("f ") => l.drop(2).trim }
+    ManifestData(lines(0).trim, asOf, files.toIndexedSeq)
   }
 
-  /** Resolve ONE manifest to its committed (snapshot name, asOf): content
-    * parses and the snapshot directory carries `_SUCCESS` — a manifest
-    * whose write raced a crash resolves to None. */
-  private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[(String, Option[Long])] =
+  /** Resolve ONE manifest to its committed content: it parses and the
+    * PRIMARY snapshot directory carries `_SUCCESS` — a manifest whose
+    * write raced a crash resolves to None. */
+  private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[ManifestData] =
     readContent(fs, manifest)
       .map(parseManifest)
-      .filter { case (snap, _) => fs.exists(new Path(new Path(tgt, snap), "_SUCCESS")) }
+      .filter(m => m.snap.nonEmpty &&
+        fs.exists(new Path(new Path(tgt, m.snap), "_SUCCESS")))
 
-  /** The newest COMMITTED snapshot — walks newest-first and stops at the
+  /** The data files a committed manifest references, table-root
+    * relative: the explicit list if present, else every visible file of
+    * the primary directory. */
+  private def manifestDataFiles(fs: FileSystem, tgt: Path, m: ManifestData): Seq[String] =
+    if (m.files.nonEmpty) m.files
+    else dirDataFiles(fs, tgt, m.snap)
+
+  /** Visible (non-marker) files of one snapshot dir, root-relative. */
+  private def dirDataFiles(fs: FileSystem, tgt: Path, snap: String): Seq[String] = {
+    val d = new Path(tgt, snap)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toIndexedSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .map(n => s"$snap/$n")
+  }
+
+  private def readManifest(spark: SparkSession, tgt: Path, fs: FileSystem,
+      m: ManifestData): DataFrame = {
+    val paths =
+      if (m.files.nonEmpty) m.files.map(f => new Path(tgt, f).toString)
+      else Seq(new Path(tgt, m.snap).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** The newest COMMITTED manifest — walks newest-first and stops at the
     * first manifest that resolves (normally the very first). */
-  private[graft] def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
+  private def currentManifest(fs: FileSystem, tgt: Path): Option[(Long, ManifestData)] =
     manifestFiles(fs, tgt).iterator
       .map { case (id, p) => (id, resolve(fs, tgt, p)) }
-      .collectFirst { case (id, Some((snap, _))) => (id, new Path(tgt, snap)) }
+      .collectFirst { case (id, Some(m)) => (id, m) }
+
+  private[graft] def currentSnapshot(fs: FileSystem, tgt: Path): Option[(Long, Path)] =
+    currentManifest(fs, tgt).map { case (id, m) => (id, new Path(tgt, m.snap)) }
 
   /** Latest committed version id, if any commit ever succeeded. */
   def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, tgt) = fsOf(spark, dir)
-    currentSnapshot(fs, tgt).map(_._1)
+    currentManifest(fs, tgt).map(_._1)
+  }
+
+  /** The current committed version's data files, table-root relative —
+    * the reuse list an incremental commit passes back to [[promote]].
+    * Empty when nothing was ever committed. */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).toSeq
+      .flatMap { case (_, m) => manifestDataFiles(fs, tgt, m) }
   }
 
   /** Read the latest committed state. None when nothing was ever
     * committed. Lazy — see the read-laziness contract above. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
-    currentSnapshot(fs, tgt).map { case (_, snap) => spark.read.parquet(snap.toString) }
+    currentManifest(fs, tgt).map { case (_, m) => readManifest(spark, tgt, fs, m) }
   }
 
   /** Time travel: read exactly version `id` (committed), if its manifest
-    * and snapshot are still retained — short-circuits on the id before
+    * and files are still retained — short-circuits on the id before
     * any content read. Lazy — see the read-laziness contract above. */
   def readVersion(spark: SparkSession, dir: String, id: Long): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
     manifestFiles(fs, tgt).find(_._1 == id)
       .flatMap { case (_, p) => resolve(fs, tgt, p) }
-      .map { case (snap, _) => spark.read.parquet(new Path(tgt, snap).toString) }
+      .map(m => readManifest(spark, tgt, fs, m))
   }
 
   /** Timestamp travel: the newest committed version whose pinned as-of
@@ -151,8 +233,36 @@ object SnapshotStore {
     val (fs, tgt) = fsOf(spark, dir)
     manifestFiles(fs, tgt).iterator
       .map { case (_, p) => resolve(fs, tgt, p) }
-      .collectFirst { case Some((snap, Some(ts))) if ts <= asOfMicros =>
-        spark.read.parquet(new Path(tgt, snap).toString) }
+      .collectFirst { case Some(m) if m.asOf.exists(_ <= asOfMicros) =>
+        readManifest(spark, tgt, fs, m) }
+  }
+
+  /** Atomically claim `p` by create-no-overwrite and write `content`.
+    * Returns false when the path already exists (someone else claimed
+    * it). On the local filesystem Hadoop's `create(p, overwrite =
+    * false)` is a non-atomic exists()+truncating-open AND rename(2)
+    * silently replaces — so the `file` scheme routes through
+    * java.io.File.createNewFile, which the JDK guarantees atomic
+    * (O_CREAT|O_EXCL). Other schemes use `fs.create(p, false)`: atomic
+    * on HDFS; object stores supply their own conditional-put. The
+    * content write AFTER the claim is not atomic — readers tolerate a
+    * torn manifest (resolves None until content + `_SUCCESS` agree). */
+  private def claimFile(fs: FileSystem, p: Path, content: Array[Byte]): Boolean = {
+    val isLocal = Option(p.toUri.getScheme).forall(s => s == "file") &&
+      fs.getUri.getScheme == "file"
+    if (isLocal) {
+      val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
+      if (!f.createNewFile()) return false
+      val out = new java.io.FileOutputStream(f)
+      try out.write(content) finally out.close()
+      true
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false }
+      try out.write(content) finally out.close()
+      true
+    }
   }
 
   private def fenceFiles(fs: FileSystem, tgt: Path): Seq[Long] = {
@@ -167,41 +277,58 @@ object SnapshotStore {
 
   /** Mint a writer fence: the returned token is newer than every fence
     * ever minted on this table, established by the same atomic
-    * rename-to-new-name device the commit path uses (a collision means
+    * exclusive-create device the commit path uses (a collision means
     * another writer just fenced — retry past it). A promote passing
     * this token fails with [[FencedException]] once any NEWER fence
     * exists — the zombie-writer failure mode becomes an explicit
-    * contract violation instead of a rename race. Fence files are tiny
-    * and never GC'd (one per writer generation, not per commit). */
+    * contract violation instead of a filesystem race. Fence files are
+    * tiny and never GC'd (one per writer generation, not per commit). */
   def acquireFence(spark: SparkSession, dir: String): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     if (!fs.exists(tgt)) fs.mkdirs(tgt)
     var attempt = fenceFiles(fs, tgt).foldLeft(-1L)(math.max) + 1
     while (true) {
-      val tmp = new Path(tgt, f".$FencePrefix$attempt%020d.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(Array.emptyByteArray) finally out.close()
-      if (fs.rename(tmp, new Path(tgt, f"$FencePrefix$attempt%020d"))) return attempt
-      fs.delete(tmp, false)
+      if (claimFile(fs, new Path(tgt, f"$FencePrefix$attempt%020d"), Array.emptyByteArray))
+        return attempt
       attempt = math.max(attempt + 1, fenceFiles(fs, tgt).foldLeft(-1L)(math.max) + 1)
     }
     -1L // unreachable
   }
 
-  /** Commit `df` as the next version and return its id. `preferredId`
-    * seeds the monotonic id (a stream passes its batchId so fresh
-    * checkpoints over old tables continue PAST the old ids rather than
-    * colliding below them); `keep` bounds the retained history;
-    * `asOfMicros` pins the commit's as-of timestamp for [[readAsOf]]
-    * (caller-supplied, never wall clock — replays must commit identical
-    * metadata); `fence` ties the commit to an [[acquireFence]] token. */
+  /** Commit `df` as the next version and return its id.
+    *
+    * `preferredId` seeds the monotonic id (a stream passes its batchId
+    * so fresh checkpoints over old tables continue PAST the old ids
+    * rather than colliding below them); `keep` bounds the retained
+    * history; `asOfMicros` pins the commit's as-of timestamp for
+    * [[readAsOf]] (caller-supplied, never wall clock — replays must
+    * commit identical metadata); `fence` ties the commit to an
+    * [[acquireFence]] token.
+    *
+    * `reuseFiles` (root-relative, normally [[currentFiles]]) makes the
+    * commit INCREMENTAL: `df` carries only the NEW rows, which land in
+    * this commit's primary directory, and the manifest's explicit file
+    * list references the reused files in place — an unchanged file is
+    * never rewritten, the refresh's write cost is O(delta) instead of
+    * O(table). The files must belong to still-retained versions (they
+    * always do when taken from [[currentFiles]] under this commit's own
+    * `keep`).
+    *
+    * `expectCurrent` (use [[NoVersion]] for "table was empty") turns
+    * the commit optimistic: if the committed head no longer equals the
+    * version the caller's merge was computed FROM, the promote throws
+    * [[ConflictException]] instead of committing a lost update; the
+    * exclusive manifest claim backstops the window the pre-check cannot
+    * see (two writers racing past the same head: exactly one claim
+    * succeeds, the loser conflicts). */
   def promote(spark: SparkSession, dir: String, df: DataFrame,
       preferredId: Long = 0L, keep: Int = 2,
-      asOfMicros: Option[Long] = None, fence: Option[Long] = None): Long = {
+      asOfMicros: Option[Long] = None, fence: Option[Long] = None,
+      reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     // the id moves past EVERY listed manifest, not just the committed
     // head: debris squatting at committed-head + 1 would otherwise make
-    // the rename below fail with the SAME recomputed id on every retry,
+    // the claim below fail with the SAME recomputed id on every retry,
     // wedging the table until manual cleanup (resolution, by contrast,
     // rightly trusts committed manifests only)
     val maxListed = manifestFiles(fs, tgt).headOption.map(_._1)
@@ -209,9 +336,10 @@ object SnapshotStore {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val snapName = f"$SnapshotPrefix$nextId%020d-$nonce"
     df.write.mode("overwrite").parquet(new Path(tgt, snapName).toString)
-    // fence check AFTER the (slow) snapshot write, immediately before
-    // the rename: the narrowest window a zombie can slip through; the
-    // rename-to-new-name remains the final arbiter regardless
+    // fence + expectation checks AFTER the (slow) snapshot write,
+    // immediately before the claim: the narrowest window a zombie or a
+    // raced merge can slip through; the exclusive create remains the
+    // final arbiter regardless
     fence.foreach { f =>
       val newest = fenceFiles(fs, tgt).foldLeft(-1L)(math.max)
       if (newest > f)
@@ -219,51 +347,111 @@ object SnapshotStore {
           s"SnapshotStore: fence $f superseded by $newest — a newer writer owns $dir; " +
             s"this writer's snapshot $snapName is unpromoted and GC-eligible")
     }
-    val tmp = new Path(tgt, f".$ManifestPrefix$nextId%020d.$nonce.tmp")
-    val out = fs.create(tmp, true)
-    val content = snapName + asOfMicros.fold("")("\n" + _)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    expectCurrent.foreach { exp =>
+      val head = currentManifest(fs, tgt).map(_._1).getOrElse(NoVersion)
+      if (head != exp)
+        throw new ConflictException(
+          s"SnapshotStore: committed head is $head but this merge was computed from $exp — " +
+            s"re-read and re-merge; snapshot $snapName is unpromoted and GC-eligible")
+    }
+    val fileLines =
+      if (reuseFiles.isEmpty) ""
+      else (reuseFiles ++ dirDataFiles(fs, tgt, snapName)).map("\nf " + _).mkString
+    val content = snapName + (if (fileLines.nonEmpty || asOfMicros.nonEmpty)
+      "\n" + asOfMicros.fold("")(_.toString) else "") + fileLines
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
-    if (!fs.rename(tmp, mPath))
-      throw new IllegalStateException(
-        s"SnapshotStore: failed to promote $snapName via $mPath (concurrent writer?)")
-    // GC, best-effort: a reader that just resolved a retained manifest
-    // still finds its directory intact. Skipped entirely while the
-    // manifest count fits the retention bound (orphan snapshot dirs from
-    // crashed writes linger until the first GC-triggering commit — and
-    // forever in the keep = Int.MaxValue full-log mode, where nothing is
-    // ever collected). Retention counts COMMITTED manifests: torn
-    // debris with ids above the head must not occupy keep slots, or a
-    // couple of junk files could push every committed manifest —
-    // including the one just promoted — into the dropped set and
-    // destroy the table's whole history. The cutoff is the keep-th
-    // newest committed id; everything at or above it (committed or
-    // debris) is left alone, everything below it goes.
+    if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
+      val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +
+        s"snapshot $snapName is unpromoted and GC-eligible"
+      if (expectCurrent.isDefined) throw new ConflictException(msg)
+      else throw new IllegalStateException(msg + " (concurrent writer?)")
+    }
+    gc(fs, tgt, keep, snapName)
+    nextId
+  }
+
+  /** Best-effort retention, file-granular: keep the newest `keep`
+    * COMMITTED manifests and every file they reference; a reader that
+    * just resolved a retained manifest still finds its files intact.
+    * Skipped entirely while the manifest count fits the retention bound
+    * (orphan snapshot dirs from crashed writes linger until the first
+    * GC-triggering commit — and forever in the keep = Int.MaxValue
+    * full-log mode, where nothing is ever collected). Retention counts
+    * COMMITTED manifests: torn debris with ids above the head must not
+    * occupy keep slots, or a couple of junk files could push every
+    * committed manifest — including the one just promoted — into the
+    * dropped set and destroy the table's whole history. The cutoff is
+    * the keep-th newest committed id; manifests at or above it
+    * (committed or debris) are left alone, manifests below it go, and
+    * snapshot files go exactly when NO retained manifest references
+    * them — so a directory whose own manifest aged out keeps just the
+    * files newer commits still reuse. */
+  private def gc(fs: FileSystem, tgt: Path, keep: Int, justPromoted: String): Unit =
     try {
       val all = manifestFiles(fs, tgt)
       if (all.size > keep) {
         val committed = all.iterator
           .map { case (id, p) => (id, resolve(fs, tgt, p)) }
-          .collect { case (id, Some((snap, _))) => (id, snap) }
+          .collect { case (id, Some(m)) => (id, m) }
           .take(keep).toSeq
         if (committed.size == keep) {
           val cutoff = committed.last._1
-          val keepSnaps = committed.map(_._2).toSet + snapName
+          // referenced = every root-relative file a retained committed
+          // manifest reads, plus the whole just-promoted dir (its
+          // manifest is by construction at/above the cutoff)
+          val referenced = committed.flatMap { case (_, m) => manifestDataFiles(fs, tgt, m) }.toSet
+          val primaries  = committed.map(_._2.snap).toSet + justPromoted
           all.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, false) }
           fs.listStatus(tgt).foreach { st =>
             val n = st.getPath.getName
-            if (n.startsWith(SnapshotPrefix) && !keepSnaps.contains(n)) {
-              // only sweep snapshots BELOW the cutoff or never promoted:
-              // a dir referenced by a retained (>= cutoff) manifest must
-              // survive even if its manifest was unreadable this pass
-              val referencedAbove = all.filter(_._1 >= cutoff)
-                .exists { case (_, p) => readContent(fs, p).exists(parseManifest(_)._1 == n) }
-              if (!referencedAbove) fs.delete(st.getPath, true)
+            if (n.startsWith(SnapshotPrefix) && !primaries.contains(n)) {
+              // a dir above the cutoff whose manifest was unreadable
+              // this pass must survive whole (it may be mid-commit);
+              // everything else keeps exactly its referenced files
+              val claimedAbove = all.filter(_._1 >= cutoff).exists { case (_, p) =>
+                readContent(fs, p).exists(parseManifest(_).snap == n)
+              }
+              if (!claimedAbove) {
+                val files = dirDataFiles(fs, tgt, n)
+                val (kept, dead) = files.partition(referenced.contains)
+                if (kept.isEmpty) fs.delete(st.getPath, true)
+                else dead.foreach(f => fs.delete(new Path(tgt, f), false))
+              }
             }
           }
         }
       }
     } catch { case _: java.io.IOException => () }
-    nextId
+
+  /** Optimistic multi-writer commit: re-read → re-merge → re-promote
+    * until the commit lands or `maxAttempts` genuine conflicts pass.
+    * `compute` receives the CURRENT committed state (None when the
+    * table is empty) and returns the full desired next state; each
+    * attempt fences (so stalled writers die loudly) and pins
+    * `expectCurrent` to the version it read (so a commit that lands
+    * between read and claim surfaces as a conflict, never a lost
+    * update). Two genuine writers interleaving both commit, exactly
+    * once each — the loser's merge re-runs on top of the winner's
+    * state (spec: SnapshotStoreSpec "two writers both commit"). */
+  def retryingPromote(spark: SparkSession, dir: String,
+      compute: Option[DataFrame] => DataFrame,
+      keep: Int = 2, asOfMicros: Option[Long] = None,
+      maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val fence = acquireFence(spark, dir)
+      val (fs, tgt) = fsOf(spark, dir)
+      val base = currentManifest(fs, tgt)
+      val df = compute(base.map { case (_, m) => readManifest(spark, tgt, fs, m) })
+      try {
+        return promote(spark, dir, df, keep = keep, asOfMicros = asOfMicros,
+          fence = Some(fence), expectCurrent = Some(base.map(_._1).getOrElse(NoVersion)))
+      } catch {
+        case e: FencedException   => if (attempt >= maxAttempts) throw e
+        case e: ConflictException => if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 }

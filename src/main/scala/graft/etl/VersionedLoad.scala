@@ -11,13 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fact), a retry simply re-runs the refresh on top of it, and every
   * pre/post state stays time-travelable for audit.
   *
-  * Scale shape: the refresh itself is [[MergeUpsert.insertMissing]] —
-  * one anti-join of the delta against the existing fact on its grain
-  * key (the delta side broadcasts when small). The store adds no data
-  * movement beyond the snapshot write the load was already doing; at
-  * 100 TB the snapshot write is the same partitioned parquet write,
-  * and a real deployment would swap per-version full snapshots for
-  * partition-level manifests without changing this API.
+  * Scale shape: the refresh writes ONLY the delta. The anti-join of the
+  * batch against the existing fact on its grain key (the
+  * [[MergeUpsert.insertMissing]] NOT-EXISTS guard; the batch side
+  * broadcasts when small) produces the genuinely-new rows, those land
+  * as this commit's files, and the manifest reuses every existing file
+  * BY REFERENCE ([[SnapshotStore.currentFiles]] → `promote(reuseFiles)`)
+  * — the reference's MERGE-touches-only-new-rows contract
+  * (07_SubsequentLoading.sql:331-355) applied to the storage layer. An
+  * unchanged file is never rewritten (byte-identity across refreshes is
+  * spec-pinned), so at 100 TB a daily refresh costs O(delta) write, not
+  * O(table). [[compact]] is the complementary full rewrite that heals
+  * the small-file accumulation many incremental commits leave behind.
   */
 object VersionedLoad {
 
@@ -37,7 +42,9 @@ object VersionedLoad {
     * `asOfMicros` so the LOGICAL timeline is unchanged: readAsOf at
     * that instant resolves the compacted (newest) physical version.
     * Content is identical by construction — coalesce only merges
-    * partitions. */
+    * partitions. After a chain of file-reuse refreshes, compaction also
+    * collapses the reference chain: the new manifest owns all its files
+    * directly, letting GC reclaim the chain's spread-out debris. */
   def compact(spark: SparkSession, table: String, numFiles: Int,
       asOfMicros: Option[Long] = None, keep: Int = 16): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
@@ -49,17 +56,27 @@ object VersionedLoad {
 
   /** One incremental refresh: anti-join `batch` against the CURRENT
     * committed version on `keys` (replaying an overlapping batch is a
-    * no-op — the reference's re-runnable contract), commit the merged
-    * state as the next version, and return its id. Throws when the
-    * table was never bootstrapped — refreshing nothing is a pipeline
-    * wiring bug, not an implicit bootstrap. */
+    * no-op — the reference's re-runnable contract), write ONLY the new
+    * rows, commit them plus the current version's files by reference as
+    * the next version, and return its id. Throws when the table was
+    * never bootstrapped — refreshing nothing is a pipeline wiring bug,
+    * not an implicit bootstrap. */
   def refresh(spark: SparkSession, table: String, batch: DataFrame,
-      keys: Seq[String], asOfMicros: Long, keep: Int = 16): Long = {
+      keys: Seq[String], asOfMicros: Long, keep: Int = 16): Long =
+    refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep)
+
+  /** [[refresh]] with optional as-of metadata — a commit without a
+    * pinned instant is invisible to timestamp travel but fully version-
+    * travelable (the streaming fact sink uses this when no event-time
+    * column is configured). */
+  def refreshOpt(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.refresh: $table has no committed version — bootstrap first"))
-    SnapshotStore.promote(spark, table,
-      MergeUpsert.insertMissing(current, batch, keys),
-      keep = keep, asOfMicros = Some(asOfMicros))
+    val newRows = batch.join(current, keys, "left_anti")
+    SnapshotStore.promote(spark, table, newRows,
+      keep = keep, asOfMicros = asOfMicros,
+      reuseFiles = SnapshotStore.currentFiles(spark, table))
   }
 }

@@ -28,10 +28,14 @@ object EtlOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Sweep abandoned UUID-named store tables with `prefix` under the
-    * corpus's scratch root (failed earlier attempts, prior crashed
-    * processes sharing the tmpdir) — superseded tables are pure leak
-    * (the io_bucketed_join superseded-tag discipline applied to the
-    * scratch root) — then return a fresh table path. */
+    * corpus's scratch root, then return a fresh table path. The sweep
+    * only ever removes THIS process's own failed earlier attempts:
+    * CoreOps.runRoot is unique per JVM (pid + nanos), so no other
+    * process's debris can live under this parent — superseded siblings
+    * within the run are pure leak (the io_bucketed_join superseded-tag
+    * discipline applied to the scratch root). If the scratch layout
+    * ever becomes shared across processes, this sweep must gain an
+    * ownership check before it can stay safe. */
   private def freshStoreTable(dir: String, prefix: String): String = {
     val parent = new java.io.File(CoreOps.scratch(dir, "."))
     Option(parent.listFiles()).getOrElse(Array.empty)

@@ -279,7 +279,16 @@ object EventsStream {
     * would) — counts are exact under per-user in-order delivery,
     * re-deliveries of already-seen positions included. `day` rides as
     * epoch days (tsMicros div 86.4e9 — micros are UTC, matching the
-    * batch ops' session timezone). */
+    * batch ops' session timezone).
+    *
+    * State-schema note: [[SesState]] gained (lastMicros, lastEventId)
+    * in r13 — the flatMapGroupsWithState state encoder is positional,
+    * so a checkpoint written by the PRE-r13 four-field SesState cannot
+    * restore into this query. Restarting an existing sesDays query
+    * across that upgrade requires discarding the old checkpoint (and
+    * re-reading the source); new deployments are unaffected. Version
+    * the query name (or the state case class) on any future field
+    * change for the same reason. */
   def sesDays(events: Dataset[EvT]): Dataset[SesDay] = {
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L

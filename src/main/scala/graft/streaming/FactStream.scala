@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.etl.{SnapshotStore, VersionedLoad}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -21,14 +22,22 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: the per-batch cost is one anti-join of the delta
   * against the current fact on its grain key (delta side broadcasts
-  * when small) plus the snapshot write — at 100 TB the full-snapshot
-  * write per batch would swap for partition-level manifests without
-  * changing this API (the SnapshotStore scaladoc's noted evolution).
-  * Unlike the SCD2 sink the fact is NEVER collected driver-side: the
-  * merge reads the current version lazily inside the promote, which
-  * completes before GC could touch the directory it reads.
+  * when small) plus a write of ONLY the delta — the refresh commits
+  * through VersionedLoad's file-reuse manifest, so the standing fact's
+  * files are referenced in place, never rewritten per batch. Unlike the
+  * SCD2 sink the fact is NEVER collected driver-side: the merge reads
+  * the current version lazily inside the promote, which completes
+  * before GC could touch the files it reads. Run
+  * [[graft.etl.VersionedLoad.compact]] periodically to fold the
+  * accumulated per-batch small files.
   */
 object FactStream {
+
+  /** One retention bound for every commit this sink makes (bootstrap
+    * AND refreshes) — r13 let the bootstrap fall through to promote's
+    * keep = 2 default while refreshes kept 16, a harmless but
+    * incoherent retention intent. */
+  val Keep = 16
 
   /** Read the current committed fact state (None before the first
     * commit). */
@@ -38,11 +47,23 @@ object FactStream {
   /** Start maintaining `tableDir` as a versioned fact table from
     * parquet files appearing under `sourceDir`. `keys` is the fact
     * grain; rows duplicated on the grain WITHIN one delivery are
-    * deduplicated first (bit-identical duplicates are harmless
-    * re-deliveries; conflicting rows on one grain key keep the first
-    * by the anti-join's existing-wins rule applied within the batch
-    * via dropDuplicates on the keys). `checkpointDir` makes the sink
-    * restartable. */
+    * deduplicated first, keeping the row that is MINIMAL under the
+    * natural ordering of the non-key columns (bit-identical duplicates
+    * are harmless re-deliveries; conflicting rows on one grain key get
+    * a DETERMINISTIC winner, so a crash-replay of the batch commits
+    * exactly the row the original attempt would have —
+    * `dropDuplicates`' arbitrary-survivor semantics would not).
+    * `checkpointDir` makes the sink restartable.
+    *
+    * Commit metadata: when `eventTimeCol` is set, each commit pins its
+    * as-of instant to the batch's MAX event time in epoch micros —
+    * replay-stable (the same delivery has the same maximum) and on the
+    * same timeline as batch [[VersionedLoad]] commits, so [[readAsOf]]
+    * travel mixes correctly. When None, commits carry NO as-of metadata
+    * and are invisible to timestamp travel (version travel always
+    * works) — r13 stored the BATCH ID in the epoch-micros field, which
+    * made readAsOf against a real timestamp meaningless and broke the
+    * monotonic-asOf assumption when mixed with timestamped commits. */
   def startVersionedFactSink(
       spark: SparkSession,
       sourceDir: String,
@@ -50,7 +71,8 @@ object FactStream {
       schema: StructType,
       keys: Seq[String],
       checkpointDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      eventTimeCol: Option[String] = None): StreamingQuery = {
     val rd = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
@@ -58,17 +80,28 @@ object FactStream {
     checkpointDir.foreach(wr.option("checkpointLocation", _))
     wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val sp = batch.sparkSession
-      val delta = batch.dropDuplicates(keys)
-      // the commit's as-of instant is the batch id (a pinned,
-      // replay-stable input — wall clock would make replays commit
-      // different metadata); callers needing real event time would
-      // thread a watermark-derived instant instead
+      // deterministic within-batch winner: min-struct over the non-key
+      // columns per grain key (struct ordering is field-by-field, nulls
+      // first — a total order over the row's payload)
+      val keyCols: Seq[Column] = keys.map(col)
+      val payload = batch.columns.filterNot(keys.contains).map(col).toSeq
+      val delta = batch.groupBy(keyCols: _*)
+        .agg(min(struct(payload: _*)).as("__p"))
+        .select(keyCols :+ col("__p.*"): _*)
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+      val asOf = eventTimeCol.map { c =>
+        delta.agg(max(unix_micros(col(c)))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
+      }
       SnapshotStore.read(sp, tableDir) match {
         case None =>
           SnapshotStore.promote(sp, tableDir, delta,
-            preferredId = batchId, asOfMicros = Some(batchId)): Unit
+            preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
         case Some(_) =>
-          VersionedLoad.refresh(sp, tableDir, delta, keys, asOfMicros = batchId): Unit
+          VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
+            asOfMicros = asOf, keep = Keep): Unit
       }
     }.start()
   }

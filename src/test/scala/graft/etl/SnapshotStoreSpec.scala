@@ -137,6 +137,50 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, t, 0L).get.select("v").head().getString(0) == "old")
   }
 
+  test("a stale expectCurrent fails with ConflictException instead of committing a lost update") {
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((1L, "base")).toDF("k", "v"), keep = 16)
+    // writer W read version 0 and merged from it; meanwhile another
+    // commit moved the head to 1 — W's promote must refuse
+    SnapshotStore.promote(spark, t, Seq((1L, "interloper")).toDF("k", "v"), keep = 16)
+    intercept[SnapshotStore.ConflictException] {
+      SnapshotStore.promote(spark, t, Seq((1L, "lost-update")).toDF("k", "v"),
+        keep = 16, expectCurrent = Some(0L))
+    }
+    assert(SnapshotStore.read(spark, t).get.select("v").head().getString(0) == "interloper",
+      "the refused commit left the head untouched")
+    // the expectation sentinel for an empty table works the same way
+    intercept[SnapshotStore.ConflictException] {
+      SnapshotStore.promote(spark, t, Seq((1L, "x")).toDF("k", "v"),
+        keep = 16, expectCurrent = Some(SnapshotStore.NoVersion))
+    }
+  }
+
+  test("two writers through retryingPromote both commit, exactly once each") {
+    val t = freshTable()
+    SnapshotStore.promote(spark, t, Seq((0L, "base")).toDF("k", "v"), keep = 16)
+    // writer A's merge: append row 1 to whatever it reads. The FIRST
+    // attempt's compute sneaks writer B's full commit in before A's
+    // promote — so A's expectCurrent pre-check sees the moved head,
+    // conflicts, re-reads B's state, and re-merges on top of it.
+    var aAttempts = 0
+    val idA = SnapshotStore.retryingPromote(spark, t, { base =>
+      aAttempts += 1
+      if (aAttempts == 1) {
+        // interleaved writer B: read-merge-commit completes first
+        SnapshotStore.retryingPromote(spark, t, { bBase =>
+          bBase.get.unionByName(Seq((2L, "from-B")).toDF("k", "v"))
+        }, keep = 16): Unit
+      }
+      base.get.unionByName(Seq((1L, "from-A")).toDF("k", "v"))
+    }, keep = 16)
+    assert(aAttempts == 2, "A's first attempt must lose the race and retry")
+    assert(idA == SnapshotStore.currentVersion(spark, t).get)
+    val rows = SnapshotStore.read(spark, t).get.as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq(0L -> "base", 1L -> "from-A", 2L -> "from-B"),
+      "both writers' rows land exactly once — no lost update, no double apply")
+  }
+
   test("a zombie writer's promote fails by fence contract; exactly one writer wins") {
     val t = freshTable()
     val fenceA = SnapshotStore.acquireFence(spark, t)

@@ -83,6 +83,74 @@ class VersionedLoadSpec extends SparkSuite {
     assert(SnapshotStore.readAsOf(spark, t, 5000L).get.inputFiles.length <= 2)
   }
 
+  test("refresh reuses the previous version's files by reference — unchanged files are byte-identical, not rewritten") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    val dir = new java.io.File(t)
+    def manifest(version: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"manifest-$version%020d").toPath), "UTF-8").split("\n").toSeq
+    def snapDirOf(version: Long): String = manifest(version).head.trim
+    val v0snap = snapDirOf(0L)
+    val v0files = new java.io.File(dir, v0snap).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> (f.lastModified(), f.length(),
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))).toMap
+    assert(v0files.nonEmpty)
+    val id1 = VersionedLoad.refresh(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = 2000L)
+    // the v1 manifest lists v0's files BY REFERENCE plus v1's own new files
+    val fileLines = manifest(id1).filter(_.startsWith("f ")).map(_.drop(2).trim)
+    assert(fileLines.nonEmpty, "the refresh commit carries an explicit file list")
+    v0files.keys.foreach { n =>
+      assert(fileLines.contains(s"$v0snap/$n"), s"reused file $v0snap/$n missing from the manifest") }
+    assert(fileLines.exists(_.startsWith(snapDirOf(id1))),
+      "the delta's own files are in the list too")
+    // the reused files were NOT rewritten: same mtime, size, and bytes
+    v0files.foreach { case (n, (mtime, len, hash)) =>
+      val f = new java.io.File(dir, s"$v0snap/$n")
+      assert(f.lastModified() == mtime && f.length() == len &&
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)) == hash,
+        s"reused file $n was rewritten by the refresh")
+    }
+    // and the merged read is complete
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the delta directory holds ONLY the new row — O(delta) write cost
+    assert(SnapshotStore.readVersion(spark, t, id1).get.count() == 3)
+    val deltaRows = spark.read.parquet(s"$t/${snapDirOf(id1)}").count()
+    assert(deltaRows == 1, s"refresh wrote $deltaRows rows; the delta is 1")
+  }
+
+  test("file-level GC: files reused by retained manifests survive their own manifest aging out") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L, keep = 2)
+    val dir = new java.io.File(t)
+    val v0snap = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, f"manifest-${0L}%020d").toPath), "UTF-8").split("\n").head.trim
+    // three refreshes at keep = 2: manifests 0 and 1 age out, but v0's
+    // FILES stay referenced by every newer file-list commit
+    (2L to 4L).foreach { i =>
+      VersionedLoad.refresh(spark, t, fact(i -> s"v$i"), Seq("k"),
+        asOfMicros = 1000L * i, keep = 2)
+    }
+    assert(!new java.io.File(dir, f"manifest-${0L}%020d").exists(),
+      "the bootstrap manifest ages out at keep = 2")
+    val v0dir = new java.io.File(dir, v0snap)
+    assert(v0dir.exists() && v0dir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "the bootstrap's DATA FILES survive — the head still references them")
+    // the full state reads correctly through the reference chain
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+    // compaction collapses the chain: after it, a further refresh + GC can
+    // finally reclaim the bootstrap's files once nothing references them
+    VersionedLoad.compact(spark, t, numFiles = 1, asOfMicros = Some(5000L), keep = 2)
+    VersionedLoad.refresh(spark, t, fact(9L -> "z"), Seq("k"), asOfMicros = 9000L, keep = 2)
+    VersionedLoad.refresh(spark, t, fact(10L -> "z2"), Seq("k"), asOfMicros = 9500L, keep = 2)
+    assert(!v0dir.exists() || !v0dir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "once no retained manifest references them, the old files are collected")
+    assert(SnapshotStore.read(spark, t).get.count() == 6)
+  }
+
   test("refreshing a never-bootstrapped table fails loudly") {
     val t = freshTable()
     intercept[IllegalStateException] {

@@ -65,4 +65,57 @@ class FactStreamSpec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, tbl, 0L).get.count() == 2,
       "the bootstrap state stays travelable")
   }
+
+  test("conflicting rows on one grain key within a delivery pick a DETERMINISTIC winner") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_det").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    // one delivery file carrying THREE rows on grain key 7 — the sink
+    // must keep the minimum under the payload's natural order ("a"),
+    // not an arbitrary partition-order survivor, so a crash-replay of
+    // this batch would commit the identical row
+    Seq(7L -> "m", 7L -> "a", 7L -> "z").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/d1_dir")
+    val f = new java.io.File(s"$src/d1_dir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/d1.parquet").toPath)
+    val q = FactStream.startVersionedFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp))
+    try {
+      q.processAllAvailable()
+      val rows = FactStream.readFact(spark, tbl).get.as[(Long, String)].collect().toSeq
+      assert(rows == Seq(7L -> "a"), s"deterministic min-payload winner expected, got $rows")
+    } finally q.stop()
+  }
+
+  test("event-time as-of: commits pin the batch's max event time and mix with readAsOf travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_asof").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val tsSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+    def stageTs(name: String, rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("k", "s").selectExpr("k", "cast(s as timestamp) as ts")
+        .coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+    stageTs("b1", 1L -> "1995-01-01 00:00:00", 2L -> "1995-06-01 00:00:00")
+    val q = FactStream.startVersionedFactSink(spark, src, tbl, tsSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1),
+      eventTimeCol = Some("ts"))
+    try {
+      q.processAllAvailable()
+      stageTs("b2", 3L -> "1996-03-01 00:00:00")
+      q.processAllAvailable()
+      val jun95 = 801964800L * 1000000L // 1995-06-01T00:00:00Z (session TZ is UTC)
+      // as of mid-1995: only the first batch's commit qualifies
+      assert(SnapshotStore.readAsOf(spark, tbl, jun95).get.count() == 2,
+        "timestamp travel between the two batch horizons resolves the first commit")
+      assert(SnapshotStore.readAsOf(spark, tbl, Long.MaxValue).get.count() == 3)
+      assert(SnapshotStore.readAsOf(spark, tbl, jun95 - 1L).isEmpty,
+        "before the first batch's horizon nothing qualifies")
+    } finally q.stop()
+  }
 }
