@@ -3,24 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-hazard inventory: builds every registered query's physical plan
-  * (analysis only — nothing executes) and reports the operators that
-  * historically hid real costs in this engine:
+  * (analysis + planning only — nothing executes beyond what op
+  * construction itself runs) and reports the operators that
+  * historically hid real costs in this engine, via the TYPED tree walk
+  * in [[graft.plans.PlanHazards]] (node identity, not formatted-string
+  * substrings — the r13 version double-counted tree+details sections
+  * and missed some Window renderings). The same walker backs the
+  * PlanHazardsSpec regression gate: `sbt test` fails outright if any
+  * query reintroduces SortAggregate-over-Expand (the etl_dq_profile
+  * round-13 pathology) or an unbounded cross join; this tool remains
+  * for eyeballing the full inventory.
   *
-  *   - SortAggregate: an aggregate whose buffer is hash-ineligible
-  *     (string min/max, struct-max elections) — harmless over small
-  *     frames, a silent sort-the-world when it lands above an Expand
-  *     (the etl_dq_profile round-13 finding: string min/max buffers
-  *     pushed a 5× expanded fact through two SortAggregates);
-  *   - Expand: grouping-set/multi-distinct row multiplication;
-  *   - CartesianProduct / BroadcastNestedLoopJoin: non-equi joins —
-  *     legitimate for 1-row scalar broadcasts and bounded frames, a
-  *     red flag anywhere corpus-proportional;
-  *   - Window: partition-local sorts.
-  *
-  * Counts are raw substring occurrences in the formatted plan (each
-  * operator appears in both the tree and the details section, so read
-  * them as ~2× the operator count). Usage: runMain graft.PlanAudit
-  * [sfDir] — prints one line per query that contains any hazard.
+  * Usage: runMain graft.PlanAudit [sfDir] — prints one line per query
+  * that contains any hazard.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -37,16 +32,13 @@ object PlanAudit {
     keys.foreach { k =>
       try {
         val df = graft.SparkEntry.queries(k)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        def c(tok: String) = plan.sliding(tok.length).count(_ == tok)
-        val sa = c("SortAggregate")
-        val ex = c("Expand")
-        val cart = c("CartesianProduct")
-        val bnl = c("BroadcastNestedLoopJoin")
-        val win = c("Window (") + c("Window(")
-        if (sa + ex + cart + bnl > 0)
-          println(f"[audit] $k%-36s SortAgg=$sa Expand=$ex Cartesian=$cart BNLJ=$bnl Window=$win")
+        val h = graft.plans.PlanHazards.of(df)
+        if (h.any) {
+          val flags = (if (h.sortAggOverExpand) " !!SORTAGG-OVER-EXPAND" else "") +
+            (if (h.unboundedCross.nonEmpty) s" !!UNBOUNDED-CROSS(${h.unboundedCross.mkString(",")})" else "")
+          println(f"[audit] $k%-36s SortAgg=${h.sortAgg} Expand=${h.expand} " +
+            f"Cartesian=${h.cartesian} BNLJ=${h.bnlj} Window=${h.window}$flags")
+        }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       } catch {

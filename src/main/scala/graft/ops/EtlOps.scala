@@ -36,7 +36,7 @@ object EtlOps {
     * discipline applied to the scratch root). If the scratch layout
     * ever becomes shared across processes, this sweep must gain an
     * ownership check before it can stay safe. */
-  private def freshStoreTable(dir: String, prefix: String): String = {
+  private[ops] def freshStoreTable(dir: String, prefix: String): String = {
     val parent = new java.io.File(CoreOps.scratch(dir, "."))
     Option(parent.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(prefix))

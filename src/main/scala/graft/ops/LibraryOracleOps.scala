@@ -3,6 +3,7 @@ package graft.ops
 import graft.etl.Derivations
 import graft.gen.LibraryTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet-oracle coverage for the LIBRARY domain — closes the gap
   * where Q4/Q5 library reports and the 16 generators were pinned only
@@ -41,6 +42,10 @@ object LibraryOracleOps {
     lazy val tables: LibraryTables =
       Derivations.applyAll(LibraryTables.generate(spark, scale = 0.1, seed = 42), asOf = "2024-06-30")
     val persisted = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    /** name → fully-built versioned store table (bootstrap + refresh
+      * committed) for the lib_*_versioned ops; entries exist only for
+      * COMPLETED builds (the EtlOps memo discipline). */
+    val storeTables = scala.collection.mutable.HashMap.empty[String, String]
     lazy val dw: graft.etl.DwTables = {
       val d = graft.etl.InitialLoad(spark, tables)
       d.copy(
@@ -285,6 +290,73 @@ object LibraryOracleOps {
          |FROM sig""".stripMargin
     ) { (spark, _) =>
       graft.queries.LibraryReports.q3GrossMargin(persistedDw(spark))
+    },
+
+    // ── lib_fact_sales_versioned: the REFERENCE DOMAIN's incremental
+    // fact refresh committed through the manifest-pointer store — what
+    // etl_incremental_versioned demonstrates on TPC-H orders, run on
+    // the actual library star (07_SubsequentLoading.sql:324-355's
+    // FactSales MERGE): the pre-2023 FactSales slice bootstraps as
+    // version 0 with its pinned load horizon, an overlapping batch
+    // (H2-2022 onward — six months of replayed rows plus the genuinely
+    // new 2023-24 lines) refreshes through VersionedLoad's anti-join on
+    // the (order_id, line_no) grain, committing ONLY the delta files
+    // and reusing the bootstrap's by reference, and the op reads the
+    // history back three ways: version travel to 0 and 1 plus a
+    // timestamp-travel read pinned BETWEEN the horizons (must resolve
+    // the v0 state). The oracle recomputes all three legs relationally
+    // from the SAME persisted dw_fact_sales parquet both engines read,
+    // so a lost batch line, a double-applied overlap, or a mis-resolved
+    // version/timestamp is a row diff. With this the reference's own
+    // workload — not just the testdata shape — runs crash-safe:
+    // bootstrap → refresh → travel on the real star.
+    OpQuery.checked(
+      "lib_fact_sales_versioned",
+      s"""WITH f AS (SELECT * FROM read_parquet('$DataDir/dw_fact_sales.parquet/*.parquet')),
+         |existing AS (SELECT * FROM f WHERE date_key < 20230101),
+         |batch AS (SELECT * FROM f WHERE date_key >= 20220701),
+         |loaded AS (
+         |  SELECT * FROM existing
+         |  UNION ALL
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+         |                    WHERE e.order_id = b.order_id AND e.line_no = b.line_no)),
+         |a0 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |              CAST(count(*) AS BIGINT) AS n_lines,
+         |              CAST(sum(total_amount) AS DOUBLE) AS amount
+         |       FROM existing GROUP BY 1),
+         |a1 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |              CAST(count(*) AS BIGINT) AS n_lines,
+         |              CAST(sum(total_amount) AS DOUBLE) AS amount
+         |       FROM loaded GROUP BY 1)
+         |SELECT 'v0' AS leg, * FROM a0
+         |UNION ALL SELECT 'v1', * FROM a1
+         |UNION ALL SELECT 'asof_mid', * FROM a0""".stripMargin
+    ) { (spark, dir) =>
+      val c = forSession(spark)
+      val fs = persistedDw(spark).factSales
+      val table = synchronized {
+        c.storeTables.getOrElseUpdate("fact_sales_versioned", {
+          val t = EtlOps.freshStoreTable(dir, "lib_fact_versioned_")
+          val existing = fs.filter(col("date_key") < 20230101L)
+          graft.etl.VersionedLoad.bootstrap(spark, t, existing,
+            asOfMicros = 1672531200000000L) // 2023-01-01T00:00:00Z, the load horizon
+          val batch = fs.filter(col("date_key") >= 20220701L)
+          graft.etl.VersionedLoad.refresh(spark, t, batch, Seq("order_id", "line_no"),
+            asOfMicros = 1719792000000000L) // 2024-07-01T00:00:00Z, post-refresh horizon
+          t
+        })
+      }
+      def yearAgg(df: DataFrame, leg: String) =
+        df.groupBy(expr("date_key div 10000").as("yr"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("total_amount")).cast("double").as("amount"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_lines"), col("amount"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
+        // pinned strictly between the horizons: must resolve version 0
+        .unionByName(yearAgg(
+          graft.etl.SnapshotStore.readAsOf(spark, table, 1700000000000000L).get, "asof_mid"))
     }
   )
 }

@@ -754,57 +754,53 @@ object SimOps {
     // shared coarse quantizer, then drop, WITHIN each cluster, every
     // vector that has a lower-id neighbor at cosine ≥ τ (keep-lowest-id is
     // the deterministic stand-in for the paper's keep-one-per-group rule).
-    // At 100 TB only the cluster branch runs: pairs are confined to cells
-    // (O(N²/K) not O(N²)), cells shard the shuffle key, and the pair scan
-    // reads only (id, vector, norm).
-    //
-    // Oracle gate (the sim_topk_ivf_kmeans template): the cluster-branch
-    // pairs union an exact all-pairs scoring branch, so the emitted
-    // surviving set is the exact answer — engine-neutral and hash-checked
-    // — while the k-means machinery stays in the executed plan (a union
-    // child cannot be pruned). The exact branch is the oracle-scale
-    // verification pass, not the production path; the cluster branch's
-    // drop recall is asserted in SimOpsSpec.
+    // The executed plan is the cluster branch ONLY: pairs are confined to
+    // cells (O(N²/K) not O(N²)) through the shared [[knnGraphCellEdges]]
+    // generator (redundant top-3 assignment, skew-guarded sub-split,
+    // narrow pair shuffle). r13 additionally executed an all-pairs exact
+    // branch as the oracle gate — the same quadratic plan the r14
+    // PlanHazardsSpec cross-join gate now BANS; the oracle instead
+    // replays the whole cell pipeline against the persisted trained
+    // centroids (the sim_knn_graph mechanism), so the approximate
+    // survivor set is hash-checked end to end and the exact-vs-cluster
+    // drop recall lives in SimOpsSpec at spec scale.
     OpQuery.checked(
       "dedup_semantic",
-      s"""WITH emb AS (
+      s"""WITH cent AS (
+         |  SELECT centroid_id, cvec
+         |  FROM read_parquet('$IvfCentDir/corpus_fp=*/*.parquet', hive_partitioning=1)
+         |  WHERE corpus_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+         |                     FROM embeddings)),
+         |emb AS (
          |  SELECT vec_id, label, embedding,
          |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT e.vec_id, c.centroid_id AS bucket,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDot("e.embedding", "c.cvec")} / e.nrm DESC,
+         |                      c.centroid_id ASC) AS rk
+         |    FROM emb e CROSS JOIN cent c)
+         |  WHERE rk <= 3),
+         |prs AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asg a JOIN asg b ON b.bucket = a.bucket AND a.vec_id < b.vec_id),
          |drops AS (
-         |  SELECT DISTINCT b.vec_id AS vec_id
-         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-         |  WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.35)
+         |  SELECT DISTINCT p.vb AS vec_id
+         |  FROM prs p JOIN emb ea ON ea.vec_id = p.va JOIN emb eb ON eb.vec_id = p.vb
+         |  WHERE round(${duckDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= 0.35)
          |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, round(e.nrm, 6) AS nrm
          |FROM emb e WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
     ) { (spark, dir) =>
       val Tau = 0.35
       val emb = cachedEmb(spark, dir)
-      val centDf = trainCentroidsDf(spark, emb)
-      // redundant top-3 cell assignment: boundary-straddling near-dup
-      // pairs co-cluster with ≥0.8 recall on this corpus (vs ~0.35 for
-      // single-cell — asserted in SimOpsSpec) at 3× assignment rows
-      val clustered = emb.join(assignCells(emb, centDf, topR = 3), Seq("vec_id"))
-      val pairCos = round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6)
-      // production branch: pairs only within a k-means cell, through the
-      // skew-guarded triangular sub-split — k-means cells are exactly the
-      // hot-block hazard (a dense region puts a huge fraction of the
-      // corpus in ONE cell), so the same BlockedPairs guard the LSH/
-      // prefix dedups use caps every cell's pair fan-out here too
-      val clusterPairs = BlockedPairs
-        .pairs(clustered, Seq("bucket"), "vec_id", BlockedPairs.DefaultCap)
-        .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
-      // verification branch: all pairs (oracle-scale only). The parquet
-      // scan is one partition at this size, and a nested-loop/cartesian
-      // join inherits the streamed side's partitioning — repartition it
-      // so the 12.5M-pair scoring fans out across cores (measured ~2×
-      // on the whole op) instead of running in one task.
-      val exactPairs = emb.repartition(32).as("a")
-        .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("drop_id"), pairCos.as("cos_sim"))
-      val drops = clusterPairs.unionByName(exactPairs)
-        .filter(col("cos_sim") >= Tau)
-        .select("drop_id").distinct()
+      // symmetric cell-confined scored edges; the a<b direction carries
+      // each unordered pair exactly once, and the keep-lowest-id rule
+      // drops the HIGHER id of every qualifying pair
+      val drops = knnGraphCellEdges(spark, dir, Some(emb))
+        .filter(col("vec_id") < col("neighbor_id") && col("cos_sim") >= Tau)
+        .select(col("neighbor_id").as("drop_id")).distinct()
       withNorm(tables(spark, dir).embeddings.select("vec_id", "label", "embedding"))
         .join(drops, col("vec_id") === col("drop_id"), "left_anti")
         .select(col("vec_id"), col("label").cast("long").as("label"), round(col("nrm"), 6).as("nrm"))
