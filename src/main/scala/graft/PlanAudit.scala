@@ -42,7 +42,7 @@ object PlanAudit {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       } catch {
-        case e: Throwable => println(s"[audit] $k PLAN-ERROR: ${e.getMessage.take(100)}")
+        case e: Throwable => println(s"[audit] $k PLAN-ERROR: ${e.toString.take(100)}")
       }
     }
     spark.stop()

@@ -102,9 +102,18 @@ object SnapshotStore {
   final class ConflictException(msg: String) extends IllegalStateException(msg)
 
   /** One committed manifest's content: the primary snapshot directory,
-    * the optional pinned as-of instant, and the optional explicit file
-    * list (table-root-relative; empty = all data files of `snap`). */
-  private final case class ManifestData(snap: String, asOf: Option[Long], files: Seq[String])
+    * the optional pinned as-of instant, the optional explicit file
+    * list (table-root-relative; empty = all data files of `snap`), and
+    * whether the content carried the `end` terminator line. The
+    * terminator is what makes the exclusive-create protocol safe
+    * against TORN CONTENT: the claim is atomic but the write after it
+    * is not, so a crash (or a racing reader) can observe a prefix that
+    * still parses — without the terminator requirement a truncated
+    * file list would resolve as a committed SUBSET of the version and
+    * GC would collect the truncated-away files. Only fully-terminated
+    * manifests commit. */
+  private final case class ManifestData(
+      snap: String, asOf: Option[Long], files: Seq[String], terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -137,22 +146,23 @@ object SnapshotStore {
   /** Manifest content: line 1 = primary snapshot dir name; line 2
     * (optional, may be blank) = the commit's pinned as-of timestamp in
     * epoch micros; lines 3+ (optional) = `f <relative path>` explicit
-    * file list. Commits predating the metadata lines parse with no
-    * timestamp and no file list. */
+    * file list; final line = the `end` terminator (required for the
+    * manifest to commit — see [[ManifestData]]). */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
     val files = lines.drop(2).collect { case l if l.startsWith("f ") => l.drop(2).trim }
-    ManifestData(lines(0).trim, asOf, files.toIndexedSeq)
+    ManifestData(lines(0).trim, asOf, files.toIndexedSeq, lines.last.trim == "end")
   }
 
-  /** Resolve ONE manifest to its committed content: it parses and the
-    * PRIMARY snapshot directory carries `_SUCCESS` — a manifest whose
-    * write raced a crash resolves to None. */
+  /** Resolve ONE manifest to its committed content: it parses WITH the
+    * content terminator and the PRIMARY snapshot directory carries
+    * `_SUCCESS` — a manifest whose write raced a crash (no content, or
+    * a truncated prefix of it) resolves to None. */
   private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[ManifestData] =
     readContent(fs, manifest)
       .map(parseManifest)
-      .filter(m => m.snap.nonEmpty &&
+      .filter(m => m.terminated && m.snap.nonEmpty &&
         fs.exists(new Path(new Path(tgt, m.snap), "_SUCCESS")))
 
   /** The data files a committed manifest references, table-root
@@ -193,6 +203,15 @@ object SnapshotStore {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, tgt) = fsOf(spark, dir)
     currentManifest(fs, tgt).map(_._1)
+  }
+
+  /** The current committed version's pinned as-of instant, if it has
+    * one — writers that must keep the as-of timeline MONOTONE (the
+    * streaming fact sink clamping a late batch) read it before
+    * committing. */
+  def currentAsOf(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).flatMap(_._2.asOf)
   }
 
   /** The current committed version's data files, table-root relative —
@@ -257,9 +276,15 @@ object SnapshotStore {
       try out.write(content) finally out.close()
       true
     } else {
+      // ONLY an already-exists outcome means "claimed" — a permission/
+      // quota/network IOException must propagate, or acquireFence would
+      // hot-loop forever and promote would report a phantom conflict
       val out =
         try fs.create(p, false)
-        catch { case _: java.io.IOException => return false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException        => return false
+        }
       try out.write(content) finally out.close()
       true
     }
@@ -353,12 +378,28 @@ object SnapshotStore {
         throw new ConflictException(
           s"SnapshotStore: committed head is $head but this merge was computed from $exp — " +
             s"re-read and re-merge; snapshot $snapName is unpromoted and GC-eligible")
+      // a CLAIMED manifest above the head is a mid-flight commit whose
+      // content may land after this check — skipping past it (as the
+      // debris-proof id rule otherwise would) could commit a merge that
+      // silently shadows those rows once they resolve. OCC refuses to
+      // race an in-flight claim; the cost is that torn debris above the
+      // head blocks expectCurrent promotes until a non-OCC writer moves
+      // past it or the debris is cleaned — correctness over
+      // availability, and only in the optional OCC mode (plain promotes
+      // keep the debris-proof behavior unchanged).
+      val maxNow = manifestFiles(fs, tgt).headOption.map(_._1).getOrElse(NoVersion)
+      if (maxNow > head)
+        throw new ConflictException(
+          s"SnapshotStore: manifest id $maxNow is claimed above head $head (in-flight or torn " +
+            s"commit) — refusing to race it; snapshot $snapName is unpromoted and GC-eligible")
     }
     val fileLines =
       if (reuseFiles.isEmpty) ""
       else (reuseFiles ++ dirDataFiles(fs, tgt, snapName)).map("\nf " + _).mkString
-    val content = snapName + (if (fileLines.nonEmpty || asOfMicros.nonEmpty)
-      "\n" + asOfMicros.fold("")(_.toString) else "") + fileLines
+    // the `end` terminator line commits the content: the exclusive
+    // create is atomic but this write is not, and a truncated file list
+    // must never resolve as a committed subset (see ManifestData)
+    val content = snapName + "\n" + asOfMicros.fold("")(_.toString) + fileLines + "\nend"
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
     if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
       val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +

@@ -87,6 +87,8 @@ object SimOps {
     * entry stays cached until the next invocation — one bounded frame,
     * by design. */
   private var lastEmbCache: Option[DataFrame] = None
+  /** One cell-assignment cache at a time — see [[knnGraphCellEdges]]. */
+  private var lastAsgCache: Option[DataFrame] = None
   private def cachedEmb(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     synchronized {
       lastEmbCache.foreach(_.unpersist())
@@ -144,14 +146,18 @@ object SimOps {
     .head().getLong(0)
 
   /** The persisted trained coarse quantizer — ONE artifact per corpus
-    * (fingerprint hive partition, `_SUCCESS`-gated), used by the two
-    * trained-recall evals whose DuckDB oracles replay retrieval against
-    * these exact bytes. The OTHER k-means consumers (kmeans/pq/pq8
-    * retrieval, semantic dedup, knn graph) deliberately keep training
-    * in-memory: the fingerprint aggregate + parquet round-trip was
-    * MEASURED slower than the bounded driver-side fit at oracle scale
-    * (16.2 → 17.6 s over the 7-op family), and at true scale an
-    * explicit index-build step — not a query — would own the artifact.
+    * (fingerprint hive partition, `_SUCCESS`-gated), used by every op
+    * whose DuckDB oracle replays cell assignment against these exact
+    * bytes: the trained-recall evals AND (since r14) the knn graph,
+    * semantic dedup, and eval_knn_recall — their oracles became full
+    * cell-pipeline replays when the in-plan exact branches moved out,
+    * which REQUIRES byte-shared centroids. The remaining k-means
+    * consumers (kmeans/pq/pq8 retrieval, whose oracles gate through an
+    * exact union instead) keep training in-memory: the fingerprint
+    * aggregate + parquet round-trip was MEASURED slower than the
+    * bounded driver-side fit at oracle scale (16.2 → 17.6 s over the
+    * 7-op family), and at true scale an explicit index-build step —
+    * not a query — would own the artifact.
     * Training is deterministic (id-ordered sample, fixed iterations),
     * so skip-if-present is byte-safe; the fingerprint keys the CORPUS
     * and the directory NAME keys the config (K/Iters/SampleCap baked
@@ -1671,8 +1677,15 @@ object SimOps {
     // lazy, the centroid cross join + double WindowGroupLimit sort of
     // the assignment would execute three times over (visible as
     // repeated Sort/Exchange subtrees in the r14 plan audit). The frame
-    // is (vec_id, bucket) — R rows per vector, bytes each
-    val asg = assignCells(emb, centDf, topR = 3).persist()
+    // is (vec_id, bucket) — R rows per vector, bytes each — and rides
+    // the same one-entry release-previous discipline as cachedEmb so
+    // repeated invocations never accumulate cache entries
+    val asg = synchronized {
+      lastAsgCache.foreach(_.unpersist())
+      val a = assignCells(emb, centDf, topR = 3).persist()
+      lastAsgCache = Some(a)
+      a
+    }
     val prs = BlockedPairs
       .pairs(asg, Seq("bucket"), "vec_id", BlockedPairs.DefaultCap)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))

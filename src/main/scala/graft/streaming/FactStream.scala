@@ -82,27 +82,42 @@ object FactStream {
       val sp = batch.sparkSession
       // deterministic within-batch winner: min-struct over the non-key
       // columns per grain key (struct ordering is field-by-field, nulls
-      // first — a total order over the row's payload)
+      // first — a total order over the row's payload). Persisted: the
+      // as-of aggregation below and the commit's anti-join + write both
+      // read it — unpersisted, the dedup shuffle would run twice per
+      // batch.
       val keyCols: Seq[Column] = keys.map(col)
       val payload = batch.columns.filterNot(keys.contains).map(col).toSeq
       val delta = batch.groupBy(keyCols: _*)
         .agg(min(struct(payload: _*)).as("__p"))
         .select(keyCols :+ col("__p.*"): _*)
         .select(batch.columns.map(col).toIndexedSeq: _*)
-      val asOf = eventTimeCol.map { c =>
-        delta.agg(max(unix_micros(col(c)))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r                  => r.getLong(0)
+        .persist()
+      try {
+        // the commit's as-of = the batch's max event time, CLAMPED to
+        // the previous commit's instant so the table's as-of timeline
+        // stays monotone (readAsOf's newest-first qualification walk
+        // assumes it; a late batch would otherwise open a window where
+        // travel between the instants resolves a version containing
+        // LATER events). A batch whose event times are all null yields
+        // no instant at all — the commit is version-travelable but
+        // invisible to timestamp travel (never a fake epoch-0 pin,
+        // which would qualify the HEAD for every historical readAsOf).
+        val batchMax = eventTimeCol.flatMap { c =>
+          val r = delta.agg(max(unix_micros(col(c)))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
         }
-      }
-      SnapshotStore.read(sp, tableDir) match {
-        case None =>
-          SnapshotStore.promote(sp, tableDir, delta,
-            preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
-        case Some(_) =>
-          VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
-            asOfMicros = asOf, keep = Keep): Unit
-      }
+        val asOf = batchMax.map(m =>
+          math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
+        SnapshotStore.read(sp, tableDir) match {
+          case None =>
+            SnapshotStore.promote(sp, tableDir, delta,
+              preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
+          case Some(_) =>
+            VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
+              asOfMicros = asOf, keep = Keep): Unit
+        }
+      } finally delta.unpersist(): Unit
     }.start()
   }
 }

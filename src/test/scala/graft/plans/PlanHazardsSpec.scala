@@ -56,7 +56,7 @@ class PlanHazardsSpec extends SparkSuite {
         if (h.unboundedCross.nonEmpty)
           bad += s"$name: unbounded ${h.unboundedCross.mkString(",")}"
       } catch {
-        case e: Throwable => bad += s"$name: PLAN-ERROR ${e.getMessage.take(80)}"
+        case e: Throwable => bad += s"$name: PLAN-ERROR ${e.toString.take(80)}"
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
