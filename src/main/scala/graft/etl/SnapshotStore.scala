@@ -223,6 +223,22 @@ object SnapshotStore {
       .flatMap { case (_, m) => manifestDataFiles(fs, tgt, m) }
   }
 
+  /** Version `id`'s data files, table-root relative — the file-level
+    * view [[VersionedLoad.restore]] and [[VersionedLoad.changesBetween]]
+    * build on. None when the version is not committed/retained. */
+  def filesForVersion(spark: SparkSession, dir: String, id: Long): Option[Seq[String]] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFiles(fs, tgt).find(_._1 == id)
+      .flatMap { case (_, p) => resolve(fs, tgt, p) }
+      .map(m => manifestDataFiles(fs, tgt, m))
+  }
+
+  /** Read an explicit file list (as returned by [[filesForVersion]] /
+    * [[currentFiles]]) lazily. Empty list → None. */
+  def readFiles(spark: SparkSession, dir: String, files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(f => new Path(dir, f).toString): _*))
+
   /** Read the latest committed state. None when nothing was ever
     * committed. Lazy — see the read-laziness contract above. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {

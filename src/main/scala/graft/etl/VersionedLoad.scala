@@ -65,6 +65,49 @@ object VersionedLoad {
       keys: Seq[String], asOfMicros: Long, keep: Int = 16): Long =
     refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep)
 
+  /** ROLLBACK as a forward commit (the RESTORE of the heavyweight
+    * formats): re-promote version `version`'s state as the NEW head —
+    * a METADATA-ONLY commit, because the new manifest references the
+    * old version's files in place; no data is rewritten regardless of
+    * table size (the commit's own primary directory holds only the
+    * empty-schema marker write). History stays append-only: the rolled-
+    * back-over versions remain travelable until GC, and the restore
+    * itself is one more auditable version. Throws when `version` is not
+    * committed/retained. */
+  def restore(spark: SparkSession, table: String, version: Long,
+      asOfMicros: Option[Long] = None, keep: Int = 16): Long = {
+    val files = SnapshotStore.filesForVersion(spark, table, version).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedLoad.restore: version $version of $table is not committed/retained"))
+    val state = SnapshotStore.readVersion(spark, table, version).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedLoad.restore: version $version of $table is unreadable"))
+    SnapshotStore.promote(spark, table, state.limit(0),
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = files)
+  }
+
+  /** Incremental consumption between two committed versions: the rows
+    * in files `toVersion` references that `fromVersion` does not — for
+    * an append-only file-reuse chain (every [[refresh]] commit) this IS
+    * the set of rows inserted between the versions, computed at
+    * O(delta) read cost from the manifest file-list DIFF, never a scan
+    * or join over the full table (the CDC-read pattern of the
+    * heavyweight formats, for the insert-only contract this load
+    * implements). Precondition: no [[compact]]/[[restore]] commit
+    * strictly between the two versions — a rewrite re-homes unchanged
+    * rows into new files, so the file diff would return them as
+    * "changes"; diff across compaction boundaries per leg instead.
+    * None when nothing changed. */
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    def filesOf(v: Long): Set[String] =
+      SnapshotStore.filesForVersion(spark, table, v).getOrElse(
+        throw new IllegalStateException(
+          s"VersionedLoad.changesBetween: version $v of $table is not committed/retained")).toSet
+    val newFiles = (filesOf(toVersion) -- filesOf(fromVersion)).toSeq.sorted
+    SnapshotStore.readFiles(spark, table, newFiles)
+  }
+
   /** [[refresh]] with optional as-of metadata — a commit without a
     * pinned instant is invisible to timestamp travel but fully version-
     * travelable (the streaming fact sink uses this when no event-time

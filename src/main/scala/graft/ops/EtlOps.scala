@@ -27,6 +27,16 @@ object EtlOps {
   private val compactTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (bootstrap + refresh + restore committed)
+    * table of etl_snapshot_restore. */
+  private val restoreTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** dir → the fully-built (bootstrap + two refreshes) table of
+    * etl_table_changes. */
+  private val changesTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -441,6 +451,131 @@ object EtlOps {
           .select(lit(ver).as("version"), col("yr"), col("n_orders"), col("spend"))
       yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, 0L)
         .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
+    },
+
+    // ── etl_snapshot_restore: ROLLBACK as a forward commit
+    // ([[graft.etl.VersionedLoad.restore]] — the RESTORE of the
+    // heavyweight formats on the native store): the fact bootstraps,
+    // an incremental refresh moves the head, then the table ROLLS BACK
+    // to version 0 — committed as version 2 whose manifest references
+    // v0's FILES IN PLACE, so the rollback is METADATA-ONLY: zero data
+    // rewritten regardless of table size (the file-level manifest
+    // format's payoff made user-visible; RestoreSpec pins the
+    // zero-data-write and file-identity facts the oracle cannot see).
+    // History stays append-only — v1 remains travelable, the restore
+    // itself is auditable. The op reads all three versions back tagged
+    // and year-aggregated; the oracle recomputes each state
+    // relationally, so a restore that loses rows, resurrects the wrong
+    // version, or contaminates the head with v1 rows is a hash diff.
+    OpQuery.checked(
+      "etl_snapshot_restore",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |e AS (SELECT * FROM o WHERE od < DATE '1995-01-01'),
+        |b1 AS (
+        |  SELECT * FROM o
+        |  WHERE od BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+        |l1 AS (
+        |  SELECT * FROM e
+        |  UNION ALL
+        |  SELECT b.* FROM b1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.o_orderkey = b.o_orderkey)),
+        |a0 AS (SELECT CAST(year(od) AS BIGINT) AS yr,
+        |              CAST(count(*) AS BIGINT) AS n_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |       FROM e GROUP BY 1),
+        |a1 AS (SELECT CAST(year(od) AS BIGINT) AS yr,
+        |              CAST(count(*) AS BIGINT) AS n_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |       FROM l1 GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS version, * FROM a0
+        |UNION ALL SELECT CAST(1 AS BIGINT), * FROM a1
+        |UNION ALL SELECT CAST(2 AS BIGINT), * FROM a0""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.restoreTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "restore_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.filter(col("od") < lit("1995-01-01").cast("date")),
+          asOfMicros = 788918400000000L) // 1995-01-01T00:00:00Z
+        graft.etl.VersionedLoad.refresh(spark, t,
+          o.filter(col("od").between(
+            lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date"))),
+          Seq("o_orderkey"), asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z
+        graft.etl.VersionedLoad.restore(spark, t, version = 0L,
+          asOfMicros = Some(852076800000000L)) // 1997-01-01T00:00:00Z, the rollback instant
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(ver).as("version"), col("yr"), col("n_orders"), col("spend"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, 0L)
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 2L).get, 2L))
+    },
+
+    // ── etl_table_changes: INCREMENTAL CONSUMPTION between versions
+    // ([[graft.etl.VersionedLoad.changesBetween]] — the CDC-read of the
+    // heavyweight formats, for this load's insert-only contract): with
+    // file-level manifests, "what did version 2 add over version 1" is
+    // a MANIFEST FILE-LIST DIFF — the reader scans only the delta
+    // files, never the table, so a downstream pipeline consumes each
+    // refresh at O(delta) read cost (ref: the subsequent-load deltas of
+    // 07_SubsequentLoading.sql consumed incrementally). The table takes
+    // two overlapping refreshes; the op emits the year aggregate of
+    // changes(v1 → v2), and the oracle recomputes exactly the rows the
+    // second refresh genuinely inserted (batch2 NOT EXISTS in state 1)
+    // — a file diff that leaked reused files, dropped a delta file, or
+    // misattributed versions is a hash diff. ChangesSpec pins the
+    // filesystem fact that only delta files are scanned.
+    OpQuery.checked(
+      "etl_table_changes",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |e AS (SELECT * FROM o WHERE od < DATE '1995-01-01'),
+        |b1 AS (
+        |  SELECT * FROM o
+        |  WHERE od BETWEEN DATE '1994-07-01' AND DATE '1995-12-31'),
+        |l1 AS (
+        |  SELECT * FROM e
+        |  UNION ALL
+        |  SELECT b.* FROM b1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.o_orderkey = b.o_orderkey)),
+        |b2 AS (
+        |  SELECT * FROM o
+        |  WHERE od BETWEEN DATE '1995-07-01' AND DATE '1996-12-31'),
+        |chg AS (
+        |  SELECT b.* FROM b2 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.o_orderkey = b.o_orderkey))
+        |SELECT CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM chg GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.changesTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "changes_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.filter(col("od") < lit("1995-01-01").cast("date")),
+          asOfMicros = 788918400000000L) // 1995-01-01T00:00:00Z
+        graft.etl.VersionedLoad.refresh(spark, t,
+          o.filter(col("od").between(
+            lit("1994-07-01").cast("date"), lit("1995-12-31").cast("date"))),
+          Seq("o_orderkey"), asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z
+        graft.etl.VersionedLoad.refresh(spark, t,
+          o.filter(col("od").between(
+            lit("1995-07-01").cast("date"), lit("1996-12-31").cast("date"))),
+          Seq("o_orderkey"), asOfMicros = 852076800000000L) // 1997-01-01T00:00:00Z
+        t
+      })
+      graft.etl.VersionedLoad.changesBetween(spark, table, 1L, 2L).get
+        .groupBy(year(col("od")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
     },
 
     // ── etl_validation_report: CHECK-constraint semantics as violation

@@ -151,6 +151,62 @@ class VersionedLoadSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).get.count() == 6)
   }
 
+  test("restore is a metadata-only rollback: zero data rewritten, every version still travelable") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    VersionedLoad.refresh(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = 2000L)
+    val id2 = VersionedLoad.restore(spark, t, version = 0L, asOfMicros = Some(3000L))
+    assert(id2 == 2L)
+    // the head IS version 0's state again
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // metadata-only: the restore commit's own primary directory carries
+    // no data rows — its manifest references v0's files in place
+    val dir = new java.io.File(t)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, f"manifest-${2L}%020d").toPath), "UTF-8").split("\n")
+    val ownDir = m2.head.trim
+    val ownRows = Option(new java.io.File(dir, ownDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")) match {
+      case fs if fs.isEmpty => 0L
+      case fs => spark.read.parquet(fs.map(_.getAbsolutePath).toIndexedSeq: _*).count()
+    }
+    assert(ownRows == 0L, s"restore wrote $ownRows data rows; the rollback must be metadata-only")
+    // the rolled-back-over version stays travelable (append-only history)
+    assert(SnapshotStore.readVersion(spark, t, 1L).get.count() == 3)
+    // and the head reads THROUGH v0's physical files (plus at most the
+    // restore's own zero-row schema marker, already asserted empty)
+    val v0snap = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, f"manifest-${0L}%020d").toPath), "UTF-8").split("\n").head.trim
+    val headFiles = SnapshotStore.read(spark, t).get.inputFiles
+    assert(headFiles.exists(_.contains(v0snap)) &&
+      headFiles.forall(f => f.contains(v0snap) || f.contains(ownDir)),
+      s"the restored head must reference version 0's files in place: ${headFiles.mkString(", ")}")
+  }
+
+  test("changesBetween reads ONLY the delta files and returns exactly the inserted rows") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L)
+    VersionedLoad.refresh(spark, t, fact(1L -> "dup", 2L -> "b"), Seq("k"), asOfMicros = 2000L)
+    VersionedLoad.refresh(spark, t, fact(2L -> "dup", 3L -> "c", 4L -> "d"),
+      Seq("k"), asOfMicros = 3000L)
+    val chg = VersionedLoad.changesBetween(spark, t, 1L, 2L).get
+    assert(chg.as[(Long, String)].collect().sorted.toSeq == Seq(3L -> "c", 4L -> "d"),
+      "changes are exactly the rows the second refresh genuinely inserted")
+    // O(delta) read: every scanned file belongs to v2's own delta
+    // directory — none of v0/v1's reused files are touched
+    val dir = new java.io.File(t)
+    val v2snap = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, f"manifest-${2L}%020d").toPath), "UTF-8").split("\n").head.trim
+    assert(chg.inputFiles.nonEmpty && chg.inputFiles.forall(_.contains(v2snap)),
+      s"changes scanned beyond the delta files: ${chg.inputFiles.mkString(", ")}")
+    // a refresh that inserted nothing yields no changes at all
+    VersionedLoad.refresh(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = 4000L)
+    val none = VersionedLoad.changesBetween(spark, t, 2L, 3L)
+    assert(none.isEmpty || none.get.count() == 0,
+      "a pure-overlap refresh contributes no changed rows")
+  }
+
   test("refreshing a never-bootstrapped table fails loudly") {
     val t = freshTable()
     intercept[IllegalStateException] {
