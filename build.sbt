@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 240-query sweep JIT-compiles ~170 MB of generated code (measured
+  // r14: both 116 MB code heaps ~72% full after ONE sweep pass with
+  // full_count still 0) — the JDK 17 default 240 MB reserve would hit
+  // code-cache flushing midway through the second pass, and methods
+  // deoptimized by the flush re-run interpreted inside later queries'
+  // measured windows. Reserved ≠ committed: the larger reserve costs
+  // address space only.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -21,8 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (07_SubsequentLoading.sql:331-355) applied to the storage layer. An
   * unchanged file is never rewritten (byte-identity across refreshes is
   * spec-pinned), so at 100 TB a daily refresh costs O(delta) write, not
-  * O(table). [[compact]] is the complementary full rewrite that heals
-  * the small-file accumulation many incremental commits leave behind.
+  * O(table). [[merge]] extends the same file-reuse discipline to the
+  * UPDATE arm (copy-on-write: only files containing a matched key are
+  * rewritten), and [[compact]] is the complementary full rewrite that
+  * heals the small-file accumulation many incremental commits leave
+  * behind.
   */
 object VersionedLoad {
 
@@ -93,10 +96,11 @@ object VersionedLoad {
     * O(delta) read cost from the manifest file-list DIFF, never a scan
     * or join over the full table (the CDC-read pattern of the
     * heavyweight formats, for the insert-only contract this load
-    * implements). Precondition: no [[compact]]/[[restore]] commit
-    * strictly between the two versions — a rewrite re-homes unchanged
-    * rows into new files, so the file diff would return them as
-    * "changes"; diff across compaction boundaries per leg instead.
+    * implements). Precondition: no [[compact]]/[[restore]]/[[merge]]
+    * commit strictly between the two versions — a rewrite re-homes
+    * unchanged rows into new files, so the file diff would return them
+    * as "changes" (for merge: the touched files' survivors); diff
+    * across rewrite boundaries per leg instead.
     * None when nothing changed. */
   def changesBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): Option[DataFrame] = {
@@ -121,5 +125,63 @@ object VersionedLoad {
     SnapshotStore.promote(spark, table, newRows,
       keep = keep, asOfMicros = asOfMicros,
       reuseFiles = SnapshotStore.currentFiles(spark, table))
+  }
+
+  /** Copy-on-write MERGE — the reference MERGE's WHEN MATCHED UPDATE /
+    * WHEN NOT MATCHED INSERT arms (07_SubsequentLoading.sql's upsert
+    * blocks) at the storage layer, where [[refresh]] implements only
+    * the insert arm: matched keys take the batch's row, unmatched
+    * existing rows survive, unmatched batch rows insert, all as ONE
+    * atomic versioned commit.
+    *
+    * Scale shape: only the files that CONTAIN a matched key are
+    * rewritten — their surviving rows re-land with the batch in this
+    * commit's primary directory, every untouched file is reused by
+    * reference, so the write cost is O(delta + touched files), never
+    * O(table); with a key-clustered layout (bucketing, the sorted-
+    * layout op) the touched set concentrates instead of spraying
+    * across every file. Locating the matched keys costs one semi-join
+    * scan of the current version (the batch's distinct keys broadcast
+    * when small); the touched-file list itself is metadata-scale
+    * (bounded by the file count, like the manifest).
+    *
+    * Precondition: `batch` is key-unique — dedupe first (the streaming
+    * fact sink's deterministic min-struct winner is the supported way).
+    * Duplicate keys across EXISTING files (impossible through
+    * bootstrap + refresh/merge, possible through raw promotes) are
+    * healed as a side effect: every copy's file is touched, every old
+    * copy drops, exactly the batch row survives.
+    *
+    * Throws when the table was never bootstrapped — merging into
+    * nothing is a pipeline wiring bug, not an implicit bootstrap. */
+  def merge(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val files = SnapshotStore.currentFiles(spark, table)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"VersionedLoad.merge: $table has no committed version — bootstrap first")
+    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    // root-relative id of each scanned row's file: snapshot dirs are
+    // direct children of the table root, so the trailing two path
+    // segments of input_file_name() are exactly the manifest's
+    // file-list entry for that file
+    val relFile = expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)")
+    val touched = SnapshotStore.readFiles(spark, table, files).get
+      .withColumn("__file", relFile)
+      .join(batchKeys, keys, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty)
+      // pure insert: nothing to rewrite, reuse every file by reference
+      return SnapshotStore.promote(spark, table, batch,
+        keep = keep, asOfMicros = asOfMicros, reuseFiles = files)
+    val untouched = files.filterNot(touched)
+    // survivors: rows of the touched files whose key the batch does NOT
+    // carry — read ONLY those files, not the table
+    val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
+      .join(batchKeys, keys, "left_anti")
+    SnapshotStore.promote(spark, table, batch.unionByName(survivors),
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched)
   }
 }

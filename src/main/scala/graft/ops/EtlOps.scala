@@ -27,6 +27,11 @@ object EtlOps {
   private val compactTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (bootstrap + copy-on-write merge committed)
+    * table of etl_merge_versioned. */
+  private val mergeVersionedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** dir → the fully-built (bootstrap + refresh + restore committed)
     * table of etl_snapshot_restore. */
   private val restoreTables =
@@ -396,6 +401,73 @@ object EtlOps {
           col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
         graft.etl.VersionedLoad.refresh(spark, t, batch, Seq("o_orderkey"),
           asOfMicros = 852076800000000L) // 1997-01-01T00:00:00Z, post-refresh horizon
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(ver).as("version"), col("yr"), col("n_orders"), col("spend"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, 0L)
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
+    },
+
+    // ── etl_merge_versioned: copy-on-write UPSERT through the manifest
+    // store ([[graft.etl.VersionedLoad.merge]]) — the reference MERGE's
+    // WHEN MATCHED UPDATE arm (07_SubsequentLoading.sql's upsert blocks)
+    // that etl_incremental_versioned's insert-only refresh deliberately
+    // lacks: the fact bootstraps as version 0, then a batch whose
+    // overlap REPRICES the matched orders (price doubled — updates must
+    // visibly replace, not be no-opped like the refresh contract) and
+    // whose tail inserts new orders commits atomically as version 1.
+    // Only the files containing a matched key are rewritten; untouched
+    // files ride along by reference (byte-identity and the O(touched)
+    // commit-directory bound are pinned in VersionedLoadSpec —
+    // filesystem facts DuckDB cannot see). Both versions read back
+    // year-aggregated and tagged, so a lost update, a surviving stale
+    // row, a dropped survivor, or a mis-resolved version all surface as
+    // value diffs against the oracle's relational replay. Engine
+    // exactness: the repriced value routes DOUBLE → DECIMAL(18,2) → ×2
+    // → DOUBLE identically in both engines (exact decimal doubling,
+    // faithful round trip), and the aggregate is the dsum discipline.
+    OpQuery.checked(
+      "etl_merge_versioned",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |existing AS (SELECT * FROM o WHERE od < DATE '1996-01-01'),
+        |batch AS (
+        |  SELECT o_orderkey, od,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+        |  FROM o
+        |  WHERE od BETWEEN DATE '1995-06-01' AND DATE '1996-12-31'),
+        |merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.o_orderkey = e.o_orderkey))
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM existing GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM merged GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.mergeVersionedTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "merge_versioned_")
+        val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
+        graft.etl.VersionedLoad.bootstrap(spark, t, existing,
+          asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z, the load horizon
+        val batch = o.filter(
+            col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+          .select(col("o_orderkey"), col("od"),
+            (Norm.dec(col("o_totalprice")) * 2).cast("double").as("o_totalprice"))
+        graft.etl.VersionedLoad.merge(spark, t, batch, Seq("o_orderkey"),
+          asOfMicros = Some(852076800000000L)) // 1997-01-01T00:00:00Z
         t
       })
       def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =

@@ -121,6 +121,83 @@ class VersionedLoadSpec extends SparkSuite {
     assert(deltaRows == 1, s"refresh wrote $deltaRows rows; the delta is 1")
   }
 
+  test("merge rewrites ONLY files containing matched keys: updates replace, survivors re-land, untouched files byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // two files with disjoint key ranges: file A = keys 1-2, file B = keys 3-4
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L)
+    val dir = new java.io.File(t)
+    def manifest(version: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"manifest-$version%020d").toPath), "UTF-8").split("\n").toSeq
+    val v0snap = manifest(0L).head.trim
+    val v0files = new java.io.File(dir, v0snap).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length(),
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))).toMap
+    assert(v0files.size == 2, "the bootstrap landed as two key-disjoint files")
+    // which physical file holds key 1?
+    val touchedName = v0files.keys.find { n =>
+      spark.read.parquet(s"$t/$v0snap/$n").as[(Long, String)].collect().exists(_._1 == 1L)
+    }.get
+    val untouchedName = (v0files.keySet - touchedName).head
+    // the merge updates key 1 and inserts key 5
+    val id1 = VersionedLoad.merge(spark, t, fact(1L -> "A2", 5L -> "e"),
+      Seq("k"), asOfMicros = Some(2000L))
+    assert(id1 == 1L)
+    // upsert semantics: 1 replaced, 2-4 survive, 5 inserted
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "A2", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // the manifest reuses the untouched file by reference and drops the touched one
+    val fileLines = manifest(id1).filter(_.startsWith("f ")).map(_.drop(2).trim)
+    assert(fileLines.contains(s"$v0snap/$untouchedName"),
+      "the key-3/4 file is reused by reference")
+    assert(!fileLines.contains(s"$v0snap/$touchedName"),
+      "the file containing the matched key is no longer referenced")
+    // the untouched file was not rewritten: same mtime, size, bytes
+    val (mtime, len, hash) = v0files(untouchedName)
+    val f = new java.io.File(dir, s"$v0snap/$untouchedName")
+    assert(f.lastModified() == mtime && f.length() == len &&
+      java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)) == hash,
+      "the untouched file was rewritten by the merge")
+    // O(delta + touched): the commit's own directory holds exactly the
+    // batch (2 rows) plus the touched file's survivor (key 2)
+    val v1snap = manifest(id1).head.trim
+    val commitRows = spark.read.parquet(s"$t/$v1snap").as[(Long, String)].collect().sorted
+    assert(commitRows.toSeq == Seq(1L -> "A2", 2L -> "b", 5L -> "e"),
+      s"merge wrote ${commitRows.length} rows; expected batch + survivors only")
+    // the pre-merge state stays travelable with the ORIGINAL value
+    assert(SnapshotStore.readVersion(spark, t, 0L).get.as[(Long, String)]
+      .collect().sorted.toSeq.contains(1L -> "a"))
+  }
+
+  test("merge with no matched keys is a pure insert: zero files rewritten, all reused by reference") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    val dir = new java.io.File(t)
+    def manifest(version: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"manifest-$version%020d").toPath), "UTF-8").split("\n").toSeq
+    val v0snap = manifest(0L).head.trim
+    val id1 = VersionedLoad.merge(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = Some(2000L))
+    val fileLines = manifest(id1).filter(_.startsWith("f ")).map(_.drop(2).trim)
+    val v0names = new java.io.File(dir, v0snap).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    v0names.foreach(n => assert(fileLines.contains(s"$v0snap/$n"),
+      s"pure-insert merge must reuse $n by reference"))
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("merge into a never-bootstrapped table fails loudly") {
+    val t = freshTable()
+    intercept[IllegalStateException] {
+      VersionedLoad.merge(spark, t, fact(1L -> "a"), Seq("k"), asOfMicros = Some(1L))
+    }
+  }
+
   test("file-level GC: files reused by retained manifests survive their own manifest aging out") {
     val t = freshTable()
     VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L, keep = 2)
