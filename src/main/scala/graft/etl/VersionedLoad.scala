@@ -127,12 +127,16 @@ object VersionedLoad {
       reuseFiles = SnapshotStore.currentFiles(spark, table))
   }
 
-  /** Copy-on-write MERGE — the reference MERGE's WHEN MATCHED UPDATE /
-    * WHEN NOT MATCHED INSERT arms (07_SubsequentLoading.sql's upsert
-    * blocks) at the storage layer, where [[refresh]] implements only
-    * the insert arm: matched keys take the batch's row, unmatched
-    * existing rows survive, unmatched batch rows insert, all as ONE
-    * atomic versioned commit.
+  /** Copy-on-write MERGE — the full upsert at the storage layer, where
+    * [[refresh]] implements only the insert arm: matched keys take the
+    * batch's row, unmatched existing rows survive, unmatched batch rows
+    * insert, all as ONE atomic versioned commit. The reference splits
+    * this across two statement shapes — its MERGEs carry only the
+    * NOT-MATCHED insert arm (07_SubsequentLoading.sql:331-355) while
+    * updates arrive through correlated UPDATEs against the same facts
+    * (07_SubsequentLoading.sql:288-322, the update_correlated
+    * contract); merge() is the combined shape both compose into once
+    * commits must be atomic and versioned.
     *
     * Scale shape: only the files that CONTAIN a matched key are
     * rewritten — their surviving rows re-land with the batch in this

@@ -412,10 +412,12 @@ object EtlOps {
     },
 
     // ── etl_merge_versioned: copy-on-write UPSERT through the manifest
-    // store ([[graft.etl.VersionedLoad.merge]]) — the reference MERGE's
-    // WHEN MATCHED UPDATE arm (07_SubsequentLoading.sql's upsert blocks)
-    // that etl_incremental_versioned's insert-only refresh deliberately
-    // lacks: the fact bootstraps as version 0, then a batch whose
+    // store ([[graft.etl.VersionedLoad.merge]]) — the UPDATE arm that
+    // etl_incremental_versioned's insert-only refresh deliberately
+    // lacks. The reference splits the two arms across statements (its
+    // MERGEs insert only, 07_SubsequentLoading.sql:331-355; updates run
+    // as correlated UPDATEs on the same facts, :288-322); this op runs
+    // the combined shape: the fact bootstraps as version 0, then a batch whose
     // overlap REPRICES the matched orders (price doubled — updates must
     // visibly replace, not be no-opped like the refresh contract) and
     // whose tail inserts new orders commits atomically as version 1.
