@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.StructType
   * before GC could touch the files it reads. Run
   * [[graft.etl.VersionedLoad.compact]] periodically to fold the
   * accumulated per-batch small files.
+  *
+  * Two sinks, two merge contracts: [[startVersionedFactSink]] is
+  * insert-only (existing grain keys win — `etl_incremental_versioned`
+  * continuously), [[startUpsertFactSink]] is latest-wins
+  * (`etl_merge_versioned` continuously — the CDC/SCD1 applier).
   */
 object FactStream {
 
@@ -115,6 +120,74 @@ object FactStream {
               preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
           case Some(_) =>
             VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
+              asOfMicros = asOf, keep = Keep): Unit
+        }
+      } finally delta.unpersist(): Unit
+    }.start()
+  }
+
+  /** Start maintaining `tableDir` as a LATEST-WINS versioned fact table
+    * — the SCD1 / CDC-upsert twin of [[startVersionedFactSink]]'s
+    * insert-only contract: each micro-batch applies through
+    * [[VersionedLoad.merge]] (copy-on-write: only files containing a
+    * matched key rewrite; the standing table's other files ride along
+    * by reference), so a redelivered key REPLACES the committed row
+    * instead of anti-joining away.
+    *
+    * Within one delivery, conflicting rows on a grain key pick the
+    * winner MAXIMAL under (event time, payload) — the latest
+    * observation, with the payload's natural struct order as the
+    * deterministic tiebreak; without an `eventTimeCol` the payload
+    * order alone decides (arbitrary but replay-stable). ACROSS
+    * deliveries the LAST DELIVERY wins regardless of event time — the
+    * CDC applier contract: cross-batch ordering is the upstream log's
+    * responsibility, and re-sorting history here would make a replayed
+    * old delivery silently shadow a newer value.
+    *
+    * Crash/replay: a replayed delivery re-merges its own winning rows
+    * over themselves — a content-identical commit (idempotent by
+    * VALUE where the insert sink is idempotent by KEY). The as-of
+    * clamp and null-event-time rules are [[startVersionedFactSink]]'s
+    * verbatim. */
+  def startUpsertFactSink(
+      spark: SparkSession,
+      sourceDir: String,
+      tableDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      eventTimeCol: Option[String] = None): StreamingQuery = {
+    val rd = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val wr = src.writeStream.outputMode("append")
+    checkpointDir.foreach(wr.option("checkpointLocation", _))
+    wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sp = batch.sparkSession
+      val keyCols: Seq[Column] = keys.map(col)
+      val payloadNames = batch.columns.filterNot(keys.contains).toSeq
+      // event time leads the struct order so the LATEST observation in
+      // the delivery wins; payload order breaks exact-tie timestamps
+      val ordNames = eventTimeCol.toSeq ++ payloadNames.filterNot(eventTimeCol.contains)
+      val delta = batch.groupBy(keyCols: _*)
+        .agg(max(struct(ordNames.map(col): _*)).as("__p"))
+        .select(keyCols :+ col("__p.*"): _*)
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+        .persist()
+      try {
+        val batchMax = eventTimeCol.flatMap { c =>
+          val r = delta.agg(max(unix_micros(col(c)))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+        val asOf = batchMax.map(m =>
+          math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
+        SnapshotStore.read(sp, tableDir) match {
+          case None =>
+            SnapshotStore.promote(sp, tableDir, delta,
+              preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
+          case Some(_) =>
+            VersionedLoad.merge(sp, tableDir, delta, keys,
               asOfMicros = asOf, keep = Keep): Unit
         }
       } finally delta.unpersist(): Unit

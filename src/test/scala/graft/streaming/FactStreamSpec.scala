@@ -88,6 +88,82 @@ class FactStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsert sink: latest delivery wins, replay is content-identical, pre-states travelable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_ups").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    def stage(name: String, rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("k", "v").coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+    def state(): Set[(Long, String)] =
+      FactStream.readFact(spark, tbl).get.as[(Long, String)].collect().toSet
+
+    stage("u1", 1L -> "a", 2L -> "b")
+    val q = FactStream.startUpsertFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      assert(state() == Set(1L -> "a", 2L -> "b"))
+      // the overlap REPLACES key 2 — the opposite of the insert sink
+      stage("u2", 2L -> "X", 3L -> "c")
+      q.processAllAvailable()
+      assert(state() == Set(1L -> "a", 2L -> "X", 3L -> "c"),
+        "a redelivered key replaces the committed row (latest delivery wins)")
+    } finally q.stop()
+
+    val verBefore = SnapshotStore.currentVersion(spark, tbl).get
+    // kill-and-restart; a new file re-delivers u2's exact content — the
+    // re-merge writes the same winners over themselves
+    stage("u3", 2L -> "X", 3L -> "c")
+    val q2 = FactStream.startUpsertFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q2.processAllAvailable()
+      assert(state() == Set(1L -> "a", 2L -> "X", 3L -> "c"),
+        "a replayed delivery is a content no-op (idempotent by value)")
+      assert(SnapshotStore.currentVersion(spark, tbl).get > verBefore)
+    } finally q2.stop()
+    // the pre-upsert state keeps the ORIGINAL value of key 2
+    assert(SnapshotStore.readVersion(spark, tbl, 0L).get.as[(Long, String)]
+      .collect().toSet == Set(1L -> "a", 2L -> "b"),
+      "the bootstrap state stays travelable with the pre-update value")
+  }
+
+  test("upsert sink: within one delivery the LATEST event time wins, payload breaks ties") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_upsdet").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val tsSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ts", TimestampType)))
+    // key 7 arrives three times in ONE delivery: the 1996 observation
+    // must win over both 1995 rows; key 8's two rows tie on the
+    // timestamp, so the payload's natural order decides ("z" > "a")
+    Seq(
+      (7L, "old1", "1995-01-01 00:00:00"),
+      (7L, "new", "1996-01-01 00:00:00"),
+      (7L, "old2", "1995-06-01 00:00:00"),
+      (8L, "a", "1995-01-01 00:00:00"),
+      (8L, "z", "1995-01-01 00:00:00"))
+      .toDF("k", "v", "s").selectExpr("k", "v", "cast(s as timestamp) as ts")
+      .coalesce(1).write.parquet(s"$src/.st_d")
+    val f = new java.io.File(s"$src/.st_d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/d.parquet").toPath)
+    val q = FactStream.startUpsertFactSink(spark, src, tbl, tsSchema, Seq("k"),
+      checkpointDir = Some(cp), eventTimeCol = Some("ts"))
+    try {
+      q.processAllAvailable()
+      val rows = FactStream.readFact(spark, tbl).get
+        .selectExpr("k", "v").as[(Long, String)].collect().toSet
+      assert(rows == Set(7L -> "new", 8L -> "z"),
+        s"latest-event winner with payload tiebreak expected, got $rows")
+    } finally q.stop()
+  }
+
   test("event-time as-of: commits pin the batch's max event time and mix with readAsOf travel") {
     val root = java.nio.file.Files.createTempDirectory("graft_factstream_asof").toString
     val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
