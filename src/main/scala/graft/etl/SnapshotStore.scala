@@ -101,19 +101,26 @@ object SnapshotStore {
     * [[retryingPromote]] does exactly that. */
   final class ConflictException(msg: String) extends IllegalStateException(msg)
 
+  /** Per-file column statistics carried by a manifest: the min/max of
+    * one LONG column over one data file — the data-skipping index the
+    * heavyweight formats keep per file, in its smallest honest form
+    * (a single numeric column, normally the table's grain key). */
+  final case class FileStat(file: String, col: String, min: Long, max: Long)
+
   /** One committed manifest's content: the primary snapshot directory,
     * the optional pinned as-of instant, the optional explicit file
-    * list (table-root-relative; empty = all data files of `snap`), and
-    * whether the content carried the `end` terminator line. The
-    * terminator is what makes the exclusive-create protocol safe
-    * against TORN CONTENT: the claim is atomic but the write after it
-    * is not, so a crash (or a racing reader) can observe a prefix that
-    * still parses — without the terminator requirement a truncated
-    * file list would resolve as a committed SUBSET of the version and
-    * GC would collect the truncated-away files. Only fully-terminated
-    * manifests commit. */
+    * list (table-root-relative; empty = all data files of `snap`),
+    * optional per-file column stats, and whether the content carried
+    * the `end` terminator line. The terminator is what makes the
+    * exclusive-create protocol safe against TORN CONTENT: the claim is
+    * atomic but the write after it is not, so a crash (or a racing
+    * reader) can observe a prefix that still parses — without the
+    * terminator requirement a truncated file list would resolve as a
+    * committed SUBSET of the version and GC would collect the
+    * truncated-away files. Only fully-terminated manifests commit. */
   private final case class ManifestData(
-      snap: String, asOf: Option[Long], files: Seq[String], terminated: Boolean)
+      snap: String, asOf: Option[Long], files: Seq[String],
+      stats: Seq[FileStat], terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -146,13 +153,26 @@ object SnapshotStore {
   /** Manifest content: line 1 = primary snapshot dir name; line 2
     * (optional, may be blank) = the commit's pinned as-of timestamp in
     * epoch micros; lines 3+ (optional) = `f <relative path>` explicit
-    * file list; final line = the `end` terminator (required for the
-    * manifest to commit — see [[ManifestData]]). */
+    * file list and `s <col> <min> <max> <relative path>` per-file
+    * column stats (path LAST — it is the only token that could ever
+    * grow a delimiter); final line = the `end` terminator (required
+    * for the manifest to commit — see [[ManifestData]]). Unknown line
+    * prefixes are ignored, so a reader from before a line type existed
+    * still resolves the manifest (and one from after tolerates its
+    * absence). */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
     val files = lines.drop(2).collect { case l if l.startsWith("f ") => l.drop(2).trim }
-    ManifestData(lines(0).trim, asOf, files.toIndexedSeq, lines.last.trim == "end")
+    val stats = lines.drop(2).collect { case l if l.startsWith("s ") =>
+      l.drop(2).trim.split(" ", 4) match {
+        case Array(c, mn, mx, p) =>
+          scala.util.Try(FileStat(p, c, mn.toLong, mx.toLong)).toOption
+        case _ => None
+      }
+    }.flatten
+    ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
+      lines.last.trim == "end")
   }
 
   /** Resolve ONE manifest to its committed content: it parses WITH the
@@ -212,6 +232,14 @@ object SnapshotStore {
   def currentAsOf(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, tgt) = fsOf(spark, dir)
     currentManifest(fs, tgt).flatMap(_._2.asOf)
+  }
+
+  /** The current committed version's per-file column stats (empty when
+    * the head commit carries none) — the data-skipping index
+    * [[VersionedLoad.merge]] prunes its touched-file scan with. */
+  def currentFileStats(spark: SparkSession, dir: String): Seq[FileStat] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).toSeq.flatMap(_._2.stats)
   }
 
   /** The current committed version's data files, table-root relative —
@@ -365,7 +393,8 @@ object SnapshotStore {
   def promote(spark: SparkSession, dir: String, df: DataFrame,
       preferredId: Long = 0L, keep: Int = 2,
       asOfMicros: Option[Long] = None, fence: Option[Long] = None,
-      reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None): Long = {
+      reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None,
+      statsCol: Option[String] = None): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     // the id moves past EVERY listed manifest, not just the committed
     // head: debris squatting at committed-head + 1 would otherwise make
@@ -409,13 +438,51 @@ object SnapshotStore {
           s"SnapshotStore: manifest id $maxNow is claimed above head $head (in-flight or torn " +
             s"commit) — refusing to race it; snapshot $snapName is unpromoted and GC-eligible")
     }
+    val ownFiles = dirDataFiles(fs, tgt, snapName)
     val fileLines =
       if (reuseFiles.isEmpty) ""
-      else (reuseFiles ++ dirDataFiles(fs, tgt, snapName)).map("\nf " + _).mkString
+      else (reuseFiles ++ ownFiles).map("\nf " + _).mkString
+    // per-file column stats (`statsCol`): min/max of one LONG column —
+    // computed for THIS commit's own files by one scan of the
+    // just-written delta (O(delta), and the files are page-cache warm),
+    // CARRIED FORWARD from the previous manifest for reused files (a
+    // reused file's content is immutable by construction, so its stats
+    // never go stale). All-null files carry no stat line and are never
+    // prunable — absence means "must scan", the safe default.
+    val statLines = statsCol.fold("") { c =>
+      // integral only: the stat writer casts to long, and a lossy cast
+      // (double, string) would record bounds the true values escape —
+      // a pruner trusting them would silently skip a file it must scan
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"SnapshotStore.promote: statsCol $c must be an integral column, got $dt")
+      }
+      val own =
+        if (ownFiles.isEmpty) Nil
+        else spark.read.parquet(new Path(tgt, snapName).toString)
+          .select(
+            org.apache.spark.sql.functions.expr(
+              "regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)").as("__f"),
+            org.apache.spark.sql.functions.col(c).cast("long").as("__k"))
+          .groupBy("__f")
+          .agg(org.apache.spark.sql.functions.min("__k").as("mn"),
+            org.apache.spark.sql.functions.max("__k").as("mx"))
+          .collect().toSeq
+          .flatMap(r =>
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some(FileStat(r.getString(0), c, r.getLong(1), r.getLong(2))))
+      val reused = reuseFiles.toSet
+      val carried = currentManifest(fs, tgt).toSeq.flatMap(_._2.stats)
+        .filter(st => st.col == c && reused.contains(st.file))
+      (own ++ carried).map(st => s"\ns ${st.col} ${st.min} ${st.max} ${st.file}").mkString
+    }
     // the `end` terminator line commits the content: the exclusive
     // create is atomic but this write is not, and a truncated file list
     // must never resolve as a committed subset (see ManifestData)
-    val content = snapName + "\n" + asOfMicros.fold("")(_.toString) + fileLines + "\nend"
+    val content = snapName + "\n" + asOfMicros.fold("")(_.toString) +
+      fileLines + statLines + "\nend"
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
     if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
       val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +

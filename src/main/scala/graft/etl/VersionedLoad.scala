@@ -29,11 +29,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedLoad {
 
-  /** First load: commit `initial` as the table's version 0. */
+  /** First load: commit `initial` as the table's version 0.
+    * `statsCol` (an integral column, normally the grain key) makes
+    * this and every downstream commit record per-file min/max stats —
+    * the data-skipping index [[merge]] prunes with. */
   def bootstrap(spark: SparkSession, table: String, initial: DataFrame,
-      asOfMicros: Long, keep: Int = 16): Long =
+      asOfMicros: Long, keep: Int = 16, statsCol: Option[String] = None): Long =
     SnapshotStore.promote(spark, table, initial,
-      preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros))
+      preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros),
+      statsCol = statsCol)
 
   /** Compact the CURRENT version's files into `numFiles` as a NEW
     * commit — the table-format answer to small-file accumulation (many
@@ -49,12 +53,13 @@ object VersionedLoad {
     * collapses the reference chain: the new manifest owns all its files
     * directly, letting GC reclaim the chain's spread-out debris. */
   def compact(spark: SparkSession, table: String, numFiles: Int,
-      asOfMicros: Option[Long] = None, keep: Int = 16): Long = {
+      asOfMicros: Option[Long] = None, keep: Int = 16,
+      statsCol: Option[String] = None): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.compact: $table has no committed version"))
     SnapshotStore.promote(spark, table, current.coalesce(numFiles),
-      keep = keep, asOfMicros = asOfMicros)
+      keep = keep, asOfMicros = asOfMicros, statsCol = statsCol)
   }
 
   /** One incremental refresh: anti-join `batch` against the CURRENT
@@ -65,8 +70,9 @@ object VersionedLoad {
     * never bootstrapped — refreshing nothing is a pipeline wiring bug,
     * not an implicit bootstrap. */
   def refresh(spark: SparkSession, table: String, batch: DataFrame,
-      keys: Seq[String], asOfMicros: Long, keep: Int = 16): Long =
-    refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep)
+      keys: Seq[String], asOfMicros: Long, keep: Int = 16,
+      statsCol: Option[String] = None): Long =
+    refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep, statsCol)
 
   /** ROLLBACK as a forward commit (the RESTORE of the heavyweight
     * formats): re-promote version `version`'s state as the NEW head —
@@ -117,14 +123,16 @@ object VersionedLoad {
     * travelable (the streaming fact sink uses this when no event-time
     * column is configured). */
   def refreshOpt(spark: SparkSession, table: String, batch: DataFrame,
-      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16): Long = {
+      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
+      statsCol: Option[String] = None): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.refresh: $table has no committed version — bootstrap first"))
     val newRows = batch.join(current, keys, "left_anti")
     SnapshotStore.promote(spark, table, newRows,
       keep = keep, asOfMicros = asOfMicros,
-      reuseFiles = SnapshotStore.currentFiles(spark, table))
+      reuseFiles = SnapshotStore.currentFiles(spark, table),
+      statsCol = statsCol)
   }
 
   /** Copy-on-write MERGE — the full upsert at the storage layer, where
@@ -159,33 +167,79 @@ object VersionedLoad {
     * Throws when the table was never bootstrapped — merging into
     * nothing is a pipeline wiring bug, not an implicit bootstrap. */
   def merge(spark: SparkSession, table: String, batch: DataFrame,
-      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16): Long = {
-    import org.apache.spark.sql.functions.{col, expr}
+      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
+      statsCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
     val files = SnapshotStore.currentFiles(spark, table)
     if (files.isEmpty)
       throw new IllegalStateException(
         s"VersionedLoad.merge: $table has no committed version — bootstrap first")
     val batchKeys = batch.select(keys.map(col): _*).distinct()
+    // DATA SKIPPING: when the head manifest carries per-file min/max
+    // stats on the (single, integral) merge key, a file whose range
+    // cannot contain ANY batch key needs no scan at all — the
+    // touched-file location drops from one full-table read to a read
+    // of the range-candidate files (with a key-clustered layout:
+    // O(touched)). Files without a stat line always scan — absence
+    // means "must scan", never "prunable". The candidate check is one
+    // broadcast range probe of the batch keys against the file ranges
+    // (file count is metadata-scale, like the manifest itself).
+    val scanFiles: Seq[String] =
+      if (keys.size != 1 || !isIntegral(batch, keys.head)) files
+      else {
+        val keyCol = keys.head
+        val stats = SnapshotStore.currentFileStats(spark, table)
+          .filter(st => st.col == keyCol && files.contains(st.file))
+        if (stats.isEmpty) files
+        else {
+          val statted = stats.map(_.file).toSet
+          val unstatted = files.filterNot(statted)
+          import spark.implicits._
+          val ranges = stats.map(st => (st.file, st.min, st.max))
+            .toDF("__file", "__mn", "__mx")
+          val candidates = batchKeys
+            .join(broadcast(ranges),
+              col(keyCol).cast("long") >= col("__mn") &&
+                col(keyCol).cast("long") <= col("__mx"))
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+          (unstatted ++ files.filter(candidates)).sorted
+        }
+      }
     // root-relative id of each scanned row's file: snapshot dirs are
     // direct children of the table root, so the trailing two path
     // segments of input_file_name() are exactly the manifest's
     // file-list entry for that file
     val relFile = expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)")
-    val touched = SnapshotStore.readFiles(spark, table, files).get
-      .withColumn("__file", relFile)
-      .join(batchKeys, keys, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val touched =
+      if (scanFiles.isEmpty) Set.empty[String]
+      else SnapshotStore.readFiles(spark, table, scanFiles).get
+        .withColumn("__file", relFile)
+        .join(batchKeys, keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     if (touched.isEmpty)
       // pure insert: nothing to rewrite, reuse every file by reference
       return SnapshotStore.promote(spark, table, batch,
-        keep = keep, asOfMicros = asOfMicros, reuseFiles = files)
+        keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
+        statsCol = statsCol)
     val untouched = files.filterNot(touched)
     // survivors: rows of the touched files whose key the batch does NOT
     // carry — read ONLY those files, not the table
     val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
       .join(batchKeys, keys, "left_anti")
     SnapshotStore.promote(spark, table, batch.unionByName(survivors),
-      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched)
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
+      statsCol = statsCol)
   }
+
+  /** Stats-based pruning is only sound for integral keys: the stat
+    * writer casts to long, and a lossy cast (double, string) would
+    * record bounds the true values can escape. */
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 }

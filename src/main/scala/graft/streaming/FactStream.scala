@@ -114,17 +114,32 @@ object FactStream {
         }
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
+        val stats = autoStatsCol(schema, keys)
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             SnapshotStore.promote(sp, tableDir, delta,
-              preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
+              preferredId = batchId, keep = Keep, asOfMicros = asOf,
+              statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
-              asOfMicros = asOf, keep = Keep): Unit
+              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
         }
       } finally delta.unpersist(): Unit
     }.start()
   }
+
+  /** Both sinks maintain the per-file min/max data-skipping index for
+    * free whenever the grain is a single integral key: each commit's
+    * stat scan is O(delta) on page-cache-warm files, and the upsert
+    * sink's merge prunes its touched-file location with it. Composite
+    * or non-integral grains commit without stats (absence = "must
+    * scan", the safe default). */
+  private def autoStatsCol(schema: StructType, keys: Seq[String]): Option[String] =
+    if (keys.size == 1 && (schema(keys.head).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })) Some(keys.head) else None
 
   /** Start maintaining `tableDir` as a LATEST-WINS versioned fact table
     * — the SCD1 / CDC-upsert twin of [[startVersionedFactSink]]'s
@@ -182,13 +197,15 @@ object FactStream {
         }
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
+        val stats = autoStatsCol(schema, keys)
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             SnapshotStore.promote(sp, tableDir, delta,
-              preferredId = batchId, keep = Keep, asOfMicros = asOf): Unit
+              preferredId = batchId, keep = Keep, asOfMicros = asOf,
+              statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.merge(sp, tableDir, delta, keys,
-              asOfMicros = asOf, keep = Keep): Unit
+              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
         }
       } finally delta.unpersist(): Unit
     }.start()

@@ -191,6 +191,72 @@ class VersionedLoadSpec extends SparkSuite {
       Seq(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("statsCol records per-file min/max in the manifest and carries forward across file-reuse commits") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    def statLines(version: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(new java.io.File(t), f"manifest-$version%020d").toPath), "UTF-8")
+        .split("\n").toSeq.filter(_.startsWith("s "))
+    val s0 = statLines(0L)
+    assert(s0.size == 2, s"one stat line per file expected, got $s0")
+    // ranges cover the two key-disjoint files: {1,2} and {3,4}
+    val ranges = s0.map(_.split(" ")).map(a => (a(2).toLong, a(3).toLong)).sorted
+    assert(ranges == Seq((1L, 2L), (3L, 4L)), s"per-file min/max expected, got $ranges")
+    // a refresh reuses both files: their stats carry forward verbatim,
+    // and the delta's own file gains a fresh line
+    val id1 = VersionedLoad.refresh(spark, t, fact(9L -> "z"), Seq("k"),
+      asOfMicros = 2000L, statsCol = Some("k"))
+    val s1 = statLines(id1)
+    assert(s1.size == 3, s"carried + fresh stats expected, got $s1")
+    assert(s0.forall(s1.contains), "reused files' stat lines carry forward verbatim")
+    assert(s1.map(_.split(" ")).exists(a => a(2).toLong == 9L && a(3).toLong == 9L))
+  }
+
+  test("merge prunes its touched-file scan with the stats: a file outside every batch key's range is never read") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val dir = new java.io.File(t)
+    def manifest(version: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"manifest-$version%020d").toPath), "UTF-8").split("\n").toSeq
+    val v0snap = manifest(0L).head.trim
+    // find the file holding the {100,101} range and DESTROY its content:
+    // a merge whose batch keys all fall in the other file's range must
+    // never open it — data skipping made observable (without stats the
+    // touched-file location scans every file and would fail here)
+    val highFile = manifest(0L).filter(_.startsWith("s "))
+      .map(_.split(" ", 5)).find(_(2).toLong == 100L).get(4)
+    java.nio.file.Files.write(new java.io.File(dir, highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val id1 = VersionedLoad.merge(spark, t, fact(1L -> "A2", 5L -> "e"),
+      Seq("k"), asOfMicros = Some(2000L), statsCol = Some("k"))
+    // the commit landed: batch + the low file's survivor, high file
+    // reused by reference (unread), its stats carried forward
+    val fileLines = manifest(id1).filter(_.startsWith("f ")).map(_.drop(2).trim)
+    assert(fileLines.contains(highFile), "the pruned file is reused by reference")
+    val v1snap = manifest(id1).head.trim
+    assert(spark.read.parquet(s"$t/$v1snap").as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "A2", 2L -> "b", 5L -> "e"),
+      "commit dir = batch + the scanned file's survivor only")
+    assert(manifest(id1).filter(_.startsWith("s "))
+      .exists(_.contains(highFile)), "the pruned file's stats carry forward")
+  }
+
+  test("statsCol on a non-integral column fails loudly instead of recording lossy bounds") {
+    val t = freshTable()
+    intercept[IllegalArgumentException] {
+      VersionedLoad.bootstrap(spark, t, fact(1L -> "a"),
+        asOfMicros = 1000L, statsCol = Some("v"))
+    }
+  }
+
   test("merge into a never-bootstrapped table fails loudly") {
     val t = freshTable()
     intercept[IllegalStateException] {
