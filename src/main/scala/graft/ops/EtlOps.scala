@@ -462,14 +462,20 @@ object EtlOps {
       val table = EtlOps.mergeVersionedTables.computeIfAbsent(dir, _ => {
         val t = EtlOps.freshStoreTable(dir, "merge_versioned_")
         val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
+        // statsCol: the checked path exercises the per-file min/max
+        // data-skipping index end to end (recorded at bootstrap,
+        // consulted by the merge's touched-file pruning, carried
+        // forward for reused files)
         graft.etl.VersionedLoad.bootstrap(spark, t, existing,
-          asOfMicros = 820454400000000L) // 1996-01-01T00:00:00Z, the load horizon
+          asOfMicros = 820454400000000L, // 1996-01-01T00:00:00Z, the load horizon
+          statsCol = Some("o_orderkey"))
         val batch = o.filter(
             col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
           .select(col("o_orderkey"), col("od"),
             (Norm.dec(col("o_totalprice")) * 2).cast("double").as("o_totalprice"))
         graft.etl.VersionedLoad.merge(spark, t, batch, Seq("o_orderkey"),
-          asOfMicros = Some(852076800000000L)) // 1997-01-01T00:00:00Z
+          asOfMicros = Some(852076800000000L), // 1997-01-01T00:00:00Z
+          statsCol = Some("o_orderkey"))
         t
       })
       def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
