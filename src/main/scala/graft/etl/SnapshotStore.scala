@@ -242,6 +242,15 @@ object SnapshotStore {
     currentManifest(fs, tgt).toSeq.flatMap(_._2.stats)
   }
 
+  /** Version `id`'s per-file column stats (empty when that commit
+    * carries none or the version is not retained). */
+  def filesForVersionStats(spark: SparkSession, dir: String, id: Long): Seq[FileStat] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFiles(fs, tgt).find(_._1 == id)
+      .flatMap { case (_, p) => resolve(fs, tgt, p) }
+      .toSeq.flatMap(_.stats)
+  }
+
   /** The current committed version's data files, table-root relative —
     * the reuse list an incremental commit passes back to [[promote]].
     * Empty when nothing was ever committed. */

@@ -110,12 +110,67 @@ object VersionedLoad {
     * None when nothing changed. */
   def changesBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): Option[DataFrame] = {
-    def filesOf(v: Long): Set[String] =
-      SnapshotStore.filesForVersion(spark, table, v).getOrElse(
-        throw new IllegalStateException(
-          s"VersionedLoad.changesBetween: version $v of $table is not committed/retained")).toSet
-    val newFiles = (filesOf(toVersion) -- filesOf(fromVersion)).toSeq.sorted
+    val newFiles = (filesOf(spark, table, toVersion, "changesBetween")
+      -- filesOf(spark, table, fromVersion, "changesBetween")).toSeq.sorted
     SnapshotStore.readFiles(spark, table, newFiles)
+  }
+
+  private def filesOf(spark: SparkSession, table: String, v: Long, op: String): Set[String] =
+    SnapshotStore.filesForVersion(spark, table, v).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedLoad.$op: version $v of $table is not committed/retained")).toSet
+
+  /** Value-exact CDC between two committed versions: every row of
+    * `toVersion` that `fromVersion` did not contain — inserts AND the
+    * new values of updates (this table format never deletes). Unlike
+    * [[changesBetween]]'s O(delta) file diff, this read is CORRECT
+    * across ANY commit chain — [[merge]] re-homes touched files'
+    * unchanged survivors and [[compact]]/[[restore]] re-home
+    * everything, and the multiset difference cancels every re-homed
+    * row exactly.
+    *
+    * Cost: the new files' rows (file diff, O(delta) for refresh/merge
+    * chains; O(table) across a compaction) differenced against the
+    * from-version — `statsCol` prunes the from-side read to the files
+    * whose key range intersects the new rows' span (one O(delta)
+    * min/max scan + the manifest stats), because a from-row outside
+    * every new row's key range can cancel nothing. None when nothing
+    * changed. */
+  def upsertsBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long,
+      statsCol: Option[String] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
+    val fromFiles = filesOf(spark, table, fromVersion, "upsertsBetween")
+    val newFiles = (filesOf(spark, table, toVersion, "upsertsBetween") -- fromFiles)
+      .toSeq.sorted
+    SnapshotStore.readFiles(spark, table, newFiles).flatMap { newRows =>
+      val fromSide: Option[DataFrame] = {
+        val pruned = for {
+          c <- statsCol
+          if isIntegral(newRows, c)
+          stats = SnapshotStore.filesForVersionStats(spark, table, fromVersion)
+            .filter(st => st.col == c && fromFiles.contains(st.file))
+          if stats.nonEmpty
+          r = newRows.agg(
+            fmin(col(c).cast("long")), fmax(col(c).cast("long")),
+            (count(lit(1)) - count(col(c))).as("nulls")).head()
+          // a null new-row key could only be cancelled by a null
+          // from-row key, which no stat range describes — skip pruning
+          // entirely rather than risk a missed cancellation
+          if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(2) == 0L
+        } yield {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          val statted = stats.map(_.file).toSet
+          val candidates = stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)
+          val keep = (fromFiles.filterNot(statted) ++ candidates).toSeq.sorted
+          SnapshotStore.readFiles(spark, table, keep)
+        }
+        pruned.getOrElse(SnapshotStore.readFiles(spark, table, fromFiles.toSeq.sorted))
+      }
+      val changed = fromSide.fold(newRows)(f =>
+        newRows.exceptAll(f.select(newRows.columns.map(col).toIndexedSeq: _*)))
+      Some(changed)
+    }
   }
 
   /** [[refresh]] with optional as-of metadata — a commit without a

@@ -249,6 +249,32 @@ class VersionedLoadSpec extends SparkSuite {
       .exists(_.contains(highFile)), "the pruned file's stats carry forward")
   }
 
+  test("upsertsBetween is value-exact CDC: re-homed survivors cancel, updates and inserts emit, correct across compaction") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val id1 = VersionedLoad.merge(spark, t, fact(1L -> "A2", 5L -> "e"),
+      Seq("k"), asOfMicros = Some(2000L), statsCol = Some("k"))
+    // the merge's commit dir carries {1->A2, 5->e} plus the re-homed
+    // survivor 2->b; the multiset difference must cancel the survivor
+    def ups(from: Long, to: Long, stats: Option[String]): Seq[(Long, String)] =
+      VersionedLoad.upsertsBetween(spark, t, from, to, stats).get
+        .as[(Long, String)].collect().sorted.toSeq
+    assert(ups(0L, id1, Some("k")) == Seq(1L -> "A2", 5L -> "e"),
+      "updates emit their new value, inserts emit, survivors cancel")
+    assert(ups(0L, id1, None) == Seq(1L -> "A2", 5L -> "e"),
+      "the unpruned path agrees with the stats-pruned one")
+    // across a compaction every row re-homes; value-exact CDC returns
+    // EMPTY (changesBetween's file diff would over-report here — the
+    // documented trade)
+    val id2 = VersionedLoad.compact(spark, t, numFiles = 1,
+      asOfMicros = Some(2000L), statsCol = Some("k"))
+    assert(VersionedLoad.upsertsBetween(spark, t, id1, id2, Some("k")).get.count() == 0,
+      "a pure rewrite has no value changes")
+  }
+
   test("statsCol on a non-integral column fails loudly instead of recording lossy bounds") {
     val t = freshTable()
     intercept[IllegalArgumentException] {
