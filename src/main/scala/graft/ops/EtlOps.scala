@@ -486,6 +486,54 @@ object EtlOps {
         .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, 1L))
     },
 
+    // ── etl_table_upserts: VALUE-EXACT CDC between versions
+    // ([[graft.etl.VersionedLoad.upsertsBetween]] — what a downstream
+    // consumer reads after a MERGE commit, where etl_table_changes'
+    // file diff only serves insert-only chains): the merge's commit
+    // directory physically carries the re-homed survivors of the
+    // touched files alongside the batch, and the multiset difference
+    // against version 0 must cancel every survivor EXACTLY — so the op
+    // emits precisely the batch (each matched order's repriced value +
+    // the inserts), which is what the oracle recomputes relationally.
+    // A survivor leaking through inflates a year's count; a lost update
+    // deflates it; both are hash diffs. Shares the memoized
+    // bootstrap+merge table with etl_merge_versioned; the from-side
+    // read prunes by the per-file key stats that build recorded.
+    OpQuery.checked(
+      "etl_table_upserts",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |batch AS (
+        |  SELECT o_orderkey, od,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+        |  FROM o
+        |  WHERE od BETWEEN DATE '1995-06-01' AND DATE '1996-12-31')
+        |SELECT CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM batch GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.mergeVersionedTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "merge_versioned_")
+        val existing = o.filter(col("od") < lit("1996-01-01").cast("date"))
+        graft.etl.VersionedLoad.bootstrap(spark, t, existing,
+          asOfMicros = 820454400000000L, statsCol = Some("o_orderkey"))
+        val batch = o.filter(
+            col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+          .select(col("o_orderkey"), col("od"),
+            (Norm.dec(col("o_totalprice")) * 2).cast("double").as("o_totalprice"))
+        graft.etl.VersionedLoad.merge(spark, t, batch, Seq("o_orderkey"),
+          asOfMicros = Some(852076800000000L), statsCol = Some("o_orderkey"))
+        t
+      })
+      graft.etl.VersionedLoad.upsertsBetween(spark, table, 0L, 1L, Some("o_orderkey")).get
+        .groupBy(year(col("od")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
     // ── etl_snapshot_compact: small-file COMPACTION as a versioned
     // commit ([[graft.etl.VersionedLoad.compact]]) — the table-format
     // answer to what many incremental refreshes leave behind (the
