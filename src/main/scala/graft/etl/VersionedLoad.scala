@@ -219,12 +219,24 @@ object VersionedLoad {
     * healed as a side effect: every copy's file is touched, every old
     * copy drops, exactly the batch row survives.
     *
+    * Concurrency: like [[refresh]], single-writer by default — a
+    * commit landing between this merge's read and its promote would be
+    * silently overwritten (the lost-update race every read-merge-write
+    * has). `occ = true` pins the promote to the head this merge read:
+    * the race then surfaces as [[SnapshotStore.ConflictException]] to
+    * retry, at the documented OCC cost that torn debris above the head
+    * blocks the commit (which is why the streaming sink, whose crash
+    * recovery depends on promoting PAST its own debris, keeps the
+    * default).
+    *
     * Throws when the table was never bootstrapped — merging into
     * nothing is a pipeline wiring bug, not an implicit bootstrap. */
   def merge(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, occ: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val base = SnapshotStore.currentVersion(spark, table)
+    val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
     val files = SnapshotStore.currentFiles(spark, table)
     if (files.isEmpty)
       throw new IllegalStateException(
@@ -243,8 +255,9 @@ object VersionedLoad {
       if (keys.size != 1 || !isIntegral(batch, keys.head)) files
       else {
         val keyCol = keys.head
+        val fileSet = files.toSet
         val stats = SnapshotStore.currentFileStats(spark, table)
-          .filter(st => st.col == keyCol && files.contains(st.file))
+          .filter(st => st.col == keyCol && fileSet.contains(st.file))
         if (stats.isEmpty) files
         else {
           val statted = stats.map(_.file).toSet
@@ -277,7 +290,7 @@ object VersionedLoad {
       // pure insert: nothing to rewrite, reuse every file by reference
       return SnapshotStore.promote(spark, table, batch,
         keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
-        statsCol = statsCol)
+        statsCol = statsCol, expectCurrent = expect)
     val untouched = files.filterNot(touched)
     // survivors: rows of the touched files whose key the batch does NOT
     // carry — read ONLY those files, not the table
@@ -285,7 +298,7 @@ object VersionedLoad {
       .join(batchKeys, keys, "left_anti")
     SnapshotStore.promote(spark, table, batch.unionByName(survivors),
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
-      statsCol = statsCol)
+      statsCol = statsCol, expectCurrent = expect)
   }
 
   /** Stats-based pruning is only sound for integral keys: the stat

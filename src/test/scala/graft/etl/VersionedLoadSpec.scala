@@ -283,6 +283,26 @@ class VersionedLoadSpec extends SparkSuite {
     }
   }
 
+  test("occ merge refuses to race an in-flight claim; the default merge keeps the debris-proof recovery") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L)
+    // torn debris above the head: a crashed writer's claimed-but-unlanded manifest
+    java.nio.file.Files.write(
+      new java.io.File(t, "manifest-00000000000000000001").toPath,
+      "snapshot-00000000000000000001-dead".getBytes("UTF-8"))
+    intercept[SnapshotStore.ConflictException] {
+      VersionedLoad.merge(spark, t, fact(1L -> "A2"), Seq("k"),
+        asOfMicros = Some(2000L), occ = true)
+    }
+    // the single-writer default (the streaming sink's posture) promotes
+    // PAST the debris — its own crash recovery depends on it
+    val id = VersionedLoad.merge(spark, t, fact(1L -> "A2"), Seq("k"),
+      asOfMicros = Some(2000L))
+    assert(id == 2L, "the default merge moves past the torn manifest id")
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "A2"))
+  }
+
   test("merge into a never-bootstrapped table fails loudly") {
     val t = freshTable()
     intercept[IllegalStateException] {
