@@ -206,7 +206,15 @@ object SnapshotStore {
     val paths =
       if (m.files.nonEmpty) m.files.map(f => new Path(tgt, f).toString)
       else Seq(new Path(tgt, m.snap).toString)
-    spark.read.parquet(paths: _*)
+    // mergeSchema: a version's file list may mix schema generations
+    // after an ADDITIVE evolution ([[VersionedLoad.merge]] with
+    // allowEvolution — reused files predate the new column, the commit
+    // directory carries it); the union schema projects the missing
+    // column as null in old files. Cost: one footer read per listed
+    // file, metadata-scale like the listing itself. Conflicting TYPE
+    // changes on one column fail the read loudly — evolution here is
+    // additive by contract, never coercive.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** The newest COMMITTED manifest — walks newest-first and stops at the
@@ -274,7 +282,8 @@ object SnapshotStore {
     * [[currentFiles]]) lazily. Empty list → None. */
   def readFiles(spark: SparkSession, dir: String, files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(spark.read.parquet(files.map(f => new Path(dir, f).toString): _*))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => new Path(dir, f).toString): _*)) // see readManifest
 
   /** Read the latest committed state. None when nothing was ever
     * committed. Lazy — see the read-laziness contract above. */

@@ -167,8 +167,18 @@ object VersionedLoad {
         }
         pruned.getOrElse(SnapshotStore.readFiles(spark, table, fromFiles.toSeq.sorted))
       }
-      val changed = fromSide.fold(newRows)(f =>
-        newRows.exceptAll(f.select(newRows.columns.map(col).toIndexedSeq: _*)))
+      // align the from-side to the new rows' schema, projecting columns
+      // an additive evolution introduced as nulls — a survivor re-homed
+      // with only a null-valued new column is logically unchanged and
+      // must cancel
+      val changed = fromSide.fold(newRows) { f =>
+        val have = f.columns.toSet
+        val sel = newRows.schema.fields.map { fd =>
+          if (have.contains(fd.name)) col(fd.name)
+          else org.apache.spark.sql.functions.lit(null).cast(fd.dataType).as(fd.name)
+        }
+        newRows.exceptAll(f.select(sel.toIndexedSeq: _*))
+      }
       Some(changed)
     }
   }
@@ -296,7 +306,11 @@ object VersionedLoad {
     // carry — read ONLY those files, not the table
     val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
       .join(batchKeys, keys, "left_anti")
-    SnapshotStore.promote(spark, table, batch.unionByName(survivors),
+    // allowMissingColumns: ADDITIVE schema evolution — a batch carrying
+    // a new column unions with survivors that predate it (null there),
+    // and the store's mergeSchema reads project it as null in every
+    // reused file; see SnapshotStore.readManifest
+    SnapshotStore.promote(spark, table, batch.unionByName(survivors, allowMissingColumns = true),
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
       statsCol = statsCol, expectCurrent = expect)
   }

@@ -275,6 +275,33 @@ class VersionedLoadSpec extends SparkSuite {
       "a pure rewrite has no value changes")
   }
 
+  test("additive schema evolution: a merge batch with a new column unions with old files, old versions keep their shape") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val batch = Seq((1L, "A2", 10L), (5L, "e", 50L)).toDF("k", "v", "w")
+    val id1 = VersionedLoad.merge(spark, t, batch, Seq("k"),
+      asOfMicros = Some(2000L), statsCol = Some("k"))
+    val head = SnapshotStore.read(spark, t).get
+    assert(head.columns.sorted.toSeq == Seq("k", "v", "w"),
+      "the union schema surfaces the new column")
+    val rows = head.select("k", "v", "w").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "A2", Some(10L)), (2L, "b", None), (5L, "e", Some(50L)),
+      (100L, "c", None), (101L, "d", None)),
+      "batch rows carry the new column; survivors and reused files project null")
+    // the pre-evolution version still reads with its original shape
+    assert(SnapshotStore.readVersion(spark, t, 0L).get.columns.sorted.toSeq == Seq("k", "v"))
+    // value-exact CDC across the evolution: a survivor re-homed with a
+    // null new column is logically unchanged and cancels
+    val ups = VersionedLoad.upsertsBetween(spark, t, 0L, id1, Some("k")).get
+      .select("k", "v", "w").as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ups == Seq((1L, "A2", Some(10L)), (5L, "e", Some(50L))),
+      s"only the genuine upserts emit across the schema change, got $ups")
+  }
+
   test("statsCol on a non-integral column fails loudly instead of recording lossy bounds") {
     val t = freshTable()
     intercept[IllegalArgumentException] {
