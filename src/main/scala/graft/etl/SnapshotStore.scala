@@ -285,6 +285,30 @@ object SnapshotStore {
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => new Path(dir, f).toString): _*)) // see readManifest
 
+  /** Read the latest committed state restricted to `column` ∈
+    * [lo, hi] — the data-skipping read: files whose recorded min/max
+    * range cannot intersect [lo, hi] are never opened (listed files
+    * without a stat line always scan), and the EXACT filter is applied
+    * on top of the pruned scan, so correctness never depends on the
+    * stats — they only cut IO. With a key-clustered layout a point or
+    * range lookup touches O(matching files) instead of the table. None
+    * when nothing was ever committed; a table with no stats degrades
+    * to a filtered full scan. Lazy — see the read-laziness contract. */
+  def readKeyRange(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).flatMap { case (_, m) =>
+      val files = manifestDataFiles(fs, tgt, m)
+      val stats = m.stats.filter(st => st.col == column)
+      val statted = stats.map(_.file).toSet
+      val keep = (files.filterNot(statted) ++
+        stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).sorted
+      readFiles(spark, dir, keep)
+        .map(_.filter(col(column).cast("long").between(lo, hi)))
+    }
+  }
+
   /** Read the latest committed state. None when nothing was ever
     * committed. Lazy — see the read-laziness contract above. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {

@@ -275,6 +275,30 @@ class VersionedLoadSpec extends SparkSuite {
       "a pure rewrite has no value changes")
   }
 
+  test("readKeyRange skips files outside the range and still applies the exact filter inside candidates") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    // exactness inside a candidate file: [2, 50] overlaps the low file's
+    // range {1,2} but must return only k=2
+    assert(SnapshotStore.readKeyRange(spark, t, "k", 2L, 50L).get
+      .as[(Long, String)].collect().toSeq == Seq(2L -> "b"))
+    // destroy the high file's bytes: a range read confined to the low
+    // file's span must never open it — the skip made observable
+    val dir = new java.io.File(t)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, f"manifest-${0L}%020d").toPath), "UTF-8").split("\n").toSeq
+    val highFile = manifest.filter(_.startsWith("s "))
+      .map(_.split(" ", 5)).find(_(2).toLong == 100L).get(4)
+    java.nio.file.Files.write(new java.io.File(dir, highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(SnapshotStore.readKeyRange(spark, t, "k", 1L, 5L).get
+      .as[(Long, String)].collect().sorted.toSeq == Seq(1L -> "a", 2L -> "b"),
+      "an out-of-range file is never opened")
+  }
+
   test("additive schema evolution: a merge batch with a new column unions with old files, old versions keep their shape") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
