@@ -107,6 +107,27 @@ object SnapshotStore {
     * (a single numeric column, normally the table's grain key). */
   final case class FileStat(file: String, col: String, min: Long, max: Long)
 
+  /** Typed per-file stats for the non-integral stat columns (r15 —
+    * Delta/Iceberg keep these for every leading column):
+    * `kind == "date"` → `lo`/`hi` are epoch-day longs rendered as
+    * decimal strings (exact bounds, `hiTrunc` always false);
+    * `kind == "str"` → `lo`/`hi` are Base64 of the value's UTF-8 bytes
+    * truncated to [[StatPrefixBytes]] — a truncated `lo` is still a
+    * valid LOWER bound (a byte prefix sorts ≤ every extension), and a
+    * truncated `hi` (`hiTrunc = true`) bounds values strictly below the
+    * prefix with its last byte incremented. All string pruning
+    * comparisons run in unsigned UTF-8 BYTE order — exactly the order
+    * Spark's UTF8String (and DuckDB's default binary collation) compare
+    * in, so the prune decision and the exact filter can never disagree
+    * on exotic code points. */
+  final case class TypedFileStat(file: String, col: String, kind: String,
+      lo: String, hi: String, hiTrunc: Boolean)
+
+  /** String stat bounds keep at most this many UTF-8 bytes per side —
+    * manifests stay metadata-sized on long-document tables; truncation
+    * only widens the recorded range, never narrows it. */
+  val StatPrefixBytes: Int = 64
+
   /** One committed manifest's content: the primary snapshot directory,
     * the optional pinned as-of instant, the optional explicit file
     * list (table-root-relative; empty = all data files of `snap`),
@@ -120,7 +141,7 @@ object SnapshotStore {
     * truncated-away files. Only fully-terminated manifests commit. */
   private final case class ManifestData(
       snap: String, asOf: Option[Long], files: Seq[String],
-      stats: Seq[FileStat], terminated: Boolean)
+      stats: Seq[FileStat], typedStats: Seq[TypedFileStat], terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -153,13 +174,31 @@ object SnapshotStore {
   /** Manifest content: line 1 = primary snapshot dir name; line 2
     * (optional, may be blank) = the commit's pinned as-of timestamp in
     * epoch micros; lines 3+ (optional) = `f <relative path>` explicit
-    * file list and `s <col> <min> <max> <relative path>` per-file
-    * column stats (path LAST — it is the only token that could ever
-    * grow a delimiter); final line = the `end` terminator (required
-    * for the manifest to commit — see [[ManifestData]]). Unknown line
-    * prefixes are ignored, so a reader from before a line type existed
-    * still resolves the manifest (and one from after tolerates its
-    * absence). */
+    * file list, `s <col> <min> <max> <relative path>` per-file LONG
+    * column stats, and `t <kind> <col> <lo> <hi> <E|T> <relative
+    * path>` per-file TYPED stats (path LAST on every line — it is the
+    * only token that could ever grow a delimiter; stat column names
+    * are whitespace-rejected at write time); final line = the `end`
+    * terminator (required for the manifest to commit — see
+    * [[ManifestData]]). Unknown line prefixes are ignored, so a reader
+    * from before a line type existed still resolves the manifest (and
+    * one from after tolerates its absence) — `t` lines ride on exactly
+    * this rule past r14 readers.
+    *
+    * PARTITION-SPEC DESIGN NOTE (not implemented): a partition
+    * transform would ride the same extensible-line device — a header
+    * line `p <transform> <col>` (e.g. `p year date_key`) declaring the
+    * spec, plus one `v <value> <relative path>` line per file binding
+    * it to its partition value. Because the lines live in each
+    * version's manifest, the spec is versioned WITH the data: dynamic
+    * partition pruning composes with time travel (a readAsOf resolves
+    * the manifest first, then prunes by that manifest's own `v` lines),
+    * and a spec CHANGE is just newer manifests carrying a different
+    * header — old versions keep pruning by the spec they were written
+    * under, the Iceberg partition-evolution behavior. Until then the
+    * typed per-file stats subsume the common case: `year(date_key)`
+    * pruning falls out of date/long stats on `date_key` whenever the
+    * layout clusters by it ([[VersionedLoad.compact]]'s sortBy). */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
@@ -171,8 +210,15 @@ object SnapshotStore {
         case _ => None
       }
     }.flatten
+    val typed = lines.drop(2).collect { case l if l.startsWith("t ") =>
+      l.drop(2).trim.split(" ", 6) match {
+        case Array(kind, c, lo, hi, flag, p) if flag == "E" || flag == "T" =>
+          Some(TypedFileStat(p, c, kind, lo, hi, flag == "T"))
+        case _ => None
+      }
+    }.flatten
     ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
-      lines.last.trim == "end")
+      typed.toIndexedSeq, lines.last.trim == "end")
   }
 
   /** Resolve ONE manifest to its committed content: it parses WITH the
@@ -259,6 +305,13 @@ object SnapshotStore {
       .toSeq.flatMap(_.stats)
   }
 
+  /** The current committed version's TYPED per-file stats (date /
+    * string columns — empty when the head commit carries none). */
+  def currentTypedFileStats(spark: SparkSession, dir: String): Seq[TypedFileStat] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).toSeq.flatMap(_._2.typedStats)
+  }
+
   /** The current committed version's data files, table-root relative —
     * the reuse list an incremental commit passes back to [[promote]].
     * Empty when nothing was ever committed. */
@@ -304,10 +357,146 @@ object SnapshotStore {
       val statted = stats.map(_.file).toSet
       val keep = (files.filterNot(statted) ++
         stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).sorted
-      readFiles(spark, dir, keep)
-        .map(_.filter(col(column).cast("long").between(lo, hi)))
+      readFiles(spark, dir, keep).map { df =>
+        // the stat writer refuses non-integral columns loudly; the
+        // reader must match — a silent cast("long") on a double column
+        // TRUNCATES (5.7 passes a [1,5] filter) and returns rows
+        // outside the requested range (r14 ADVICE)
+        df.schema(column).dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore.readKeyRange: $column is $dt, not an integral column — " +
+              "use readDateRange/readStringRange for typed keys")
+        }
+        df.filter(col(column).cast("long").between(lo, hi))
+      }
     }
   }
+
+  /** [[readKeyRange]] for a DATE column: read the latest committed
+    * state restricted to `column` ∈ [loDate, hiDate] (ISO `yyyy-MM-dd`
+    * strings, inclusive), pruning by the manifest's `t date` per-file
+    * stats — files whose recorded epoch-day span cannot intersect the
+    * range are never opened; listed files without a stat line always
+    * scan, and the exact filter runs on top, so the stats only cut IO.
+    * None when nothing was ever committed. Lazy — see the read-laziness
+    * contract. */
+  def readDateRange(spark: SparkSession, dir: String, column: String,
+      loDate: String, hiDate: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lo = java.time.LocalDate.parse(loDate).toEpochDay
+    val hi = java.time.LocalDate.parse(hiDate).toEpochDay
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).flatMap { case (_, m) =>
+      val files = manifestDataFiles(fs, tgt, m)
+      val stats = m.typedStats.filter(st => st.col == column && st.kind == "date")
+        .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+      val statted = stats.map(_._1).toSet
+      val keep = (files.filterNot(statted) ++
+        stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).sorted
+      readFiles(spark, dir, keep).map { df =>
+        df.schema(column).dataType match {
+          case org.apache.spark.sql.types.DateType => ()
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore.readDateRange: $column is $dt, not a date column")
+        }
+        df.filter(col(column).between(lit(loDate).cast("date"), lit(hiDate).cast("date")))
+      }
+    }
+  }
+
+  /** [[readKeyRange]] for a STRING column: read the latest committed
+    * state restricted to `column` ∈ [lo, hi] (inclusive, UTF-8 byte
+    * order — Spark's native string comparison), pruning by the
+    * manifest's `t str` per-file prefix stats. Soundness under
+    * truncation: a stored `lo` prefix sorts ≤ the true min (so `hi` <
+    * prefix proves no match), and a TRUNCATED `hi` prefix bounds every
+    * value strictly below the prefix with its last byte incremented —
+    * a file is pruned only when the query range provably clears both.
+    * Unparseable stat lines and unstatted files always scan (absence =
+    * "must scan"). None when nothing was ever committed. Lazy. */
+  def readStringRange(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).flatMap { case (_, m) =>
+      val files = manifestDataFiles(fs, tgt, m)
+      val stats = m.typedStats.filter(st => st.col == column && st.kind == "str")
+      val statted = stats.map(_.file).toSet
+      val candidates = stats.filter { st =>
+        scala.util.Try {
+          val stLo = decB64(st.lo)
+          if (cmpBytes(hiB, stLo) < 0) false // hi < min's prefix ≤ every value
+          else {
+            val stHi = decB64(st.hi)
+            if (!st.hiTrunc) cmpBytes(loB, stHi) <= 0 // exact max: keep iff lo ≤ max
+            // truncated max: values < incr(prefix); keep iff lo < that
+            // bound (or no finite bound exists — all-0xFF prefix)
+            else incrBytes(stHi).forall(ub => cmpBytes(loB, ub) < 0)
+          }
+        }.getOrElse(true) // undecodable stat → must scan, never prune
+      }.map(_.file)
+      val keep = (files.filterNot(statted) ++ candidates).sorted
+      readFiles(spark, dir, keep).map { df =>
+        df.schema(column).dataType match {
+          case org.apache.spark.sql.types.StringType => ()
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore.readStringRange: $column is $dt, not a string column")
+        }
+        df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      }
+    }
+  }
+
+  /** UTF-8 bytes of `s` truncated to ≤ [[StatPrefixBytes]]; ._2 =
+    * whether bytes were dropped. Truncation may split a multi-byte
+    * codepoint — harmless, because every stat comparison (write-side
+    * and prune-side) runs in raw byte space, never through a decode. */
+  private def truncBytes(s: String): (Array[Byte], Boolean) = {
+    val b = s.getBytes("UTF-8")
+    if (b.length <= StatPrefixBytes) (b, false)
+    else (java.util.Arrays.copyOf(b, StatPrefixBytes), true)
+  }
+
+  /** Smallest byte string strictly greater than EVERY string carrying
+    * prefix `p`: drop trailing 0xFF bytes, increment the last remaining
+    * byte. None when p is all-0xFF (no finite upper bound exists). */
+  private def incrBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val r = java.util.Arrays.copyOf(p, i + 1)
+      r(i) = ((r(i) & 0xFF) + 1).toByte
+      Some(r)
+    }
+  }
+
+  /** Unsigned lexicographic byte compare (memcmp order — identical to
+    * Spark UTF8String / parquet binary / DuckDB default collation). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Base64 with a `-` sentinel for the empty string (standard Base64
+    * never emits `-`, and an empty token would break the space-split). */
+  private def encB64(b: Array[Byte]): String = {
+    val s = java.util.Base64.getEncoder.encodeToString(b)
+    if (s.isEmpty) "-" else s
+  }
+
+  private def decB64(s: String): Array[Byte] =
+    if (s == "-") Array.emptyByteArray else java.util.Base64.getDecoder.decode(s)
 
   /** Read the latest committed state. None when nothing was ever
     * committed. Lazy — see the read-laziness contract above. */
@@ -436,8 +625,29 @@ object SnapshotStore {
       preferredId: Long = 0L, keep: Int = 2,
       asOfMicros: Option[Long] = None, fence: Option[Long] = None,
       reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
     val (fs, tgt) = fsOf(spark, dir)
+    val effCols = (statsCol.toSeq ++ statsCols).distinct
+    // stat-column validation BEFORE the (slow) snapshot write — a bad
+    // stat request must not leave an orphaned snapshot directory behind
+    effCols.foreach { c =>
+      // stat lines are space-delimited with the column name in a token
+      // position — a whitespace-bearing name would misparse on read
+      // (Try → None: a safe must-scan degrade, but an UNDETECTABLE loss
+      // of the skipping index; r14 ADVICE)
+      if (c.exists(_.isWhitespace))
+        throw new IllegalArgumentException(
+          s"SnapshotStore.promote: statsCol '$c' contains whitespace — " +
+            "stat lines are space-delimited and the name would misparse on read")
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"SnapshotStore.promote: statsCol $c must be an integral, date, or " +
+            s"string column, got $dt")
+      }
+    }
     // the id moves past EVERY listed manifest, not just the committed
     // head: debris squatting at committed-head + 1 would otherwise make
     // the claim below fail with the SAME recomputed id on every retry,
@@ -484,42 +694,76 @@ object SnapshotStore {
     val fileLines =
       if (reuseFiles.isEmpty) ""
       else (reuseFiles ++ ownFiles).map("\nf " + _).mkString
-    // per-file column stats (`statsCol`): min/max of one LONG column —
-    // computed for THIS commit's own files by one scan of the
-    // just-written delta (O(delta), and the files are page-cache warm),
-    // CARRIED FORWARD from the previous manifest for reused files (a
-    // reused file's content is immutable by construction, so its stats
-    // never go stale). All-null files carry no stat line and are never
-    // prunable — absence means "must scan", the safe default.
-    val statLines = statsCol.fold("") { c =>
-      // integral only: the stat writer casts to long, and a lossy cast
-      // (double, string) would record bounds the true values escape —
-      // a pruner trusting them would silently skip a file it must scan
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-        case dt => throw new IllegalArgumentException(
-          s"SnapshotStore.promote: statsCol $c must be an integral column, got $dt")
-      }
-      val own =
-        if (ownFiles.isEmpty) Nil
-        else spark.read.parquet(new Path(tgt, snapName).toString)
-          .select(
-            org.apache.spark.sql.functions.expr(
-              "regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)").as("__f"),
-            org.apache.spark.sql.functions.col(c).cast("long").as("__k"))
-          .groupBy("__f")
-          .agg(org.apache.spark.sql.functions.min("__k").as("mn"),
-            org.apache.spark.sql.functions.max("__k").as("mx"))
-          .collect().toSeq
-          .flatMap(r =>
-            if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some(FileStat(r.getString(0), c, r.getLong(1), r.getLong(2))))
+    // per-file column stats (statsCol/statsCols): min/max per stat
+    // column — computed for THIS commit's own files by ONE scan of the
+    // just-written delta regardless of column count (O(delta), and the
+    // files are page-cache warm), CARRIED FORWARD from the previous
+    // manifest for reused files (a reused file's content is immutable
+    // by construction, so its stats never go stale — ALL its carried
+    // stats stay valid, whichever columns this commit stats). All-null
+    // files carry no stat line and are never prunable — absence means
+    // "must scan", the safe default. Integral columns record `s`
+    // (long) lines; date and string columns record typed `t` lines
+    // ([[TypedFileStat]]); anything else fails loudly — a lossy cast
+    // would record bounds the true values escape, and a pruner
+    // trusting them would silently skip a file it must scan.
+    // reused files keep their stats UNCONDITIONALLY — even a commit
+    // that stats nothing itself (restore's metadata-only promote, a
+    // plain refresh without statsCol) must not silently drop the
+    // skipping index its reused files already carry
+    val carriedLines: Seq[String] = if (reuseFiles.isEmpty) Nil else {
       val reused = reuseFiles.toSet
-      val carried = currentManifest(fs, tgt).toSeq.flatMap(_._2.stats)
-        .filter(st => st.col == c && reused.contains(st.file))
-      (own ++ carried).map(st => s"\ns ${st.col} ${st.min} ${st.max} ${st.file}").mkString
+      val prev = currentManifest(fs, tgt).map(_._2)
+      prev.toSeq.flatMap(_.stats)
+        .filter(st => reused.contains(st.file))
+        .map(st => s"s ${st.col} ${st.min} ${st.max} ${st.file}") ++
+      prev.toSeq.flatMap(_.typedStats)
+        .filter(st => reused.contains(st.file))
+        .map(st => s"t ${st.kind} ${st.col} ${st.lo} ${st.hi} ${if (st.hiTrunc) "T" else "E"} ${st.file}")
     }
+    val ownLines: Seq[String] = if (effCols.isEmpty) Nil else {
+      import org.apache.spark.sql.functions.{col => fcol, datediff, expr, lit,
+        max => fmax, min => fmin}
+      import org.apache.spark.sql.types.{DateType, StringType}
+      val own: Seq[String] =
+        if (ownFiles.isEmpty) Nil
+        else {
+          val aggs = effCols.zipWithIndex.flatMap { case (c, i) =>
+            val base = df.schema(c).dataType match {
+              case StringType => fcol(c)
+              // epoch days via datediff, no java.sql.Date round trip
+              case DateType => datediff(fcol(c), lit("1970-01-01").cast("date")).cast("long")
+              case _        => fcol(c).cast("long")
+            }
+            Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"))
+          }
+          spark.read.parquet(new Path(tgt, snapName).toString)
+            .select(expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)").as("__f")
+              +: effCols.map(fcol): _*)
+            .groupBy("__f")
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().toSeq
+            .flatMap { r =>
+              val file = r.getString(0)
+              effCols.zipWithIndex.flatMap { case (c, i) =>
+                val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+                if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+                else df.schema(c).dataType match {
+                  case StringType =>
+                    val (loP, _)    = truncBytes(r.getString(mnI))
+                    val (hiP, hiT)  = truncBytes(r.getString(mxI))
+                    Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
+                  case DateType =>
+                    Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                  case _ =>
+                    Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
+                }
+              }
+            }
+        }
+      own
+    }
+    val statLines = (ownLines ++ carriedLines).map("\n" + _).mkString
     // the `end` terminator line commits the content: the exclusive
     // create is atomic but this write is not, and a truncated file list
     // must never resolve as a committed subset (see ManifestData)

@@ -22,22 +22,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unchanged file is never rewritten (byte-identity across refreshes is
   * spec-pinned), so at 100 TB a daily refresh costs O(delta) write, not
   * O(table). [[merge]] extends the same file-reuse discipline to the
-  * UPDATE arm (copy-on-write: only files containing a matched key are
-  * rewritten), and [[compact]] is the complementary full rewrite that
-  * heals the small-file accumulation many incremental commits leave
-  * behind.
+  * UPDATE arm, [[delete]] to the keyed DELETE arm, and [[applyCdc]] to
+  * the full three-arm I/U/D contract (all copy-on-write: only files
+  * containing a matched key are rewritten); [[compact]] is the
+  * complementary full rewrite that heals the small-file accumulation
+  * many incremental commits leave behind — and, with `sortBy`,
+  * re-clusters the layout so the stats index keeps pruning after it.
   */
 object VersionedLoad {
 
   /** First load: commit `initial` as the table's version 0.
     * `statsCol` (an integral column, normally the grain key) makes
     * this and every downstream commit record per-file min/max stats —
-    * the data-skipping index [[merge]] prunes with. */
+    * the data-skipping index [[merge]] prunes with. `statsCols` adds
+    * further stat columns (integral, date, or string — the typed
+    * multi-column index [[SnapshotStore.readDateRange]] /
+    * [[SnapshotStore.readStringRange]] prune with). */
   def bootstrap(spark: SparkSession, table: String, initial: DataFrame,
-      asOfMicros: Long, keep: Int = 16, statsCol: Option[String] = None): Long =
+      asOfMicros: Long, keep: Int = 16, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long =
     SnapshotStore.promote(spark, table, initial,
       preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros),
-      statsCol = statsCol)
+      statsCol = statsCol, statsCols = statsCols)
 
   /** Compact the CURRENT version's files into `numFiles` as a NEW
     * commit — the table-format answer to small-file accumulation (many
@@ -51,15 +57,34 @@ object VersionedLoad {
     * Content is identical by construction — coalesce only merges
     * partitions. After a chain of file-reuse refreshes, compaction also
     * collapses the reference chain: the new manifest owns all its files
-    * directly, letting GC reclaim the chain's spread-out debris. */
+    * directly, letting GC reclaim the chain's spread-out debris.
+    *
+    * `sortBy` RANGE-CLUSTERS the rewrite (r15): rows repartition by
+    * range on that column and sort within partitions, so the compacted
+    * files carry DISJOINT key spans — without it, coalesce interleaves
+    * the inputs and every output file spans the whole key range,
+    * silently degrading [[SnapshotStore.readKeyRange]] pruning to a
+    * full scan right when the table was just "optimized". With sortBy
+    * (+ the matching statsCol), a post-compaction point/range lookup
+    * opens O(matching files) — the io_sorted_layout range discipline
+    * wired into the store's own compact path. Cost: one range-exchange
+    * shuffle instead of coalesce's free merge; content identical either
+    * way. */
   def compact(spark: SparkSession, table: String, numFiles: Int,
       asOfMicros: Option[Long] = None, keep: Int = 16,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      sortBy: Option[String] = None): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.compact: $table has no committed version"))
-    SnapshotStore.promote(spark, table, current.coalesce(numFiles),
-      keep = keep, asOfMicros = asOfMicros, statsCol = statsCol)
+    val shaped = sortBy match {
+      case Some(c) =>
+        current.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(c)
+      case None => current.coalesce(numFiles)
+    }
+    SnapshotStore.promote(spark, table, shaped,
+      keep = keep, asOfMicros = asOfMicros, statsCol = statsCol, statsCols = statsCols)
   }
 
   /** One incremental refresh: anti-join `batch` against the CURRENT
@@ -71,8 +96,8 @@ object VersionedLoad {
     * not an implicit bootstrap. */
   def refresh(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Long, keep: Int = 16,
-      statsCol: Option[String] = None): Long =
-    refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep, statsCol)
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long =
+    refreshOpt(spark, table, batch, keys, Some(asOfMicros), keep, statsCol, statsCols)
 
   /** ROLLBACK as a forward commit (the RESTORE of the heavyweight
     * formats): re-promote version `version`'s state as the NEW head —
@@ -120,12 +145,44 @@ object VersionedLoad {
       throw new IllegalStateException(
         s"VersionedLoad.$op: version $v of $table is not committed/retained")).toSet
 
+  /** A version's files read with per-file stats pruning against the
+    * key span of `probe` (single integral `statsCol`): files whose
+    * recorded [min,max] cannot intersect the probe's span are never
+    * opened — a row outside every probe key's range can neither cancel
+    * nor match anything. Falls back to the full list when no
+    * statsCol/stats exist or the probe carries null keys (a null key
+    * is described by no stat range — skipping the prune is the only
+    * sound answer). None when `files` is empty. */
+  private def prunedRead(spark: SparkSession, table: String, version: Long,
+      files: Set[String], statsCol: Option[String],
+      probe: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
+    val pruned = for {
+      c <- statsCol
+      if isIntegral(probe, c)
+      stats = SnapshotStore.filesForVersionStats(spark, table, version)
+        .filter(st => st.col == c && files.contains(st.file))
+      if stats.nonEmpty
+      r = probe.agg(
+        fmin(col(c).cast("long")), fmax(col(c).cast("long")),
+        (count(lit(1)) - count(col(c))).as("nulls")).head()
+      if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(2) == 0L
+    } yield {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val statted = stats.map(_.file).toSet
+      val candidates = stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)
+      val keep = (files.filterNot(statted) ++ candidates).toSeq.sorted
+      SnapshotStore.readFiles(spark, table, keep)
+    }
+    pruned.getOrElse(SnapshotStore.readFiles(spark, table, files.toSeq.sorted))
+  }
+
   /** Value-exact CDC between two committed versions: every row of
     * `toVersion` that `fromVersion` did not contain — inserts AND the
-    * new values of updates (this table format never deletes). Unlike
-    * [[changesBetween]]'s O(delta) file diff, this read is CORRECT
-    * across ANY commit chain — [[merge]] re-homes touched files'
-    * unchanged survivors and [[compact]]/[[restore]] re-home
+    * new values of updates (for delete events too, use [[cdcBetween]]).
+    * Unlike [[changesBetween]]'s O(delta) file diff, this read is
+    * CORRECT across ANY commit chain — [[merge]] re-homes touched
+    * files' unchanged survivors and [[compact]]/[[restore]] re-home
     * everything, and the multiset difference cancels every re-homed
     * row exactly.
     *
@@ -135,51 +192,84 @@ object VersionedLoad {
     * whose key range intersects the new rows' span (one O(delta)
     * min/max scan + the manifest stats), because a from-row outside
     * every new row's key range can cancel nothing. None when nothing
-    * changed. */
+    * changed.
+    *
+    * Schema precondition: the chain between the versions is ADDITIVE —
+    * every from-side column still exists in the to-side schema. A
+    * from-side-only column (a raw promote that DROPPED a column) would
+    * otherwise be silently projected away, letting a from-row that
+    * differs only there spuriously cancel a genuinely new row; the
+    * violation fails loudly instead (r14 ADVICE). */
   def upsertsBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long,
       statsCol: Option[String] = None): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.col
     val fromFiles = filesOf(spark, table, fromVersion, "upsertsBetween")
     val newFiles = (filesOf(spark, table, toVersion, "upsertsBetween") -- fromFiles)
       .toSeq.sorted
     SnapshotStore.readFiles(spark, table, newFiles).flatMap { newRows =>
-      val fromSide: Option[DataFrame] = {
-        val pruned = for {
-          c <- statsCol
-          if isIntegral(newRows, c)
-          stats = SnapshotStore.filesForVersionStats(spark, table, fromVersion)
-            .filter(st => st.col == c && fromFiles.contains(st.file))
-          if stats.nonEmpty
-          r = newRows.agg(
-            fmin(col(c).cast("long")), fmax(col(c).cast("long")),
-            (count(lit(1)) - count(col(c))).as("nulls")).head()
-          // a null new-row key could only be cancelled by a null
-          // from-row key, which no stat range describes — skip pruning
-          // entirely rather than risk a missed cancellation
-          if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(2) == 0L
-        } yield {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
-          val statted = stats.map(_.file).toSet
-          val candidates = stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)
-          val keep = (fromFiles.filterNot(statted) ++ candidates).toSeq.sorted
-          SnapshotStore.readFiles(spark, table, keep)
-        }
-        pruned.getOrElse(SnapshotStore.readFiles(spark, table, fromFiles.toSeq.sorted))
-      }
+      val fromSide: Option[DataFrame] =
+        prunedRead(spark, table, fromVersion, fromFiles, statsCol, newRows)
       // align the from-side to the new rows' schema, projecting columns
       // an additive evolution introduced as nulls — a survivor re-homed
       // with only a null-valued new column is logically unchanged and
       // must cancel
       val changed = fromSide.fold(newRows) { f =>
-        val have = f.columns.toSet
+        val have = newRows.columns.toSet
+        val dropped = f.columns.filterNot(have)
+        if (dropped.nonEmpty)
+          throw new IllegalStateException(
+            s"VersionedLoad.upsertsBetween: version $fromVersion carries column(s) " +
+              s"${dropped.mkString(", ")} absent from version $toVersion — the chain is " +
+              "not additive, and projecting them away would under-report changes")
+        val fHave = f.columns.toSet
         val sel = newRows.schema.fields.map { fd =>
-          if (have.contains(fd.name)) col(fd.name)
+          if (fHave.contains(fd.name)) col(fd.name)
           else org.apache.spark.sql.functions.lit(null).cast(fd.dataType).as(fd.name)
         }
         newRows.exceptAll(f.select(sel.toIndexedSeq: _*))
       }
       Some(changed)
+    }
+  }
+
+  /** Row-level CDC between two committed versions WITH delete events:
+    * the upsert rows of [[upsertsBetween]] plus the PRE-IMAGE of every
+    * deleted row, each tagged by a `_change_type` column ('upsert' |
+    * 'delete') — what a downstream replica applies after a chain that
+    * includes [[delete]]/[[applyCdc]] commits.
+    *
+    * Delete detection is file-diff-shaped like the rest of the CDC
+    * surface: a deleted key's file was necessarily REWRITTEN (its
+    * survivors re-homed), so every delete candidate lives in the files
+    * `fromVersion` references that `toVersion` no longer does — an
+    * O(touched files) read, never a full from-side scan. A candidate
+    * is a real delete exactly when its key exists in NO toVersion file;
+    * that existence probe prunes by `statsCol` to the to-side files
+    * whose range intersects the candidates' span. Update pre-images and
+    * re-homed unchanged rows probe positive and drop out. Keys compare
+    * NULL-SAFE, so a null-keyed row deletes correctly instead of
+    * phantom-deleting forever. None when nothing changed at all. */
+  def cdcBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String],
+      statsCol: Option[String] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val fromFiles = filesOf(spark, table, fromVersion, "cdcBetween")
+    val toFiles   = filesOf(spark, table, toVersion, "cdcBetween")
+    val removed   = fromFiles -- toFiles
+    val ups = upsertsBetween(spark, table, fromVersion, toVersion, statsCol)
+      .map(_.withColumn("_change_type", lit("upsert")))
+    val dels = SnapshotStore.readFiles(spark, table, removed.toSeq.sorted).map { cand =>
+      val toKeys = prunedRead(spark, table, toVersion, toFiles, statsCol, cand)
+        .map(_.select(keys.map(org.apache.spark.sql.functions.col): _*))
+      toKeys.fold(cand) { tk =>
+        val cond = keys.map(k => cand(k) <=> tk(k)).reduce(_ && _)
+        cand.join(tk, cond, "left_anti")
+      }.withColumn("_change_type", lit("delete"))
+    }
+    (ups, dels) match {
+      case (Some(u), Some(d)) => Some(u.unionByName(d, allowMissingColumns = true))
+      case (u, d)             => u.orElse(d)
     }
   }
 
@@ -189,7 +279,7 @@ object VersionedLoad {
     * column is configured). */
   def refreshOpt(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.refresh: $table has no committed version — bootstrap first"))
@@ -197,7 +287,7 @@ object VersionedLoad {
     SnapshotStore.promote(spark, table, newRows,
       keep = keep, asOfMicros = asOfMicros,
       reuseFiles = SnapshotStore.currentFiles(spark, table),
-      statsCol = statsCol)
+      statsCol = statsCol, statsCols = statsCols)
   }
 
   /** Copy-on-write MERGE — the full upsert at the storage layer, where
@@ -243,8 +333,9 @@ object VersionedLoad {
     * nothing is a pipeline wiring bug, not an implicit bootstrap. */
   def merge(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
-      statsCol: Option[String] = None, occ: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      occ: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
     val base = SnapshotStore.currentVersion(spark, table)
     val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
     val files = SnapshotStore.currentFiles(spark, table)
@@ -252,17 +343,145 @@ object VersionedLoad {
       throw new IllegalStateException(
         s"VersionedLoad.merge: $table has no committed version — bootstrap first")
     val batchKeys = batch.select(keys.map(col): _*).distinct()
-    // DATA SKIPPING: when the head manifest carries per-file min/max
-    // stats on the (single, integral) merge key, a file whose range
-    // cannot contain ANY batch key needs no scan at all — the
-    // touched-file location drops from one full-table read to a read
-    // of the range-candidate files (with a key-clustered layout:
-    // O(touched)). Files without a stat line always scan — absence
-    // means "must scan", never "prunable". The candidate check is one
-    // broadcast range probe of the batch keys against the file ranges
-    // (file count is metadata-scale, like the manifest itself).
+    val touched = locateTouched(spark, table, files, batchKeys, keys)
+    if (touched.isEmpty)
+      // pure insert: nothing to rewrite, reuse every file by reference
+      return SnapshotStore.promote(spark, table, batch,
+        keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
+        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+    val untouched = files.filterNot(touched)
+    // survivors: rows of the touched files whose key the batch does NOT
+    // carry — read ONLY those files, not the table
+    val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
+      .join(batchKeys, keys, "left_anti")
+    // allowMissingColumns: ADDITIVE schema evolution — a batch carrying
+    // a new column unions with survivors that predate it (null there),
+    // and the store's mergeSchema reads project it as null in every
+    // reused file; see SnapshotStore.readManifest
+    SnapshotStore.promote(spark, table, batch.unionByName(survivors, allowMissingColumns = true),
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+  }
+
+  /** Row-level copy-on-write DELETE — the missing third of the MERGE
+    * contract ([[merge]] covers update+insert): every current row whose
+    * key appears in `deleteKeys` is removed, as ONE atomic versioned
+    * commit. The reference's only deletes are whole-table lifecycle
+    * truncations (00_Deleteall.sql, 05_InitialLoading.sql:20-26 — the
+    * delete_all bulk overwrite); the keyed arm is the
+    * WHEN MATCHED THEN DELETE of the public Delta/Iceberg MERGE shape,
+    * and the op every 100 TB corpus eventually needs (GDPR /
+    * right-to-be-forgotten: remove these document ids, atomically,
+    * with audit history).
+    *
+    * Scale shape: identical to [[merge]] — only the files CONTAINING a
+    * matched key are rewritten (their surviving rows re-land in this
+    * commit's primary directory), every untouched file rides along by
+    * reference, so the write cost is O(touched files), never O(table);
+    * the stats index prunes the touched-file location the same way.
+    * Deleting keys the table doesn't hold is a no-op that still
+    * commits (metadata-only: empty primary + full reuse list — the
+    * audit trail records that the delete ran). The pre-delete version
+    * stays time-travelable until GC, and [[cdcBetween]] emits the
+    * deleted pre-images as 'delete' events.
+    *
+    * Throws when the table was never bootstrapped. `occ` as in
+    * [[merge]]. */
+  def delete(spark: SparkSession, table: String, deleteKeys: DataFrame,
+      keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      occ: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = SnapshotStore.currentVersion(spark, table)
+    val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
+    val files = SnapshotStore.currentFiles(spark, table)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"VersionedLoad.delete: $table has no committed version — bootstrap first")
+    val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
+    val touched = locateTouched(spark, table, files, delKeys, keys)
+    if (touched.isEmpty)
+      return SnapshotStore.promote(spark, table,
+        SnapshotStore.read(spark, table).get.limit(0),
+        keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
+        expectCurrent = expect)
+    val untouched = files.filterNot(touched)
+    val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
+      .join(delKeys, keys, "left_anti")
+    SnapshotStore.promote(spark, table, survivors,
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+  }
+
+  /** Apply one CDC batch carrying an OP column as ONE atomic
+    * copy-on-write commit — the full three-arm MERGE: rows with
+    * `opCol` = 'D' delete their key, every other row upserts
+    * (matched → replace, unmatched → insert). This is the delivery
+    * contract of a CDC log replica (the I/U/D stream Debezium-shaped
+    * feeds carry) and what [[graft.streaming.FactStream]]'s CDC sink
+    * applies per micro-batch; [[cdcBetween]] re-emits the same event
+    * shape downstream.
+    *
+    * Precondition: `batch` is KEY-UNIQUE across BOTH arms — a key
+    * appearing as an upsert and a delete in one batch is ambiguous
+    * (which wins depends on log order the batch no longer carries);
+    * dedupe upstream to the final op per key first (the streaming
+    * sink's deterministic winner discipline). Scale shape, no-op
+    * behavior, OCC, and the bootstrap-first contract are [[merge]] /
+    * [[delete]]'s verbatim: one touched-file location over the union
+    * of both arms' keys, one survivor rewrite, O(delta + touched
+    * files) write cost. */
+  def applyCdc(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], opCol: String, asOfMicros: Option[Long],
+      keep: Int = 16, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil, occ: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = SnapshotStore.currentVersion(spark, table)
+    val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
+    val files = SnapshotStore.currentFiles(spark, table)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"VersionedLoad.applyCdc: $table has no committed version — bootstrap first")
+    val upserts = batch.filter(col(opCol) =!= "D").drop(opCol)
+    // both arms' keys locate touched files in ONE pass: an upsert's old
+    // row and a delete's row both live in files that must rewrite
+    val allKeys = batch.select(keys.map(col): _*).distinct()
+    val touched = locateTouched(spark, table, files, allKeys, keys)
+    if (touched.isEmpty)
+      // nothing matched: the deletes are no-ops, the upserts pure inserts
+      return SnapshotStore.promote(spark, table, upserts,
+        keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
+        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+    val untouched = files.filterNot(touched)
+    // survivors: touched files' rows whose key NEITHER arm carries —
+    // anti-join against the union of keys drops deleted rows AND the
+    // upserts' old values in one pass
+    val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
+      .join(allKeys, keys, "left_anti")
+    SnapshotStore.promote(spark, table,
+      upserts.unionByName(survivors, allowMissingColumns = true),
+      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+  }
+
+  /** The files of the CURRENT version that contain at least one of
+    * `batchKeys` — the copy-on-write rewrite set shared by [[merge]],
+    * [[delete]], and [[applyCdc]].
+    *
+    * DATA SKIPPING: when the head manifest carries per-file min/max
+    * stats on the (single, integral) key, a file whose range cannot
+    * contain ANY batch key needs no scan at all — the touched-file
+    * location drops from one full-table read to a read of the
+    * range-candidate files (with a key-clustered layout: O(touched)).
+    * Files without a stat line always scan — absence means "must
+    * scan", never "prunable". The candidate check is one broadcast
+    * range probe of the batch keys against the file ranges (file count
+    * is metadata-scale, like the manifest itself). */
+  private def locateTouched(spark: SparkSession, table: String,
+      files: Seq[String], batchKeys: DataFrame, keys: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
     val scanFiles: Seq[String] =
-      if (keys.size != 1 || !isIntegral(batch, keys.head)) files
+      if (keys.size != 1 || !isIntegral(batchKeys, keys.head)) files
       else {
         val keyCol = keys.head
         val fileSet = files.toSet
@@ -289,30 +508,12 @@ object VersionedLoad {
     // segments of input_file_name() are exactly the manifest's
     // file-list entry for that file
     val relFile = expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)")
-    val touched =
-      if (scanFiles.isEmpty) Set.empty[String]
-      else SnapshotStore.readFiles(spark, table, scanFiles).get
-        .withColumn("__file", relFile)
-        .join(batchKeys, keys, "left_semi")
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty)
-      // pure insert: nothing to rewrite, reuse every file by reference
-      return SnapshotStore.promote(spark, table, batch,
-        keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
-        statsCol = statsCol, expectCurrent = expect)
-    val untouched = files.filterNot(touched)
-    // survivors: rows of the touched files whose key the batch does NOT
-    // carry — read ONLY those files, not the table
-    val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
-      .join(batchKeys, keys, "left_anti")
-    // allowMissingColumns: ADDITIVE schema evolution — a batch carrying
-    // a new column unions with survivors that predate it (null there),
-    // and the store's mergeSchema reads project it as null in every
-    // reused file; see SnapshotStore.readManifest
-    SnapshotStore.promote(spark, table, batch.unionByName(survivors, allowMissingColumns = true),
-      keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
-      statsCol = statsCol, expectCurrent = expect)
+    if (scanFiles.isEmpty) Set.empty[String]
+    else SnapshotStore.readFiles(spark, table, scanFiles).get
+      .withColumn("__file", relFile)
+      .join(batchKeys, keys, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Stats-based pruning is only sound for integral keys: the stat

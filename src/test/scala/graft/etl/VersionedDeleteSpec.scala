@@ -1,0 +1,151 @@
+package graft.etl
+
+import graft.SparkSuite
+
+/** The r15 DELETE arm of the versioned store: copy-on-write keyed
+  * deletes ([[VersionedLoad.delete]]), the three-arm I/U/D CDC applier
+  * ([[VersionedLoad.applyCdc]]), delete-aware CDC reads
+  * ([[VersionedLoad.cdcBetween]]), and the cluster-on-compact layout
+  * discipline ([[VersionedLoad.compact]] with sortBy). */
+class VersionedDeleteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_vdel").toString + "/t"
+
+  private def fact(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+
+  private def manifest(t: String, version: Long): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(t), f"manifest-$version%020d").toPath), "UTF-8")
+      .split("\n").toSeq
+
+  test("delete rewrites ONLY files containing matched keys; untouched files are byte-identical; pre-delete state travels") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val dir = new java.io.File(t)
+    val highFile = manifest(t, 0L).filter(_.startsWith("s "))
+      .map(_.split(" ", 5)).find(_(2).toLong == 100L).get(4)
+    val highBytes = java.nio.file.Files.readAllBytes(new java.io.File(dir, highFile).toPath)
+    val id1 = VersionedLoad.delete(spark, t, Seq(Tuple1(1L)).toDF("k"),
+      Seq("k"), asOfMicros = Some(2000L), statsCol = Some("k"))
+    // head: key 1 gone, everything else intact
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(2L -> "b", 100L -> "c", 101L -> "d"))
+    // the untouched high file is reused BY REFERENCE, byte-identical
+    assert(manifest(t, id1).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile))
+    assert(java.util.Arrays.equals(highBytes,
+      java.nio.file.Files.readAllBytes(new java.io.File(dir, highFile).toPath)),
+      "an untouched file is never rewritten by a delete")
+    // travel to the pre-delete version: the deleted row is still there
+    assert(SnapshotStore.readVersion(spark, t, 0L).get
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d"),
+      "the pre-delete state stays time-travelable")
+    // and timestamp travel BEFORE the delete instant resolves it too
+    assert(SnapshotStore.readAsOf(spark, t, 1500L).get.count() == 4)
+  }
+
+  test("deleting absent keys is a metadata-only no-op commit: content unchanged, all files reused") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    val files0 = SnapshotStore.currentFiles(spark, t).toSet
+    val id1 = VersionedLoad.delete(spark, t, Seq(Tuple1(99L)).toDF("k"),
+      Seq("k"), asOfMicros = Some(2000L))
+    assert(id1 == 1L, "the no-op still commits — the audit trail records the delete ran")
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    assert(files0.subsetOf(SnapshotStore.currentFiles(spark, t).toSet),
+      "every previous file rides along by reference")
+  }
+
+  test("applyCdc applies one I/U/D batch as ONE atomic commit") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val batch = Seq((1L, "A2", "U"), (5L, "e", "I"), (2L, "", "D"))
+      .toDF("k", "v", "_op")
+    val id1 = VersionedLoad.applyCdc(spark, t, batch, Seq("k"), "_op",
+      asOfMicros = Some(2000L), statsCol = Some("k"))
+    assert(id1 == 1L, "exactly one commit for the whole batch")
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "A2", 5L -> "e", 100L -> "c", 101L -> "d"),
+      "update replaced, insert landed, delete removed — atomically")
+    // the op column never reaches storage
+    assert(!SnapshotStore.read(spark, t).get.columns.contains("_op"))
+  }
+
+  test("cdcBetween emits upserts AND delete pre-images, tagged; re-homed survivors stay silent") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val batch = Seq((1L, "A2", "U"), (5L, "e", "I"), (2L, "", "D"))
+      .toDF("k", "v", "_op")
+    val id1 = VersionedLoad.applyCdc(spark, t, batch, Seq("k"), "_op",
+      asOfMicros = Some(2000L), statsCol = Some("k"))
+    val cdc = VersionedLoad.cdcBetween(spark, t, 0L, id1, Seq("k"), Some("k")).get
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(cdc == Seq(
+      (2L, "b", "delete"),          // the pre-image of the deleted row
+      (1L, "A2", "upsert"), (5L, "e", "upsert")),
+      s"exact event set expected, got $cdc")
+    // a delete-only commit emits only delete events
+    val id2 = VersionedLoad.delete(spark, t, Seq(Tuple1(100L)).toDF("k"),
+      Seq("k"), asOfMicros = Some(3000L), statsCol = Some("k"))
+    val cdc2 = VersionedLoad.cdcBetween(spark, t, id1, id2, Seq("k"), Some("k")).get
+      .select("k", "v", "_change_type").as[(Long, String, String)].collect().toSeq
+    assert(cdc2 == Seq((100L, "c", "delete")), s"got $cdc2")
+  }
+
+  test("compact(sortBy) re-clusters: output files carry disjoint key spans and range reads prune again") {
+    val t = freshTable()
+    // repartition(2) round-robins: BOTH files span the whole key range,
+    // so a post-compact range read without re-clustering opens everything
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartition(2),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    val id1 = VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(1000L),
+      statsCol = Some("k"), sortBy = Some("k"))
+    // content identical
+    assert(SnapshotStore.readVersion(spark, t, id1).get
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d"))
+    // spans are disjoint after the clustered rewrite
+    val spans = SnapshotStore.currentFileStats(spark, t)
+      .filter(_.col == "k").map(st => (st.min, st.max)).sorted
+    assert(spans.size == 2 && spans(0)._2 < spans(1)._1,
+      s"disjoint per-file spans expected, got $spans")
+    // destroyed-file device: a low-range read opens exactly one file
+    val highFile = SnapshotStore.currentFileStats(spark, t)
+      .filter(_.col == "k").maxBy(_.min).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val expected = Seq(1L, 2L, 100L, 101L)
+      .filter(k => k >= spans(0)._1 && k <= spans(0)._2)
+    assert(SnapshotStore.readKeyRange(spark, t, "k", spans(0)._1, spans(0)._2).get
+      .as[(Long, String)].collect().sorted.toSeq.map(_._1) == expected,
+      "post-compact pruning opens only the matching file")
+  }
+
+  test("upsertsBetween fails loudly on a non-additive chain instead of under-reporting changes") {
+    val t = freshTable()
+    val wide = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
+    VersionedLoad.bootstrap(spark, t, wide, asOfMicros = 1000L)
+    // a raw promote that DROPS column w — the non-additive break the
+    // CDC read's schema alignment cannot silently absorb
+    SnapshotStore.promote(spark, t, fact(1L -> "a", 3L -> "c"),
+      asOfMicros = Some(2000L))
+    val ex = intercept[IllegalStateException] {
+      VersionedLoad.upsertsBetween(spark, t, 0L, 1L).get.count()
+    }
+    assert(ex.getMessage.contains("not additive"))
+  }
+}

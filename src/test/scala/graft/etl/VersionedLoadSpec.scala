@@ -326,11 +326,13 @@ class VersionedLoadSpec extends SparkSuite {
       s"only the genuine upserts emit across the schema change, got $ups")
   }
 
-  test("statsCol on a non-integral column fails loudly instead of recording lossy bounds") {
+  test("statsCol on an unsupported column type fails loudly instead of recording lossy bounds") {
     val t = freshTable()
+    // strings and dates are supported typed stats since r15; a DOUBLE is
+    // the lossy-cast hazard that must still be refused
     intercept[IllegalArgumentException] {
-      VersionedLoad.bootstrap(spark, t, fact(1L -> "a"),
-        asOfMicros = 1000L, statsCol = Some("v"))
+      VersionedLoad.bootstrap(spark, t, Seq((1L, 5.7)).toDF("k", "x"),
+        asOfMicros = 1000L, statsCol = Some("x"))
     }
   }
 
