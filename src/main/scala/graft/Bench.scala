@@ -37,6 +37,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // GUARD the two load-bearing JVM/SQL tunings (r15): losing either
+    // silently re-creates the r13 cliff (pipeline_pretrain_v2 at 10.2 s
+    // instead of 2.2 s; late-sweep queries re-running interpreted after
+    // code-cache flushing) and the regression would masquerade as a
+    // product slowdown. Fail the bench loudly instead.
+    val cacheEntries = spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt
+    if (cacheEntries < SparkEntry.queries.size)
+      throw new IllegalStateException(
+        s"Bench: spark.sql.codegen.cache.maxEntries=$cacheEntries is below the " +
+          s"${SparkEntry.queries.size}-plan registered surface — repeats would re-janino " +
+          "every wide plan (the r13 v2 cliff); restore the 10000-entry setting")
+    val rccBytes: Option[Long] = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .collectFirst { case a if a.startsWith("-XX:ReservedCodeCacheSize=") =>
+          val v = a.stripPrefix("-XX:ReservedCodeCacheSize=").toLowerCase
+          val (num, mult) = v.last match {
+            case 'k' => (v.dropRight(1), 1L << 10)
+            case 'm' => (v.dropRight(1), 1L << 20)
+            case 'g' => (v.dropRight(1), 1L << 30)
+            case _   => (v, 1L)
+          }
+          num.toLong * mult
+        }
+    }
+    if (!rccBytes.exists(_ >= 512L * 1024 * 1024))
+      throw new IllegalStateException(
+        s"Bench: ReservedCodeCacheSize is ${rccBytes.fold("unset (240m default)")(b =>
+          s"${b / 1024 / 1024}m")} — a full sweep JITs ~170 MB of generated code and " +
+          "flushing mid-sweep deoptimizes later queries' measured windows; restore the " +
+          "512m javaOption in build.sbt")
+
     // Warm up executor threads, codegen, and the parquet reader paths once;
     // not counted against any query.
     spark.range(1000000).selectExpr("sum(id)").collect()

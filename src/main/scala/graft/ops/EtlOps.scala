@@ -42,6 +42,16 @@ object EtlOps {
   private val changesTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (bootstrap + I/U/D applyCdc committed) table
+    * shared by etl_merge_delete and etl_cdc_delete_events. */
+  private val mergeDeleteTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** dir → the key-clustered, typed-stats bootstrap of
+    * etl_keyrange_scan. */
+  private val keyrangeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -704,6 +714,212 @@ object EtlOps {
       graft.etl.VersionedLoad.changesBetween(spark, table, 1L, 2L).get
         .groupBy(year(col("od")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── etl_merge_delete: the DELETE arm of the versioned MERGE
+    // ([[graft.etl.VersionedLoad.applyCdc]] — WHEN MATCHED AND op='D'
+    // THEN DELETE, the missing third of the r14 merge surface and the
+    // GDPR/right-to-be-forgotten op of every long-lived corpus). One
+    // I/U/D batch applies as ONE atomic commit: the 1995-H2/1996 window
+    // reprices (update+insert, like etl_merge_versioned), the 1994-H1
+    // orders DELETE by key — copy-on-write, so only files containing a
+    // matched key rewrite and the rest ride along by reference. Three
+    // legs read back tagged: v0 (pre-delete bootstrap), v1 (post-CDC
+    // head — the deleted year's rows must be GONE while other years
+    // keep exactly their merged values), and a timestamp-travel read
+    // pinned between the horizons that must resolve the PRE-delete
+    // state — the deleted rows remain auditable after the delete, the
+    // versioned-delete contract a plain overwrite cannot offer. The
+    // oracle replays all three legs relationally, so a resurrected
+    // deleted row, an over-deleted survivor, or a mis-resolved travel
+    // read is a hash diff.
+    OpQuery.checked(
+      "etl_merge_delete",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |existing AS (SELECT * FROM o WHERE od < DATE '1996-01-01'),
+        |ups AS (
+        |  SELECT o_orderkey, od,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+        |  FROM o
+        |  WHERE od BETWEEN DATE '1995-06-01' AND DATE '1996-12-31'),
+        |dels AS (
+        |  SELECT o_orderkey FROM o
+        |  WHERE od BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'),
+        |merged AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.o_orderkey = e.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.o_orderkey = e.o_orderkey)),
+        |a0 AS (SELECT CAST(year(od) AS BIGINT) AS yr,
+        |              CAST(count(*) AS BIGINT) AS n_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |       FROM existing GROUP BY 1),
+        |a1 AS (SELECT CAST(year(od) AS BIGINT) AS yr,
+        |              CAST(count(*) AS BIGINT) AS n_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |       FROM merged GROUP BY 1)
+        |SELECT 'v0' AS leg, * FROM a0
+        |UNION ALL SELECT 'v1', * FROM a1
+        |UNION ALL SELECT 'asof_mid', * FROM a0""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.mergeDeleteTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "merge_delete_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.filter(col("od") < lit("1996-01-01").cast("date")),
+          asOfMicros = 820454400000000L, // 1996-01-01T00:00:00Z, the load horizon
+          statsCol = Some("o_orderkey"))
+        // one CDC batch, both arms: updates+inserts repriced ×2, the
+        // 1994-H1 keys deleted; the windows are date-disjoint so the
+        // batch is key-unique across arms (applyCdc's precondition)
+        val ups = o.filter(
+            col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+          .select(col("o_orderkey"), col("od"),
+            (Norm.dec(col("o_totalprice")) * 2).cast("double").as("o_totalprice"))
+          .withColumn("_op", lit("U"))
+        val dels = o.filter(
+            col("od").between(lit("1994-01-01").cast("date"), lit("1994-06-30").cast("date")))
+          .withColumn("_op", lit("D"))
+        graft.etl.VersionedLoad.applyCdc(spark, t, ups.unionByName(dels),
+          Seq("o_orderkey"), "_op",
+          asOfMicros = Some(852076800000000L), // 1997-01-01T00:00:00Z
+          statsCol = Some("o_orderkey"))
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
+        // pinned strictly between the horizons: must resolve the
+        // PRE-delete version — deleted rows stay auditable
+        .unionByName(yearAgg(
+          graft.etl.SnapshotStore.readAsOf(spark, table, 840000000000000L).get, "asof_mid"))
+    },
+
+    // ── etl_cdc_delete_events: delete-aware CDC READ
+    // ([[graft.etl.VersionedLoad.cdcBetween]] — what a downstream
+    // replica applies after a chain containing deletes, where
+    // etl_table_upserts' value-exact diff can only see inserts and
+    // updates): the upsert rows AND the PRE-IMAGE of every deleted row
+    // emit tagged by _change_type. Delete detection is file-diff-shaped
+    // — candidates live only in the files the delete REWROTE, probed
+    // for key-existence against the stats-pruned to-side — so the read
+    // stays O(touched files). Shares the memoized bootstrap+CDC table
+    // with etl_merge_delete; the oracle recomputes both event classes
+    // relationally (upserts = the repriced window; deletes = the
+    // 1994-H1 pre-images at their ORIGINAL values), so a leaked
+    // survivor, a phantom delete, or a lost pre-image is a hash diff.
+    OpQuery.checked(
+      "etl_cdc_delete_events",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |existing AS (SELECT * FROM o WHERE od < DATE '1996-01-01'),
+        |ups AS (
+        |  SELECT o_orderkey, od,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice
+        |  FROM o
+        |  WHERE od BETWEEN DATE '1995-06-01' AND DATE '1996-12-31'),
+        |del_pre AS (
+        |  SELECT e.* FROM existing e
+        |  WHERE e.od BETWEEN DATE '1994-01-01' AND DATE '1994-06-30')
+        |SELECT 'upsert' AS change_type, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM ups GROUP BY 2
+        |UNION ALL
+        |SELECT 'delete', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM del_pre GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.mergeDeleteTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "merge_delete_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.filter(col("od") < lit("1996-01-01").cast("date")),
+          asOfMicros = 820454400000000L, statsCol = Some("o_orderkey"))
+        val ups = o.filter(
+            col("od").between(lit("1995-06-01").cast("date"), lit("1996-12-31").cast("date")))
+          .select(col("o_orderkey"), col("od"),
+            (Norm.dec(col("o_totalprice")) * 2).cast("double").as("o_totalprice"))
+          .withColumn("_op", lit("U"))
+        val dels = o.filter(
+            col("od").between(lit("1994-01-01").cast("date"), lit("1994-06-30").cast("date")))
+          .withColumn("_op", lit("D"))
+        graft.etl.VersionedLoad.applyCdc(spark, t, ups.unionByName(dels),
+          Seq("o_orderkey"), "_op",
+          asOfMicros = Some(852076800000000L), statsCol = Some("o_orderkey"))
+        t
+      })
+      graft.etl.VersionedLoad.cdcBetween(spark, table, 0L, 1L,
+          Seq("o_orderkey"), Some("o_orderkey")).get
+        .groupBy(col("_change_type").as("change_type"),
+          year(col("od")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // ── etl_keyrange_scan: the TYPED multi-column data-skipping index
+    // end to end ([[graft.etl.SnapshotStore]] `s`/`t` stat lines +
+    // readKeyRange/readDateRange/readStringRange — the per-file
+    // min/max pruning Delta/Iceberg keep for leading columns, r15):
+    // the fact bootstraps key-CLUSTERED with stats on an integral, a
+    // date, and a string column recorded in ONE delta scan, then three
+    // pruned point/range reads — orderkey range, order-date year,
+    // priority point lookup — come back tagged and year-aggregated.
+    // Files whose recorded spans cannot intersect a leg's range are
+    // never opened (TypedStatsSpec pins that with the destroyed-file
+    // device — a filesystem fact DuckDB cannot see); the oracle
+    // replays each leg as a plain WHERE, so the exact filter on top of
+    // the pruned scan must return precisely the relational answer.
+    OpQuery.checked(
+      "etl_keyrange_scan",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderpriority, o_totalprice
+        |  FROM orders)
+        |SELECT 'key' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o WHERE o_orderkey BETWEEN 100 AND 2000 GROUP BY 2
+        |UNION ALL
+        |SELECT 'date', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE od BETWEEN DATE '1995-01-01' AND DATE '1995-12-31' GROUP BY 2
+        |UNION ALL
+        |SELECT 'str', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE o_orderpriority = '1-URGENT' GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val table = EtlOps.keyrangeTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "keyrange_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          asOfMicros = 852076800000000L,
+          statsCol = Some("o_orderkey"), statsCols = Seq("od", "o_orderpriority"))
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      val s = graft.etl.SnapshotStore
+      yearAgg(s.readKeyRange(spark, table, "o_orderkey", 100L, 2000L).get, "key")
+        .unionByName(yearAgg(
+          s.readDateRange(spark, table, "od", "1995-01-01", "1995-12-31").get, "date"))
+        .unionByName(yearAgg(
+          s.readStringRange(spark, table, "o_orderpriority", "1-URGENT", "1-URGENT").get, "str"))
     },
 
     // ── etl_validation_report: CHECK-constraint semantics as violation

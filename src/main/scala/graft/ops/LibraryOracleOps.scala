@@ -53,6 +53,7 @@ object LibraryOracleOps {
         dimMembers = persistFrame(this, "dw_dim_members", d.dimMembers),
         dimBook = persistFrame(this, "dw_dim_book", d.dimBook),
         factSales = persistFrame(this, "dw_fact_sales", d.factSales),
+        factBorrowing = persistFrame(this, "dw_fact_borrowing", d.factBorrowing),
         factPurchase = persistFrame(this, "dw_fact_purchase", d.factPurchase))
     }
   }
@@ -328,10 +329,15 @@ object LibraryOracleOps {
          |a1 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
          |              CAST(count(*) AS BIGINT) AS n_lines,
          |              CAST(sum(total_amount) AS DOUBLE) AS amount
-         |       FROM loaded GROUP BY 1)
+         |       FROM loaded GROUP BY 1),
+         |ap AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |              CAST(count(*) AS BIGINT) AS n_lines,
+         |              CAST(sum(total_amount) AS DOUBLE) AS amount
+         |       FROM loaded WHERE date_key BETWEEN 20230101 AND 20241231 GROUP BY 1)
          |SELECT 'v0' AS leg, * FROM a0
          |UNION ALL SELECT 'v1', * FROM a1
-         |UNION ALL SELECT 'asof_mid', * FROM a0""".stripMargin
+         |UNION ALL SELECT 'asof_mid', * FROM a0
+         |UNION ALL SELECT 'pruned', * FROM ap""".stripMargin
     ) { (spark, dir) =>
       val c = forSession(spark)
       val fs = persistedDw(spark).factSales
@@ -339,11 +345,15 @@ object LibraryOracleOps {
         c.storeTables.getOrElseUpdate("fact_sales_versioned", {
           val t = EtlOps.freshStoreTable(dir, "lib_fact_versioned_")
           val existing = fs.filter(col("date_key") < 20230101L)
+          // date_key stats: every commit records per-file min/max so
+          // the "pruned" leg's readKeyRange skips out-of-range files
           graft.etl.VersionedLoad.bootstrap(spark, t, existing,
-            asOfMicros = 1672531200000000L) // 2023-01-01T00:00:00Z, the load horizon
+            asOfMicros = 1672531200000000L, // 2023-01-01T00:00:00Z, the load horizon
+            statsCol = Some("date_key"))
           val batch = fs.filter(col("date_key") >= 20220701L)
           graft.etl.VersionedLoad.refresh(spark, t, batch, Seq("order_id", "line_no"),
-            asOfMicros = 1719792000000000L) // 2024-07-01T00:00:00Z, post-refresh horizon
+            asOfMicros = 1719792000000000L, // 2024-07-01T00:00:00Z, post-refresh horizon
+            statsCol = Some("date_key"))
           t
         })
       }
@@ -357,6 +367,117 @@ object LibraryOracleOps {
         // pinned strictly between the horizons: must resolve version 0
         .unionByName(yearAgg(
           graft.etl.SnapshotStore.readAsOf(spark, table, 1700000000000000L).get, "asof_mid"))
+        // stats-pruned read on the star's date_key (the typed index on
+        // the REAL library fact, r15): files outside 2023-24 are never
+        // opened; the exact filter on top must match the oracle's WHERE
+        .unionByName(yearAgg(
+          graft.etl.SnapshotStore.readKeyRange(spark, table, "date_key",
+            20230101L, 20241231L).get, "pruned"))
+    },
+
+    // ── lib_fact_borrowing_versioned: the reference's AGGREGATED
+    // incremental MERGE run through the versioned store on the library
+    // star (07_SubsequentLoading.sql:356-431 — FactBorrowing's
+    // (date_key, member_key, book_key) grain with the MAX/MAX/AVG
+    // collapse of same-day same-member same-book borrows, §7.4's
+    // PK-collapse hazard): the pre-2023 FactBorrowing slice bootstraps
+    // as version 0 (metrics pinned at the 2024-06-30 load horizon), an
+    // overlapping batch RE-DERIVES the fact from BorrowedBooks
+    // (borrow_date ≥ 2022-07-01) at a LATER as-of (2024-12-31) — so
+    // open borrows' duration/overdue metrics GROW, exactly the
+    // reference's correlated repair UPDATE (:288-322) — and commits
+    // through VersionedLoad.merge's copy-on-write on the composite
+    // grain: matched H2-2022 grain rows REPLACE with the repaired
+    // metrics, the 2023-24 rows insert, untouched files ride along by
+    // reference, all as ONE atomic version. The oracle replays the
+    // derivation (joins, CASE arms, the grain GROUP BY) and the merge
+    // relationally from the SAME persisted parquet, so a lost repair,
+    // a stale survivor, a double-counted collapse group, or a
+    // mis-resolved version is a hash diff.
+    OpQuery.checked(
+      "lib_fact_borrowing_versioned",
+      s"""WITH fb AS (SELECT * FROM read_parquet('$DataDir/dw_fact_borrowing.parquet/*.parquet')),
+         |bb AS (SELECT * FROM read_parquet('$DataDir/borrowed_books.parquet/*.parquet')),
+         |bc AS (SELECT copy_id, book_id
+         |       FROM read_parquet('$DataDir/book_copies.parquet/*.parquet')),
+         |db AS (SELECT book_id, book_key
+         |       FROM read_parquet('$DataDir/dw_dim_book.parquet/*.parquet')
+         |       WHERE curr_ind = 'Y'),
+         |dm AS (SELECT member_id, member_key
+         |       FROM read_parquet('$DataDir/dw_dim_members.parquet/*.parquet')
+         |       WHERE curr_ind = 'Y'),
+         |existing AS (SELECT * FROM fb WHERE date_key < 20230101),
+         |batch AS (
+         |  SELECT CAST(year(bb.borrow_date)*10000 + month(bb.borrow_date)*100
+         |              + day(bb.borrow_date) AS BIGINT) AS date_key,
+         |         dm.member_key, db.book_key,
+         |         CAST(max(CASE WHEN bb.return_date IS NOT NULL
+         |                       THEN date_diff('day', bb.borrow_date, bb.return_date)
+         |                       ELSE date_diff('day', bb.borrow_date, DATE '2024-12-31')
+         |                  END) AS BIGINT) AS duration_days,
+         |         CAST(max(greatest(CASE WHEN bb.return_date IS NOT NULL
+         |                                THEN date_diff('day', bb.due_date, bb.return_date)
+         |                                ELSE date_diff('day', bb.due_date, DATE '2024-12-31')
+         |                           END, 0)) AS BIGINT) AS overdue_days,
+         |         CAST(count(*) AS BIGINT) AS n_collapsed
+         |  FROM bb JOIN bc USING (copy_id) JOIN db USING (book_id) JOIN dm USING (member_id)
+         |  WHERE bb.borrow_date >= DATE '2022-07-01'
+         |  GROUP BY 1, 2, 3),
+         |merged AS (
+         |  SELECT * FROM batch
+         |  UNION ALL
+         |  SELECT e.* FROM existing e
+         |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+         |                    WHERE b.date_key = e.date_key AND b.member_key = e.member_key
+         |                      AND b.book_key = e.book_key)),
+         |a0 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |              CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(sum(duration_days) AS BIGINT) AS dur_days,
+         |              CAST(sum(overdue_days) AS BIGINT) AS ovd_days,
+         |              CAST(sum(n_collapsed) AS BIGINT) AS n_borrows
+         |       FROM existing GROUP BY 1),
+         |a1 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |              CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(sum(duration_days) AS BIGINT) AS dur_days,
+         |              CAST(sum(overdue_days) AS BIGINT) AS ovd_days,
+         |              CAST(sum(n_collapsed) AS BIGINT) AS n_borrows
+         |       FROM merged GROUP BY 1)
+         |SELECT 'v0' AS leg, * FROM a0
+         |UNION ALL SELECT 'v1', * FROM a1""".stripMargin
+    ) { (spark, dir) =>
+      val c = forSession(spark)
+      val t0 = derived(spark)
+      val dw = persistedDw(spark)
+      val bbP = persist("borrowed_books", t0.borrowedBooks)
+      val bcP = persist("book_copies", t0.bookCopies)
+      val table = synchronized {
+        c.storeTables.getOrElseUpdate("fact_borrowing_versioned", {
+          val t = EtlOps.freshStoreTable(dir, "lib_fb_versioned_")
+          val existing = dw.factBorrowing.filter(col("date_key") < 20230101L)
+          graft.etl.VersionedLoad.bootstrap(spark, t, existing,
+            asOfMicros = 1672531200000000L) // 2023-01-01T00:00:00Z, the load horizon
+          // the batch RE-DERIVES the fact from the OLTP slice at the
+          // later as-of — InitialLoad.factBorrowing IS the reference's
+          // grain-collapse derivation, reused verbatim
+          val batch = graft.etl.InitialLoad.factBorrowing(
+            bbP.filter(col("borrow_date") >= lit("2022-07-01").cast("date")),
+            bcP, dw.dimBook, dw.dimMembers, asOf = "2024-12-31")
+          graft.etl.VersionedLoad.merge(spark, t, batch,
+            Seq("date_key", "member_key", "book_key"),
+            asOfMicros = Some(1735689600000000L)) // 2025-01-01T00:00:00Z
+          t
+        })
+      }
+      def yearAgg(df: DataFrame, leg: String) =
+        df.groupBy(expr("date_key div 10000").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("duration_days")).as("dur_days"),
+            sum(col("overdue_days")).as("ovd_days"),
+            sum(col("n_collapsed")).as("n_borrows"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_rows"),
+            col("dur_days"), col("ovd_days"), col("n_borrows"))
+      yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
+        .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
     }
   )
 }

@@ -251,6 +251,28 @@ object EventsStream {
 
   // ── streaming per-user SES forecasting ────────────────────────────────
 
+  /** NAMED state-schema version of every flatMapGroupsWithState state in
+    * this module ([[SesState]], [[HoltState]], HwState). The state
+    * encoder is POSITIONAL: a checkpoint written under a different
+    * shape of these case classes cannot restore into the current code
+    * — it dies inside Spark's state deserializer with an internal error
+    * that names neither the query nor the cause. BUMP this constant on
+    * ANY field change to one of the state classes (r13's addition of
+    * (lastMicros, lastEventId) is version 2's break), and route durable
+    * checkpoint locations through [[versionedCheckpoint]]: a restart
+    * across a bump then resolves a FRESH checkpoint path — a clean,
+    * explained re-read of the source — instead of an unnamed crash, and
+    * the stale directory remains on disk for inspection. The memory-sink
+    * start helpers in this file use ephemeral checkpoints and are
+    * unaffected; this is for callers composing sesDays/holtDays/hwDays
+    * with their own durable sinks. */
+  val StateVersion: Int = 2
+
+  /** The state-schema-qualified checkpoint location for a durable sink
+    * over the stateful day-fold queries — see [[StateVersion]]. */
+  def versionedCheckpoint(checkpointDir: String): String =
+    s"$checkpointDir/state-v$StateVersion"
+
   final case class SesState(curDay: Long, curCount: Long, level: Long, closedDays: Long,
       lastMicros: Long, lastEventId: Long)
   final case class SesDay(user_id: Long, day: Long, n: Long, level: Long,
@@ -284,11 +306,11 @@ object EventsStream {
     * State-schema note: [[SesState]] gained (lastMicros, lastEventId)
     * in r13 — the flatMapGroupsWithState state encoder is positional,
     * so a checkpoint written by the PRE-r13 four-field SesState cannot
-    * restore into this query. Restarting an existing sesDays query
-    * across that upgrade requires discarding the old checkpoint (and
-    * re-reading the source); new deployments are unaffected. Version
-    * the query name (or the state case class) on any future field
-    * change for the same reason. */
+    * restore into this query. That break is now NAMED: [[StateVersion]]
+    * (bumped to 2 by exactly that change) + [[versionedCheckpoint]]
+    * give durable-sink callers a checkpoint path that rolls cleanly
+    * across state-schema bumps instead of dying inside Spark's state
+    * deserializer with an unnamed internal error. */
   def sesDays(events: Dataset[EvT]): Dataset[SesDay] = {
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L

@@ -31,10 +31,12 @@ import org.apache.spark.sql.types.StructType
   * [[graft.etl.VersionedLoad.compact]] periodically to fold the
   * accumulated per-batch small files.
   *
-  * Two sinks, two merge contracts: [[startVersionedFactSink]] is
+  * Three sinks, three merge contracts: [[startVersionedFactSink]] is
   * insert-only (existing grain keys win — `etl_incremental_versioned`
   * continuously), [[startUpsertFactSink]] is latest-wins
-  * (`etl_merge_versioned` continuously — the CDC/SCD1 applier).
+  * (`etl_merge_versioned` continuously — the SCD1 applier), and
+  * [[startCdcFactSink]] is the full I/U/D contract (`etl_merge_delete`
+  * continuously — deletes included, r15).
   */
 object FactStream {
 
@@ -205,6 +207,78 @@ object FactStream {
               statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.merge(sp, tableDir, delta, keys,
+              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
+        }
+      } finally delta.unpersist(): Unit
+    }.start()
+  }
+
+  /** Start maintaining `tableDir` as a CDC-APPLIED versioned fact table
+    * — the delete-aware extension of [[startUpsertFactSink]]: each
+    * micro-batch carries an OP column (`opCol`: 'D' deletes the grain
+    * key; any other value upserts — the I/U/D shape a CDC log delivers)
+    * and applies through [[VersionedLoad.applyCdc]] as ONE atomic
+    * copy-on-write commit per batch, so a delete delivery REMOVES the
+    * key instead of merely replacing its value.
+    *
+    * Within one delivery, conflicting rows on a grain key pick the
+    * winner MAXIMAL under (event time, op-and-payload) — the key's
+    * FINAL observation in that delivery decides whether it lives or
+    * dies, with the payload's natural struct order as the
+    * deterministic replay-stable tiebreak (the upsert sink's winner
+    * discipline, op column included). The winner set is key-unique by
+    * construction — exactly [[VersionedLoad.applyCdc]]'s precondition.
+    *
+    * Crash/replay: a replayed delivery re-applies the same final ops —
+    * its upserts re-merge over their own values (content-identical)
+    * and its deletes re-delete already-absent keys (committed no-ops)
+    * — so recovery converges on the IDENTICAL state; the spec kills
+    * the query after a delete and proves the delete SURVIVES the
+    * checkpoint replay instead of resurrecting. Bootstrap on an empty
+    * table applies the first batch's upsert arm (its deletes have
+    * nothing to remove). As-of clamp and null-event-time rules are
+    * [[startVersionedFactSink]]'s verbatim. */
+  def startCdcFactSink(
+      spark: SparkSession,
+      sourceDir: String,
+      tableDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      opCol: String = "_op",
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      eventTimeCol: Option[String] = None): StreamingQuery = {
+    val rd = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val wr = src.writeStream.outputMode("append")
+    checkpointDir.foreach(wr.option("checkpointLocation", _))
+    wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sp = batch.sparkSession
+      val keyCols: Seq[Column] = keys.map(col)
+      val payloadNames = batch.columns.filterNot(keys.contains).toSeq
+      val ordNames = eventTimeCol.toSeq ++ payloadNames.filterNot(eventTimeCol.contains)
+      val delta = batch.groupBy(keyCols: _*)
+        .agg(max(struct(ordNames.map(col): _*)).as("__p"))
+        .select(keyCols :+ col("__p.*"): _*)
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+        .persist()
+      try {
+        val batchMax = eventTimeCol.flatMap { c =>
+          val r = delta.agg(max(unix_micros(col(c)))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+        val asOf = batchMax.map(m =>
+          math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
+        val stats = autoStatsCol(schema, keys)
+        SnapshotStore.read(sp, tableDir) match {
+          case None =>
+            SnapshotStore.promote(sp, tableDir,
+              delta.filter(col(opCol) =!= "D").drop(opCol),
+              preferredId = batchId, keep = Keep, asOfMicros = asOf,
+              statsCol = stats): Unit
+          case Some(_) =>
+            VersionedLoad.applyCdc(sp, tableDir, delta, keys, opCol,
               asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
         }
       } finally delta.unpersist(): Unit

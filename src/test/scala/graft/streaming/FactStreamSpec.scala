@@ -194,4 +194,88 @@ class FactStreamSpec extends SparkSuite {
         "before the first batch's horizon nothing qualifies")
     } finally q.stop()
   }
+
+  test("cdc sink: deletes apply atomically, survive kill-and-restart replay, and pre-delete states travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_cdc").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_op", StringType)))
+    def stage(name: String, rows: (Long, String, String)*): Unit = {
+      rows.toSeq.toDF("k", "v", "_op").coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+    def state(): Set[(Long, String)] =
+      FactStream.readFact(spark, tbl).get.as[(Long, String)].collect().toSet
+
+    stage("c1", (1L, "a", "I"), (2L, "b", "I"))
+    val q = FactStream.startCdcFactSink(spark, src, tbl, cdcSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    val delVersion = try {
+      q.processAllAvailable()
+      assert(state() == Set(1L -> "a", 2L -> "b"))
+      // one delivery, all three arms: update 2, insert 3, DELETE 1
+      stage("c2", (2L, "X", "U"), (3L, "c", "I"), (1L, "", "D"))
+      q.processAllAvailable()
+      assert(state() == Set(2L -> "X", 3L -> "c"),
+        "update replaced, insert landed, delete removed — one atomic commit")
+      SnapshotStore.currentVersion(spark, tbl).get
+    } finally q.stop()
+
+    // kill-and-restart; a new file re-delivers c2's exact content — the
+    // replayed DELETE must keep key 1 dead (not resurrect it), the
+    // replayed upserts re-merge over themselves
+    stage("c3", (2L, "X", "U"), (3L, "c", "I"), (1L, "", "D"))
+    val q2 = FactStream.startCdcFactSink(spark, src, tbl, cdcSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q2.processAllAvailable()
+      assert(state() == Set(2L -> "X", 3L -> "c"),
+        "the delete survives recovery; replay is a content no-op")
+      assert(SnapshotStore.currentVersion(spark, tbl).get > delVersion,
+        "the replayed batch still commits an auditable version")
+      // a later delivery deletes another key — proving deletes work
+      // from the RESTARTED query's state too
+      stage("c4", (3L, "", "D"), (4L, "d", "I"))
+      q2.processAllAvailable()
+      assert(state() == Set(2L -> "X", 4L -> "d"))
+    } finally q2.stop()
+    // the bootstrap state (pre-delete) stays travelable with key 1 alive
+    assert(SnapshotStore.readVersion(spark, tbl, 0L).get.as[(Long, String)]
+      .collect().toSet == Set(1L -> "a", 2L -> "b"),
+      "the pre-delete state stays time-travelable")
+  }
+
+  test("cdc sink: within one delivery the key's FINAL observation decides life or death") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_cdcdet").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val tsSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_op", StringType), StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 7: inserted at 10:00, DELETED at 11:00 — the delete is the
+    // final observation and must win; key 8: deleted at 10:00,
+    // re-inserted at 11:00 — must live
+    Seq((7L, "a", "I", ts("2024-01-01 10:00:00")),
+        (7L, "",  "D", ts("2024-01-01 11:00:00")),
+        (8L, "",  "D", ts("2024-01-01 10:00:00")),
+        (8L, "r", "I", ts("2024-01-01 11:00:00")))
+      .toDF("k", "v", "_op", "ts").coalesce(1).write.parquet(s"$src/.st_d1")
+    val f = new java.io.File(s"$src/.st_d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/d1.parquet").toPath)
+    val q = FactStream.startCdcFactSink(spark, src, tbl, tsSchema, Seq("k"),
+      checkpointDir = Some(cp), eventTimeCol = Some("ts"))
+    try {
+      q.processAllAvailable()
+      val rows = FactStream.readFact(spark, tbl).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(rows == Set(8L -> "r"),
+        s"7 dies (final op D), 8 lives (final op I) — got $rows")
+    } finally q.stop()
+  }
 }
