@@ -469,40 +469,42 @@ object VersionedLoad {
     * [[delete]], and [[applyCdc]].
     *
     * DATA SKIPPING: when the head manifest carries per-file min/max
-    * stats on the (single, integral) key, a file whose range cannot
-    * contain ANY batch key needs no scan at all — the touched-file
-    * location drops from one full-table read to a read of the
-    * range-candidate files (with a key-clustered layout: O(touched)).
-    * Files without a stat line always scan — absence means "must
-    * scan", never "prunable". The candidate check is one broadcast
-    * range probe of the batch keys against the file ranges (file count
-    * is metadata-scale, like the manifest itself). */
+    * stats on ANY integral component of the grain (the first statted
+    * one wins — for a composite grain, normally its leading/clustering
+    * column), a file whose range on that component cannot contain any
+    * batch key's component needs no scan at all — sound for composite
+    * keys because a file can only hold a matching TUPLE if it holds
+    * the tuple's component inside its recorded range (the pruned set
+    * is a superset of the touched set). The touched-file location
+    * drops from one full-table read to a read of the range-candidate
+    * files (with a key-clustered layout: O(touched)). Files without a
+    * stat line always scan — absence means "must scan", never
+    * "prunable". The candidate check is one broadcast range probe of
+    * the batch keys against the file ranges (file count is
+    * metadata-scale, like the manifest itself). */
   private def locateTouched(spark: SparkSession, table: String,
       files: Seq[String], batchKeys: DataFrame, keys: Seq[String]): Set[String] = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
-    val scanFiles: Seq[String] =
-      if (keys.size != 1 || !isIntegral(batchKeys, keys.head)) files
-      else {
-        val keyCol = keys.head
-        val fileSet = files.toSet
-        val stats = SnapshotStore.currentFileStats(spark, table)
-          .filter(st => st.col == keyCol && fileSet.contains(st.file))
-        if (stats.isEmpty) files
-        else {
-          val statted = stats.map(_.file).toSet
-          val unstatted = files.filterNot(statted)
-          import spark.implicits._
-          val ranges = stats.map(st => (st.file, st.min, st.max))
-            .toDF("__file", "__mn", "__mx")
-          val candidates = batchKeys
-            .join(broadcast(ranges),
-              col(keyCol).cast("long") >= col("__mn") &&
-                col(keyCol).cast("long") <= col("__mx"))
-            .select("__file").distinct()
-            .collect().map(_.getString(0)).toSet
-          (unstatted ++ files.filter(candidates)).sorted
-        }
-      }
+    val fileSet = files.toSet
+    val allStats = SnapshotStore.currentFileStats(spark, table)
+      .filter(st => fileSet.contains(st.file))
+    val pruneKey = keys.find(k =>
+      isIntegral(batchKeys, k) && allStats.exists(_.col == k))
+    val scanFiles: Seq[String] = pruneKey.fold(files) { keyCol =>
+      val stats = allStats.filter(_.col == keyCol)
+      val statted = stats.map(_.file).toSet
+      val unstatted = files.filterNot(statted)
+      import spark.implicits._
+      val ranges = stats.map(st => (st.file, st.min, st.max))
+        .toDF("__file", "__mn", "__mx")
+      val candidates = batchKeys
+        .join(broadcast(ranges),
+          col(keyCol).cast("long") >= col("__mn") &&
+            col(keyCol).cast("long") <= col("__mx"))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+      (unstatted ++ files.filter(candidates)).sorted
+    }
     // root-relative id of each scanned row's file: snapshot dirs are
     // direct children of the table root, so the trailing two path
     // segments of input_file_name() are exactly the manifest's

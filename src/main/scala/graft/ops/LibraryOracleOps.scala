@@ -454,8 +454,12 @@ object LibraryOracleOps {
         c.storeTables.getOrElseUpdate("fact_borrowing_versioned", {
           val t = EtlOps.freshStoreTable(dir, "lib_fb_versioned_")
           val existing = dw.factBorrowing.filter(col("date_key") < 20230101L)
+          // stats on the grain's LEADING component: the merge's
+          // touched-file location prunes on date_key even though the
+          // grain is composite (sound superset — locateTouched)
           graft.etl.VersionedLoad.bootstrap(spark, t, existing,
-            asOfMicros = 1672531200000000L) // 2023-01-01T00:00:00Z, the load horizon
+            asOfMicros = 1672531200000000L, // 2023-01-01T00:00:00Z, the load horizon
+            statsCol = Some("date_key"))
           // the batch RE-DERIVES the fact from the OLTP slice at the
           // later as-of — InitialLoad.factBorrowing IS the reference's
           // grain-collapse derivation, reused verbatim
@@ -464,7 +468,8 @@ object LibraryOracleOps {
             bcP, dw.dimBook, dw.dimMembers, asOf = "2024-12-31")
           graft.etl.VersionedLoad.merge(spark, t, batch,
             Seq("date_key", "member_key", "book_key"),
-            asOfMicros = Some(1735689600000000L)) // 2025-01-01T00:00:00Z
+            asOfMicros = Some(1735689600000000L), // 2025-01-01T00:00:00Z
+            statsCol = Some("date_key"))
           t
         })
       }

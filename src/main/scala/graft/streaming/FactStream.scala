@@ -130,18 +130,21 @@ object FactStream {
     }.start()
   }
 
-  /** Both sinks maintain the per-file min/max data-skipping index for
-    * free whenever the grain is a single integral key: each commit's
-    * stat scan is O(delta) on page-cache-warm files, and the upsert
-    * sink's merge prunes its touched-file location with it. Composite
-    * or non-integral grains commit without stats (absence = "must
-    * scan", the safe default). */
+  /** Every sink maintains the per-file min/max data-skipping index for
+    * free whenever the grain's LEADING component is integral (for a
+    * composite grain the leading column is the clustering column, and
+    * copy-on-write pruning on any single component is sound — see
+    * [[VersionedLoad]]'s locateTouched): each commit's stat scan is
+    * O(delta) on page-cache-warm files, and the upsert/CDC sinks'
+    * merges prune their touched-file location with it. Non-integral
+    * leading keys commit without stats (absence = "must scan", the
+    * safe default). */
   private def autoStatsCol(schema: StructType, keys: Seq[String]): Option[String] =
-    if (keys.size == 1 && (schema(keys.head).dataType match {
+    keys.headOption.filter(k => schema(k).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
-    })) Some(keys.head) else None
+    })
 
   /** Start maintaining `tableDir` as a LATEST-WINS versioned fact table
     * — the SCD1 / CDC-upsert twin of [[startVersionedFactSink]]'s

@@ -135,6 +135,34 @@ class VersionedDeleteSpec extends SparkSuite {
       "post-compact pruning opens only the matching file")
   }
 
+  test("composite-grain merge prunes its touched-file scan on the leading statted component") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // composite grain (k, k2); files cluster by k — stats on k alone
+    VersionedLoad.bootstrap(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (100L, 10L, "c"), (101L, 20L, "d"))
+        .toDF("k", "k2", "v").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    // destroy the high file: a composite-key batch confined to the low
+    // file's k-range must never open it during touched-file location
+    val highFile = SnapshotStore.currentFileStats(spark, t)
+      .filter(_.col == "k").maxBy(_.min).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val batch = Seq((1L, 10L, "A2"), (5L, 50L, "e")).toDF("k", "k2", "v")
+    val id1 = VersionedLoad.merge(spark, t, batch, Seq("k", "k2"),
+      asOfMicros = Some(2000L), statsCol = Some("k"))
+    assert(manifest(t, id1).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile),
+      "the pruned file is reused by reference, never scanned")
+    // a mismatched k2 must NOT update (composite equality), and the
+    // destroyed file's stats carry forward
+    val v1snap = manifest(t, id1).head.trim
+    assert(spark.read.parquet(s"$t/$v1snap")
+      .as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 10L, "A2"), (2L, 20L, "b"), (5L, 50L, "e")),
+      "commit dir = batch + the scanned file's survivor only")
+  }
+
   test("upsertsBetween fails loudly on a non-additive chain instead of under-reporting changes") {
     val t = freshTable()
     val wide = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
