@@ -14,7 +14,13 @@ object ReportRenderer {
 
   /** Render `df` with a page title, breaking on `breakCol` (value printed
     * only on change, like SQL*Plus BREAK) and emitting a subtotal line for
-    * each `computeCols` column at each break (like COMPUTE SUM ... ON). */
+    * each `computeCols` column at each break (like COMPUTE SUM ... ON).
+    *
+    * `maxRows` (default 1000) BOUNDS the driver-side collect: rows beyond
+    * it are silently dropped from the rendering, exactly like SQL*Plus'
+    * pagesize window — reduce in the engine first (top-N per group) and
+    * treat the cap as a presentation limit, not a data-plane one. Raise
+    * it consciously; it is the only collect in the report path. */
   def render(df: DataFrame, title: String, breakCol: String, computeCols: Seq[String], maxRows: Int = 1000): String = {
     val cols = df.columns.toSeq
     val rows = df.limit(maxRows).collect()

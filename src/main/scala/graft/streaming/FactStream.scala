@@ -119,9 +119,14 @@ object FactStream {
         val stats = autoStatsCol(schema, keys)
         SnapshotStore.read(sp, tableDir) match {
           case None =>
-            SnapshotStore.promote(sp, tableDir, delta,
-              preferredId = batchId, keep = Keep, asOfMicros = asOf,
-              statsCol = stats): Unit
+            // never bootstrap EMPTY: a zero-row version 0 has no parquet
+            // files for later reads to infer a schema from — skip the
+            // commit and let the first non-empty delivery bootstrap
+            // (the checkpoint still marks this delivery consumed)
+            if (!delta.isEmpty)
+              SnapshotStore.promote(sp, tableDir, delta,
+                preferredId = batchId, keep = Keep, asOfMicros = asOf,
+                statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
               asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
@@ -205,9 +210,12 @@ object FactStream {
         val stats = autoStatsCol(schema, keys)
         SnapshotStore.read(sp, tableDir) match {
           case None =>
-            SnapshotStore.promote(sp, tableDir, delta,
-              preferredId = batchId, keep = Keep, asOfMicros = asOf,
-              statsCol = stats): Unit
+            // see the insert sink: an empty bootstrap commit would be
+            // schema-less and poison every later read
+            if (!delta.isEmpty)
+              SnapshotStore.promote(sp, tableDir, delta,
+                preferredId = batchId, keep = Keep, asOfMicros = asOf,
+                statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.merge(sp, tableDir, delta, keys,
               asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
@@ -276,10 +284,17 @@ object FactStream {
         val stats = autoStatsCol(schema, keys)
         SnapshotStore.read(sp, tableDir) match {
           case None =>
-            SnapshotStore.promote(sp, tableDir,
-              delta.filter(col(opCol) =!= "D").drop(opCol),
-              preferredId = batchId, keep = Keep, asOfMicros = asOf,
-              statsCol = stats): Unit
+            // a PURE-DELETE (or empty) opening delivery must not
+            // bootstrap: its upsert arm is zero rows, and a zero-row
+            // version 0 has no parquet files for later reads to infer
+            // a schema from — skip the commit, its deletes have nothing
+            // to remove anyway, and the first delivery with a non-empty
+            // upsert arm bootstraps the table
+            val ups = delta.filter(col(opCol) =!= "D").drop(opCol)
+            if (!ups.isEmpty)
+              SnapshotStore.promote(sp, tableDir, ups,
+                preferredId = batchId, keep = Keep, asOfMicros = asOf,
+                statsCol = stats): Unit
           case Some(_) =>
             VersionedLoad.applyCdc(sp, tableDir, delta, keys, opCol,
               asOfMicros = asOf, keep = Keep, statsCol = stats): Unit

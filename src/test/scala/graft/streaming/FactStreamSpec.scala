@@ -249,6 +249,38 @@ class FactStreamSpec extends SparkSuite {
       "the pre-delete state stays time-travelable")
   }
 
+  test("cdc sink: a pure-delete opening delivery does not bootstrap a schema-less empty version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_cdcempty").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_op", StringType)))
+    def stage(name: String, rows: (Long, String, String)*): Unit = {
+      rows.toSeq.toDF("k", "v", "_op").coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+    // first delivery is ALL deletes: nothing exists to remove, and a
+    // zero-row bootstrap would leave a version with no parquet files —
+    // every later read would die on schema inference
+    stage("e1", (1L, "", "D"), (2L, "", "D"))
+    val q = FactStream.startCdcFactSink(spark, src, tbl, cdcSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      assert(FactStream.readFact(spark, tbl).isEmpty,
+        "no version committed for a pure-delete opening delivery")
+      // the first delivery with an upsert arm bootstraps normally and
+      // is fully readable
+      stage("e2", (3L, "c", "I"))
+      q.processAllAvailable()
+      assert(FactStream.readFact(spark, tbl).get.select("k", "v")
+        .as[(Long, String)].collect().toSet == Set(3L -> "c"))
+    } finally q.stop()
+  }
+
   test("cdc sink: within one delivery the key's FINAL observation decides life or death") {
     val root = java.nio.file.Files.createTempDirectory("graft_factstream_cdcdet").toString
     val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
