@@ -52,6 +52,11 @@ object EtlOps {
   private val keyrangeTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (bootstrap + dedup-delete committed)
+    * versioned corpus of dedup_purge_versioned. */
+  private val purgeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -579,8 +584,14 @@ object EtlOps {
       val table = EtlOps.compactTables.computeIfAbsent(dir, _ => {
         val t = EtlOps.freshStoreTable(dir, "compact_tbl_")
         val asOf = 852076800000000L // 1997-01-01T00:00:00Z, the load horizon
-        graft.etl.VersionedLoad.bootstrap(spark, t, o.repartition(16), asOfMicros = asOf)
-        graft.etl.VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(asOf))
+        graft.etl.VersionedLoad.bootstrap(spark, t, o.repartition(16), asOfMicros = asOf,
+          statsCol = Some("o_orderkey"))
+        // the RECOMMENDED compact: sortBy range-clusters the rewrite so
+        // the compacted files carry disjoint key spans and the stats
+        // index keeps pruning (content identical — the oracle can't
+        // tell, VersionedDeleteSpec pins the layout facts)
+        graft.etl.VersionedLoad.compact(spark, t, numFiles = 2, asOfMicros = Some(asOf),
+          statsCol = Some("o_orderkey"), sortBy = Some("o_orderkey"))
         t
       })
       def yearAgg(df: org.apache.spark.sql.DataFrame, ver: Long) =
@@ -920,6 +931,78 @@ object EtlOps {
           s.readDateRange(spark, table, "od", "1995-01-01", "1995-12-31").get, "date"))
         .unionByName(yearAgg(
           s.readStringRange(spark, table, "o_orderpriority", "1-URGENT", "1-URGENT").get, "str"))
+    },
+
+    // ── dedup_purge_versioned: the GDPR/right-to-be-forgotten pipeline
+    // on the corpus — exact dedup's keep-canonical decision EXECUTED as
+    // a versioned row-level DELETE ([[graft.etl.VersionedLoad.delete]]),
+    // the op every long-lived training corpus eventually needs: the
+    // documents' (doc_id, fingerprint, source) projection
+    // bootstraps as version 0, every non-canonical duplicate (doc_id ≠
+    // its fingerprint group's min) deletes by key as ONE atomic
+    // copy-on-write commit, and three legs read back — the pre-purge
+    // corpus (still travelable for audit), the purged head (every
+    // fingerprint now unique per corpus), and the CDC delete events a
+    // downstream replica would apply ([[graft.etl.VersionedLoad
+    // .cdcBetween]] pre-images, grouped by source). At 100 TB the
+    // purge costs O(touched files) — the delete keys prune the
+    // touched-file location through the doc_id stats index — never a
+    // corpus rewrite; payload text never enters the store (hash-grain
+    // discipline, the dedup_exact posture). The oracle replays the
+    // canonical pick, the purge, and the event set relationally, so a
+    // resurrected duplicate, an over-deleted canonical, or a lost
+    // delete event is a hash diff.
+    OpQuery.checked(
+      "dedup_purge_versioned",
+      """WITH d AS (SELECT doc_id, md5(substring(text, 1, 80)) AS fp, source
+        |           FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS canon FROM d GROUP BY fp),
+        |dels AS (SELECT doc_id FROM d JOIN canon USING (fp) WHERE doc_id <> canon),
+        |purged AS (SELECT * FROM d
+        |           WHERE NOT EXISTS (SELECT 1 FROM dels WHERE dels.doc_id = d.doc_id)),
+        |a0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+        |       FROM d GROUP BY 1),
+        |a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+        |       FROM purged GROUP BY 1),
+        |ad AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+        |       FROM d JOIN dels USING (doc_id) GROUP BY 1)
+        |SELECT 'v0' AS leg, * FROM a0
+        |UNION ALL SELECT 'v1', * FROM a1
+        |UNION ALL SELECT 'deleted', * FROM ad""".stripMargin
+    ) { (spark, dir) =>
+      // fingerprint = hash of the LEADING 80 chars — the
+      // boilerplate/leading-duplicate purge grain (full-content md5 is
+      // dedup_exact's; the leading grain guarantees real purge work at
+      // every testdata scale, where full-content dups only exist at 0.1)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 80)).as("fp"), col("source"))
+      val table = EtlOps.purgeTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "purge_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t, docs,
+          asOfMicros = 1700000000000000L, statsCol = Some("doc_id"))
+        val canon = docs.groupBy("fp").agg(min(col("doc_id")).as("canon"))
+        val dels = docs.join(canon, Seq("fp"))
+          .filter(col("doc_id") =!= col("canon")).select("doc_id")
+        graft.etl.VersionedLoad.delete(spark, t, dels, Seq("doc_id"),
+          asOfMicros = Some(1700000100000000L), statsCol = Some("doc_id"))
+        t
+      })
+      def srcAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fps"))
+          .select(lit(leg).as("leg"), col("source"), col("n_docs"), col("n_fps"))
+      // a CLEAN corpus purges nothing: cdcBetween legitimately reports
+      // "no change" (None) — the deleted leg is then empty, not a crash
+      val delEvents = graft.etl.VersionedLoad.cdcBetween(spark, table, 0L, 1L,
+          Seq("doc_id"), Some("doc_id"))
+        .map(_.filter(col("_change_type") === "delete"))
+        .getOrElse(docs.limit(0))
+      srcAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
+        .unionByName(srcAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
+        .unionByName(srcAgg(delEvents, "deleted"))
     },
 
     // ── etl_validation_report: CHECK-constraint semantics as violation
