@@ -127,11 +127,13 @@ object VersionedLoad {
     * O(delta) read cost from the manifest file-list DIFF, never a scan
     * or join over the full table (the CDC-read pattern of the
     * heavyweight formats, for the insert-only contract this load
-    * implements). Precondition: no [[compact]]/[[restore]]/[[merge]]
-    * commit strictly between the two versions — a rewrite re-homes
-    * unchanged rows into new files, so the file diff would return them
-    * as "changes" (for merge: the touched files' survivors); diff
-    * across rewrite boundaries per leg instead.
+    * implements). Precondition: no [[compact]]/[[restore]]/[[merge]]/
+    * [[delete]]/[[applyCdc]] commit strictly between the two versions —
+    * a rewrite re-homes unchanged rows into new files, so the file diff
+    * would return them as "changes" (for merge/delete: the touched
+    * files' survivors), and deleted rows are invisible to a
+    * new-files-only read; diff across rewrite boundaries per leg with
+    * [[upsertsBetween]]/[[cdcBetween]] instead.
     * None when nothing changed. */
   def changesBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): Option[DataFrame] = {

@@ -163,6 +163,46 @@ class VersionedDeleteSpec extends SparkSuite {
       "commit dir = batch + the scanned file's survivor only")
   }
 
+  test("delete on an additively-evolved table: mixed-generation survivors read and rewrite correctly") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      fact(1L -> "a", 2L -> "b", 100L -> "c", 101L -> "d").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    // additive evolution: a merge batch introduces column w
+    VersionedLoad.merge(spark, t, Seq((1L, "A2", 10L)).toDF("k", "v", "w"),
+      Seq("k"), asOfMicros = Some(2000L), statsCol = Some("k"))
+    // delete key 2 — its file is a MIXED-generation rewrite (the
+    // surviving 1 -> (A2, 10) row carries w, pre-evolution files don't)
+    val id2 = VersionedLoad.delete(spark, t, Seq(Tuple1(2L)).toDF("k"),
+      Seq("k"), asOfMicros = Some(3000L), statsCol = Some("k"))
+    val head = SnapshotStore.readVersion(spark, t, id2).get
+      .select("k", "v", "w").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(head == Seq((1L, "A2", Some(10L)), (100L, "c", None), (101L, "d", None)),
+      "deleted key gone; evolved and pre-evolution survivors intact")
+  }
+
+  test("occ delete refuses a raced head like occ merge does") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    // a commit lands between this writer's read and its delete: the
+    // OCC delete must conflict instead of silently overwriting it
+    val dir = new java.io.File(t)
+    val debris = f"manifest-${99L}%020d"
+    java.nio.file.Files.write(new java.io.File(dir, debris).toPath,
+      "torn".getBytes("UTF-8"))
+    intercept[SnapshotStore.ConflictException] {
+      VersionedLoad.delete(spark, t, Seq(Tuple1(1L)).toDF("k"), Seq("k"),
+        asOfMicros = Some(2000L), occ = true)
+    }
+    // the default (non-OCC) delete keeps the debris-proof recovery
+    VersionedLoad.delete(spark, t, Seq(Tuple1(1L)).toDF("k"), Seq("k"),
+      asOfMicros = Some(2000L))
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().toSeq ==
+      Seq(2L -> "b"))
+  }
+
   test("upsertsBetween fails loudly on a non-additive chain instead of under-reporting changes") {
     val t = freshTable()
     val wide = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
