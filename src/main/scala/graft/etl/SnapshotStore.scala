@@ -312,6 +312,15 @@ object SnapshotStore {
     currentManifest(fs, tgt).toSeq.flatMap(_._2.typedStats)
   }
 
+  /** Version `id`'s TYPED per-file stats (empty when that commit
+    * carries none or the version is not retained). */
+  def filesForVersionTypedStats(spark: SparkSession, dir: String, id: Long): Seq[TypedFileStat] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFiles(fs, tgt).find(_._1 == id)
+      .flatMap { case (_, p) => resolve(fs, tgt, p) }
+      .toSeq.flatMap(_.typedStats)
+  }
+
   /** The current committed version's data files, table-root relative —
     * the reuse list an incremental commit passes back to [[promote]].
     * Empty when nothing was ever committed. */
@@ -464,7 +473,7 @@ object SnapshotStore {
   /** Smallest byte string strictly greater than EVERY string carrying
     * prefix `p`: drop trailing 0xFF bytes, increment the last remaining
     * byte. None when p is all-0xFF (no finite upper bound exists). */
-  private def incrBytes(p: Array[Byte]): Option[Array[Byte]] = {
+  private[etl] def incrBytes(p: Array[Byte]): Option[Array[Byte]] = {
     var i = p.length - 1
     while (i >= 0 && p(i) == -1) i -= 1
     if (i < 0) None
@@ -477,7 +486,7 @@ object SnapshotStore {
 
   /** Unsigned lexicographic byte compare (memcmp order — identical to
     * Spark UTF8String / parquet binary / DuckDB default collation). */
-  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+  private[etl] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -495,7 +504,7 @@ object SnapshotStore {
     if (s.isEmpty) "-" else s
   }
 
-  private def decB64(s: String): Array[Byte] =
+  private[etl] def decB64(s: String): Array[Byte] =
     if (s == "-") Array.emptyByteArray else java.util.Base64.getDecoder.decode(s)
 
   /** Read the latest committed state. None when nothing was ever

@@ -148,33 +148,75 @@ object VersionedLoad {
         s"VersionedLoad.$op: version $v of $table is not committed/retained")).toSet
 
   /** A version's files read with per-file stats pruning against the
-    * key span of `probe` (single integral `statsCol`): files whose
-    * recorded [min,max] cannot intersect the probe's span are never
-    * opened — a row outside every probe key's range can neither cancel
-    * nor match anything. Falls back to the full list when no
-    * statsCol/stats exist or the probe carries null keys (a null key
-    * is described by no stat range — skipping the prune is the only
-    * sound answer). None when `files` is empty. */
+    * key span of `probe` on `statsCol` — integral (long stats), date
+    * (epoch-day typed stats), or string (byte-prefix typed stats,
+    * compared in unsigned UTF-8 byte order like everything else in the
+    * index): files whose recorded range cannot intersect the probe's
+    * [min,max] span are never opened — a row outside every probe key's
+    * range can neither cancel nor match anything. Falls back to the
+    * full list when no statsCol/stats exist or the probe carries null
+    * keys (a null key is described by no stat range — skipping the
+    * prune is the only sound answer). None when `files` is empty. */
   private def prunedRead(spark: SparkSession, table: String, version: Long,
       files: Set[String], statsCol: Option[String],
       probe: DataFrame): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
-    val pruned = for {
-      c <- statsCol
-      if isIntegral(probe, c)
-      stats = SnapshotStore.filesForVersionStats(spark, table, version)
-        .filter(st => st.col == c && files.contains(st.file))
-      if stats.nonEmpty
-      r = probe.agg(
-        fmin(col(c).cast("long")), fmax(col(c).cast("long")),
+    import org.apache.spark.sql.functions.{col, count, datediff, lit,
+      max => fmax, min => fmin}
+    import org.apache.spark.sql.types.{DateType, StringType}
+    def span(keyExpr: org.apache.spark.sql.Column, c: String): Option[(Any, Any)] = {
+      val r = probe.agg(fmin(keyExpr), fmax(keyExpr),
         (count(lit(1)) - count(col(c))).as("nulls")).head()
-      if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(2) == 0L
-    } yield {
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
-      val statted = stats.map(_.file).toSet
-      val candidates = stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)
-      val keep = (files.filterNot(statted) ++ candidates).toSeq.sorted
-      SnapshotStore.readFiles(spark, table, keep)
+      if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(2) != 0L) None
+      else Some((r.get(0), r.get(1)))
+    }
+    val pruned: Option[Option[DataFrame]] = statsCol.flatMap { c =>
+      val keepFiles: Option[Seq[String]] = probe.schema(c).dataType match {
+        case _ if isIntegral(probe, c) =>
+          val stats = SnapshotStore.filesForVersionStats(spark, table, version)
+            .filter(st => st.col == c && files.contains(st.file))
+          if (stats.isEmpty) None
+          else span(col(c).cast("long"), c).map { case (lo: Long, hi: Long) =>
+            val statted = stats.map(_.file).toSet
+            (files.filterNot(statted) ++
+              stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSeq.sorted
+          }
+        case DateType =>
+          val stats = SnapshotStore.filesForVersionTypedStats(spark, table, version)
+            .filter(st => st.col == c && st.kind == "date" && files.contains(st.file))
+            .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+          if (stats.isEmpty) None
+          else span(datediff(col(c), lit("1970-01-01").cast("date")).cast("long"), c)
+            .map { case (lo: Long, hi: Long) =>
+              val statted = stats.map(_._1).toSet
+              (files.filterNot(statted) ++
+                stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+                  .map(_._1)).toSeq.sorted
+            }
+        case StringType =>
+          val stats = SnapshotStore.filesForVersionTypedStats(spark, table, version)
+            .filter(st => st.col == c && st.kind == "str" && files.contains(st.file))
+          if (stats.isEmpty) None
+          else span(col(c), c).map { case (loS: String, hiS: String) =>
+            val loB = loS.getBytes("UTF-8")
+            val hiB = hiS.getBytes("UTF-8")
+            val (parsedKeep, parsedAll) = stats.foldLeft(
+              (List.empty[String], List.empty[String])) { case ((keep, all), st) =>
+              scala.util.Try {
+                val stLo = SnapshotStore.decB64(st.lo)
+                val stHi = SnapshotStore.decB64(st.hi)
+                val intersects =
+                  SnapshotStore.cmpBytes(hiB, stLo) >= 0 && (
+                    if (!st.hiTrunc) SnapshotStore.cmpBytes(loB, stHi) <= 0
+                    else SnapshotStore.incrBytes(stHi)
+                      .forall(ub => SnapshotStore.cmpBytes(loB, ub) < 0))
+                (if (intersects) st.file :: keep else keep, st.file :: all)
+              }.getOrElse((keep, all)) // unparseable → unstatted → must scan
+            }
+            (files.filterNot(parsedAll.toSet) ++ parsedKeep).toSeq.sorted
+          }
+        case _ => None
+      }
+      keepFiles.map(keep => SnapshotStore.readFiles(spark, table, keep))
     }
     pruned.getOrElse(SnapshotStore.readFiles(spark, table, files.toSeq.sorted))
   }
@@ -471,40 +513,96 @@ object VersionedLoad {
     * [[delete]], and [[applyCdc]].
     *
     * DATA SKIPPING: when the head manifest carries per-file min/max
-    * stats on ANY integral component of the grain (the first statted
-    * one wins — for a composite grain, normally its leading/clustering
-    * column), a file whose range on that component cannot contain any
-    * batch key's component needs no scan at all — sound for composite
-    * keys because a file can only hold a matching TUPLE if it holds
-    * the tuple's component inside its recorded range (the pruned set
-    * is a superset of the touched set). The touched-file location
-    * drops from one full-table read to a read of the range-candidate
-    * files (with a key-clustered layout: O(touched)). Files without a
-    * stat line always scan — absence means "must scan", never
-    * "prunable". The candidate check is one broadcast range probe of
-    * the batch keys against the file ranges (file count is
-    * metadata-scale, like the manifest itself). */
+    * stats on ANY component of the grain — integral (`s` lines), date,
+    * or string (`t` lines) — the first statted component prunes (for a
+    * composite grain, normally its leading/clustering column): a file
+    * whose recorded range on that component cannot contain any batch
+    * key's component needs no scan at all — sound for composite keys
+    * because a file can only hold a matching TUPLE if it holds the
+    * tuple's component inside its recorded range (the pruned set is a
+    * superset of the touched set). String probes compare in unsigned
+    * BYTE order via cast-to-binary (Spark's binary ordering IS
+    * memcmp), matching the prefix bounds' encoding, so a truncated
+    * bound can widen but never wrongly prune; a truncated max with no
+    * finite successor (all-0xFF prefix) keeps the file. The
+    * touched-file location drops from one full-table read to a read of
+    * the range-candidate files (with a key-clustered layout:
+    * O(touched)). Files without a parseable stat line always scan —
+    * absence means "must scan", never "prunable". The candidate check
+    * is one broadcast range probe of the batch keys against the file
+    * ranges (file count is metadata-scale, like the manifest itself). */
   private def locateTouched(spark: SparkSession, table: String,
       files: Seq[String], batchKeys: DataFrame, keys: Seq[String]): Set[String] = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, datediff, expr, lit, when}
+    import org.apache.spark.sql.types.{DateType, StringType}
     val fileSet = files.toSet
-    val allStats = SnapshotStore.currentFileStats(spark, table)
+    val longStats = SnapshotStore.currentFileStats(spark, table)
       .filter(st => fileSet.contains(st.file))
-    val pruneKey = keys.find(k =>
-      isIntegral(batchKeys, k) && allStats.exists(_.col == k))
-    val scanFiles: Seq[String] = pruneKey.fold(files) { keyCol =>
-      val stats = allStats.filter(_.col == keyCol)
-      val statted = stats.map(_.file).toSet
-      val unstatted = files.filterNot(statted)
+    val typedStats = SnapshotStore.currentTypedFileStats(spark, table)
+      .filter(st => fileSet.contains(st.file))
+    def kindOf(k: String): Option[String] = batchKeys.schema(k).dataType match {
+      case _ if isIntegral(batchKeys, k) => Some("long")
+      case DateType                      => Some("date")
+      case StringType                    => Some("str")
+      case _                             => None
+    }
+    val pruneKey: Option[(String, String)] =
+      keys.flatMap(k => kindOf(k).map(k -> _)).find {
+        case (k, "long") => longStats.exists(_.col == k)
+        case (k, kind)   => typedStats.exists(st => st.col == k && st.kind == kind)
+      }
+    val scanFiles: Seq[String] = pruneKey.fold(files) { case (keyCol, kind) =>
       import spark.implicits._
-      val ranges = stats.map(st => (st.file, st.min, st.max))
-        .toDF("__file", "__mn", "__mx")
-      val candidates = batchKeys
-        .join(broadcast(ranges),
-          col(keyCol).cast("long") >= col("__mn") &&
-            col(keyCol).cast("long") <= col("__mx"))
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
+      // (candidate files via the broadcast range probe, files whose
+      // stat line exists AND parsed — unparseable lines must scan)
+      val (candidates, statted): (Set[String], Set[String]) = kind match {
+        case "long" =>
+          val stats = longStats.filter(_.col == keyCol)
+          val ranges = stats.map(st => (st.file, st.min, st.max))
+            .toDF("__file", "__mn", "__mx")
+          val c = batchKeys
+            .join(broadcast(ranges),
+              col(keyCol).cast("long") >= col("__mn") &&
+                col(keyCol).cast("long") <= col("__mx"))
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+          (c, stats.map(_.file).toSet)
+        case "date" =>
+          val stats = typedStats.filter(st => st.col == keyCol && st.kind == "date")
+            .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+          val ranges = stats.toDF("__file", "__mn", "__mx")
+          val keyDays = datediff(col(keyCol), lit("1970-01-01").cast("date")).cast("long")
+          val c = batchKeys
+            .join(broadcast(ranges), keyDays >= col("__mn") && keyDays <= col("__mx"))
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+          (c, stats.map(_._1).toSet)
+        case _ =>
+          // string bounds: lo prefix (≤ true min in byte order) and an
+          // upper bound — the exact max (inclusive) or the truncated
+          // prefix's byte successor (exclusive); None = unbounded above
+          val stats = typedStats.filter(st => st.col == keyCol && st.kind == "str")
+            .flatMap { st =>
+              scala.util.Try {
+                val lo = SnapshotStore.decB64(st.lo)
+                val hi = SnapshotStore.decB64(st.hi)
+                val ub = if (!st.hiTrunc) Some(hi) else SnapshotStore.incrBytes(hi)
+                (st.file, lo, ub, !st.hiTrunc)
+              }.toOption
+            }
+          val ranges = stats.toDF("__file", "__lo", "__ub", "__inc")
+          val keyBin = col(keyCol).cast("binary")
+          val c = batchKeys
+            .join(broadcast(ranges),
+              keyBin >= col("__lo") &&
+                (col("__ub").isNull ||
+                  when(col("__inc"), keyBin <= col("__ub"))
+                    .otherwise(keyBin < col("__ub"))))
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+          (c, stats.map(_._1).toSet)
+      }
+      val unstatted = files.filterNot(statted)
       (unstatted ++ files.filter(candidates)).sorted
     }
     // root-relative id of each scanned row's file: snapshot dirs are

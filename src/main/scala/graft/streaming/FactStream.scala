@@ -141,13 +141,15 @@ object FactStream {
     * copy-on-write pruning on any single component is sound — see
     * [[VersionedLoad]]'s locateTouched): each commit's stat scan is
     * O(delta) on page-cache-warm files, and the upsert/CDC sinks'
-    * merges prune their touched-file location with it. Non-integral
-    * leading keys commit without stats (absence = "must scan", the
+    * merges prune their touched-file location with it. Integral, date,
+    * and string leading keys all carry stats (the r15 typed index);
+    * anything else commits without stats (absence = "must scan", the
     * safe default). */
   private def autoStatsCol(schema: StructType, keys: Seq[String]): Option[String] =
     keys.headOption.filter(k => schema(k).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType => true
       case _ => false
     })
 

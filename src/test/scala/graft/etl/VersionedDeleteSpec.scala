@@ -149,7 +149,9 @@ class VersionedDeleteSpec extends SparkSuite {
       .filter(_.col == "k").maxBy(_.min).file
     java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
       "not a parquet file".getBytes("UTF-8"))
-    val batch = Seq((1L, 10L, "A2"), (5L, 50L, "e")).toDF("k", "k2", "v")
+    // insert key 0 sorts BELOW all data, so it falls in no file's
+    // span under ANY range split the sampler picks (split-robust device)
+    val batch = Seq((1L, 10L, "A2"), (0L, 50L, "e")).toDF("k", "k2", "v")
     val id1 = VersionedLoad.merge(spark, t, batch, Seq("k", "k2"),
       asOfMicros = Some(2000L), statsCol = Some("k"))
     assert(manifest(t, id1).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile),
@@ -159,7 +161,7 @@ class VersionedDeleteSpec extends SparkSuite {
     val v1snap = manifest(t, id1).head.trim
     assert(spark.read.parquet(s"$t/$v1snap")
       .as[(Long, Long, String)].collect().sorted.toSeq ==
-      Seq((1L, 10L, "A2"), (2L, 20L, "b"), (5L, 50L, "e")),
+      Seq((0L, 50L, "e"), (1L, 10L, "A2"), (2L, 20L, "b")),
       "commit dir = batch + the scanned file's survivor only")
   }
 
@@ -201,6 +203,84 @@ class VersionedDeleteSpec extends SparkSuite {
       asOfMicros = Some(2000L))
     assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().toSeq ==
       Seq(2L -> "b"))
+  }
+
+  test("string-keyed merge prunes its touched-file scan by the byte-prefix stats") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // doc-UUID-shaped string keys, clustered: {aaa,bbb} and {xxx,zzz}
+    VersionedLoad.bootstrap(spark, t,
+      Seq(("aaa", 1L), ("bbb", 2L), ("xxx", 3L), ("zzz", 4L))
+        .toDF("id", "v").repartitionByRange(2, col("id")),
+      asOfMicros = 1000L, statsCol = Some("id"))
+    // destroy the high file: a batch whose keys sort entirely below its
+    // lo prefix must never open it during touched-file location
+    val highFile = SnapshotStore.currentTypedFileStats(spark, t)
+      .filter(st => st.col == "id" && st.kind == "str")
+      .maxBy(_.lo).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val id1 = VersionedLoad.merge(spark, t, Seq(("a", 5L), ("aaa", 10L)).toDF("id", "v"),
+      Seq("id"), asOfMicros = Some(2000L), statsCol = Some("id"))
+    assert(manifest(t, id1).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile),
+      "the out-of-range file is reused by reference, never scanned")
+    val v1snap = manifest(t, id1).head.trim
+    assert(spark.read.parquet(s"$t/$v1snap").as[(String, Long)].collect().sorted.toSeq ==
+      Seq(("a", 5L), ("aaa", 10L), ("bbb", 2L)),
+      "commit dir = batch + the scanned file's survivor only")
+    // and a string-keyed DELETE prunes the same way
+    val id2 = VersionedLoad.delete(spark, t, Seq(Tuple1("bbb")).toDF("id"),
+      Seq("id"), asOfMicros = Some(3000L), statsCol = Some("id"))
+    assert(manifest(t, id2).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile))
+  }
+
+  test("date-keyed merge prunes its touched-file scan by the epoch-day stats") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val df = Seq(("1995-01-01", 1L), ("1995-06-01", 2L), ("1997-01-01", 3L), ("1997-06-01", 4L))
+      .toDF("ds", "v").selectExpr("CAST(ds AS DATE) AS d", "v")
+    VersionedLoad.bootstrap(spark, t, df.repartitionByRange(2, col("d")),
+      asOfMicros = 1000L, statsCol = Some("d"))
+    val highFile = SnapshotStore.currentTypedFileStats(spark, t)
+      .filter(st => st.col == "d" && st.kind == "date")
+      .maxBy(_.lo.toLong).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val batch = Seq(("1995-01-01", 10L), ("1994-06-01", 5L))
+      .toDF("ds", "v").selectExpr("CAST(ds AS DATE) AS d", "v")
+    val id1 = VersionedLoad.merge(spark, t, batch, Seq("d"),
+      asOfMicros = Some(2000L), statsCol = Some("d"))
+    assert(manifest(t, id1).filter(_.startsWith("f ")).map(_.drop(2).trim).contains(highFile),
+      "the out-of-range file is reused by reference, never scanned")
+    // the commit dir holds the batch + the scanned file's survivor only
+    // (reading v0 itself would open the destroyed file — the point is
+    // exactly that the MERGE never did)
+    val v1snap = manifest(t, id1).head.trim
+    assert(spark.read.parquet(s"$t/$v1snap").count() == 3L)
+  }
+
+  test("string-keyed CDC reads prune their probe sides by the byte-prefix stats") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      Seq(("aaa", 1L), ("bbb", 2L), ("xxx", 3L), ("zzz", 4L))
+        .toDF("id", "v").repartitionByRange(2, col("id")),
+      asOfMicros = 1000L, statsCol = Some("id"))
+    // insert key "a" sorts BELOW all data, so the new rows' span stays
+    // under the high file's lo prefix under ANY range split
+    val id1 = VersionedLoad.merge(spark, t, Seq(("a", 5L), ("aaa", 10L)).toDF("id", "v"),
+      Seq("id"), asOfMicros = Some(2000L), statsCol = Some("id"))
+    // destroy the untouched high file AFTER the merge: the value-exact
+    // CDC's from-side read must prune it (the new rows' key span
+    // cannot intersect the high file's)
+    val highFile = SnapshotStore.filesForVersionTypedStats(spark, t, 0L)
+      .filter(st => st.col == "id" && st.kind == "str").maxBy(_.lo).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val ups = VersionedLoad.upsertsBetween(spark, t, 0L, id1, Some("id")).get
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(ups == Seq(("a", 5L), ("aaa", 10L)),
+      "updates and inserts emit; the out-of-span from-file is never opened")
   }
 
   test("upsertsBetween fails loudly on a non-additive chain instead of under-reporting changes") {
