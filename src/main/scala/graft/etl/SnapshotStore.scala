@@ -279,6 +279,27 @@ object SnapshotStore {
     currentManifest(fs, tgt).map(_._1)
   }
 
+  /** One committed version's audit metadata — the DESCRIBE HISTORY row
+    * of the heavyweight formats: its id, pinned as-of instant (None for
+    * untimestamped commits), referenced data-file count, and primary
+    * snapshot directory name. */
+  final case class HistoryEntry(version: Long, asOfMicros: Option[Long],
+      numFiles: Int, primarySnapshot: String)
+
+  /** The RETAINED committed history, newest first — every version still
+    * resolvable (torn debris skipped, GC'd manifests gone). Metadata
+    * only: one manifest read per retained version, no data file is
+    * opened, so the call is manifest-count-scale like GC itself. The
+    * audit surface a versioned store owes its operators: what committed,
+    * when (by the pinned as-of), and how big (by file count). */
+  def history(spark: SparkSession, dir: String): Seq[HistoryEntry] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFiles(fs, tgt).flatMap { case (id, p) =>
+      resolve(fs, tgt, p).map(m =>
+        HistoryEntry(id, m.asOf, manifestDataFiles(fs, tgt, m).size, m.snap))
+    }
+  }
+
   /** The current committed version's pinned as-of instant, if it has
     * one — writers that must keep the as-of timeline MONOTONE (the
     * streaming fact sink clamping a late batch) read it before

@@ -480,6 +480,14 @@ object VersionedLoad {
       keep: Int = 16, statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil, occ: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
+    if (!batch.columns.contains(opCol))
+      throw new IllegalArgumentException(
+        s"VersionedLoad.applyCdc: op column $opCol is not in the batch " +
+          s"(${batch.columns.mkString(", ")})")
+    if (keys.contains(opCol))
+      throw new IllegalArgumentException(
+        s"VersionedLoad.applyCdc: op column $opCol cannot be a grain key — " +
+          "it is dropped before storage and could never match existing rows")
     val base = SnapshotStore.currentVersion(spark, table)
     val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
     val files = SnapshotStore.currentFiles(spark, table)
@@ -506,6 +514,33 @@ object VersionedLoad {
       upserts.unionByName(survivors, allowMissingColumns = true),
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
       statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+  }
+
+  /** Multi-writer form of the occ copy-on-write commits: re-run
+    * `attempt` — a [[merge]]/[[delete]]/[[applyCdc]] call made with
+    * `occ = true` — until it commits or `maxAttempts` genuine conflicts
+    * pass. The copy-on-write ops re-read the committed head INSIDE each
+    * call (currentVersion/currentFiles/locateTouched), so a retry
+    * automatically recomputes against the winner's state — the
+    * [[SnapshotStore.retryingPromote]] discipline without the
+    * whole-state compute callback, because the merge semantics already
+    * define the next state as a function of (head, batch). Two genuine
+    * writers interleaving both commit, exactly once each (spec:
+    * VersionedDeleteSpec "two CDC writers"). The documented occ caveat
+    * stands: torn debris squatting above the head conflicts every
+    * attempt and surfaces as the final ConflictException rather than
+    * being raced. */
+  def withConflictRetry(maxAttempts: Int = 5)(attempt: => Long): Long = {
+    var n = 0
+    while (true) {
+      n += 1
+      try return attempt
+      catch {
+        case e: SnapshotStore.ConflictException => if (n >= maxAttempts) throw e
+        case e: SnapshotStore.FencedException   => if (n >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** The files of the CURRENT version that contain at least one of

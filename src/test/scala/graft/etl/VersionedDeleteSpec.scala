@@ -283,6 +283,63 @@ class VersionedDeleteSpec extends SparkSuite {
       "updates and inserts emit; the out-of-span from-file is never opened")
   }
 
+  test("history lists the retained committed versions newest-first with as-of and file counts") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    VersionedLoad.refresh(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = 2000L)
+    VersionedLoad.delete(spark, t, Seq(Tuple1(1L)).toDF("k"), Seq("k"),
+      asOfMicros = Some(3000L))
+    val h = SnapshotStore.history(spark, t)
+    assert(h.map(_.version) == Seq(2L, 1L, 0L), "newest first")
+    assert(h.map(_.asOfMicros) == Seq(Some(3000L), Some(2000L), Some(1000L)))
+    // v1 references the bootstrap file by reuse + its own delta file;
+    // the delete rewrote the only touched file, so v2's count holds too
+    assert(h.forall(_.numFiles >= 1))
+    assert(h.forall(_.primarySnapshot.startsWith("snapshot-")))
+    // metadata only: history never opens a data file, so it works even
+    // with every parquet byte destroyed
+    SnapshotStore.currentFiles(spark, t).foreach { f =>
+      java.nio.file.Files.write(new java.io.File(new java.io.File(t), f).toPath,
+        "x".getBytes("UTF-8"))
+    }
+    assert(SnapshotStore.history(spark, t).size == 3)
+  }
+
+  test("two CDC writers through withConflictRetry both commit, exactly once each") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    // two writers race disjoint I/U/D batches; each retries on conflict
+    // and recomputes against the winner's head
+    val b1 = Seq((1L, "A2", "U"), (10L, "x", "I")).toDF("k", "v", "_op")
+    val b2 = Seq((2L, "", "D"), (20L, "y", "I")).toDF("k", "v", "_op")
+    val threads = Seq(b1, b2).zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        VersionedLoad.withConflictRetry() {
+          VersionedLoad.applyCdc(spark, t, b, Seq("k"), "_op",
+            asOfMicros = Some(2000L + i), occ = true)
+        }: Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(SnapshotStore.read(spark, t).get.as[(Long, String)].collect().sorted.toSeq ==
+      Seq(1L -> "A2", 10L -> "x", 20L -> "y"),
+      "both writers' effects present exactly once: update, delete, both inserts")
+  }
+
+  test("applyCdc rejects a missing or key-colliding op column loudly") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a"), asOfMicros = 1000L)
+    intercept[IllegalArgumentException] {
+      VersionedLoad.applyCdc(spark, t, fact(2L -> "b"), Seq("k"), "_op",
+        asOfMicros = None)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedLoad.applyCdc(spark, t,
+        Seq((2L, "b", "I")).toDF("k", "v", "_op"), Seq("k", "_op"), "_op",
+        asOfMicros = None)
+    }
+  }
+
   test("upsertsBetween fails loudly on a non-additive chain instead of under-reporting changes") {
     val t = freshTable()
     val wide = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
