@@ -863,6 +863,51 @@ object SnapshotStore {
       }
     } catch { case _: java.io.IOException => () }
 
+  /** Standalone storage hygiene — the VACUUM of the heavyweight
+    * formats: apply the commit-path retention WITHOUT committing
+    * anything. Collects (a) manifests below the keep-th newest
+    * committed id (only when a full keep set exists — the commit-path
+    * rule), and (b) snapshot directories/files that NO retained
+    * committed manifest references and NO still-listed manifest claims
+    * — which is exactly the debris crashed writers leave: a snapshot
+    * written but never claimed lingers FOREVER under normal operation
+    * (the in-commit GC only fires when the manifest count exceeds
+    * `keep`, and never in the keep = Int.MaxValue full-log mode).
+    *
+    * Contract: run QUIESCED (no in-flight writer on this table) — a
+    * just-written, not-yet-claimed snapshot is indistinguishable from
+    * crashed-writer debris and would be collected; a dir any listed
+    * manifest names (committed or torn) survives whole, like the
+    * commit-path rule. Best-effort like GC: IO errors are swallowed,
+    * the table stays consistent regardless of where the sweep stops. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 16): Unit =
+    try {
+      val (fs, tgt) = fsOf(spark, dir)
+      if (!fs.exists(tgt)) return
+      val all = manifestFiles(fs, tgt)
+      val committed = all.iterator
+        .map { case (id, p) => (id, resolve(fs, tgt, p)) }
+        .collect { case (id, Some(m)) => (id, m) }.toSeq
+      val retained = committed.take(keep)
+      if (retained.size == keep) {
+        val cutoff = retained.last._1
+        all.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, false): Unit }
+      }
+      val referenced = retained.flatMap { case (_, m) => manifestDataFiles(fs, tgt, m) }.toSet
+      val claimed = manifestFiles(fs, tgt)
+        .flatMap { case (_, p) => readContent(fs, p).map(parseManifest(_).snap) }.toSet
+      val protectWhole = retained.map(_._2.snap).toSet ++ claimed
+      fs.listStatus(tgt).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(SnapshotPrefix) && !protectWhole.contains(n)) {
+          val files = dirDataFiles(fs, tgt, n)
+          val (kept, dead) = files.partition(referenced.contains)
+          if (kept.isEmpty) fs.delete(st.getPath, true): Unit
+          else dead.foreach(f => fs.delete(new Path(tgt, f), false): Unit)
+        }
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** Optimistic multi-writer commit: re-read → re-merge → re-promote
     * until the commit lands or `maxAttempts` genuine conflicts pass.
     * `compute` receives the CURRENT committed state (None when the

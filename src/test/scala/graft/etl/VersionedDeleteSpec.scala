@@ -305,6 +305,36 @@ class VersionedDeleteSpec extends SparkSuite {
     assert(SnapshotStore.history(spark, t).size == 3)
   }
 
+  test("vacuum collects crashed-writer orphans without touching retained history or claimed dirs") {
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
+    VersionedLoad.refresh(spark, t, fact(3L -> "c"), Seq("k"), asOfMicros = 2000L)
+    val dir = new java.io.File(t)
+    // a crashed writer's debris: snapshot written, manifest never claimed
+    // — invisible to in-commit GC until the manifest count exceeds keep
+    val orphan = new java.io.File(dir, "snapshot-00000000000000000009-dead")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    // a torn commit: manifest claimed, content names a dir — must survive
+    val tornDir = new java.io.File(dir, "snapshot-00000000000000000008-torn")
+    tornDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tornDir, "part-x.parquet").toPath,
+      Array[Byte](7))
+    java.nio.file.Files.write(new java.io.File(dir, f"manifest-${8L}%020d").toPath,
+      "snapshot-00000000000000000008-torn".getBytes("UTF-8"))
+    SnapshotStore.vacuum(spark, t, keep = 16)
+    assert(!orphan.exists(), "the unclaimed orphan dir is collected")
+    assert(tornDir.exists(), "a claimed (even torn) dir survives whole")
+    // retained history fully intact and readable
+    assert(SnapshotStore.readVersion(spark, t, 0L).get.count() == 2)
+    assert(SnapshotStore.read(spark, t).get.count() == 3)
+    // vacuum with a small keep also trims history like the commit path
+    SnapshotStore.vacuum(spark, t, keep = 1)
+    assert(SnapshotStore.readVersion(spark, t, 0L).isEmpty, "aged-out version gone")
+    assert(SnapshotStore.read(spark, t).get.count() == 3, "head intact")
+  }
+
   test("two CDC writers through withConflictRetry both commit, exactly once each") {
     val t = freshTable()
     VersionedLoad.bootstrap(spark, t, fact(1L -> "a", 2L -> "b"), asOfMicros = 1000L)
