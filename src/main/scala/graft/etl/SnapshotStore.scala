@@ -368,6 +368,19 @@ object SnapshotStore {
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => new Path(dir, f).toString): _*)) // see readManifest
 
+  /** Resolve the pruned readers' target manifest: the committed head,
+    * or — when `version` is given — exactly that retained committed
+    * version (None if unretained). Pruned reads thus compose with
+    * version travel: "point lookup in yesterday's snapshot" opens only
+    * that version's matching files, because a version's manifest
+    * carries its own stats. */
+  private def manifestFor(fs: FileSystem, tgt: Path,
+      version: Option[Long]): Option[ManifestData] = version match {
+    case None => currentManifest(fs, tgt).map(_._2)
+    case Some(id) => manifestFiles(fs, tgt).find(_._1 == id)
+      .flatMap { case (_, p) => resolve(fs, tgt, p) }
+  }
+
   /** Read the latest committed state restricted to `column` ∈
     * [lo, hi] — the data-skipping read: files whose recorded min/max
     * range cannot intersect [lo, hi] are never opened (listed files
@@ -378,10 +391,10 @@ object SnapshotStore {
     * when nothing was ever committed; a table with no stats degrades
     * to a filtered full scan. Lazy — see the read-laziness contract. */
   def readKeyRange(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long): Option[DataFrame] = {
+      lo: Long, hi: Long, version: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val (fs, tgt) = fsOf(spark, dir)
-    currentManifest(fs, tgt).flatMap { case (_, m) =>
+    manifestFor(fs, tgt, version).flatMap { m =>
       val files = manifestDataFiles(fs, tgt, m)
       val stats = m.stats.filter(st => st.col == column)
       val statted = stats.map(_.file).toSet
@@ -413,12 +426,12 @@ object SnapshotStore {
     * None when nothing was ever committed. Lazy — see the read-laziness
     * contract. */
   def readDateRange(spark: SparkSession, dir: String, column: String,
-      loDate: String, hiDate: String): Option[DataFrame] = {
+      loDate: String, hiDate: String, version: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     val lo = java.time.LocalDate.parse(loDate).toEpochDay
     val hi = java.time.LocalDate.parse(hiDate).toEpochDay
     val (fs, tgt) = fsOf(spark, dir)
-    currentManifest(fs, tgt).flatMap { case (_, m) =>
+    manifestFor(fs, tgt, version).flatMap { m =>
       val files = manifestDataFiles(fs, tgt, m)
       val stats = m.typedStats.filter(st => st.col == column && st.kind == "date")
         .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
@@ -447,12 +460,12 @@ object SnapshotStore {
     * Unparseable stat lines and unstatted files always scan (absence =
     * "must scan"). None when nothing was ever committed. Lazy. */
   def readStringRange(spark: SparkSession, dir: String, column: String,
-      lo: String, hi: String): Option[DataFrame] = {
+      lo: String, hi: String, version: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     val loB = lo.getBytes("UTF-8")
     val hiB = hi.getBytes("UTF-8")
     val (fs, tgt) = fsOf(spark, dir)
-    currentManifest(fs, tgt).flatMap { case (_, m) =>
+    manifestFor(fs, tgt, version).flatMap { m =>
       val files = manifestDataFiles(fs, tgt, m)
       val stats = m.typedStats.filter(st => st.col == column && st.kind == "str")
       val statted = stats.map(_.file).toSet

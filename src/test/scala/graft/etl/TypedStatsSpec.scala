@@ -137,6 +137,29 @@ class TypedStatsSpec extends SparkSuite {
     assert(ex.getMessage.contains("not an integral column"))
   }
 
+  test("version-pinned pruned reads resolve THAT version's stats and files") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      Seq((1L, "a"), (2L, "b"), (100L, "c"), (101L, "d"))
+        .toDF("k", "v").repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    // the merge rewrites the low file into v1's commit dir
+    val id1 = VersionedLoad.merge(spark, t, Seq((1L, "A2")).toDF("k", "v"),
+      Seq("k"), asOfMicros = Some(2000L), statsCol = Some("k"))
+    // destroy v1's OWN commit file: a v0-pinned pruned read must never
+    // touch it (it resolves v0's manifest, not the head's)
+    val v0files = SnapshotStore.filesForVersion(spark, t, 0L).get.toSet
+    SnapshotStore.filesForVersion(spark, t, id1).get
+      .filterNot(v0files).foreach { f =>
+        java.nio.file.Files.write(new java.io.File(new java.io.File(t), f).toPath,
+          "x".getBytes("UTF-8"))
+      }
+    assert(SnapshotStore.readKeyRange(spark, t, "k", 1L, 5L, version = Some(0L)).get
+      .as[(Long, String)].collect().sorted.toSeq == Seq(1L -> "a", 2L -> "b"),
+      "the v0-pinned read returns v0's ORIGINAL values through v0's own stats")
+  }
+
   test("a commit without stat columns still carries reused files' stats forward (restore keeps the index)") {
     val t = bootstrapTyped()
     VersionedLoad.restore(spark, t, version = 0L, asOfMicros = Some(2000L))
