@@ -69,20 +69,64 @@ object VersionedLoad {
     * opens O(matching files) — the io_sorted_layout range discipline
     * wired into the store's own compact path. Cost: one range-exchange
     * shuffle instead of coalesce's free merge; content identical either
-    * way. */
+    * way.
+    *
+    * `zorderBy` (exactly two integral/date columns, exclusive with
+    * sortBy) MORTON-CLUSTERS the rewrite instead — the OPTIMIZE ZORDER
+    * of the heavyweight formats, on the store's own layout path: both
+    * dimensions rank-scale to 8 bits (one tiny min/max agg), interleave
+    * through the codegen'd [[graft.functions.ZOrder]] expression, and
+    * the range shuffle on the curve position writes files whose
+    * recorded per-file spans are NARROW IN BOTH columns — so
+    * [[SnapshotStore.readKeyRange]] prunes on either dimension, where a
+    * single-key sort serves only its leading column. Record stats for
+    * both z-order columns (statsCol/statsCols) or the narrow layout is
+    * invisible to the pruner. */
   def compact(spark: SparkSession, table: String, numFiles: Int,
       asOfMicros: Option[Long] = None, keep: Int = 16,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      sortBy: Option[String] = None): Long = {
+      sortBy: Option[String] = None, zorderBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{call_function, col, datediff, floor,
+      lit, max => fmax, min => fmin}
+    if (sortBy.isDefined && zorderBy.nonEmpty)
+      throw new IllegalArgumentException(
+        "VersionedLoad.compact: sortBy and zorderBy are exclusive clustering modes")
+    if (zorderBy.nonEmpty && zorderBy.size != 2)
+      throw new IllegalArgumentException(
+        s"VersionedLoad.compact: zorderBy takes exactly two columns, got $zorderBy")
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.compact: $table has no committed version"))
-    val shaped = sortBy match {
-      case Some(c) =>
-        current.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c))
-          .sortWithinPartitions(c)
-      case None => current.coalesce(numFiles)
-    }
+    val shaped =
+      if (zorderBy.nonEmpty) {
+        graft.functions.ZOrder.register(spark)
+        def asLong(c: String): org.apache.spark.sql.Column =
+          current.schema(c).dataType match {
+            case org.apache.spark.sql.types.DateType =>
+              datediff(col(c), lit("1970-01-01").cast("date")).cast("long")
+            case _ if isIntegral(current, c) => col(c).cast("long")
+            case dt => throw new IllegalArgumentException(
+              s"VersionedLoad.compact: zorderBy column $c must be integral or date, got $dt")
+          }
+        val (a, b) = (asLong(zorderBy.head), asLong(zorderBy(1)))
+        val r = current.agg(fmin(a), fmax(a), fmin(b), fmax(b)).head()
+        // rank-scale each dim into 0..255; a degenerate or all-null dim
+        // contributes a constant (harmless — the other dim still orders)
+        def scaled(c: org.apache.spark.sql.Column, loI: Int, hiI: Int) =
+          if (r.isNullAt(loI) || r.isNullAt(hiI) || r.getLong(hiI) <= r.getLong(loI)) lit(0L)
+          else floor(((c - lit(r.getLong(loI))) * 255) / lit(r.getLong(hiI) - r.getLong(loI)))
+            .cast("long")
+        current
+          .withColumn("__z", call_function("bit_interleave",
+            scaled(a, 0, 1), scaled(b, 2, 3)))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else sortBy match {
+        case Some(c) =>
+          current.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+        case None => current.coalesce(numFiles)
+      }
     SnapshotStore.promote(spark, table, shaped,
       keep = keep, asOfMicros = asOfMicros, statsCol = statsCol, statsCols = statsCols)
   }

@@ -135,6 +135,43 @@ class VersionedDeleteSpec extends SparkSuite {
       "post-compact pruning opens only the matching file")
   }
 
+  test("compact(zorderBy) clusters BOTH dimensions: per-file spans narrow on each, reads prune on either") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // a 16×16 grid: round-robin bootstrap gives every file the FULL
+    // span on both dims; the z-ordered rewrite must narrow both
+    val grid = (for { a <- 0L until 16L; b <- 0L until 16L } yield (a, b, s"$a-$b"))
+      .toDF("k", "k2", "v")
+    VersionedLoad.bootstrap(spark, t, grid.repartition(4), asOfMicros = 1000L,
+      statsCol = Some("k"), statsCols = Seq("k2"))
+    val id1 = VersionedLoad.compact(spark, t, numFiles = 4, asOfMicros = Some(1000L),
+      statsCol = Some("k"), statsCols = Seq("k2"), zorderBy = Seq("k", "k2"))
+    assert(SnapshotStore.readVersion(spark, t, id1).get.count() == 256L,
+      "content identical across the z-ordered rewrite")
+    // each Morton quadrant file spans ≤ ~half of each dimension (slack
+    // for the range sampler's approximate quartile bounds); round-robin
+    // spanned the full 0..15 on both
+    val kSpans  = SnapshotStore.currentFileStats(spark, t).filter(_.col == "k")
+    val k2Spans = SnapshotStore.currentFileStats(spark, t).filter(_.col == "k2")
+    assert(kSpans.size == 4 && k2Spans.size == 4)
+    assert(kSpans.forall(st => st.max - st.min <= 9),
+      s"k narrowed per file, got ${kSpans.map(st => (st.min, st.max))}")
+    assert(k2Spans.forall(st => st.max - st.min <= 9),
+      s"k2 narrowed per file, got ${k2Spans.map(st => (st.min, st.max))}")
+    // destroyed-file device on BOTH dimensions with ONE destroy: the
+    // (high, high) Morton quadrant is maximal in each dim, so a low
+    // range on EITHER column must prune it
+    val k2ByFile = k2Spans.map(st => st.file -> st).toMap
+    val q4 = kSpans.maxBy(st => st.min + k2ByFile(st.file).min)
+    val q4k2 = k2ByFile(q4.file)
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), q4.file).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(SnapshotStore.readKeyRange(spark, t, "k", 0L, q4.min - 1).get.count() > 0,
+      "pruning on the first z-order dimension")
+    assert(SnapshotStore.readKeyRange(spark, t, "k2", 0L, q4k2.min - 1).get.count() > 0,
+      "pruning on the second z-order dimension")
+  }
+
   test("composite-grain merge prunes its touched-file scan on the leading statted component") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
