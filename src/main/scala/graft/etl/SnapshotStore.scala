@@ -400,7 +400,10 @@ object SnapshotStore {
       val statted = stats.map(_.file).toSet
       val keep = (files.filterNot(statted) ++
         stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).sorted
-      readFiles(spark, dir, keep).map { df =>
+      // an ALL-PRUNED range is an EMPTY RESULT, not a missing table:
+      // read the schema from the full list and cut the scan with
+      // limit(0) (PropagateEmptyRelation — footers only, no row reads)
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
         // the stat writer refuses non-integral columns loudly; the
         // reader must match — a silent cast("long") on a double column
         // TRUNCATES (5.7 passes a [1,5] filter) and returns rows
@@ -412,7 +415,8 @@ object SnapshotStore {
             s"SnapshotStore.readKeyRange: $column is $dt, not an integral column — " +
               "use readDateRange/readStringRange for typed keys")
         }
-        df.filter(col(column).cast("long").between(lo, hi))
+        val exact = df.filter(col(column).cast("long").between(lo, hi))
+        if (keep.isEmpty) exact.limit(0) else exact
       }
     }
   }
@@ -438,13 +442,16 @@ object SnapshotStore {
       val statted = stats.map(_._1).toSet
       val keep = (files.filterNot(statted) ++
         stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).sorted
-      readFiles(spark, dir, keep).map { df =>
+      // all-pruned = empty result, not a missing table (see readKeyRange)
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
         df.schema(column).dataType match {
           case org.apache.spark.sql.types.DateType => ()
           case dt => throw new IllegalArgumentException(
             s"SnapshotStore.readDateRange: $column is $dt, not a date column")
         }
-        df.filter(col(column).between(lit(loDate).cast("date"), lit(hiDate).cast("date")))
+        val exact =
+          df.filter(col(column).between(lit(loDate).cast("date"), lit(hiDate).cast("date")))
+        if (keep.isEmpty) exact.limit(0) else exact
       }
     }
   }
@@ -483,13 +490,15 @@ object SnapshotStore {
         }.getOrElse(true) // undecodable stat → must scan, never prune
       }.map(_.file)
       val keep = (files.filterNot(statted) ++ candidates).sorted
-      readFiles(spark, dir, keep).map { df =>
+      // all-pruned = empty result, not a missing table (see readKeyRange)
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
         df.schema(column).dataType match {
           case org.apache.spark.sql.types.StringType => ()
           case dt => throw new IllegalArgumentException(
             s"SnapshotStore.readStringRange: $column is $dt, not a string column")
         }
-        df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        val exact = df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        if (keep.isEmpty) exact.limit(0) else exact
       }
     }
   }

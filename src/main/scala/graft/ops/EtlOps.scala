@@ -57,6 +57,11 @@ object EtlOps {
   private val purgeTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (fragmented bootstrap + z-ordered compact)
+    * table of etl_compact_zorder. */
+  private val zorderTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -931,6 +936,60 @@ object EtlOps {
           s.readDateRange(spark, table, "od", "1995-01-01", "1995-12-31").get, "date"))
         .unionByName(yearAgg(
           s.readStringRange(spark, table, "o_orderpriority", "1-URGENT", "1-URGENT").get, "str"))
+    },
+
+    // ── etl_compact_zorder: OPTIMIZE ZORDER on the versioned store —
+    // [[graft.etl.VersionedLoad.compact]]'s Morton-clustered rewrite
+    // (the codegen'd bit_interleave of io_zorder_layout, wired into the
+    // store's own layout path): a round-robin-fragmented fact compacts
+    // into files whose per-file stats are NARROW IN BOTH the integral
+    // key and the DATE column, so the store's pruned reads serve range
+    // predicates on EITHER dimension — where the sortBy compact's
+    // single-key clustering serves only its leading column. Two legs
+    // read back through the two typed pruned readers (readKeyRange on
+    // o_orderkey, readDateRange on the order date), year-aggregated;
+    // the oracle replays each as a plain WHERE, so the exact filter on
+    // the pruned scan must return precisely the relational answer
+    // (content is layout-independent by construction — a z-order bug
+    // that drops or duplicates rows is a hash diff). The
+    // narrow-span-per-file and prune-on-either-dimension layout facts
+    // are pinned in VersionedDeleteSpec with the destroyed-file device.
+    OpQuery.checked(
+      "etl_compact_zorder",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT 'key' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o WHERE o_orderkey BETWEEN 1000 AND 5000 GROUP BY 2
+        |UNION ALL
+        |SELECT 'date', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE od BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val table = EtlOps.zorderTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "zorder_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t, o.repartition(8),
+          asOfMicros = 852076800000000L,
+          statsCol = Some("o_orderkey"), statsCols = Seq("od"))
+        graft.etl.VersionedLoad.compact(spark, t, numFiles = 8,
+          asOfMicros = Some(852076800000000L),
+          statsCol = Some("o_orderkey"), statsCols = Seq("od"),
+          zorderBy = Seq("o_orderkey", "od"))
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      val s = graft.etl.SnapshotStore
+      yearAgg(s.readKeyRange(spark, table, "o_orderkey", 1000L, 5000L).get, "key")
+        .unionByName(yearAgg(
+          s.readDateRange(spark, table, "od", "1996-01-01", "1996-12-31").get, "date"))
     },
 
     // ── dedup_purge_versioned: the GDPR/right-to-be-forgotten pipeline

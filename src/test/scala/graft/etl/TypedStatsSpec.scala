@@ -137,6 +137,20 @@ class TypedStatsSpec extends SparkSuite {
     assert(ex.getMessage.contains("not an integral column"))
   }
 
+  test("an all-pruned range is an EMPTY result, never a missing table") {
+    val t = bootstrapTyped()
+    // every file's span misses the probe range on each reader — the
+    // table exists, so the answer is zero rows with the right schema
+    val k = SnapshotStore.readKeyRange(spark, t, "k", 5000L, 9000L)
+    assert(k.isDefined && k.get.count() == 0 && k.get.columns.contains("s"))
+    assert(SnapshotStore.readDateRange(spark, t, "d", "1895-01-01", "1895-12-31")
+      .exists(_.count() == 0))
+    assert(SnapshotStore.readStringRange(spark, t, "s", "zzz", "zzzz")
+      .exists(_.count() == 0))
+    // and a never-committed table still answers None
+    assert(SnapshotStore.readKeyRange(spark, freshTable(), "k", 0L, 1L).isEmpty)
+  }
+
   test("version-pinned pruned reads resolve THAT version's stats and files") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
