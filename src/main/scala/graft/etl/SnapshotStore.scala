@@ -111,6 +111,7 @@ object SnapshotStore {
     * Delta/Iceberg keep these for every leading column):
     * `kind == "date"` → `lo`/`hi` are epoch-day longs rendered as
     * decimal strings (exact bounds, `hiTrunc` always false);
+    * `kind == "ts"` → epoch-micros longs, same encoding (r15);
     * `kind == "str"` → `lo`/`hi` are Base64 of the value's UTF-8 bytes
     * truncated to [[StatPrefixBytes]] — a truncated `lo` is still a
     * valid LOWER bound (a byte prefix sorts ≤ every extension), and a
@@ -456,6 +457,51 @@ object SnapshotStore {
     }
   }
 
+  /** [[readKeyRange]] for a TIMESTAMP column: `column` ∈ [loMicros,
+    * hiMicros] (epoch micros, inclusive — the engine's asOfDate
+    * determinism discipline: callers pass instants, never wall clock),
+    * pruning by the manifest's `t ts` per-file stats; exact filter on
+    * top via unix_micros, which is session-timezone-independent like
+    * the recorded bounds. All-pruned → empty frame; None only when
+    * never committed. Lazy. */
+  def readTimestampRange(spark: SparkSession, dir: String, column: String,
+      loMicros: Long, hiMicros: Long, version: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).flatMap { m =>
+      val files = manifestDataFiles(fs, tgt, m)
+      val stats = m.typedStats.filter(st => st.col == column && st.kind == "ts")
+        .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+      val statted = stats.map(_._1).toSet
+      val keep = (files.filterNot(statted) ++
+        stats.filter { case (_, mn, mx) => mx >= loMicros && mn <= hiMicros }
+          .map(_._1)).sorted
+      // all-pruned = empty result, not a missing table (see readKeyRange)
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+        df.schema(column).dataType match {
+          case org.apache.spark.sql.types.TimestampType => ()
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore.readTimestampRange: $column is $dt, not a timestamp column")
+        }
+        val exact = df.filter(unix_micros(col(column)).between(loMicros, hiMicros))
+        if (keep.isEmpty) exact.limit(0) else exact
+      }
+    }
+  }
+
+  /** The newest committed version id whose pinned as-of instant is ≤
+    * `asOfMicros` — [[readAsOf]]'s resolution exposed as an ID, so
+    * timestamp travel composes with the version-pinned PRUNED readers:
+    * `readKeyRange(..., version = versionAsOf(t))` is "point lookup in
+    * the table as of t", opening only that version's matching files.
+    * None when no retained commit qualifies. */
+  def versionAsOf(spark: SparkSession, dir: String, asOfMicros: Long): Option[Long] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFiles(fs, tgt).iterator
+      .map { case (id, p) => (id, resolve(fs, tgt, p)) }
+      .collectFirst { case (id, Some(m)) if m.asOf.exists(_ <= asOfMicros) => id }
+  }
+
   /** [[readKeyRange]] for a STRING column: read the latest committed
     * state restricted to `column` ∈ [lo, hi] (inclusive, UTF-8 byte
     * order — Spark's native string comparison), pruning by the
@@ -694,10 +740,11 @@ object SnapshotStore {
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType => ()
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.StringType => ()
         case dt => throw new IllegalArgumentException(
-          s"SnapshotStore.promote: statsCol $c must be an integral, date, or " +
-            s"string column, got $dt")
+          s"SnapshotStore.promote: statsCol $c must be an integral, date, timestamp, " +
+            s"or string column, got $dt")
       }
     }
     // the id moves past EVERY listed manifest, not just the committed
@@ -785,6 +832,9 @@ object SnapshotStore {
               case StringType => fcol(c)
               // epoch days via datediff, no java.sql.Date round trip
               case DateType => datediff(fcol(c), lit("1970-01-01").cast("date")).cast("long")
+              // epoch micros — exact, session-TZ-independent
+              case org.apache.spark.sql.types.TimestampType =>
+                org.apache.spark.sql.functions.unix_micros(fcol(c))
               case _        => fcol(c).cast("long")
             }
             Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"))
@@ -807,6 +857,8 @@ object SnapshotStore {
                     Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
                   case DateType =>
                     Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                  case org.apache.spark.sql.types.TimestampType =>
+                    Some(s"t ts $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
                   case _ =>
                     Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
                 }

@@ -224,12 +224,15 @@ object VersionedLoad {
             (files.filterNot(statted) ++
               stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSeq.sorted
           }
-        case DateType =>
+        case DateType | org.apache.spark.sql.types.TimestampType =>
+          val kind = if (probe.schema(c).dataType == DateType) "date" else "ts"
           val stats = SnapshotStore.filesForVersionTypedStats(spark, table, version)
-            .filter(st => st.col == c && st.kind == "date" && files.contains(st.file))
+            .filter(st => st.col == c && st.kind == kind && files.contains(st.file))
             .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
           if (stats.isEmpty) None
-          else span(datediff(col(c), lit("1970-01-01").cast("date")).cast("long"), c)
+          else span(
+            if (kind == "ts") org.apache.spark.sql.functions.unix_micros(col(c))
+            else datediff(col(c), lit("1970-01-01").cast("date")).cast("long"), c)
             .map { case (lo: Long, hi: Long) =>
               val statted = stats.map(_._1).toSet
               (files.filterNot(statted) ++
@@ -620,10 +623,11 @@ object VersionedLoad {
     val typedStats = SnapshotStore.currentTypedFileStats(spark, table)
       .filter(st => fileSet.contains(st.file))
     def kindOf(k: String): Option[String] = batchKeys.schema(k).dataType match {
-      case _ if isIntegral(batchKeys, k) => Some("long")
-      case DateType                      => Some("date")
-      case StringType                    => Some("str")
-      case _                             => None
+      case _ if isIntegral(batchKeys, k)            => Some("long")
+      case DateType                                 => Some("date")
+      case org.apache.spark.sql.types.TimestampType => Some("ts")
+      case StringType                               => Some("str")
+      case _                                        => None
     }
     val pruneKey: Option[(String, String)] =
       keys.flatMap(k => kindOf(k).map(k -> _)).find {
@@ -646,13 +650,15 @@ object VersionedLoad {
             .select("__file").distinct()
             .collect().map(_.getString(0)).toSet
           (c, stats.map(_.file).toSet)
-        case "date" =>
-          val stats = typedStats.filter(st => st.col == keyCol && st.kind == "date")
+        case "date" | "ts" =>
+          val stats = typedStats.filter(st => st.col == keyCol && st.kind == kind)
             .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
           val ranges = stats.toDF("__file", "__mn", "__mx")
-          val keyDays = datediff(col(keyCol), lit("1970-01-01").cast("date")).cast("long")
+          val keyNum =
+            if (kind == "ts") org.apache.spark.sql.functions.unix_micros(col(keyCol))
+            else datediff(col(keyCol), lit("1970-01-01").cast("date")).cast("long")
           val c = batchKeys
-            .join(broadcast(ranges), keyDays >= col("__mn") && keyDays <= col("__mx"))
+            .join(broadcast(ranges), keyNum >= col("__mn") && keyNum <= col("__mx"))
             .select("__file").distinct()
             .collect().map(_.getString(0)).toSet
           (c, stats.map(_._1).toSet)

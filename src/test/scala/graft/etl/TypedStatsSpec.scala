@@ -137,6 +137,39 @@ class TypedStatsSpec extends SparkSuite {
     assert(ex.getMessage.contains("not an integral column"))
   }
 
+  test("timestamp stats prune readTimestampRange, and versionAsOf composes travel with pruning") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((1L, ts("1995-01-01 06:00:00")), (2L, ts("1995-06-01 06:00:00")),
+      (100L, ts("1997-01-01 06:00:00")), (101L, ts("1997-06-01 06:00:00")))
+      .toDF("k", "at")
+    VersionedLoad.bootstrap(spark, t, df.repartitionByRange(2, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"), statsCols = Seq("at"))
+    val m = SnapshotStore.currentTypedFileStats(spark, t).filter(_.kind == "ts")
+    assert(m.size == 2, s"one ts stat line per file, got $m")
+    // exact filter inside the candidate: only k=2's instant qualifies
+    val lo = ts("1995-03-01 00:00:00").getTime * 1000L
+    val hi = ts("1996-12-31 00:00:00").getTime * 1000L
+    assert(SnapshotStore.readTimestampRange(spark, t, "at", lo, hi).get
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    // destroyed-file device: a 1995-confined read never opens the high file
+    val highFile = m.maxBy(_.lo.toLong).file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(t), highFile).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val lo95 = ts("1995-01-01 00:00:00").getTime * 1000L
+    val hi95 = ts("1995-12-31 00:00:00").getTime * 1000L
+    assert(SnapshotStore.readTimestampRange(spark, t, "at", lo95, hi95).get
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "an out-of-range file is never opened")
+    // versionAsOf: timestamp travel resolved to an ID pins pruned reads
+    assert(SnapshotStore.versionAsOf(spark, t, 500L).isEmpty, "before the first commit")
+    assert(SnapshotStore.versionAsOf(spark, t, 1500L).contains(0L))
+    assert(SnapshotStore.readKeyRange(spark, t, "k", 1L, 2L,
+      version = SnapshotStore.versionAsOf(spark, t, 1500L)).get
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("an all-pruned range is an EMPTY result, never a missing table") {
     val t = bootstrapTyped()
     // every file's span misses the probe range on each reader — the
