@@ -91,6 +91,17 @@ object SnapshotStore {
     * empty (never-committed) table. */
   val NoVersion: Long = -1L
 
+  /** Default [[vacuum]] retention window: 7 days in epoch micros (the
+    * Delta VACUUM default). */
+  val DefaultVacuumRetentionMicros: Long = 7L * 24 * 3600 * 1000000L
+
+  /** [[vacuum]] refuses a retention below this floor (1 hour) unless
+    * the caller passes `enforceRetention = false` — the Delta
+    * retentionDurationCheck shape: an aggressive vacuum under live
+    * readers is the format's one documented footgun, so crossing the
+    * floor must be deliberate. */
+  val MinVacuumRetentionMicros: Long = 3600L * 1000000L
+
   /** A promote carrying a stale fence observed a newer writer's fence
     * and refused to race it. */
   final class FencedException(msg: String) extends IllegalStateException(msg)
@@ -129,6 +140,28 @@ object SnapshotStore {
     * only widens the recorded range, never narrows it. */
   val StatPrefixBytes: Int = 64
 
+  /** A partition spec (r16 — the Iceberg hidden-partitioning shape): a
+    * TRANSFORM over one column whose per-file VALUES the manifest
+    * records, letting readers prune whole files by partition value
+    * BEFORE any file stat is consulted. Supported transforms:
+    * `identity` (integral column — the value itself), `year` /
+    * `month` over a date column (`year(c)`; `year(c)*100 + month(c)`,
+    * both monotone in the date so range queries stay ranges). The spec
+    * is versioned WITH the data — each manifest carries its own `p`
+    * header — so partition pruning composes with version and timestamp
+    * travel, and a spec CHANGE (partition evolution) is just newer
+    * manifests carrying a different header: old versions keep pruning
+    * by the spec they were written under; files written before the new
+    * spec carry no value line under it and safely degrade to
+    * must-scan. */
+  final case class PartitionSpec(transform: String, col: String)
+
+  /** One file's recorded partition value under the manifest's spec. A
+    * file with rows in MORE than one partition gets no line (the write
+    * path records a value only when the file is single-valued) — it
+    * simply always scans, the absence-means-must-scan rule. */
+  final case class FilePartition(file: String, value: Long)
+
   /** One committed manifest's content: the primary snapshot directory,
     * the optional pinned as-of instant, the optional explicit file
     * list (table-root-relative; empty = all data files of `snap`),
@@ -142,7 +175,9 @@ object SnapshotStore {
     * truncated-away files. Only fully-terminated manifests commit. */
   private final case class ManifestData(
       snap: String, asOf: Option[Long], files: Seq[String],
-      stats: Seq[FileStat], typedStats: Seq[TypedFileStat], terminated: Boolean)
+      stats: Seq[FileStat], typedStats: Seq[TypedFileStat],
+      spec: Option[PartitionSpec], partVals: Seq[FilePartition],
+      terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -186,24 +221,35 @@ object SnapshotStore {
     * one from after tolerates its absence) — `t` lines ride on exactly
     * this rule past r14 readers.
     *
-    * PARTITION-SPEC DESIGN NOTE (not implemented): a partition
-    * transform would ride the same extensible-line device — a header
-    * line `p <transform> <col>` (e.g. `p year date_key`) declaring the
-    * spec, plus one `v <value> <relative path>` line per file binding
-    * it to its partition value. Because the lines live in each
-    * version's manifest, the spec is versioned WITH the data: dynamic
-    * partition pruning composes with time travel (a readAsOf resolves
-    * the manifest first, then prunes by that manifest's own `v` lines),
-    * and a spec CHANGE is just newer manifests carrying a different
-    * header — old versions keep pruning by the spec they were written
-    * under, the Iceberg partition-evolution behavior. Until then the
-    * typed per-file stats subsume the common case: `year(date_key)`
-    * pruning falls out of date/long stats on `date_key` whenever the
-    * layout clusters by it ([[VersionedLoad.compact]]'s sortBy). */
+    * PARTITION SPEC (r16 — the r15 design note become code): a header
+    * line `p <transform> <col>` (e.g. `p year date_key`) declares the
+    * manifest's [[PartitionSpec]], and one `v <value> <relative path>`
+    * line per SINGLE-VALUED file binds it to its partition value.
+    * Because the lines live in each version's manifest, the spec is
+    * versioned WITH the data: partition pruning composes with time
+    * travel (a readAsOf resolves the manifest first, then prunes by
+    * that manifest's own `v` lines), and a spec CHANGE is just newer
+    * manifests carrying a different header — old versions keep pruning
+    * by the spec they were written under, the Iceberg
+    * partition-evolution behavior; files from before the change carry
+    * no `v` line under the new spec and degrade to must-scan. */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
     val files = lines.drop(2).collect { case l if l.startsWith("f ") => l.drop(2).trim }
+    val spec = lines.drop(2).collectFirst { case l if l.startsWith("p ") =>
+      l.drop(2).trim.split(" ", 2) match {
+        case Array(tr, c) if tr.nonEmpty && c.nonEmpty => Some(PartitionSpec(tr, c.trim))
+        case _ => None
+      }
+    }.flatten
+    val partVals = lines.drop(2).collect { case l if l.startsWith("v ") =>
+      l.drop(2).trim.split(" ", 2) match {
+        case Array(value, p) if p.nonEmpty =>
+          scala.util.Try(FilePartition(p.trim, value.toLong)).toOption
+        case _ => None
+      }
+    }.flatten
     val stats = lines.drop(2).collect { case l if l.startsWith("s ") =>
       l.drop(2).trim.split(" ", 4) match {
         case Array(c, mn, mx, p) =>
@@ -219,7 +265,27 @@ object SnapshotStore {
       }
     }.flatten
     ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
-      typed.toIndexedSeq, lines.last.trim == "end")
+      typed.toIndexedSeq, spec, partVals.toIndexedSeq, lines.last.trim == "end")
+  }
+
+  /** The partition-transform column for `spec` over `df`'s schema —
+    * shared by the write-side value recorder and the read-side exact
+    * filter, so both always agree. Throws on an unknown transform or a
+    * column type the transform cannot take. */
+  private def transformColumn(spec: PartitionSpec,
+      df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, month, year}
+    import org.apache.spark.sql.types._
+    (spec.transform, df.schema(spec.col).dataType) match {
+      case ("identity", ByteType | ShortType | IntegerType | LongType) =>
+        col(spec.col).cast("long")
+      case ("year", DateType)  => year(col(spec.col)).cast("long")
+      case ("month", DateType) =>
+        (year(col(spec.col)) * 100 + month(col(spec.col))).cast("long")
+      case (t, dt) => throw new IllegalArgumentException(
+        s"SnapshotStore: partition transform $t is not applicable to ${spec.col}: $dt — " +
+          "identity takes an integral column; year/month take a date column")
+    }
   }
 
   /** Resolve ONE manifest to its committed content: it parses WITH the
@@ -549,6 +615,59 @@ object SnapshotStore {
     }
   }
 
+  /** Partition-pruned read (r16): the committed state restricted to
+    * partition values ∈ [lo, hi] under the resolved manifest's OWN
+    * [[PartitionSpec]] — files whose recorded `v` value falls outside
+    * the range are NEVER OPENED, before any file stat is consulted;
+    * files without a value line (pre-evolution files, multi-valued
+    * files) always scan, and the exact transform filter runs on top,
+    * so the partition index only cuts IO, never correctness. With
+    * `version` (or a [[versionAsOf]]-resolved id) the prune applies
+    * under THAT manifest's spec and values — partition pruning composes
+    * with time travel, the year-sliced report read
+    * (`BETWEEN &p_year_from AND &p_year_to`) on yesterday's snapshot.
+    * Throws when the resolved manifest carries no spec (asking for a
+    * partition read of an unpartitioned table is a wiring bug); None
+    * when nothing was ever committed. All-pruned → empty frame. Lazy —
+    * see the read-laziness contract. */
+  def readPartitionRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Option[Long] = None): Option[DataFrame] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).map { m =>
+      val spec = m.spec.getOrElse(throw new IllegalStateException(
+        s"SnapshotStore.readPartitionRange: $dir carries no partition spec" +
+          version.fold(" at the committed head")(v => s" at version $v")))
+      val files = manifestDataFiles(fs, tgt, m)
+      val fileSet = files.toSet
+      val vals = m.partVals.filter(pv => fileSet.contains(pv.file))
+      val valued = vals.map(_.file).toSet
+      val keep = (files.filterNot(valued) ++
+        vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).sorted
+      // all-pruned = empty result, not a missing table (see readKeyRange)
+      val df = readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).get
+      val exact = df.filter(transformColumn(spec, df).between(lo, hi))
+      if (keep.isEmpty) exact.limit(0) else exact
+    }
+  }
+
+  /** The partition spec the head (or `version`'s) manifest was written
+    * under, if any — what a writer consults before choosing how to
+    * shape a commit, and what the partition-evolution spec pins. */
+  def partitionSpecOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Option[PartitionSpec] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).flatMap(_.spec)
+  }
+
+  /** The per-file partition values the head (or `version`'s) manifest
+    * records (empty when unpartitioned) — metadata only, for specs and
+    * operators auditing the layout. */
+  def filePartitionsOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[FilePartition] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).toSeq.flatMap(_.partVals)
+  }
+
   /** UTF-8 bytes of `s` truncated to ≤ [[StatPrefixBytes]]; ._2 =
     * whether bytes were dropped. Truncation may split a multi-byte
     * codepoint — harmless, because every stat comparison (write-side
@@ -723,9 +842,22 @@ object SnapshotStore {
       preferredId: Long = 0L, keep: Int = 2,
       asOfMicros: Option[Long] = None, fence: Option[Long] = None,
       reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None,
-      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      partitionSpec: Option[PartitionSpec] = None): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     val effCols = (statsCol.toSeq ++ statsCols).distinct
+    // partition-spec validation BEFORE the slow snapshot write, like the
+    // stat columns: an unknown transform or a type mismatch must not
+    // leave an orphaned snapshot directory behind. transformColumn is
+    // the shared write/read builder, so a spec that validates here
+    // prunes identically on read.
+    partitionSpec.foreach { ps =>
+      if (ps.col.exists(_.isWhitespace) || ps.transform.exists(_.isWhitespace))
+        throw new IllegalArgumentException(
+          s"SnapshotStore.promote: partition spec '$ps' contains whitespace — " +
+            "the p/v manifest lines are space-delimited")
+      transformColumn(ps, df): Unit
+    }
     // stat-column validation BEFORE the (slow) snapshot write — a bad
     // stat request must not leave an orphaned snapshot directory behind
     effCols.foreach { c =>
@@ -810,69 +942,113 @@ object SnapshotStore {
     // that stats nothing itself (restore's metadata-only promote, a
     // plain refresh without statsCol) must not silently drop the
     // skipping index its reused files already carry
+    val prevManifest: Option[ManifestData] =
+      if (reuseFiles.isEmpty) None else currentManifest(fs, tgt).map(_._2)
+    // effective partition spec: the caller's, or — for an incremental
+    // commit — CARRIED from the head manifest, so a chain of refreshes/
+    // merges keeps its table partitioned without re-declaring the spec
+    // on every commit. A caller-passed spec that differs from the head's
+    // is partition EVOLUTION: it applies from this commit forward.
+    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(prevManifest.flatMap(_.spec))
     val carriedLines: Seq[String] = if (reuseFiles.isEmpty) Nil else {
       val reused = reuseFiles.toSet
-      val prev = currentManifest(fs, tgt).map(_._2)
-      prev.toSeq.flatMap(_.stats)
+      prevManifest.toSeq.flatMap(_.stats)
         .filter(st => reused.contains(st.file))
         .map(st => s"s ${st.col} ${st.min} ${st.max} ${st.file}") ++
-      prev.toSeq.flatMap(_.typedStats)
+      prevManifest.toSeq.flatMap(_.typedStats)
         .filter(st => reused.contains(st.file))
         .map(st => s"t ${st.kind} ${st.col} ${st.lo} ${st.hi} ${if (st.hiTrunc) "T" else "E"} ${st.file}")
     }
-    val ownLines: Seq[String] = if (effCols.isEmpty) Nil else {
+    // reused files keep their partition values ONLY when the spec is
+    // unchanged: after an evolution the old `v` values were computed
+    // under the old transform and would prune wrongly — dropping them
+    // degrades pre-evolution files to must-scan, the sound default
+    // (Iceberg's old-data-keeps-old-spec, expressed per manifest)
+    val carriedPartLines: Seq[String] =
+      if (reuseFiles.isEmpty || effSpec.isEmpty) Nil
+      else if (prevManifest.exists(_.spec == effSpec)) {
+        val reused = reuseFiles.toSet
+        prevManifest.toSeq.flatMap(_.partVals)
+          .filter(pv => reused.contains(pv.file))
+          .map(pv => s"v ${pv.value} ${pv.file}")
+      } else Nil
+    val (ownLines, ownPartLines): (Seq[String], Seq[String]) = {
       import org.apache.spark.sql.functions.{col => fcol, datediff, expr, lit,
         max => fmax, min => fmin}
       import org.apache.spark.sql.types.{DateType, StringType}
-      val own: Seq[String] =
-        if (ownFiles.isEmpty) Nil
-        else {
-          val aggs = effCols.zipWithIndex.flatMap { case (c, i) =>
-            val base = df.schema(c).dataType match {
-              case StringType => fcol(c)
-              // epoch days via datediff, no java.sql.Date round trip
-              case DateType => datediff(fcol(c), lit("1970-01-01").cast("date")).cast("long")
-              // epoch micros — exact, session-TZ-independent
-              case org.apache.spark.sql.types.TimestampType =>
-                org.apache.spark.sql.functions.unix_micros(fcol(c))
-              case _        => fcol(c).cast("long")
-            }
-            Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"))
+      if (ownFiles.isEmpty || (effCols.isEmpty && effSpec.isEmpty)) (Nil, Nil)
+      else {
+        val reread = spark.read.parquet(new Path(tgt, snapName).toString)
+        // a CARRIED spec may reference a column this commit's own rows
+        // lack or cannot transform (additive-evolution edge): its own
+        // files then record no value and must-scan — absence, never a
+        // wrong value
+        val specTx = effSpec.flatMap(ps =>
+          scala.util.Try(transformColumn(ps, reread)).toOption)
+        val statAggs = effCols.zipWithIndex.flatMap { case (c, i) =>
+          val base = df.schema(c).dataType match {
+            case StringType => fcol(c)
+            // epoch days via datediff, no java.sql.Date round trip
+            case DateType => datediff(fcol(c), lit("1970-01-01").cast("date")).cast("long")
+            // epoch micros — exact, session-TZ-independent
+            case org.apache.spark.sql.types.TimestampType =>
+              org.apache.spark.sql.functions.unix_micros(fcol(c))
+            case _        => fcol(c).cast("long")
           }
-          spark.read.parquet(new Path(tgt, snapName).toString)
+          Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"))
+        }
+        // the partition value rides the SAME single O(delta) scan as the
+        // stats: per file, min/max of the transform — a value line is
+        // recorded exactly when the file is single-valued and non-null
+        val specAggs = specTx.toSeq.flatMap(tx =>
+          Seq(fmin(tx).as("__pmn"), fmax(tx).as("__pmx")))
+        val aggs = statAggs ++ specAggs
+        if (aggs.isEmpty) (Nil, Nil)
+        else {
+          val selCols = (effCols ++ effSpec.map(_.col).toSeq).distinct
+            .filter(reread.columns.contains)
+          val rows = reread
             .select(expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)").as("__f")
-              +: effCols.map(fcol): _*)
+              +: selCols.map(fcol): _*)
             .groupBy("__f")
             .agg(aggs.head, aggs.tail: _*)
             .collect().toSeq
-            .flatMap { r =>
-              val file = r.getString(0)
-              effCols.zipWithIndex.flatMap { case (c, i) =>
-                val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-                if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-                else df.schema(c).dataType match {
-                  case StringType =>
-                    val (loP, _)    = truncBytes(r.getString(mnI))
-                    val (hiP, hiT)  = truncBytes(r.getString(mxI))
-                    Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
-                  case DateType =>
-                    Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
-                  case org.apache.spark.sql.types.TimestampType =>
-                    Some(s"t ts $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
-                  case _ =>
-                    Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
-                }
+          val statLs = rows.flatMap { r =>
+            val file = r.getString(0)
+            effCols.zipWithIndex.flatMap { case (c, i) =>
+              val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+              else df.schema(c).dataType match {
+                case StringType =>
+                  val (loP, _)    = truncBytes(r.getString(mnI))
+                  val (hiP, hiT)  = truncBytes(r.getString(mxI))
+                  Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
+                case DateType =>
+                  Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                case org.apache.spark.sql.types.TimestampType =>
+                  Some(s"t ts $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                case _ =>
+                  Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
               }
             }
+          }
+          val partLs = if (specTx.isEmpty) Nil else rows.flatMap { r =>
+            val (pmnI, pmxI) = (1 + 2 * effCols.size, 2 + 2 * effCols.size)
+            if (r.isNullAt(pmnI) || r.isNullAt(pmxI) || r.getLong(pmnI) != r.getLong(pmxI)) None
+            else Some(s"v ${r.getLong(pmnI)} ${r.getString(0)}")
+          }
+          (statLs, partLs)
         }
-      own
+      }
     }
     val statLines = (ownLines ++ carriedLines).map("\n" + _).mkString
+    val specLine  = effSpec.fold("")(ps => s"\np ${ps.transform} ${ps.col}")
+    val partLines = (ownPartLines ++ carriedPartLines).map("\n" + _).mkString
     // the `end` terminator line commits the content: the exclusive
     // create is atomic but this write is not, and a truncated file list
     // must never resolve as a committed subset (see ManifestData)
     val content = snapName + "\n" + asOfMicros.fold("")(_.toString) +
-      fileLines + statLines + "\nend"
+      fileLines + specLine + statLines + partLines + "\nend"
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
     if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
       val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +
@@ -953,8 +1129,28 @@ object SnapshotStore {
     * crashed-writer debris and would be collected; a dir any listed
     * manifest names (committed or torn) survives whole, like the
     * commit-path rule. Best-effort like GC: IO errors are swallowed,
-    * the table stays consistent regardless of where the sweep stops. */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 16): Unit =
+    * the table stays consistent regardless of where the sweep stops.
+    *
+    * RETENTION GUARD (r16 — the Delta VACUUM retention-duration check):
+    * readers may park a version pin and read lazily, so collecting a
+    * recent version loses files mid-read. With `nowMicros` supplied
+    * (caller-pinned instant, never wall clock — the store's asOfDate
+    * determinism discipline), every committed version whose pinned
+    * as-of lies within `retentionMicros` of it is PROTECTED even past
+    * the `keep` bound — a pin inside the retention window survives the
+    * vacuum. Asking for a retention below [[MinVacuumRetentionMicros]]
+    * throws unless `enforceRetention = false` is passed deliberately
+    * (the Delta retentionDurationCheck escape hatch). Untimestamped
+    * commits carry no age and rely on `keep` alone. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 16,
+      nowMicros: Option[Long] = None,
+      retentionMicros: Long = DefaultVacuumRetentionMicros,
+      enforceRetention: Boolean = true): Unit = {
+    if (enforceRetention && retentionMicros < MinVacuumRetentionMicros)
+      throw new IllegalArgumentException(
+        s"SnapshotStore.vacuum: retention ${retentionMicros}us is below the " +
+          s"${MinVacuumRetentionMicros}us floor — a reader holding a recent version pin " +
+          "would lose files mid-read; pass enforceRetention = false to override deliberately")
     try {
       val (fs, tgt) = fsOf(spark, dir)
       if (!fs.exists(tgt)) return
@@ -962,8 +1158,19 @@ object SnapshotStore {
       val committed = all.iterator
         .map { case (id, p) => (id, resolve(fs, tgt, p)) }
         .collect { case (id, Some(m)) => (id, m) }.toSeq
-      val retained = committed.take(keep)
-      if (retained.size == keep) {
+      val horizon = nowMicros.map(_ - retentionMicros)
+      def young(m: ManifestData): Boolean = horizon.exists(h => m.asOf.exists(_ >= h))
+      val byKeep = committed.take(keep)
+      // retained = the keep-newest committed set, widened to every
+      // version still inside the retention window; the cutoff is the
+      // oldest protected id, and everything at/above it survives
+      // (conservative — committed is newest-first, so the protected set
+      // is effectively a prefix)
+      val protectedIds = byKeep.map(_._1) ++ committed.filter(c => young(c._2)).map(_._1)
+      val retained =
+        if (protectedIds.isEmpty) committed.take(0)
+        else { val cutoff = protectedIds.min; committed.filter(_._1 >= cutoff) }
+      if (byKeep.size == keep && retained.nonEmpty) {
         val cutoff = retained.last._1
         all.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, false): Unit }
       }
@@ -981,6 +1188,7 @@ object SnapshotStore {
         }
       }
     } catch { case _: java.io.IOException => () }
+  }
 
   /** Optimistic multi-writer commit: re-read → re-merge → re-promote
     * until the commit lands or `maxAttempts` genuine conflicts pass.

@@ -40,10 +40,11 @@ object VersionedLoad {
     * [[SnapshotStore.readStringRange]] prune with). */
   def bootstrap(spark: SparkSession, table: String, initial: DataFrame,
       asOfMicros: Long, keep: Int = 16, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil,
+      partitionSpec: Option[SnapshotStore.PartitionSpec] = None): Long =
     SnapshotStore.promote(spark, table, initial,
       preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros),
-      statsCol = statsCol, statsCols = statsCols)
+      statsCol = statsCol, statsCols = statsCols, partitionSpec = partitionSpec)
 
   /** Compact the CURRENT version's files into `numFiles` as a NEW
     * commit — the table-format answer to small-file accumulation (many
@@ -74,20 +75,25 @@ object VersionedLoad {
     * `zorderBy` (exactly two integral/date columns, exclusive with
     * sortBy) MORTON-CLUSTERS the rewrite instead — the OPTIMIZE ZORDER
     * of the heavyweight formats, on the store's own layout path: both
-    * dimensions rank-scale to 8 bits (one tiny min/max agg), interleave
-    * through the codegen'd [[graft.functions.ZOrder]] expression, and
-    * the range shuffle on the curve position writes files whose
-    * recorded per-file spans are NARROW IN BOTH columns — so
-    * [[SnapshotStore.readKeyRange]] prunes on either dimension, where a
-    * single-key sort serves only its leading column. Record stats for
-    * both z-order columns (statsCol/statsCols) or the narrow layout is
-    * invisible to the pruner. */
+    * dimensions RANK-scale to 8 bits through sampled quantile
+    * boundaries (equal-frequency cells — one approxQuantile pass over
+    * the two columns), interleave through the codegen'd
+    * [[graft.functions.ZOrder]] expression, and the range shuffle on
+    * the curve position writes files whose recorded per-file spans are
+    * NARROW IN BOTH columns — so [[SnapshotStore.readKeyRange]] prunes
+    * on either dimension, where a single-key sort serves only its
+    * leading column. Rank (not min/max-linear) scaling keeps the cells
+    * equal-frequency under skew: a long-tail dim or a few far outliers
+    * would collapse linear cells into one and degrade the curve toward
+    * a single-key sort. Record stats for both z-order columns
+    * (statsCol/statsCols) or the narrow layout is invisible to the
+    * pruner. */
   def compact(spark: SparkSession, table: String, numFiles: Int,
       asOfMicros: Option[Long] = None, keep: Int = 16,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      sortBy: Option[String] = None, zorderBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{call_function, col, datediff, floor,
-      lit, max => fmax, min => fmin}
+      sortBy: Option[String] = None, zorderBy: Seq[String] = Nil,
+      partitionSpec: Option[SnapshotStore.PartitionSpec] = None): Long = {
+    import org.apache.spark.sql.functions.{call_function, col, datediff, lit, when}
     if (sortBy.isDefined && zorderBy.nonEmpty)
       throw new IllegalArgumentException(
         "VersionedLoad.compact: sortBy and zorderBy are exclusive clustering modes")
@@ -100,6 +106,10 @@ object VersionedLoad {
     val shaped =
       if (zorderBy.nonEmpty) {
         graft.functions.ZOrder.register(spark)
+        if (current.columns.contains("__z"))
+          throw new IllegalArgumentException(
+            "VersionedLoad.compact: the table carries a column named __z, which collides " +
+              "with the z-order working column and would be silently lost — rename it first")
         def asLong(c: String): org.apache.spark.sql.Column =
           current.schema(c).dataType match {
             case org.apache.spark.sql.types.DateType =>
@@ -108,17 +118,38 @@ object VersionedLoad {
             case dt => throw new IllegalArgumentException(
               s"VersionedLoad.compact: zorderBy column $c must be integral or date, got $dt")
           }
-        val (a, b) = (asLong(zorderBy.head), asLong(zorderBy(1)))
-        val r = current.agg(fmin(a), fmax(a), fmin(b), fmax(b)).head()
-        // rank-scale each dim into 0..255; a degenerate or all-null dim
-        // contributes a constant (harmless — the other dim still orders)
-        def scaled(c: org.apache.spark.sql.Column, loI: Int, hiI: Int) =
-          if (r.isNullAt(loI) || r.isNullAt(hiI) || r.getLong(hiI) <= r.getLong(loI)) lit(0L)
-          else floor(((c - lit(r.getLong(loI))) * 255) / lit(r.getLong(hiI) - r.getLong(loI)))
-            .cast("long")
+        // RANK-scale each dim into 0..255 via sampled quantile
+        // boundaries (equal-frequency cells): skew — a long-tail dim, a
+        // few far outliers — still spreads across every cell, where
+        // min/max-LINEAR scaling collapses most rows into a few and the
+        // Morton clustering degrades toward a single-key sort.
+        // Boundaries and probes compare in DOUBLE space, so wide or
+        // mixed-sign long ranges cannot overflow the scale arithmetic
+        // (r15 ADVICE); quantile error only shifts cell boundaries,
+        // never correctness — the recorded per-file stats stay exact.
+        // A degenerate or all-null dim contributes a constant cell
+        // (harmless — the other dim still orders).
+        val probs = (1 to 255).map(_ / 256.0).toArray
+        val qdf = current.select(
+          asLong(zorderBy.head).cast("double").as("__q0"),
+          asLong(zorderBy(1)).cast("double").as("__q1"))
+        val bounds = qdf.stat.approxQuantile(Array("__q0", "__q1"), probs, 0.01)
+        // cell(v) = #boundaries STRICTLY below v, over ALL 255 quantile
+        // boundaries (repeats kept — a value occupying many quantile
+        // slots pushes everything above it proportionally, which IS the
+        // equal-frequency weighting): cells land 0-based on the full
+        // 0..255 range, so a low-cardinality dim maps to bit-aligned
+        // multiples of 256/K and the Morton quadrants stay exact.
+        // (Deduped >= counting produced 1-based cells compressed into
+        // 1..K, whose top bits no longer split the curve into quadrants.)
+        def ranked(c: org.apache.spark.sql.Column, bs: Array[Double]) =
+          if (bs.isEmpty) lit(0L) // all-null dim
+          else bs.map(b => when(c.cast("double") > lit(b), 1L).otherwise(0L))
+            .reduce(_ + _)
         current
           .withColumn("__z", call_function("bit_interleave",
-            scaled(a, 0, 1), scaled(b, 2, 3)))
+            ranked(asLong(zorderBy.head), bounds(0)),
+            ranked(asLong(zorderBy(1)), bounds(1))))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
@@ -127,8 +158,12 @@ object VersionedLoad {
           current.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
         case None => current.coalesce(numFiles)
       }
+    // compact is layout maintenance, not a semantic replace: the head's
+    // partition spec carries across the full rewrite (its per-file
+    // values recompute from the rewritten files) unless overridden
     SnapshotStore.promote(spark, table, shaped,
-      keep = keep, asOfMicros = asOfMicros, statsCol = statsCol, statsCols = statsCols)
+      keep = keep, asOfMicros = asOfMicros, statsCol = statsCol, statsCols = statsCols,
+      partitionSpec = partitionSpec.orElse(SnapshotStore.partitionSpecOf(spark, table)))
   }
 
   /** One incremental refresh: anti-join `batch` against the CURRENT
@@ -296,29 +331,54 @@ object VersionedLoad {
       statsCol: Option[String] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val fromFiles = filesOf(spark, table, fromVersion, "upsertsBetween")
-    val newFiles = (filesOf(spark, table, toVersion, "upsertsBetween") -- fromFiles)
-      .toSeq.sorted
+    val toFiles   = filesOf(spark, table, toVersion, "upsertsBetween")
+    val newFiles  = (toFiles -- fromFiles).toSeq.sorted
     SnapshotStore.readFiles(spark, table, newFiles).flatMap { newRows =>
       val fromSide: Option[DataFrame] =
         prunedRead(spark, table, fromVersion, fromFiles, statsCol, newRows)
-      // align the from-side to the new rows' schema, projecting columns
-      // an additive evolution introduced as nulls — a survivor re-homed
-      // with only a null-valued new column is logically unchanged and
-      // must cancel
       val changed = fromSide.fold(newRows) { f =>
-        val have = newRows.columns.toSet
-        val dropped = f.columns.filterNot(have)
-        if (dropped.nonEmpty)
-          throw new IllegalStateException(
-            s"VersionedLoad.upsertsBetween: version $fromVersion carries column(s) " +
-              s"${dropped.mkString(", ")} absent from version $toVersion — the chain is " +
-              "not additive, and projecting them away would under-report changes")
-        val fHave = f.columns.toSet
-        val sel = newRows.schema.fields.map { fd =>
-          if (fHave.contains(fd.name)) col(fd.name)
-          else org.apache.spark.sql.functions.lit(null).cast(fd.dataType).as(fd.name)
+        def nullLit(fd: org.apache.spark.sql.types.StructField) =
+          org.apache.spark.sql.functions.lit(null).cast(fd.dataType).as(fd.name)
+        val newHave = newRows.columns.toSet
+        val extra = f.columns.filterNot(newHave)
+        if (extra.isEmpty) {
+          // fast path (from-side ⊆ new-files schema): align the
+          // from-side to the new rows' schema, projecting columns an
+          // additive evolution introduced as nulls — a survivor
+          // re-homed with only a null-valued new column is logically
+          // unchanged and must cancel
+          val fHave = f.columns.toSet
+          val sel = newRows.schema.fields.map(fd =>
+            if (fHave.contains(fd.name)) col(fd.name) else nullLit(fd))
+          newRows.exceptAll(f.select(sel.toIndexedSeq: _*))
+        } else {
+          // the from-side carries columns the NEW files lack. That is
+          // non-additive only when the FULL toVersion schema lacks them
+          // too: a rewrite touching only pre-evolution files yields new
+          // files WITHOUT an evolved column that other toVersion files
+          // still carry (r15 ADVICE — the r14 newRows-only check threw
+          // spuriously here). Validate against the union schema of all
+          // toVersion files (footer reads, metadata-scale), then diff
+          // in that union space: a column absent from a side's files is
+          // null there under mergeSchema, so extending both sides with
+          // typed nulls compares exactly what a full-table read would.
+          val toSchema = SnapshotStore.readFiles(spark, table, toFiles.toSeq.sorted).get.schema
+          val toHave = toSchema.fieldNames.toSet
+          val dropped = extra.filterNot(toHave)
+          if (dropped.nonEmpty)
+            throw new IllegalStateException(
+              s"VersionedLoad.upsertsBetween: version $fromVersion carries column(s) " +
+                s"${dropped.mkString(", ")} absent from version $toVersion — the chain is " +
+                "not additive, and projecting them away would under-report changes")
+          val union = toSchema.fields.filter(fd =>
+            newHave.contains(fd.name) || f.columns.contains(fd.name))
+          def align(df: DataFrame) = {
+            val have = df.columns.toSet
+            df.select(union.map(fd =>
+              if (have.contains(fd.name)) col(fd.name) else nullLit(fd)).toIndexedSeq: _*)
+          }
+          align(newRows).exceptAll(align(f))
         }
-        newRows.exceptAll(f.select(sel.toIndexedSeq: _*))
       }
       Some(changed)
     }
@@ -350,8 +410,15 @@ object VersionedLoad {
     val removed   = fromFiles -- toFiles
     val ups = upsertsBetween(spark, table, fromVersion, toVersion, statsCol)
       .map(_.withColumn("_change_type", lit("upsert")))
+    // the delete-existence probe prunes the to-side ONLY on a grain-key
+    // component: a non-key statsCol an update changed could prune the
+    // file holding the key's NEW value out of the probe, emitting the
+    // update's pre-image as a false delete (r15 ADVICE).
+    // upsertsBetween's whole-row pruning above is unaffected and keeps
+    // the caller's statsCol.
+    val probeCol = statsCol.filter(keys.contains)
     val dels = SnapshotStore.readFiles(spark, table, removed.toSeq.sorted).map { cand =>
-      val toKeys = prunedRead(spark, table, toVersion, toFiles, statsCol, cand)
+      val toKeys = prunedRead(spark, table, toVersion, toFiles, probeCol, cand)
         .map(_.select(keys.map(org.apache.spark.sql.functions.col): _*))
       toKeys.fold(cand) { tk =>
         val cond = keys.map(k => cand(k) <=> tk(k)).reduce(_ && _)
@@ -541,7 +608,12 @@ object VersionedLoad {
     if (files.isEmpty)
       throw new IllegalStateException(
         s"VersionedLoad.applyCdc: $table has no committed version — bootstrap first")
-    val upserts = batch.filter(col(opCol) =!= "D").drop(opCol)
+    // NULL-SAFE op test: a null/missing op is "not a delete" and
+    // upserts per the documented contract — a bare `=!= "D"` evaluates
+    // NULL and silently drops the row from the upsert arm while its key
+    // still enters allKeys, turning a malformed op into data loss
+    // (r15 ADVICE)
+    val upserts = batch.filter(!(col(opCol) <=> "D")).drop(opCol)
     // both arms' keys locate touched files in ONE pass: an upsert's old
     // row and a delete's row both live in files that must rewrite
     val allKeys = batch.select(keys.map(col): _*).distinct()
@@ -596,13 +668,15 @@ object VersionedLoad {
     *
     * DATA SKIPPING: when the head manifest carries per-file min/max
     * stats on ANY component of the grain — integral (`s` lines), date,
-    * or string (`t` lines) — the first statted component prunes (for a
-    * composite grain, normally its leading/clustering column): a file
-    * whose recorded range on that component cannot contain any batch
-    * key's component needs no scan at all — sound for composite keys
-    * because a file can only hold a matching TUPLE if it holds the
-    * tuple's component inside its recorded range (the pruned set is a
-    * superset of the touched set). String probes compare in unsigned
+    * or string (`t` lines) — EVERY statted component prunes and the
+    * candidate sets INTERSECT (r16): a file whose recorded range on
+    * some component cannot contain any batch key's component needs no
+    * scan at all — sound for composite keys because a file can only
+    * hold a matching TUPLE if it holds each component inside its
+    * recorded range, so each component's keep set is a superset of the
+    * touched set and the intersection still is — strictly tighter for
+    * composite grains statted on several components. String probes
+    * compare in unsigned
     * BYTE order via cast-to-binary (Spark's binary ordering IS
     * memcmp), matching the prefix bounds' encoding, so a truncated
     * bound can widen but never wrongly prune; a truncated max with no
@@ -629,12 +703,12 @@ object VersionedLoad {
       case StringType                               => Some("str")
       case _                                        => None
     }
-    val pruneKey: Option[(String, String)] =
-      keys.flatMap(k => kindOf(k).map(k -> _)).find {
+    val statKeys: Seq[(String, String)] =
+      keys.flatMap(k => kindOf(k).map(k -> _)).filter {
         case (k, "long") => longStats.exists(_.col == k)
         case (k, kind)   => typedStats.exists(st => st.col == k && st.kind == kind)
       }
-    val scanFiles: Seq[String] = pruneKey.fold(files) { case (keyCol, kind) =>
+    def keepSetFor(keyCol: String, kind: String): Set[String] = {
       import spark.implicits._
       // (candidate files via the broadcast range probe, files whose
       // stat line exists AND parsed — unparseable lines must scan)
@@ -687,20 +761,36 @@ object VersionedLoad {
             .collect().map(_.getString(0)).toSet
           (c, stats.map(_._1).toSet)
       }
-      val unstatted = files.filterNot(statted)
-      (unstatted ++ files.filter(candidates)).sorted
+      (files.filterNot(statted) ++ files.filter(candidates)).toSet
     }
+    // intersect every statted component's keep set (see scaladoc): each
+    // is a sound superset of the touched files, so the intersection is
+    // too — and strictly tighter when the grain carries several statted
+    // components (a file in-range on date_key but out-of-range on
+    // member_key is never opened)
+    val scanFiles: Seq[String] =
+      if (statKeys.isEmpty) files
+      else {
+        val keepSets = statKeys.map { case (k, kind) => keepSetFor(k, kind) }
+        files.filter(f => keepSets.forall(_.contains(f))).sorted
+      }
     // root-relative id of each scanned row's file: snapshot dirs are
     // direct children of the table root, so the trailing two path
     // segments of input_file_name() are exactly the manifest's
     // file-list entry for that file
     val relFile = expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)")
     if (scanFiles.isEmpty) Set.empty[String]
-    else SnapshotStore.readFiles(spark, table, scanFiles).get
-      .withColumn("__file", relFile)
-      .join(batchKeys, keys, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+    else {
+      val scan = SnapshotStore.readFiles(spark, table, scanFiles).get
+      if (scan.columns.contains("__file") || keys.contains("__file"))
+        throw new IllegalArgumentException(
+          "VersionedLoad: a column named __file collides with the touched-file working " +
+            "column and would corrupt the rewrite set — rename it before copy-on-write ops")
+      scan.withColumn("__file", relFile)
+        .join(batchKeys, keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
   }
 
   /** Stats-based pruning is only sound for integral keys: the stat

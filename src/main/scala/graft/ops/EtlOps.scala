@@ -62,6 +62,15 @@ object EtlOps {
   private val zorderTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (year-partitioned bootstrap + refresh)
+    * table of etl_partition_spec. */
+  private val partSpecTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** dir → the fully-built (three-commit) table of etl_store_history. */
+  private val historyTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -1062,6 +1071,117 @@ object EtlOps {
       srcAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
         .unionByName(srcAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
         .unionByName(srcAgg(delEvents, "deleted"))
+    },
+
+    // ── etl_partition_spec: MANIFEST-LEVEL partition pruning (r16 — the
+    // Iceberg hidden-partitioning shape on the store's own format): the
+    // fact bootstraps under a `year(od)` [[graft.etl.SnapshotStore
+    // .PartitionSpec]] with the rows repartitioned by year so each file
+    // is single-valued, the manifest records one `v <year> <file>` line
+    // per file, and a refresh CARRIES the spec forward without
+    // re-declaring it. Two partition-pruned reads come back tagged:
+    // the head restricted to years 1995-1996 (the reference reports'
+    // `BETWEEN &p_year_from AND &p_year_to` filter, LQY_query1.txt:50,
+    // answered by opening only in-range partitions) and a TIME-TRAVELED
+    // read — versionAsOf resolves the pre-refresh instant to version 0
+    // and the prune applies under THAT manifest's own spec and values,
+    // so partition pruning composes with travel. Files outside the
+    // requested years are NEVER OPENED (PartitionSpecSpec pins that
+    // with the destroyed-file device, plus partition EVOLUTION: a spec
+    // change applies forward while old manifests keep pruning by
+    // theirs); the oracle replays both legs as plain year WHEREs, so
+    // the exact transform filter on top of the prune must return
+    // precisely the relational answer.
+    OpQuery.checked(
+      "etl_partition_spec",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT 'head_9596' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o WHERE year(od) BETWEEN 1995 AND 1996 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v0_95', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE year(od) = 1995 GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val spec = graft.etl.SnapshotStore.PartitionSpec("year", "od")
+      val table = EtlOps.partSpecTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "partspec_tbl_")
+        // repartition BY the partition value: each written file holds
+        // exactly one year, so every file gets its `v` line (a
+        // multi-valued file would just degrade to must-scan)
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.filter(col("od") < lit("1996-01-01").cast("date"))
+            .repartitionByRange(8, year(col("od"))),
+          asOfMicros = 820454400000000L, // 1996-01-01T00:00:00Z
+          statsCol = Some("o_orderkey"), partitionSpec = Some(spec))
+        // the refresh carries the spec from the head manifest — no
+        // partitionSpec argument here, by design
+        graft.etl.VersionedLoad.refresh(spark, t,
+          o.filter(col("od").between(
+              lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date")))
+            .repartitionByRange(8, year(col("od"))),
+          Seq("o_orderkey"), asOfMicros = 852076800000000L) // 1997-01-01T00:00:00Z
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      val s = graft.etl.SnapshotStore
+      // travel leg: resolve the instant between the two commits to a
+      // version id, then partition-prune under THAT manifest
+      val v0 = s.versionAsOf(spark, table, 840000000000000L).get
+      yearAgg(s.readPartitionRange(spark, table, 1995L, 1996L).get, "head_9596")
+        .unionByName(yearAgg(
+          s.readPartitionRange(spark, table, 1995L, 1995L, version = Some(v0)).get, "v0_95"))
+    },
+
+    // ── etl_store_history: the DESCRIBE HISTORY audit surface as data
+    // ([[graft.etl.SnapshotStore.history]] — what committed, when, how
+    // big): a three-commit table (bootstrap + two file-reuse
+    // incremental promotes, one third of the fact each, pinned as-of
+    // instants a fixed step apart) reads its retained history back as
+    // (version, asof_micros, num_files) rows — metadata only, no data
+    // file is opened, newest-first resolution with torn debris skipped.
+    // Paths are EXCLUDED so the hash is layout-independent (the r15
+    // VERDICT stretch wording); file counts are pinned by
+    // repartition(1) per commit, so the incremental chain must show
+    // 1, 2, 3 referenced files. The oracle derives the same three rows
+    // relationally from the key-space thirds, so a lost manifest, a
+    // mis-pinned as-of, or a dropped reuse reference is a hash diff.
+    OpQuery.checked(
+      "etl_store_history",
+      """SELECT CAST(r AS BIGINT) AS version,
+        |       CAST(1000000000000000 + r * 1000000000 AS BIGINT) AS asof_micros,
+        |       CAST(r + 1 AS BIGINT) AS num_files
+        |FROM (SELECT DISTINCT o_orderkey % 3 AS r FROM orders)""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def slice(r: Int) = o.filter(col("o_orderkey") % 3 === r).repartition(1)
+      val table = EtlOps.historyTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "history_tbl_")
+        val s = graft.etl.SnapshotStore
+        s.promote(spark, t, slice(0), preferredId = 0L, keep = 16,
+          asOfMicros = Some(1000000000000000L)): Unit
+        s.promote(spark, t, slice(1), keep = 16,
+          asOfMicros = Some(1000001000000000L),
+          reuseFiles = s.currentFiles(spark, t)): Unit
+        s.promote(spark, t, slice(2), keep = 16,
+          asOfMicros = Some(1000002000000000L),
+          reuseFiles = s.currentFiles(spark, t)): Unit
+        t
+      })
+      import spark.implicits._
+      graft.etl.SnapshotStore.history(spark, table)
+        .map(h => (h.version, h.asOfMicros.getOrElse(-1L), h.numFiles.toLong))
+        .toDF("version", "asof_micros", "num_files")
     },
 
     // ── etl_validation_report: CHECK-constraint semantics as violation

@@ -483,6 +483,101 @@ object LibraryOracleOps {
             col("dur_days"), col("ovd_days"), col("n_borrows"))
       yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 0L).get, "v0")
         .unionByName(yearAgg(graft.etl.SnapshotStore.readVersion(spark, table, 1L).get, "v1"))
+    },
+
+    // ── lib_member_purge_versioned: the MEMBER-LEVEL GDPR purge across
+    // the library star's FK web (01_Create.sql:63-78 ff. — Members and
+    // its dependents BorrowedBooks, Fines, Payments), the cross-table
+    // right-to-be-forgotten the single-table dedup_purge_versioned
+    // cannot express: each OLTP table lives in its own versioned store,
+    // the purge set (every ~37th member) CASCADES relationally to each
+    // table's primary keys, and the four row-level deletes commit as
+    // coordinated copy-on-write versions — each under occ +
+    // withConflictRetry, so a racing writer surfaces as a retried
+    // conflict, never a lost update. Three legs per table read back:
+    // the pre-purge state (travelable for audit), the purged head (no
+    // purged member's row survives anywhere in the web), and the CDC
+    // delete pre-images a downstream replica would apply — per table,
+    // so a table the cascade missed is a visible row diff. The oracle
+    // replays the cascade and all three legs relationally from the SAME
+    // persisted parquet; at 100 TB each delete costs O(touched files)
+    // through its PK stats, never a table rewrite.
+    OpQuery.checked(
+      "lib_member_purge_versioned",
+      s"""WITH m AS (SELECT * FROM read_parquet('$DataDir/members.parquet/*.parquet')),
+         |bb AS (SELECT * FROM read_parquet('$DataDir/borrowed_books.parquet/*.parquet')),
+         |f AS (SELECT * FROM read_parquet('$DataDir/fines.parquet/*.parquet')),
+         |p AS (SELECT * FROM read_parquet('$DataDir/payments.parquet/*.parquet')),
+         |purge AS (SELECT member_id FROM m
+         |          WHERE CAST(substring(member_id, 2) AS INT) % 37 = 0),
+         |legs AS (
+         |  SELECT 'members' AS table_name, member_id FROM m
+         |  UNION ALL SELECT 'borrowed_books', member_id FROM bb
+         |  UNION ALL SELECT 'fines', member_id FROM f
+         |  UNION ALL SELECT 'payments', member_id FROM p)
+         |SELECT 'v0' AS leg, table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT member_id) AS BIGINT) AS n_members
+         |FROM legs GROUP BY 2
+         |UNION ALL
+         |SELECT 'v1', table_name, CAST(count(*) AS BIGINT),
+         |       CAST(count(DISTINCT member_id) AS BIGINT)
+         |FROM legs l WHERE NOT EXISTS (SELECT 1 FROM purge WHERE purge.member_id = l.member_id)
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 'deleted', table_name, CAST(count(*) AS BIGINT),
+         |       CAST(count(DISTINCT member_id) AS BIGINT)
+         |FROM legs l WHERE EXISTS (SELECT 1 FROM purge WHERE purge.member_id = l.member_id)
+         |GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val c = forSession(spark)
+      val t0 = derived(spark)
+      val mP  = persist("members", t0.members)
+      val bbP = persist("borrowed_books", t0.borrowedBooks)
+      val fP  = persist("fines", t0.fines)
+      val pP  = persist("payments", t0.payments)
+      val purge = mP
+        .filter(substring(col("member_id"), 2, 10).cast("int") % 37 === 0)
+        .select("member_id")
+      // (store name, persisted frame, PK) — the FK web's dependents plus
+      // the parent, each its own versioned table
+      val webs: Seq[(String, DataFrame, String)] = Seq(
+        ("members", mP, "member_id"), ("borrowed_books", bbP, "borrow_id"),
+        ("fines", fP, "fine_id"), ("payments", pP, "payment_id"))
+      val tables: Map[String, String] = synchronized {
+        webs.map { case (name, frame, pk) =>
+          name -> c.storeTables.getOrElseUpdate(s"member_purge_$name", {
+            val t = EtlOps.freshStoreTable(dir, s"lib_purge_${name}_")
+            graft.etl.VersionedLoad.bootstrap(spark, t, frame,
+              asOfMicros = 1700000000000000L, statsCol = Some(pk))
+            // the cascade: this table's PKs for the purged members —
+            // computed relationally (the ON DELETE CASCADE the
+            // reference's FK web implies), then executed as a
+            // copy-on-write delete under occ + conflict retry
+            val delKeys = frame.join(purge, Seq("member_id"), "left_semi").select(pk)
+            graft.etl.VersionedLoad.withConflictRetry() {
+              graft.etl.VersionedLoad.delete(spark, t, delKeys, Seq(pk),
+                asOfMicros = Some(1700000100000000L), statsCol = Some(pk), occ = true)
+            }: Unit
+            t
+          })
+        }.toMap
+      }
+      def legAgg(df: DataFrame, leg: String, name: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("member_id")).as("n_members"))
+          .select(lit(leg).as("leg"), lit(name).as("table_name"),
+            col("n_rows"), col("n_members"))
+      webs.map { case (name, frame, pk) =>
+        val t = tables(name)
+        val delEvents = graft.etl.VersionedLoad.cdcBetween(spark, t, 0L, 1L,
+            Seq(pk), Some(pk))
+          .map(_.filter(col("_change_type") === "delete"))
+          .getOrElse(frame.limit(0))
+        legAgg(graft.etl.SnapshotStore.readVersion(spark, t, 0L).get, "v0", name)
+          .unionByName(legAgg(
+            graft.etl.SnapshotStore.readVersion(spark, t, 1L).get, "v1", name))
+          .unionByName(legAgg(delEvents, "deleted", name))
+      }.reduce(_.unionByName(_))
     }
   )
 }

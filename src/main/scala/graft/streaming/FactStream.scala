@@ -292,7 +292,9 @@ object FactStream {
             // a schema from — skip the commit, its deletes have nothing
             // to remove anyway, and the first delivery with a non-empty
             // upsert arm bootstraps the table
-            val ups = delta.filter(col(opCol) =!= "D").drop(opCol)
+            // null-safe like applyCdc's upsert arm: a null op is "not a
+            // delete" and must bootstrap, not silently drop (r15 ADVICE)
+            val ups = delta.filter(!(col(opCol) <=> "D")).drop(opCol)
             if (!ups.isEmpty)
               SnapshotStore.promote(sp, tableDir, ups,
                 preferredId = batchId, keep = Keep, asOfMicros = asOf,

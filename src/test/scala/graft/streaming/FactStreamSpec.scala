@@ -310,4 +310,70 @@ class FactStreamSpec extends SparkSuite {
         s"7 dies (final op D), 8 lives (final op I) — got $rows")
     } finally q.stop()
   }
+
+  test("cdc sink: an ADDITIVE schema evolution arrives mid-stream across kill-restart; pre-evolution versions read original-shape") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_evo").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    val baseSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_op", StringType)))
+    val evolvedSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("w", LongType), StructField("_op", StringType)))
+    def stageFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+
+    // pre-evolution delivery under the base schema, then KILL
+    stageFile("v1", Seq((1L, "a", "I"), (2L, "b", "I")).toDF("k", "v", "_op"))
+    val q = FactStream.startCdcFactSink(spark, src, tbl, baseSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      assert(FactStream.readFact(spark, tbl).get.columns.toSeq == Seq("k", "v"))
+    } finally q.stop()
+
+    // restart the SAME checkpoint with the WIDER schema: the evolved
+    // column arrives mid-stream; applyCdc's additive union + the
+    // store's mergeSchema reads must carry it through
+    stageFile("v2",
+      Seq((2L, "X", 7L, "U"), (3L, "c", 9L, "I"), (1L, "", 0L, "D"))
+        .toDF("k", "v", "w", "_op"))
+    val q2 = FactStream.startCdcFactSink(spark, src, tbl, evolvedSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    val evoVersion = try {
+      q2.processAllAvailable()
+      val head = FactStream.readFact(spark, tbl).get
+      assert(head.columns.contains("w"), "the evolved column reached storage")
+      assert(head.select("k", "v", "w").as[(Long, String, Option[Long])]
+        .collect().toSet == Set((2L, "X", Some(7L)), (3L, "c", Some(9L))),
+        "post-evolution delivery committed: update took w, delete applied")
+      SnapshotStore.currentVersion(spark, tbl).get
+    } finally q2.stop()
+
+    // kill-and-restart AGAIN; a replayed evolved delivery commits
+    // content-identically (no duplicate, no resurrection)
+    stageFile("v3",
+      Seq((2L, "X", 7L, "U"), (3L, "c", 9L, "I"), (1L, "", 0L, "D"))
+        .toDF("k", "v", "w", "_op"))
+    val q3 = FactStream.startCdcFactSink(spark, src, tbl, evolvedSchema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q3.processAllAvailable()
+      assert(FactStream.readFact(spark, tbl).get.select("k", "v", "w")
+        .as[(Long, String, Option[Long])].collect().toSet ==
+        Set((2L, "X", Some(7L)), (3L, "c", Some(9L))),
+        "the replayed evolved delivery is a content no-op")
+      assert(SnapshotStore.currentVersion(spark, tbl).get > evoVersion)
+    } finally q3.stop()
+
+    // the PRE-evolution version reads back in its ORIGINAL shape — the
+    // evolved column does not bleed backward through time travel
+    assert(SnapshotStore.readVersion(spark, tbl, 0L).get.columns.toSeq == Seq("k", "v"),
+      "pre-evolution versions keep their original schema")
+  }
 }
