@@ -57,10 +57,12 @@ object Bench {
             case 'k' => (v.dropRight(1), 1L << 10)
             case 'm' => (v.dropRight(1), 1L << 20)
             case 'g' => (v.dropRight(1), 1L << 30)
-            case _   => (v, 1L)
+            case _   => (v, 1L) // bare bytes
           }
-          num.toLong * mult
-        }
+          // an exotic/unparseable form reads as None → the guard below
+          // fails with ITS message instead of a bare NumberFormatException
+          scala.util.Try(num.toLong * mult).toOption
+        }.flatten
     }
     if (!rccBytes.exists(_ >= 512L * 1024 * 1024))
       throw new IllegalStateException(

@@ -465,8 +465,17 @@ object SnapshotStore {
       val files = manifestDataFiles(fs, tgt, m)
       val stats = m.stats.filter(st => st.col == column)
       val statted = stats.map(_.file).toSet
-      val keep = (files.filterNot(statted) ++
-        stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).sorted
+      val statKeep = (files.filterNot(statted) ++
+        stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet
+      // dual pruning (r16): an identity partition spec on the SAME
+      // column adds its v-line keep set — a valued file outside the
+      // range prunes even when it carries no stat line
+      val keepSet = m.spec match {
+        case Some(ps) if ps.transform == "identity" && ps.col == column =>
+          statKeep.intersect(partitionKeep(m, files, lo, hi))
+        case _ => statKeep
+      }
+      val keep = files.filter(keepSet).sorted
       // an ALL-PRUNED range is an EMPTY RESULT, not a missing table:
       // read the schema from the full list and cut the scan with
       // limit(0) (PropagateEmptyRelation — footers only, no row reads)
@@ -507,8 +516,22 @@ object SnapshotStore {
       val stats = m.typedStats.filter(st => st.col == column && st.kind == "date")
         .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
       val statted = stats.map(_._1).toSet
-      val keep = (files.filterNot(statted) ++
-        stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).sorted
+      val statKeep = (files.filterNot(statted) ++
+        stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).toSet
+      // dual pruning (r16): a year/month partition spec on the SAME
+      // column adds its v-line keep set — the transform is monotone in
+      // the date, so the query window maps to a transform-value range
+      val keepSet = m.spec match {
+        case Some(ps) if (ps.transform == "year" || ps.transform == "month")
+            && ps.col == column =>
+          def tx(d: java.time.LocalDate): Long =
+            if (ps.transform == "year") d.getYear.toLong
+            else d.getYear.toLong * 100 + d.getMonthValue
+          statKeep.intersect(partitionKeep(m, files,
+            tx(java.time.LocalDate.parse(loDate)), tx(java.time.LocalDate.parse(hiDate))))
+        case _ => statKeep
+      }
+      val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
       readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
         df.schema(column).dataType match {
@@ -615,21 +638,66 @@ object SnapshotStore {
     }
   }
 
+  /** Files of `files` a partition-range probe [lo, hi] keeps under
+    * manifest `m`'s `v` lines: valued files inside the range plus every
+    * unvalued file (pre-evolution, multi-valued — absence means
+    * must-scan). A sound superset of the matching files. */
+  private def partitionKeep(m: ManifestData, files: Seq[String],
+      lo: Long, hi: Long): Set[String] = {
+    val fileSet = files.toSet
+    val vals = m.partVals.filter(pv => fileSet.contains(pv.file))
+    val valued = vals.map(_.file).toSet
+    (files.filterNot(valued) ++
+      vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).toSet
+  }
+
+  /** Files a partition-range probe keeps judged by the FILE STATS on
+    * the spec's underlying column instead of the `v` lines — the other
+    * half of dual pruning: every supported transform is MONOTONE in its
+    * column, so a file's recorded column range maps to a transform
+    * range and prunes against [lo, hi] directly. Covers exactly the
+    * files the `v` index cannot: pre-evolution and multi-valued files
+    * that still carry stats. Unstatted files keep (must-scan). */
+  private def specStatsKeep(m: ManifestData, files: Seq[String],
+      spec: PartitionSpec, lo: Long, hi: Long): Set[String] = spec.transform match {
+    case "identity" =>
+      val stats = m.stats.filter(_.col == spec.col)
+      val statted = stats.map(_.file).toSet
+      (files.filterNot(statted) ++
+        stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet
+    case "year" | "month" =>
+      val stats = m.typedStats.filter(st => st.col == spec.col && st.kind == "date")
+        .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+      val statted = stats.map(_._1).toSet
+      def tx(epochDay: Long): Long = {
+        val d = java.time.LocalDate.ofEpochDay(epochDay)
+        if (spec.transform == "year") d.getYear.toLong
+        else d.getYear.toLong * 100 + d.getMonthValue
+      }
+      (files.filterNot(statted) ++
+        stats.filter { case (_, mn, mx) => tx(mx) >= lo && tx(mn) <= hi }
+          .map(_._1)).toSet
+    case _ => files.toSet // unknown transform: no sound stats mapping — must scan
+  }
+
   /** Partition-pruned read (r16): the committed state restricted to
     * partition values ∈ [lo, hi] under the resolved manifest's OWN
     * [[PartitionSpec]] — files whose recorded `v` value falls outside
     * the range are NEVER OPENED, before any file stat is consulted;
     * files without a value line (pre-evolution files, multi-valued
-    * files) always scan, and the exact transform filter runs on top,
-    * so the partition index only cuts IO, never correctness. With
-    * `version` (or a [[versionAsOf]]-resolved id) the prune applies
-    * under THAT manifest's spec and values — partition pruning composes
-    * with time travel, the year-sliced report read
-    * (`BETWEEN &p_year_from AND &p_year_to`) on yesterday's snapshot.
-    * Throws when the resolved manifest carries no spec (asking for a
-    * partition read of an unpartitioned table is a wiring bug); None
-    * when nothing was ever committed. All-pruned → empty frame. Lazy —
-    * see the read-laziness contract. */
+    * files) are then judged by their FILE STATS on the spec column
+    * (dual pruning — every transform is monotone, so a column range
+    * maps to a transform range), and only files neither index can
+    * clear are scanned; the exact transform filter runs on top, so the
+    * indexes only cut IO, never correctness. With `version` (or a
+    * [[versionAsOf]]-resolved id) the prune applies under THAT
+    * manifest's spec and values — partition pruning composes with time
+    * travel, the year-sliced report read (`BETWEEN &p_year_from AND
+    * &p_year_to`) on yesterday's snapshot. Throws when the resolved
+    * manifest carries no spec (asking for a partition read of an
+    * unpartitioned table is a wiring bug); None when nothing was ever
+    * committed. All-pruned → empty frame. Lazy — see the read-laziness
+    * contract. */
   def readPartitionRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
       version: Option[Long] = None): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
@@ -638,11 +706,9 @@ object SnapshotStore {
         s"SnapshotStore.readPartitionRange: $dir carries no partition spec" +
           version.fold(" at the committed head")(v => s" at version $v")))
       val files = manifestDataFiles(fs, tgt, m)
-      val fileSet = files.toSet
-      val vals = m.partVals.filter(pv => fileSet.contains(pv.file))
-      val valued = vals.map(_.file).toSet
-      val keep = (files.filterNot(valued) ++
-        vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).sorted
+      val keepSet = partitionKeep(m, files, lo, hi)
+        .intersect(specStatsKeep(m, files, spec, lo, hi))
+      val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
       val df = readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).get
       val exact = df.filter(transformColumn(spec, df).between(lo, hi))

@@ -675,8 +675,10 @@ object VersionedLoad {
     * hold a matching TUPLE if it holds each component inside its
     * recorded range, so each component's keep set is a superset of the
     * touched set and the intersection still is — strictly tighter for
-    * composite grains statted on several components. String probes
-    * compare in unsigned
+    * composite grains statted on several components. A partition spec
+    * on a grain key component joins the same intersection through the
+    * batch keys' transform span (dual pruning — see the partKeep note
+    * below). String probes compare in unsigned
     * BYTE order via cast-to-binary (Spark's binary ordering IS
     * memcmp), matching the prefix bounds' encoding, so a truncated
     * bound can widen but never wrongly prune; a truncated max with no
@@ -763,17 +765,51 @@ object VersionedLoad {
       }
       (files.filterNot(statted) ++ files.filter(candidates)).toSet
     }
-    // intersect every statted component's keep set (see scaladoc): each
-    // is a sound superset of the touched files, so the intersection is
-    // too — and strictly tighter when the grain carries several statted
-    // components (a file in-range on date_key but out-of-range on
-    // member_key is never opened)
+    // partition-value keep set (r16 — dual pruning on the WRITE path):
+    // when the head manifest's partition spec transforms a grain key
+    // component, the batch keys' transform SPAN prunes valued files
+    // like the stats do — sound because the transforms are monotone, so
+    // a valued file outside the span cannot hold any batch key's row;
+    // unvalued files keep (must-scan), null key components never match
+    // under the store's null-unsafe key equality so min/max ignoring
+    // them is sound
+    val partKeep: Option[Set[String]] =
+      SnapshotStore.partitionSpecOf(spark, table).filter(ps => keys.contains(ps.col))
+        .flatMap { ps =>
+          import org.apache.spark.sql.functions.{month, year, min => fmin, max => fmax}
+          val txCol = scala.util.Try {
+            (ps.transform, batchKeys.schema(ps.col).dataType) match {
+              case ("identity", _) if isIntegral(batchKeys, ps.col) =>
+                col(ps.col).cast("long")
+              case ("year", DateType)  => year(col(ps.col)).cast("long")
+              case ("month", DateType) =>
+                (year(col(ps.col)) * 100 + month(col(ps.col))).cast("long")
+              case (t, dt) => throw new IllegalArgumentException(
+                s"no sound batch-side transform for ($t, $dt)") // → Try(None): skip
+            }
+          }.toOption
+          txCol.flatMap { tx =>
+            val r = batchKeys.agg(fmin(tx), fmax(tx)).head()
+            if (r.isNullAt(0) || r.isNullAt(1)) None
+            else {
+              val (lo, hi) = (r.getLong(0), r.getLong(1))
+              val vals = SnapshotStore.filePartitionsOf(spark, table)
+                .filter(pv => fileSet.contains(pv.file))
+              val valued = vals.map(_.file).toSet
+              Some((files.filterNot(valued) ++
+                vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).toSet)
+            }
+          }
+        }
+    // intersect every statted component's keep set plus the partition
+    // keep set (see scaladoc): each is a sound superset of the touched
+    // files, so the intersection is too — and strictly tighter when the
+    // grain carries several statted components (a file in-range on
+    // date_key but out-of-range on member_key is never opened)
+    val keepSets = statKeys.map { case (k, kind) => keepSetFor(k, kind) } ++ partKeep.toSeq
     val scanFiles: Seq[String] =
-      if (statKeys.isEmpty) files
-      else {
-        val keepSets = statKeys.map { case (k, kind) => keepSetFor(k, kind) }
-        files.filter(f => keepSets.forall(_.contains(f))).sorted
-      }
+      if (keepSets.isEmpty) files
+      else files.filter(f => keepSets.forall(_.contains(f))).sorted
     // root-relative id of each scanned row's file: snapshot dirs are
     // direct children of the table root, so the trailing two path
     // segments of input_file_name() are exactly the manifest's

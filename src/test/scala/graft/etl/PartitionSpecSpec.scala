@@ -167,6 +167,72 @@ class PartitionSpecSpec extends SparkSuite {
     assert(SnapshotStore.readPartitionRange(spark, t, 1995L, 1995L).get.count() == 2)
   }
 
+  test("dual pruning: file stats prune unvalued files in readPartitionRange; a late spec declaration is a metadata-only commit") {
+    import org.apache.spark.sql.functions.{col, year}
+    val t = freshTable()
+    // bootstrap WITHOUT a spec but with date stats on the year-clustered
+    // layout; then DECLARE the spec in a metadata-only commit (reuse
+    // every file, empty delta) — ALTER TABLE SET PARTITION SPEC
+    val fact = yearFact()
+    VersionedLoad.bootstrap(spark, t, fact, asOfMicros = 1000L, statsCols = Seq("d"))
+    SnapshotStore.promote(spark, t,
+      SnapshotStore.read(spark, t).get.limit(0), keep = 16, asOfMicros = Some(2000L),
+      reuseFiles = SnapshotStore.currentFiles(spark, t),
+      partitionSpec = Some(yearSpec))
+    val m1 = manifest(t, 1L)
+    assert(m1.contains("p year d") && !m1.exists(_.startsWith("v ")),
+      s"pre-spec files carry no v lines, got $m1")
+    // the files are UNVALUED under the new spec, but their DATE STATS
+    // still prune through the monotone transform: destroy the 1997 file
+    // and read 1995
+    val f97 = m1.filter(_.startsWith("t date d "))
+      .map(_.split(" ", 7)).find(_(3).toLong >= 9862L).get(6) // 1997-01-01 = 9862
+    destroy(t, f97)
+    assert(SnapshotStore.readPartitionRange(spark, t, 1995L, 1995L).get.count() == 2,
+      "specStatsKeep prunes an unvalued file by its column stats")
+  }
+
+  test("dual pruning: v lines prune stat-less files in readDateRange and in the copy-on-write touched-file location") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // NO stats at all — the v lines are the only index
+    VersionedLoad.bootstrap(spark, t, yearFact(), asOfMicros = 1000L,
+      partitionSpec = Some(yearSpec))
+    val f97 = manifest(t, 0L).filter(_.startsWith("v "))
+      .map(_.split(" ", 3)).find(_(1).toLong == 1997L).get(2)
+    destroy(t, f97)
+    // readDateRange on the spec column routes the window through the
+    // monotone transform and prunes the valued 1997 file
+    assert(SnapshotStore.readDateRange(spark, t, "d", "1995-01-01", "1995-12-31").get
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "v lines serve a date-range read with no stats")
+    // and the WRITE path: a merge whose grain includes the spec column
+    // prunes its touched-file scan by the batch's transform span
+    val batch = Seq((1L, "1995-03-01", 99.0)).toDF("k", "ds", "x")
+      .selectExpr("k", "CAST(ds AS DATE) AS d", "x")
+    VersionedLoad.merge(spark, t, batch, Seq("d", "k"), asOfMicros = Some(2000L))
+    assert(manifest(t, 1L).filter(_.startsWith("f ")).exists(_.contains(f97)),
+      "the out-of-span valued file rides along by reference — never opened")
+    assert(SnapshotStore.readDateRange(spark, t, "d", "1995-01-01", "1995-12-31").get
+      .select("k", "x").as[(Long, Double)].collect().toSet ==
+      Set(1L -> 99.0, 2L -> 20.0),
+      "the merge replaced the matched grain row")
+  }
+
+  test("dual pruning: an identity spec serves readKeyRange without stats") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val df = Seq((1L, "a"), (1L, "b"), (7L, "c")).toDF("g", "v")
+      .repartitionByRange(2, col("g"))
+    VersionedLoad.bootstrap(spark, t, df, asOfMicros = 1000L,
+      partitionSpec = Some(SnapshotStore.PartitionSpec("identity", "g")))
+    val f7 = manifest(t, 0L).filter(_.startsWith("v "))
+      .map(_.split(" ", 3)).find(_(1).toLong == 7L).get(2)
+    destroy(t, f7)
+    assert(SnapshotStore.readKeyRange(spark, t, "g", 1L, 1L).get.count() == 2,
+      "identity v lines serve a key-range read with no stats")
+  }
+
   test("identity transform partitions an integral column") {
     val t = freshTable()
     import org.apache.spark.sql.functions.col
