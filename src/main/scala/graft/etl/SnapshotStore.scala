@@ -112,6 +112,12 @@ object SnapshotStore {
     * [[retryingPromote]] does exactly that. */
   final class ConflictException(msg: String) extends IllegalStateException(msg)
 
+  /** A promote carrying a `txn` marker found the table already at (or
+    * past) that transaction version — the commit was applied by an
+    * earlier run and must NOT re-apply. Callers treat this as success
+    * ([[VersionedLoad.idempotent]] maps it to None). */
+  final class TxnAlreadyAppliedException(msg: String) extends IllegalStateException(msg)
+
   /** Per-file column statistics carried by a manifest: the min/max of
     * one LONG column over one data file — the data-skipping index the
     * heavyweight formats keep per file, in its smallest honest form
@@ -177,7 +183,7 @@ object SnapshotStore {
       snap: String, asOf: Option[Long], files: Seq[String],
       stats: Seq[FileStat], typedStats: Seq[TypedFileStat],
       spec: Option[PartitionSpec], partVals: Seq[FilePartition],
-      terminated: Boolean)
+      txns: Map[String, Long], terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -250,6 +256,15 @@ object SnapshotStore {
         case _ => None
       }
     }.flatten
+    // `x <appId> <version>` — idempotent-transaction markers (r16, the
+    // Delta txnAppId/txnVersion shape): latest version per application
+    // id, carried forward by every commit
+    val txns: Map[String, Long] = lines.drop(2).collect { case l if l.startsWith("x ") =>
+      l.drop(2).trim.split(" ", 2) match {
+        case Array(app, ver) => scala.util.Try(app -> ver.trim.toLong).toOption
+        case _ => None
+      }
+    }.flatten.toMap
     val stats = lines.drop(2).collect { case l if l.startsWith("s ") =>
       l.drop(2).trim.split(" ", 4) match {
         case Array(c, mn, mx, p) =>
@@ -265,7 +280,7 @@ object SnapshotStore {
       }
     }.flatten
     ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
-      typed.toIndexedSeq, spec, partVals.toIndexedSeq, lines.last.trim == "end")
+      typed.toIndexedSeq, spec, partVals.toIndexedSeq, txns, lines.last.trim == "end")
   }
 
   /** The partition-transform column for `spec` over `df`'s schema —
@@ -734,6 +749,15 @@ object SnapshotStore {
     manifestFor(fs, tgt, version).toSeq.flatMap(_.partVals)
   }
 
+  /** The latest transaction version the table recorded for `appId`
+    * (the Delta txn lookup): what an at-least-once driver consults to
+    * decide where to resume a multi-table transaction. None when no
+    * commit ever carried the marker. */
+  def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).flatMap(_._2.txns.get(appId))
+  }
+
   /** UTF-8 bytes of `s` truncated to ≤ [[StatPrefixBytes]]; ._2 =
     * whether bytes were dropped. Truncation may split a multi-byte
     * codepoint — harmless, because every stat comparison (write-side
@@ -909,9 +933,26 @@ object SnapshotStore {
       asOfMicros: Option[Long] = None, fence: Option[Long] = None,
       reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      partitionSpec: Option[PartitionSpec] = None): Long = {
+      partitionSpec: Option[PartitionSpec] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     val effCols = (statsCol.toSeq ++ statsCols).distinct
+    // idempotent-transaction pre-check (r16 — the Delta txnAppId/
+    // txnVersion shape): a commit carrying a txn marker the table
+    // already recorded at (or past) that version was applied by an
+    // earlier run — refuse BEFORE the slow snapshot write. The check
+    // re-runs on every retry of an occ loop, so a crash-rerun or a
+    // raced duplicate converges on exactly-once per table.
+    txn.foreach { case (app, ver) =>
+      if (app.isEmpty || app.exists(_.isWhitespace))
+        throw new IllegalArgumentException(
+          s"SnapshotStore.promote: txn appId '$app' is empty or contains whitespace — " +
+            "x manifest lines are space-delimited")
+      if (currentManifest(fs, tgt).exists(_._2.txns.get(app).exists(_ >= ver)))
+        throw new TxnAlreadyAppliedException(
+          s"SnapshotStore: txn ($app, $ver) is already applied on $dir — " +
+            "an earlier run committed it; treat as success")
+    }
     // partition-spec validation BEFORE the slow snapshot write, like the
     // stat columns: an unknown transform or a type mismatch must not
     // leave an orphaned snapshot directory behind. transformColumn is
@@ -1008,8 +1049,13 @@ object SnapshotStore {
     // that stats nothing itself (restore's metadata-only promote, a
     // plain refresh without statsCol) must not silently drop the
     // skipping index its reused files already carry
+    // one head-manifest read serves the carried metadata: txn markers
+    // carry UNCONDITIONALLY (they are table history, surviving even a
+    // full overwrite — Delta keeps txn versions across any commit);
+    // stats / partition values / the spec carry only with file reuse
+    val prevAny: Option[ManifestData] = currentManifest(fs, tgt).map(_._2)
     val prevManifest: Option[ManifestData] =
-      if (reuseFiles.isEmpty) None else currentManifest(fs, tgt).map(_._2)
+      if (reuseFiles.isEmpty) None else prevAny
     // effective partition spec: the caller's, or — for an incremental
     // commit — CARRIED from the head manifest, so a chain of refreshes/
     // merges keeps its table partitioned without re-declaring the spec
@@ -1110,11 +1156,22 @@ object SnapshotStore {
     val statLines = (ownLines ++ carriedLines).map("\n" + _).mkString
     val specLine  = effSpec.fold("")(ps => s"\np ${ps.transform} ${ps.col}")
     val partLines = (ownPartLines ++ carriedPartLines).map("\n" + _).mkString
+    // re-check the txn marker against the freshest head read (narrows
+    // the pre-check→claim window; the exclusive claim + occ remain the
+    // final arbiter for what this check cannot see)
+    txn.foreach { case (app, ver) =>
+      if (prevAny.exists(_.txns.get(app).exists(_ >= ver)))
+        throw new TxnAlreadyAppliedException(
+          s"SnapshotStore: txn ($app, $ver) was applied concurrently on $dir — " +
+            s"treat as success; snapshot $snapName is unpromoted and GC-eligible")
+    }
+    val txnLines = (prevAny.map(_.txns).getOrElse(Map.empty) ++ txn.toMap)
+      .toSeq.sortBy(_._1).map { case (a, v) => s"\nx $a $v" }.mkString
     // the `end` terminator line commits the content: the exclusive
     // create is atomic but this write is not, and a truncated file list
     // must never resolve as a committed subset (see ManifestData)
     val content = snapName + "\n" + asOfMicros.fold("")(_.toString) +
-      fileLines + specLine + statLines + partLines + "\nend"
+      fileLines + specLine + statLines + partLines + txnLines + "\nend"
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
     if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
       val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +

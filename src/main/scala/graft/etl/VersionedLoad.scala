@@ -492,7 +492,7 @@ object VersionedLoad {
   def merge(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      occ: Boolean = false): Long = {
+      occ: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     val base = SnapshotStore.currentVersion(spark, table)
     val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
@@ -506,7 +506,7 @@ object VersionedLoad {
       // pure insert: nothing to rewrite, reuse every file by reference
       return SnapshotStore.promote(spark, table, batch,
         keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
-        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect, txn = txn)
     val untouched = files.filterNot(touched)
     // survivors: rows of the touched files whose key the batch does NOT
     // carry — read ONLY those files, not the table
@@ -518,7 +518,7 @@ object VersionedLoad {
     // reused file; see SnapshotStore.readManifest
     SnapshotStore.promote(spark, table, batch.unionByName(survivors, allowMissingColumns = true),
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
-      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect, txn = txn)
   }
 
   /** Row-level copy-on-write DELETE — the missing third of the MERGE
@@ -548,7 +548,7 @@ object VersionedLoad {
   def delete(spark: SparkSession, table: String, deleteKeys: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      occ: Boolean = false): Long = {
+      occ: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     val base = SnapshotStore.currentVersion(spark, table)
     val expect = if (occ) Some(base.getOrElse(SnapshotStore.NoVersion)) else None
@@ -562,13 +562,13 @@ object VersionedLoad {
       return SnapshotStore.promote(spark, table,
         SnapshotStore.read(spark, table).get.limit(0),
         keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
-        expectCurrent = expect)
+        expectCurrent = expect, txn = txn)
     val untouched = files.filterNot(touched)
     val survivors = SnapshotStore.readFiles(spark, table, touched.toSeq.sorted).get
       .join(delKeys, keys, "left_anti")
     SnapshotStore.promote(spark, table, survivors,
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
-      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect, txn = txn)
   }
 
   /** Apply one CDC batch carrying an OP column as ONE atomic
@@ -592,7 +592,8 @@ object VersionedLoad {
   def applyCdc(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], opCol: String, asOfMicros: Option[Long],
       keep: Int = 16, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil, occ: Boolean = false): Long = {
+      statsCols: Seq[String] = Nil, occ: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     if (!batch.columns.contains(opCol))
       throw new IllegalArgumentException(
@@ -622,7 +623,7 @@ object VersionedLoad {
       // nothing matched: the deletes are no-ops, the upserts pure inserts
       return SnapshotStore.promote(spark, table, upserts,
         keep = keep, asOfMicros = asOfMicros, reuseFiles = files,
-        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+        statsCol = statsCol, statsCols = statsCols, expectCurrent = expect, txn = txn)
     val untouched = files.filterNot(touched)
     // survivors: touched files' rows whose key NEITHER arm carries —
     // anti-join against the union of keys drops deleted rows AND the
@@ -632,7 +633,7 @@ object VersionedLoad {
     SnapshotStore.promote(spark, table,
       upserts.unionByName(survivors, allowMissingColumns = true),
       keep = keep, asOfMicros = asOfMicros, reuseFiles = untouched,
-      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect)
+      statsCol = statsCol, statsCols = statsCols, expectCurrent = expect, txn = txn)
   }
 
   /** Multi-writer form of the occ copy-on-write commits: re-run
@@ -661,6 +662,22 @@ object VersionedLoad {
     }
     -1L // unreachable
   }
+
+  /** Exactly-once effect per table under driver retries — the public
+    * Delta txnAppId/txnVersion idempotent-writes shape: run `attempt`
+    * (a [[merge]]/[[delete]]/[[applyCdc]]/raw promote made with
+    * `txn = Some((appId, version))`), mapping the already-applied
+    * marker to None. A MULTI-TABLE transaction is then a sequence of
+    * idempotent per-table commits re-run to completion: a driver that
+    * crashes between tables reruns ALL steps — applied tables skip
+    * (their manifests carry the `x appId version` marker), missing
+    * tables apply, and the whole transaction converges all-or-nothing
+    * under at-least-once execution. Combine with occ +
+    * [[withConflictRetry]] for concurrent writers:
+    * `idempotent(withConflictRetry()(merge(..., occ = true, txn = ...)))`. */
+  def idempotent(attempt: => Long): Option[Long] =
+    try Some(attempt)
+    catch { case _: SnapshotStore.TxnAlreadyAppliedException => None }
 
   /** The files of the CURRENT version that contain at least one of
     * `batchKeys` — the copy-on-write rewrite set shared by [[merge]],

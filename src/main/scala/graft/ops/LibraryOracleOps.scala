@@ -552,12 +552,18 @@ object LibraryOracleOps {
             // the cascade: this table's PKs for the purged members —
             // computed relationally (the ON DELETE CASCADE the
             // reference's FK web implies), then executed as a
-            // copy-on-write delete under occ + conflict retry
+            // copy-on-write delete under occ + conflict retry + an
+            // IDEMPOTENT txn marker: a driver that crashes between
+            // tables reruns every step, applied tables skip by their
+            // `x` marker, and the cross-table purge converges
+            // all-or-nothing (the Delta txnAppId/txnVersion shape)
             val delKeys = frame.join(purge, Seq("member_id"), "left_semi").select(pk)
-            graft.etl.VersionedLoad.withConflictRetry() {
-              graft.etl.VersionedLoad.delete(spark, t, delKeys, Seq(pk),
-                asOfMicros = Some(1700000100000000L), statsCol = Some(pk), occ = true)
-            }: Unit
+            graft.etl.VersionedLoad.idempotent(
+              graft.etl.VersionedLoad.withConflictRetry() {
+                graft.etl.VersionedLoad.delete(spark, t, delKeys, Seq(pk),
+                  asOfMicros = Some(1700000100000000L), statsCol = Some(pk), occ = true,
+                  txn = Some(("lib_member_purge", 1L)))
+              }): Unit
             t
           })
         }.toMap

@@ -190,6 +190,44 @@ class StoreHardeningSpec extends SparkSuite {
     assert(SnapshotStore.readKeyRange(spark, t, "k", 1L, 10L).get.count() == 10)
   }
 
+  test("idempotent multi-table transaction: a crash-rerun applies each table exactly once (the txnAppId/txnVersion shape)") {
+    val tA = freshTable(); val tB = freshTable()
+    VersionedLoad.bootstrap(spark, tA, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      asOfMicros = 1000L)
+    VersionedLoad.bootstrap(spark, tB, Seq((10L, "x"), (20L, "y")).toDF("k", "v"),
+      asOfMicros = 1000L)
+    val txn = "purge-member-42"
+    def stepA() = VersionedLoad.idempotent(VersionedLoad.withConflictRetry() {
+      VersionedLoad.delete(spark, tA, Seq(Tuple1(1L)).toDF("k"), Seq("k"),
+        asOfMicros = Some(2000L), occ = true, txn = Some((txn, 1L)))
+    })
+    def stepB() = VersionedLoad.idempotent(VersionedLoad.withConflictRetry() {
+      VersionedLoad.delete(spark, tB, Seq(Tuple1(10L)).toDF("k"), Seq("k"),
+        asOfMicros = Some(2000L), occ = true, txn = Some((txn, 1L)))
+    })
+    // first run applies table A, then "crashes" before table B
+    assert(stepA().isDefined)
+    // the at-least-once driver reruns BOTH steps: A skips, B applies —
+    // the transaction converges all-or-nothing
+    assert(stepA().isEmpty, "an already-applied table skips, never re-applies")
+    assert(stepB().isDefined)
+    // a third full rerun is a complete no-op
+    assert(stepA().isEmpty && stepB().isEmpty)
+    assert(SnapshotStore.read(spark, tA).get.count() == 1)
+    assert(SnapshotStore.read(spark, tB).get.count() == 1)
+    assert(SnapshotStore.currentVersion(spark, tA).get == 1L,
+      "exactly ONE delete commit landed on A despite three runs")
+    // markers survive unrelated later commits; a HIGHER version applies
+    VersionedLoad.refresh(spark, tA, Seq((3L, "c")).toDF("k", "v"), Seq("k"),
+      asOfMicros = 3000L)
+    assert(SnapshotStore.lastTxnVersion(spark, tA, txn) == Some(1L),
+      "the txn marker carries across unrelated commits")
+    assert(VersionedLoad.idempotent(VersionedLoad.delete(spark, tA,
+      Seq(Tuple1(2L)).toDF("k"), Seq("k"), asOfMicros = Some(4000L),
+      txn = Some((txn, 2L)))).isDefined, "a higher txn version applies")
+    assert(SnapshotStore.lastTxnVersion(spark, tA, txn) == Some(2L))
+  }
+
   test("working-column collision guards: __z on a z-order compact and __file on copy-on-write ops fail loudly") {
     val t = freshTable()
     VersionedLoad.bootstrap(spark, t,
