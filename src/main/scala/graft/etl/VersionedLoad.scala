@@ -437,7 +437,8 @@ object VersionedLoad {
     * column is configured). */
   def refreshOpt(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], asOfMicros: Option[Long], keep: Int = 16,
-      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val current = SnapshotStore.read(spark, table).getOrElse(
       throw new IllegalStateException(
         s"VersionedLoad.refresh: $table has no committed version — bootstrap first"))
@@ -445,7 +446,7 @@ object VersionedLoad {
     SnapshotStore.promote(spark, table, newRows,
       keep = keep, asOfMicros = asOfMicros,
       reuseFiles = SnapshotStore.currentFiles(spark, table),
-      statsCol = statsCol, statsCols = statsCols)
+      statsCol = statsCol, statsCols = statsCols, txn = txn)
   }
 
   /** Copy-on-write MERGE — the full upsert at the storage layer, where

@@ -117,6 +117,17 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
+        // idempotent replay skip (r16 — the Delta foreachBatch
+        // txnAppId/txnVersion discipline): with a checkpoint, the
+        // (checkpoint, batchId) pair uniquely identifies this delivery,
+        // so a batch replayed after a crash BETWEEN the table commit
+        // and the checkpoint write skips entirely instead of
+        // recomputing a content-identical merge — cheaper recovery and
+        // one commit per delivery in the audit history. Without a
+        // checkpoint, batch ids reset across restarts and no marker is
+        // safe to record.
+        val txn = checkpointDir.map(cp =>
+          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // never bootstrap EMPTY: a zero-row version 0 has no parquet
@@ -124,12 +135,12 @@ object FactStream {
             // commit and let the first non-empty delivery bootstrap
             // (the checkpoint still marks this delivery consumed)
             if (!delta.isEmpty)
-              SnapshotStore.promote(sp, tableDir, delta,
+              VersionedLoad.idempotent(SnapshotStore.promote(sp, tableDir, delta,
                 preferredId = batchId, keep = Keep, asOfMicros = asOf,
-                statsCol = stats): Unit
+                statsCol = stats, txn = txn)): Unit
           case Some(_) =>
-            VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
-              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
+            VersionedLoad.idempotent(VersionedLoad.refreshOpt(sp, tableDir, delta, keys,
+              asOfMicros = asOf, keep = Keep, statsCol = stats, txn = txn)): Unit
         }
       } finally delta.unpersist(): Unit
     }.start()
@@ -210,17 +221,28 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
+        // idempotent replay skip (r16 — the Delta foreachBatch
+        // txnAppId/txnVersion discipline): with a checkpoint, the
+        // (checkpoint, batchId) pair uniquely identifies this delivery,
+        // so a batch replayed after a crash BETWEEN the table commit
+        // and the checkpoint write skips entirely instead of
+        // recomputing a content-identical merge — cheaper recovery and
+        // one commit per delivery in the audit history. Without a
+        // checkpoint, batch ids reset across restarts and no marker is
+        // safe to record.
+        val txn = checkpointDir.map(cp =>
+          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // see the insert sink: an empty bootstrap commit would be
             // schema-less and poison every later read
             if (!delta.isEmpty)
-              SnapshotStore.promote(sp, tableDir, delta,
+              VersionedLoad.idempotent(SnapshotStore.promote(sp, tableDir, delta,
                 preferredId = batchId, keep = Keep, asOfMicros = asOf,
-                statsCol = stats): Unit
+                statsCol = stats, txn = txn)): Unit
           case Some(_) =>
-            VersionedLoad.merge(sp, tableDir, delta, keys,
-              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
+            VersionedLoad.idempotent(VersionedLoad.merge(sp, tableDir, delta, keys,
+              asOfMicros = asOf, keep = Keep, statsCol = stats, txn = txn)): Unit
         }
       } finally delta.unpersist(): Unit
     }.start()
@@ -284,6 +306,17 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
+        // idempotent replay skip (r16 — the Delta foreachBatch
+        // txnAppId/txnVersion discipline): with a checkpoint, the
+        // (checkpoint, batchId) pair uniquely identifies this delivery,
+        // so a batch replayed after a crash BETWEEN the table commit
+        // and the checkpoint write skips entirely instead of
+        // recomputing a content-identical merge — cheaper recovery and
+        // one commit per delivery in the audit history. Without a
+        // checkpoint, batch ids reset across restarts and no marker is
+        // safe to record.
+        val txn = checkpointDir.map(cp =>
+          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // a PURE-DELETE (or empty) opening delivery must not
@@ -296,12 +329,12 @@ object FactStream {
             // delete" and must bootstrap, not silently drop (r15 ADVICE)
             val ups = delta.filter(!(col(opCol) <=> "D")).drop(opCol)
             if (!ups.isEmpty)
-              SnapshotStore.promote(sp, tableDir, ups,
+              VersionedLoad.idempotent(SnapshotStore.promote(sp, tableDir, ups,
                 preferredId = batchId, keep = Keep, asOfMicros = asOf,
-                statsCol = stats): Unit
+                statsCol = stats, txn = txn)): Unit
           case Some(_) =>
-            VersionedLoad.applyCdc(sp, tableDir, delta, keys, opCol,
-              asOfMicros = asOf, keep = Keep, statsCol = stats): Unit
+            VersionedLoad.idempotent(VersionedLoad.applyCdc(sp, tableDir, delta, keys, opCol,
+              asOfMicros = asOf, keep = Keep, statsCol = stats, txn = txn)): Unit
         }
       } finally delta.unpersist(): Unit
     }.start()

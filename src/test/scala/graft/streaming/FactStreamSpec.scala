@@ -376,4 +376,31 @@ class FactStreamSpec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, tbl, 0L).get.columns.toSeq == Seq("k", "v"),
       "pre-evolution versions keep their original schema")
   }
+
+  test("fact sinks record idempotent (checkpoint, batchId) markers — a same-batch replay skips instead of recomputing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_txn").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    Seq(1L -> "a", 2L -> "b").toDF("k", "v").coalesce(1).write.parquet(s"$src/.st_t1")
+    val f = new java.io.File(s"$src/.st_t1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/t1.parquet").toPath)
+    val q = FactStream.startUpsertFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp))
+    try q.processAllAvailable() finally q.stop()
+    val appId = "stream:" + cp
+    assert(SnapshotStore.lastTxnVersion(spark, tbl, appId) == Some(0L),
+      "the delivery's batch id is recorded as the table's txn marker")
+    val verBefore = SnapshotStore.currentVersion(spark, tbl).get
+    // simulate the replay a crash BETWEEN the table commit and the
+    // checkpoint write would cause: the same (appId, batchId) arrives
+    // again — the commit must skip, not re-merge
+    val replay = graft.etl.VersionedLoad.idempotent(
+      graft.etl.VersionedLoad.merge(spark, tbl,
+        Seq(1L -> "a", 2L -> "b").toDF("k", "v"), Seq("k"),
+        asOfMicros = None, txn = Some((appId, 0L))))
+    assert(replay.isEmpty, "a same-batch replay skips by its txn marker")
+    assert(SnapshotStore.currentVersion(spark, tbl).get == verBefore,
+      "no duplicate commit lands")
+  }
 }
