@@ -152,7 +152,10 @@ object SnapshotStore {
     * BEFORE any file stat is consulted. Supported transforms:
     * `identity` (integral column — the value itself), `year` /
     * `month` over a date column (`year(c)`; `year(c)*100 + month(c)`,
-    * both monotone in the date so range queries stay ranges). The spec
+    * both monotone in the date so range queries stay ranges), and
+    * `div<W>` over an integral column (floor(c / W), the Iceberg
+    * truncate[W] family — `div10000` turns a yyyymmdd long date_key
+    * into its year, the reference reports' `&p_year` grain). The spec
     * is versioned WITH the data — each manifest carries its own `p`
     * header — so partition pruning composes with version and timestamp
     * travel, and a spec CHANGE (partition evolution) is just newer
@@ -287,6 +290,12 @@ object SnapshotStore {
     * shared by the write-side value recorder and the read-side exact
     * filter, so both always agree. Throws on an unknown transform or a
     * column type the transform cannot take. */
+  /** The width W of a `div<W>` transform name, if it is one (W ≥ 1). */
+  private[etl] def divWidth(transform: String): Option[Long] =
+    if (transform.startsWith("div"))
+      scala.util.Try(transform.stripPrefix("div").toLong).toOption.filter(_ >= 1L)
+    else None
+
   private def transformColumn(spec: PartitionSpec,
       df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, month, year}
@@ -297,9 +306,19 @@ object SnapshotStore {
       case ("year", DateType)  => year(col(spec.col)).cast("long")
       case ("month", DateType) =>
         (year(col(spec.col)) * 100 + month(col(spec.col))).cast("long")
+      case (t, ByteType | ShortType | IntegerType | LongType) if divWidth(t).isDefined =>
+        // FLOOR division in EXACT long arithmetic: subtract the
+        // non-negative pmod first (the numerator is then exactly
+        // divisible, so SQL `div`'s truncation equals floor and matches
+        // the driver-side Math.floorDiv for negatives too); a double
+        // route would lose exactness above 2^53
+        val w = divWidth(t).get
+        org.apache.spark.sql.functions.expr(
+          s"CAST((CAST(`${spec.col}` AS BIGINT) - " +
+            s"pmod(CAST(`${spec.col}` AS BIGINT), $w)) div $w AS BIGINT)")
       case (t, dt) => throw new IllegalArgumentException(
         s"SnapshotStore: partition transform $t is not applicable to ${spec.col}: $dt — " +
-          "identity takes an integral column; year/month take a date column")
+          "identity/div<W> take an integral column; year/month take a date column")
     }
   }
 
@@ -488,6 +507,10 @@ object SnapshotStore {
       val keepSet = m.spec match {
         case Some(ps) if ps.transform == "identity" && ps.col == column =>
           statKeep.intersect(partitionKeep(m, files, lo, hi))
+        case Some(ps) if divWidth(ps.transform).isDefined && ps.col == column =>
+          val w = divWidth(ps.transform).get
+          statKeep.intersect(partitionKeep(m, files,
+            Math.floorDiv(lo, w), Math.floorDiv(hi, w)))
         case _ => statKeep
       }
       val keep = files.filter(keepSet).sorted
@@ -675,11 +698,12 @@ object SnapshotStore {
     * that still carry stats. Unstatted files keep (must-scan). */
   private def specStatsKeep(m: ManifestData, files: Seq[String],
       spec: PartitionSpec, lo: Long, hi: Long): Set[String] = spec.transform match {
-    case "identity" =>
+    case t if t == "identity" || divWidth(t).isDefined =>
+      val tx: Long => Long = divWidth(t).fold(identity[Long] _)(w => Math.floorDiv(_, w))
       val stats = m.stats.filter(_.col == spec.col)
       val statted = stats.map(_.file).toSet
       (files.filterNot(statted) ++
-        stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet
+        stats.filter(st => tx(st.max) >= lo && tx(st.min) <= hi).map(_.file)).toSet
     case "year" | "month" =>
       val stats = m.typedStats.filter(st => st.col == spec.col && st.kind == "date")
         .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
@@ -959,10 +983,12 @@ object SnapshotStore {
     // the shared write/read builder, so a spec that validates here
     // prunes identically on read.
     partitionSpec.foreach { ps =>
-      if (ps.col.exists(_.isWhitespace) || ps.transform.exists(_.isWhitespace))
+      if (ps.col.exists(_.isWhitespace) || ps.transform.exists(_.isWhitespace) ||
+          ps.col.contains("`"))
         throw new IllegalArgumentException(
-          s"SnapshotStore.promote: partition spec '$ps' contains whitespace — " +
-            "the p/v manifest lines are space-delimited")
+          s"SnapshotStore.promote: partition spec '$ps' contains whitespace or a " +
+            "backtick — the p/v manifest lines are space-delimited and the div " +
+            "transform quotes the column name")
       transformColumn(ps, df): Unit
     }
     // stat-column validation BEFORE the (slow) snapshot write — a bad

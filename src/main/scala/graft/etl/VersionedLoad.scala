@@ -802,6 +802,13 @@ object VersionedLoad {
               case ("year", DateType)  => year(col(ps.col)).cast("long")
               case ("month", DateType) =>
                 (year(col(ps.col)) * 100 + month(col(ps.col))).cast("long")
+              case (t, _) if SnapshotStore.divWidth(t).isDefined
+                  && isIntegral(batchKeys, ps.col) =>
+                // exact floor division, see SnapshotStore.transformColumn
+                val w = SnapshotStore.divWidth(t).get
+                org.apache.spark.sql.functions.expr(
+                  s"CAST((CAST(`${ps.col}` AS BIGINT) - " +
+                    s"pmod(CAST(`${ps.col}` AS BIGINT), $w)) div $w AS BIGINT)")
               case (t, dt) => throw new IllegalArgumentException(
                 s"no sound batch-side transform for ($t, $dt)") // → Try(None): skip
             }

@@ -584,6 +584,77 @@ object LibraryOracleOps {
             graft.etl.SnapshotStore.readVersion(spark, t, 1L).get, "v1", name))
           .unionByName(legAgg(delEvents, "deleted", name))
       }.reduce(_.unionByName(_))
+    },
+
+    // ── lib_fact_partitioned: HIDDEN PARTITIONING on the real library
+    // star (r16 — the partition-spec manifests run on the reference's
+    // own workload): FactSales bootstraps under a `div10000(date_key)`
+    // spec (the Iceberg truncate-family transform turning the yyyymmdd
+    // long into its YEAR), a refresh carries the spec forward, and the
+    // two legs are exactly the reference reports' `BETWEEN &p_year_from
+    // AND &p_year_to` filter shape (LQY_query1.txt:50) answered by
+    // opening only in-range year-partitions: the head confined to
+    // 2023-2024, and a versionAsOf-resolved TRAVEL read of 2022 pruned
+    // under the PRE-refresh manifest's own spec and values. Dual
+    // pruning applies — files the v-line index cannot clear fall back
+    // to their date_key stats. The oracle replays both legs as plain
+    // year WHEREs over the SAME persisted parquet, so the transform
+    // arithmetic (exact long floor-division on both engines), the
+    // carried spec, and the travel resolution are all hash-checked.
+    OpQuery.checked(
+      "lib_fact_partitioned",
+      s"""WITH f AS (SELECT * FROM read_parquet('$DataDir/dw_fact_sales.parquet/*.parquet')),
+         |existing AS (SELECT * FROM f WHERE date_key < 20240101),
+         |batch AS (SELECT * FROM f WHERE date_key >= 20230701),
+         |loaded AS (
+         |  SELECT * FROM existing
+         |  UNION ALL
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+         |                    WHERE e.order_id = b.order_id AND e.line_no = b.line_no)),
+         |a_head AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |                  CAST(count(*) AS BIGINT) AS n_lines,
+         |                  CAST(sum(total_amount) AS DOUBLE) AS amount
+         |           FROM loaded WHERE date_key // 10000 BETWEEN 2023 AND 2024 GROUP BY 1),
+         |a_v0 AS (SELECT CAST(date_key // 10000 AS BIGINT) AS yr,
+         |                CAST(count(*) AS BIGINT) AS n_lines,
+         |                CAST(sum(total_amount) AS DOUBLE) AS amount
+         |         FROM existing WHERE date_key // 10000 = 2022 GROUP BY 1)
+         |SELECT 'head_2324' AS leg, * FROM a_head
+         |UNION ALL SELECT 'v0_22', * FROM a_v0""".stripMargin
+    ) { (spark, dir) =>
+      val c = forSession(spark)
+      val fsales = persistedDw(spark).factSales
+      val spec = graft.etl.SnapshotStore.PartitionSpec("div10000", "date_key")
+      val table = synchronized {
+        c.storeTables.getOrElseUpdate("fact_partitioned", {
+          val t = EtlOps.freshStoreTable(dir, "lib_fact_part_")
+          // one year per file: range-partition by the PARTITION VALUE
+          val byYear = expr("CAST(date_key div 10000 AS BIGINT)")
+          graft.etl.VersionedLoad.bootstrap(spark, t,
+            fsales.filter(col("date_key") < 20240101L).repartitionByRange(8, byYear),
+            asOfMicros = 1704067200000000L, // 2024-01-01T00:00:00Z, the load horizon
+            statsCol = Some("date_key"), partitionSpec = Some(spec))
+          // the refresh CARRIES the spec from the head manifest
+          graft.etl.VersionedLoad.refresh(spark, t,
+            fsales.filter(col("date_key") >= 20230701L).repartitionByRange(4, byYear),
+            Seq("order_id", "line_no"),
+            asOfMicros = 1735689600000000L) // 2025-01-01T00:00:00Z
+          t
+        })
+      }
+      def yearAgg(df: DataFrame, leg: String) =
+        df.groupBy(expr("date_key div 10000").as("yr"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("total_amount")).cast("double").as("amount"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_lines"), col("amount"))
+      val s = graft.etl.SnapshotStore
+      // travel: the instant between the horizons resolves the pre-refresh
+      // version; the 2022 prune runs under THAT manifest
+      val v0 = s.versionAsOf(spark, table, 1710000000000000L).get
+      yearAgg(s.readPartitionRange(spark, table, 2023L, 2024L).get, "head_2324")
+        .unionByName(yearAgg(
+          s.readPartitionRange(spark, table, 2022L, 2022L, version = Some(v0)).get, "v0_22"))
     }
   )
 }

@@ -233,6 +233,29 @@ class PartitionSpecSpec extends SparkSuite {
       "identity v lines serve a key-range read with no stats")
   }
 
+  test("div<W> transform: exact FLOOR division (negatives included) partitions an integral column and serves readKeyRange") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // floorDiv(-25,10) = -3 — truncation toward zero would say -2 and
+    // the write-side value would disagree with the read-side prune
+    val df = Seq((-25L, "a"), (-5L, "b"), (5L, "c"), (25L, "d")).toDF("g", "v")
+      .repartitionByRange(4, col("g"))
+    VersionedLoad.bootstrap(spark, t, df, asOfMicros = 1000L,
+      partitionSpec = Some(SnapshotStore.PartitionSpec("div10", "g")))
+    val vVals = manifest(t, 0L).filter(_.startsWith("v ")).map(_.split(" ")(1).toLong)
+    assert(vVals.toSet == Set(-3L, -1L, 0L, 2L), s"floor-division values expected, got $vVals")
+    val fHigh = manifest(t, 0L).filter(_.startsWith("v "))
+      .map(_.split(" ", 3)).find(_(1).toLong == 2L).get(2)
+    destroy(t, fHigh)
+    assert(SnapshotStore.readPartitionRange(spark, t, -3L, -3L).get
+      .select("v").as[String].collect().toSeq == Seq("a"))
+    // readKeyRange composes: no stats exist, but the div spec maps the
+    // key range through floorDiv and prunes the destroyed file
+    assert(SnapshotStore.readKeyRange(spark, t, "g", -30L, -20L).get
+      .select("v").as[String].collect().toSeq == Seq("a"),
+      "a key-range read rides the div partition values with no stat lines")
+  }
+
   test("identity transform partitions an integral column") {
     val t = freshTable()
     import org.apache.spark.sql.functions.col
