@@ -403,4 +403,43 @@ class FactStreamSpec extends SparkSuite {
     assert(SnapshotStore.currentVersion(spark, tbl).get == verBefore,
       "no duplicate commit lands")
   }
+
+  test("a partition spec declared on a sink's table carries through later deliveries, values maintained") {
+    val root = java.nio.file.Files.createTempDirectory("graft_factstream_part").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val cp = s"$root/cp"
+    new java.io.File(src).mkdirs()
+    def stage(name: String, rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("k", "v").coalesce(1).write.parquet(s"$src/.st_$name")
+      val f = new java.io.File(s"$src/.st_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/$name.parquet").toPath)
+    }
+    stage("p1", 100L -> "a", 101L -> "b")
+    val q = FactStream.startVersionedFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp), maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      // declare the spec mid-stream: ALTER TABLE SET PARTITION SPEC as
+      // a metadata-only commit (full reuse, empty delta)
+      SnapshotStore.promote(spark, tbl,
+        SnapshotStore.read(spark, tbl).get.limit(0), keep = FactStream.Keep,
+        reuseFiles = SnapshotStore.currentFiles(spark, tbl),
+        partitionSpec = Some(SnapshotStore.PartitionSpec("div100", "k")))
+      // later deliveries must CARRY the spec and record their values
+      stage("p2", 200L -> "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotStore.partitionSpecOf(spark, tbl) ==
+      Some(SnapshotStore.PartitionSpec("div100", "k")),
+      "the sink's incremental commits carry the declared spec")
+    val vals = SnapshotStore.filePartitionsOf(spark, tbl).map(_.value).toSet
+    assert(vals.contains(2L), s"the post-declaration delivery recorded its value, got $vals")
+    // and the pruned read works end to end: destroy the new file, read
+    // the old partition (pre-declaration files are unvalued and scan)
+    val f2 = SnapshotStore.filePartitionsOf(spark, tbl).find(_.value == 2L).get.file
+    java.nio.file.Files.write(new java.io.File(new java.io.File(tbl), f2).toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(SnapshotStore.readPartitionRange(spark, tbl, 1L, 1L).get.count() == 2,
+      "an out-of-partition streaming file is never opened")
+  }
 }
