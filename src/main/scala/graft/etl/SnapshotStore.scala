@@ -286,17 +286,18 @@ object SnapshotStore {
       typed.toIndexedSeq, spec, partVals.toIndexedSeq, txns, lines.last.trim == "end")
   }
 
-  /** The partition-transform column for `spec` over `df`'s schema —
-    * shared by the write-side value recorder and the read-side exact
-    * filter, so both always agree. Throws on an unknown transform or a
-    * column type the transform cannot take. */
   /** The width W of a `div<W>` transform name, if it is one (W ≥ 1). */
   private[etl] def divWidth(transform: String): Option[Long] =
     if (transform.startsWith("div"))
       scala.util.Try(transform.stripPrefix("div").toLong).toOption.filter(_ >= 1L)
     else None
 
-  private def transformColumn(spec: PartitionSpec,
+  /** The partition-transform column for `spec` over `df`'s schema —
+    * the ONE definition of every transform's semantics, shared by the
+    * write-side value recorder, the read-side exact filter, and the
+    * copy-on-write batch-span prune, so they can never drift. Throws
+    * on an unknown transform or a column type it cannot take. */
+  private[etl] def transformColumn(spec: PartitionSpec,
       df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, month, year}
     import org.apache.spark.sql.types._
@@ -740,7 +741,7 @@ object SnapshotStore {
   def readPartitionRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
       version: Option[Long] = None): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
-    manifestFor(fs, tgt, version).map { m =>
+    manifestFor(fs, tgt, version).flatMap { m =>
       val spec = m.spec.getOrElse(throw new IllegalStateException(
         s"SnapshotStore.readPartitionRange: $dir carries no partition spec" +
           version.fold(" at the committed head")(v => s" at version $v")))
@@ -748,10 +749,12 @@ object SnapshotStore {
       val keepSet = partitionKeep(m, files, lo, hi)
         .intersect(specStatsKeep(m, files, spec, lo, hi))
       val keep = files.filter(keepSet).sorted
-      // all-pruned = empty result, not a missing table (see readKeyRange)
-      val df = readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).get
-      val exact = df.filter(transformColumn(spec, df).between(lo, hi))
-      if (keep.isEmpty) exact.limit(0) else exact
+      // all-pruned = empty result, not a missing table (see readKeyRange);
+      // a zero-file version resolves None like every other reader
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+        val exact = df.filter(transformColumn(spec, df).between(lo, hi))
+        if (keep.isEmpty) exact.limit(0) else exact
+      }
     }
   }
 
@@ -1076,9 +1079,13 @@ object SnapshotStore {
     // plain refresh without statsCol) must not silently drop the
     // skipping index its reused files already carry
     // one head-manifest read serves the carried metadata: txn markers
-    // carry UNCONDITIONALLY (they are table history, surviving even a
-    // full overwrite — Delta keeps txn versions across any commit);
-    // stats / partition values / the spec carry only with file reuse
+    // and the PARTITION SPEC carry UNCONDITIONALLY (both are table
+    // metadata surviving even a full overwrite — a merge whose batch
+    // touches every file commits with reuseFiles = Nil, and dropping
+    // the spec there would silently lose the partition index; Delta
+    // keeps txn versions and partitioning across any commit the same
+    // way); stats and per-file partition VALUES carry only with file
+    // reuse (they describe immutable reused files)
     val prevAny: Option[ManifestData] = currentManifest(fs, tgt).map(_._2)
     val prevManifest: Option[ManifestData] =
       if (reuseFiles.isEmpty) None else prevAny
@@ -1087,7 +1094,7 @@ object SnapshotStore {
     // merges keeps its table partitioned without re-declaring the spec
     // on every commit. A caller-passed spec that differs from the head's
     // is partition EVOLUTION: it applies from this commit forward.
-    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(prevManifest.flatMap(_.spec))
+    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(prevAny.flatMap(_.spec))
     val carriedLines: Seq[String] = if (reuseFiles.isEmpty) Nil else {
       val reused = reuseFiles.toSet
       prevManifest.toSeq.flatMap(_.stats)

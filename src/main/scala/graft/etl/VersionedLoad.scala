@@ -142,10 +142,15 @@ object VersionedLoad {
         // multiples of 256/K and the Morton quadrants stay exact.
         // (Deduped >= counting produced 1-based cells compressed into
         // 1..K, whose top bits no longer split the curve into quadrants.)
+        // The count runs as the codegen'd binary-search expression
+        // [[graft.functions.QuantileCell]] — O(log 256) per row and one
+        // static call in generated code, where a 255-branch when()-sum
+        // would codegen a ~500-node tree per dimension.
+        graft.functions.QuantileCell.register(spark)
         def ranked(c: org.apache.spark.sql.Column, bs: Array[Double]) =
           if (bs.isEmpty) lit(0L) // all-null dim
-          else bs.map(b => when(c.cast("double") > lit(b), 1L).otherwise(0L))
-            .reduce(_ + _)
+          else call_function("quantile_cell", c.cast("double"),
+            lit(bs)).cast("long")
         current
           .withColumn("__z", call_function("bit_interleave",
             ranked(asLong(zorderBy.head), bounds(0)),
@@ -794,25 +799,13 @@ object VersionedLoad {
     val partKeep: Option[Set[String]] =
       SnapshotStore.partitionSpecOf(spark, table).filter(ps => keys.contains(ps.col))
         .flatMap { ps =>
-          import org.apache.spark.sql.functions.{month, year, min => fmin, max => fmax}
-          val txCol = scala.util.Try {
-            (ps.transform, batchKeys.schema(ps.col).dataType) match {
-              case ("identity", _) if isIntegral(batchKeys, ps.col) =>
-                col(ps.col).cast("long")
-              case ("year", DateType)  => year(col(ps.col)).cast("long")
-              case ("month", DateType) =>
-                (year(col(ps.col)) * 100 + month(col(ps.col))).cast("long")
-              case (t, _) if SnapshotStore.divWidth(t).isDefined
-                  && isIntegral(batchKeys, ps.col) =>
-                // exact floor division, see SnapshotStore.transformColumn
-                val w = SnapshotStore.divWidth(t).get
-                org.apache.spark.sql.functions.expr(
-                  s"CAST((CAST(`${ps.col}` AS BIGINT) - " +
-                    s"pmod(CAST(`${ps.col}` AS BIGINT), $w)) div $w AS BIGINT)")
-              case (t, dt) => throw new IllegalArgumentException(
-                s"no sound batch-side transform for ($t, $dt)") // → Try(None): skip
-            }
-          }.toOption
+          import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+          // the ONE transform definition (SnapshotStore.transformColumn)
+          // also builds the batch-side probe, so write-path pruning can
+          // never drift from the recorded values; a transform the batch
+          // key's type cannot take reads as None → skip the prune
+          val txCol = scala.util.Try(
+            SnapshotStore.transformColumn(ps, batchKeys)).toOption
           txCol.flatMap { tx =>
             val r = batchKeys.agg(fmin(tx), fmax(tx)).head()
             if (r.isNullAt(0) || r.isNullAt(1)) None

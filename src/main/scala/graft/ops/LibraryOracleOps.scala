@@ -568,9 +568,13 @@ object LibraryOracleOps {
           })
         }.toMap
       }
+      // match the oracle's GROUP BY semantics exactly: an EMPTY leg
+      // emits NO row (a global agg would emit a (0,0) row and
+      // hash-diverge at a scale where some table holds no purged rows)
       def legAgg(df: DataFrame, leg: String, name: String) =
         df.agg(count(lit(1)).as("n_rows"),
             countDistinct(col("member_id")).as("n_members"))
+          .filter(col("n_rows") > 0)
           .select(lit(leg).as("leg"), lit(name).as("table_name"),
             col("n_rows"), col("n_members"))
       webs.map { case (name, frame, pk) =>

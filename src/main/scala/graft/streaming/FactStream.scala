@@ -118,16 +118,19 @@ object FactStream {
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
         // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): with a checkpoint, the
-        // (checkpoint, batchId) pair uniquely identifies this delivery,
-        // so a batch replayed after a crash BETWEEN the table commit
-        // and the checkpoint write skips entirely instead of
-        // recomputing a content-identical merge — cheaper recovery and
-        // one commit per delivery in the audit history. Without a
+        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+        // identifies this delivery, so a batch replayed after a crash
+        // BETWEEN the table commit and the checkpoint write skips
+        // entirely instead of recomputing a content-identical merge —
+        // cheaper recovery, one commit per delivery in the audit
+        // history. The appId is the checkpoint's PERSISTENT query id
+        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
+        // checkpoint restarts batch ids under a fresh appId, so stale
+        // markers can never suppress deliberate reprocessing. Without a
         // checkpoint, batch ids reset across restarts and no marker is
         // safe to record.
-        val txn = checkpointDir.map(cp =>
-          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
+        val txn = checkpointDir.flatMap(cp =>
+          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // never bootstrap EMPTY: a zero-row version 0 has no parquet
@@ -163,6 +166,27 @@ object FactStream {
            org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType => true
       case _ => false
     })
+
+  /** The checkpoint's PERSISTENT streaming-query id (Spark writes it to
+    * `<checkpoint>/metadata` at query start — the StreamingQuery.id, not
+    * the per-run runId): stable across restarts of the SAME checkpoint,
+    * FRESH when the checkpoint is wiped and recreated. Deriving the txn
+    * appId from it (not from the checkpoint PATH) means markers recorded
+    * under a deleted checkpoint can never suppress reprocessing — batch
+    * ids restart under a NEW appId — and two checkpoints can never
+    * collide (the id is a UUID). None when unreadable → no marker is
+    * recorded, the safe default. Re-read per batch (one driver-side open
+    * of a <200-byte file), never cached: a checkpoint recreated within
+    * one JVM must serve its new id. */
+  private def checkpointQueryId(spark: SparkSession, cp: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(cp, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(content).map(_.group(1))
+    }.toOption.flatten
 
   /** Start maintaining `tableDir` as a LATEST-WINS versioned fact table
     * — the SCD1 / CDC-upsert twin of [[startVersionedFactSink]]'s
@@ -222,16 +246,19 @@ object FactStream {
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
         // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): with a checkpoint, the
-        // (checkpoint, batchId) pair uniquely identifies this delivery,
-        // so a batch replayed after a crash BETWEEN the table commit
-        // and the checkpoint write skips entirely instead of
-        // recomputing a content-identical merge — cheaper recovery and
-        // one commit per delivery in the audit history. Without a
+        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+        // identifies this delivery, so a batch replayed after a crash
+        // BETWEEN the table commit and the checkpoint write skips
+        // entirely instead of recomputing a content-identical merge —
+        // cheaper recovery, one commit per delivery in the audit
+        // history. The appId is the checkpoint's PERSISTENT query id
+        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
+        // checkpoint restarts batch ids under a fresh appId, so stale
+        // markers can never suppress deliberate reprocessing. Without a
         // checkpoint, batch ids reset across restarts and no marker is
         // safe to record.
-        val txn = checkpointDir.map(cp =>
-          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
+        val txn = checkpointDir.flatMap(cp =>
+          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // see the insert sink: an empty bootstrap commit would be
@@ -307,16 +334,19 @@ object FactStream {
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
         // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): with a checkpoint, the
-        // (checkpoint, batchId) pair uniquely identifies this delivery,
-        // so a batch replayed after a crash BETWEEN the table commit
-        // and the checkpoint write skips entirely instead of
-        // recomputing a content-identical merge — cheaper recovery and
-        // one commit per delivery in the audit history. Without a
+        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+        // identifies this delivery, so a batch replayed after a crash
+        // BETWEEN the table commit and the checkpoint write skips
+        // entirely instead of recomputing a content-identical merge —
+        // cheaper recovery, one commit per delivery in the audit
+        // history. The appId is the checkpoint's PERSISTENT query id
+        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
+        // checkpoint restarts batch ids under a fresh appId, so stale
+        // markers can never suppress deliberate reprocessing. Without a
         // checkpoint, batch ids reset across restarts and no marker is
         // safe to record.
-        val txn = checkpointDir.map(cp =>
-          ("stream:" + cp.replaceAll("\\s+", "_"), batchId))
+        val txn = checkpointDir.flatMap(cp =>
+          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // a PURE-DELETE (or empty) opening delivery must not

@@ -387,10 +387,11 @@ class FactStreamSpec extends SparkSuite {
     java.nio.file.Files.move(f.toPath, new java.io.File(s"$src/t1.parquet").toPath)
     val q = FactStream.startUpsertFactSink(spark, src, tbl, schema, Seq("k"),
       checkpointDir = Some(cp))
-    try q.processAllAvailable() finally q.stop()
-    val appId = "stream:" + cp
+    val qid = try { q.processAllAvailable(); q.id.toString } finally q.stop()
+    // the appId is the checkpoint's PERSISTENT query id, not its path
+    val appId = "stream:" + qid
     assert(SnapshotStore.lastTxnVersion(spark, tbl, appId) == Some(0L),
-      "the delivery's batch id is recorded as the table's txn marker")
+      "the delivery's batch id is recorded under the checkpoint's query id")
     val verBefore = SnapshotStore.currentVersion(spark, tbl).get
     // simulate the replay a crash BETWEEN the table commit and the
     // checkpoint write would cause: the same (appId, batchId) arrives
@@ -402,6 +403,26 @@ class FactStreamSpec extends SparkSuite {
     assert(replay.isEmpty, "a same-batch replay skips by its txn marker")
     assert(SnapshotStore.currentVersion(spark, tbl).get == verBefore,
       "no duplicate commit lands")
+    // WIPE the checkpoint (deliberate reprocessing — batch ids restart
+    // at 0): the fresh checkpoint mints a NEW query id, so the old
+    // marker must NOT suppress the redelivery — the sink re-merges
+    // (content-identical) and commits, instead of silently dropping it
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(): Unit
+    }
+    rm(new java.io.File(cp))
+    val q2 = FactStream.startUpsertFactSink(spark, src, tbl, schema, Seq("k"),
+      checkpointDir = Some(cp))
+    try {
+      q2.processAllAvailable()
+      assert(q2.id.toString != qid, "a recreated checkpoint mints a new query id")
+      assert(SnapshotStore.currentVersion(spark, tbl).get > verBefore,
+        "reprocessing after a checkpoint wipe commits instead of being " +
+          "suppressed by the dead checkpoint's markers")
+      assert(FactStream.readFact(spark, tbl).get.as[(Long, String)].collect().toSet ==
+        Set(1L -> "a", 2L -> "b"), "content stays identical")
+    } finally q2.stop()
   }
 
   test("a partition spec declared on a sink's table carries through later deliveries, values maintained") {
