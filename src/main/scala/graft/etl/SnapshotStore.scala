@@ -241,7 +241,16 @@ object SnapshotStore {
     * manifests carrying a different header — old versions keep pruning
     * by the spec they were written under, the Iceberg
     * partition-evolution behavior; files from before the change carry
-    * no `v` line under the new spec and degrade to must-scan. */
+    * no `v` line under the new spec and degrade to must-scan.
+    *
+    * MULTI-COLUMN SPEC DESIGN NOTE (not implemented): a composite spec
+    * (Iceberg's spec = an ordered transform LIST) would ride the same
+    * device — repeated `p` headers in declaration order plus
+    * `v <v1> <v2> ... <path>` tuple lines; pruning would intersect the
+    * per-dimension keep sets exactly like the dual-pruning
+    * intersections already do. Until then the typed per-file stats +
+    * the z-order compact cover the second dimension: the spec prunes
+    * the dominant partition column and the stats prune within it. */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
