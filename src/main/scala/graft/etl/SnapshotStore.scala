@@ -788,7 +788,13 @@ object SnapshotStore {
   /** The latest transaction version the table recorded for `appId`
     * (the Delta txn lookup): what an at-least-once driver consults to
     * decide where to resume a multi-table transaction. None when no
-    * commit ever carried the marker. */
+    * commit ever carried the marker. Growth bound: markers carry
+    * forever (dropping one would re-enable the duplicate it guards
+    * against — Delta expires them only under an explicit retention
+    * config), one ~50-byte line per distinct writer identity; writer
+    * identities are per-table-per-checkpoint and only multiply on
+    * deliberate checkpoint recreation, so manifests stay
+    * metadata-scale. */
   def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] = {
     val (fs, tgt) = fsOf(spark, dir)
     currentManifest(fs, tgt).flatMap(_._2.txns.get(appId))
@@ -1103,7 +1109,15 @@ object SnapshotStore {
     // merges keeps its table partitioned without re-declaring the spec
     // on every commit. A caller-passed spec that differs from the head's
     // is partition EVOLUTION: it applies from this commit forward.
-    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(prevAny.flatMap(_.spec))
+    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(
+      prevAny.flatMap(_.spec).filter { ps =>
+        // a carried spec survives any incremental commit unconditionally,
+        // but a FULL REWRITE (no reuse) that dropped or retyped the spec
+        // column defines a table the spec can no longer describe — carry
+        // it and every readPartitionRange would throw forever; drop it
+        // instead (the only way to shed a spec, and the sound one)
+        reuseFiles.nonEmpty || scala.util.Try(transformColumn(ps, df)).isSuccess
+      })
     val carriedLines: Seq[String] = if (reuseFiles.isEmpty) Nil else {
       val reused = reuseFiles.toSet
       prevManifest.toSeq.flatMap(_.stats)

@@ -147,10 +147,14 @@ object VersionedLoad {
         // static call in generated code, where a 255-branch when()-sum
         // would codegen a ~500-node tree per dimension.
         graft.functions.QuantileCell.register(spark)
+        // coalesce: a NULL dim value takes cell 0 (the when()-sum's old
+        // behavior) — without it bit_interleave's null-intolerance would
+        // collapse every null-dim row into one unsorted NULL z bucket,
+        // losing the other dimension's ordering for those rows
         def ranked(c: org.apache.spark.sql.Column, bs: Array[Double]) =
           if (bs.isEmpty) lit(0L) // all-null dim
-          else call_function("quantile_cell", c.cast("double"),
-            lit(bs)).cast("long")
+          else org.apache.spark.sql.functions.coalesce(
+            call_function("quantile_cell", c.cast("double"), lit(bs)), lit(0L))
         current
           .withColumn("__z", call_function("bit_interleave",
             ranked(asLong(zorderBy.head), bounds(0)),

@@ -40,12 +40,22 @@ object QuantileCell {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_cell",
       exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"quantile_cell takes (value, bounds_array), got ${exprs.length} argument(s)")
         val bounds = exprs(1) match {
-          case b if b.foldable =>
-            b.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toDoubleArray()
+          case b if b.foldable && (b.dataType match {
+                case ArrayType(DoubleType, _) => true
+                case _ => false
+              }) =>
+            val ad = b.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            if ((0 until ad.numElements()).exists(ad.isNullAt))
+              throw new IllegalArgumentException(
+                "quantile_cell: bounds array must not contain nulls")
+            ad.toDoubleArray()
           case other => throw new IllegalArgumentException(
-            s"quantile_cell: bounds must be a literal array, got $other")
+            s"quantile_cell: bounds must be a literal ARRAY<DOUBLE>, " +
+              s"got ${other.dataType} (foldable=${other.foldable})")
         }
         QuantileCellExpr(exprs(0), bounds)
       },

@@ -85,6 +85,18 @@ object FactStream {
       .parquet(sourceDir)
     val wr = src.writeStream.outputMode("append")
     checkpointDir.foreach(wr.option("checkpointLocation", _))
+    // idempotent replay skip (r16 — the Delta foreachBatch
+    // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+    // identifies a delivery, so a batch replayed after a crash BETWEEN
+    // the table commit and the checkpoint write skips entirely instead
+    // of recomputing a content-identical merge. The appId is the
+    // checkpoint's PERSISTENT query id, NOT its path: a
+    // wiped-and-recreated checkpoint restarts batch ids under a fresh
+    // appId, so stale markers can never suppress deliberate
+    // reprocessing. Without a checkpoint, batch ids reset across
+    // restarts and no marker is safe to record. Lazy: resolved at the
+    // first batch (the metadata file exists from query start), once.
+    lazy val txnApp: Option[String] = sinkTxnApp(spark, checkpointDir)
     wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val sp = batch.sparkSession
       // deterministic within-batch winner: min-struct over the non-key
@@ -117,20 +129,7 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
-        // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
-        // identifies this delivery, so a batch replayed after a crash
-        // BETWEEN the table commit and the checkpoint write skips
-        // entirely instead of recomputing a content-identical merge —
-        // cheaper recovery, one commit per delivery in the audit
-        // history. The appId is the checkpoint's PERSISTENT query id
-        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
-        // checkpoint restarts batch ids under a fresh appId, so stale
-        // markers can never suppress deliberate reprocessing. Without a
-        // checkpoint, batch ids reset across restarts and no marker is
-        // safe to record.
-        val txn = checkpointDir.flatMap(cp =>
-          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
+        val txn = txnApp.map(a => (a, batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // never bootstrap EMPTY: a zero-row version 0 has no parquet
@@ -178,8 +177,8 @@ object FactStream {
     * recorded, the safe default. Re-read per batch (one driver-side open
     * of a <200-byte file), never cached: a checkpoint recreated within
     * one JVM must serve its new id. */
-  private def checkpointQueryId(spark: SparkSession, cp: String): Option[String] =
-    scala.util.Try {
+  private def checkpointQueryId(spark: SparkSession, cp: String): Option[String] = {
+    val parsed = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(cp, "metadata")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
@@ -187,6 +186,22 @@ object FactStream {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(content).map(_.group(1))
     }.toOption.flatten
+    if (parsed.isEmpty)
+      // a silent None would quietly degrade the sink to unmarked commits
+      // — exactly the duplicate-on-replay window the marker closes; the
+      // sink still runs (correct content either way), but say so
+      System.err.println(s"[graft] warn: could not read the query id from $cp/metadata — " +
+        "this sink's commits carry NO idempotence marker (replays will re-merge)")
+    parsed
+  }
+
+  /** The sink's txn-marker application id — computed ONCE per started
+    * query (a running query's id cannot change; the metadata file
+    * exists before the first batch) and shared by every micro-batch
+    * through the closure's lazy val, so the per-batch cost is zero. */
+  private def sinkTxnApp(spark: SparkSession,
+      checkpointDir: Option[String]): Option[String] =
+    checkpointDir.flatMap(cp => checkpointQueryId(spark, cp).map("stream:" + _))
 
   /** Start maintaining `tableDir` as a LATEST-WINS versioned fact table
     * — the SCD1 / CDC-upsert twin of [[startVersionedFactSink]]'s
@@ -225,6 +240,18 @@ object FactStream {
       .parquet(sourceDir)
     val wr = src.writeStream.outputMode("append")
     checkpointDir.foreach(wr.option("checkpointLocation", _))
+    // idempotent replay skip (r16 — the Delta foreachBatch
+    // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+    // identifies a delivery, so a batch replayed after a crash BETWEEN
+    // the table commit and the checkpoint write skips entirely instead
+    // of recomputing a content-identical merge. The appId is the
+    // checkpoint's PERSISTENT query id, NOT its path: a
+    // wiped-and-recreated checkpoint restarts batch ids under a fresh
+    // appId, so stale markers can never suppress deliberate
+    // reprocessing. Without a checkpoint, batch ids reset across
+    // restarts and no marker is safe to record. Lazy: resolved at the
+    // first batch (the metadata file exists from query start), once.
+    lazy val txnApp: Option[String] = sinkTxnApp(spark, checkpointDir)
     wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val sp = batch.sparkSession
       val keyCols: Seq[Column] = keys.map(col)
@@ -245,20 +272,7 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
-        // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
-        // identifies this delivery, so a batch replayed after a crash
-        // BETWEEN the table commit and the checkpoint write skips
-        // entirely instead of recomputing a content-identical merge —
-        // cheaper recovery, one commit per delivery in the audit
-        // history. The appId is the checkpoint's PERSISTENT query id
-        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
-        // checkpoint restarts batch ids under a fresh appId, so stale
-        // markers can never suppress deliberate reprocessing. Without a
-        // checkpoint, batch ids reset across restarts and no marker is
-        // safe to record.
-        val txn = checkpointDir.flatMap(cp =>
-          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
+        val txn = txnApp.map(a => (a, batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // see the insert sink: an empty bootstrap commit would be
@@ -315,6 +329,18 @@ object FactStream {
       .parquet(sourceDir)
     val wr = src.writeStream.outputMode("append")
     checkpointDir.foreach(wr.option("checkpointLocation", _))
+    // idempotent replay skip (r16 — the Delta foreachBatch
+    // txnAppId/txnVersion discipline): (query id, batchId) uniquely
+    // identifies a delivery, so a batch replayed after a crash BETWEEN
+    // the table commit and the checkpoint write skips entirely instead
+    // of recomputing a content-identical merge. The appId is the
+    // checkpoint's PERSISTENT query id, NOT its path: a
+    // wiped-and-recreated checkpoint restarts batch ids under a fresh
+    // appId, so stale markers can never suppress deliberate
+    // reprocessing. Without a checkpoint, batch ids reset across
+    // restarts and no marker is safe to record. Lazy: resolved at the
+    // first batch (the metadata file exists from query start), once.
+    lazy val txnApp: Option[String] = sinkTxnApp(spark, checkpointDir)
     wr.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val sp = batch.sparkSession
       val keyCols: Seq[Column] = keys.map(col)
@@ -333,20 +359,7 @@ object FactStream {
         val asOf = batchMax.map(m =>
           math.max(m, SnapshotStore.currentAsOf(sp, tableDir).getOrElse(Long.MinValue)))
         val stats = autoStatsCol(schema, keys)
-        // idempotent replay skip (r16 — the Delta foreachBatch
-        // txnAppId/txnVersion discipline): (query id, batchId) uniquely
-        // identifies this delivery, so a batch replayed after a crash
-        // BETWEEN the table commit and the checkpoint write skips
-        // entirely instead of recomputing a content-identical merge —
-        // cheaper recovery, one commit per delivery in the audit
-        // history. The appId is the checkpoint's PERSISTENT query id
-        // (see checkpointQueryId), NOT its path: a wiped-and-recreated
-        // checkpoint restarts batch ids under a fresh appId, so stale
-        // markers can never suppress deliberate reprocessing. Without a
-        // checkpoint, batch ids reset across restarts and no marker is
-        // safe to record.
-        val txn = checkpointDir.flatMap(cp =>
-          checkpointQueryId(sp, cp).map(qid => ("stream:" + qid, batchId)))
+        val txn = txnApp.map(a => (a, batchId))
         SnapshotStore.read(sp, tableDir) match {
           case None =>
             // a PURE-DELETE (or empty) opening delivery must not
