@@ -155,21 +155,39 @@ object SnapshotStore {
     * both monotone in the date so range queries stay ranges), and
     * `div<W>` over an integral column (floor(c / W), the Iceberg
     * truncate[W] family — `div10000` turns a yyyymmdd long date_key
-    * into its year, the reference reports' `&p_year` grain). The spec
-    * is versioned WITH the data — each manifest carries its own `p`
-    * header — so partition pruning composes with version and timestamp
-    * travel, and a spec CHANGE (partition evolution) is just newer
-    * manifests carrying a different header: old versions keep pruning
-    * by the spec they were written under; files written before the new
-    * spec carry no value line under it and safely degrade to
-    * must-scan. */
+    * into its year, the reference reports' `&p_year` grain), and
+    * `bucket<N>` over an integral column (Murmur3 seed-42 of the long
+    * value mod N — the Iceberg bucket[N] family, r17: point-lookup
+    * pruning on a high-cardinality grain key, and the shared layout
+    * two co-bucketed store tables join bucket-by-bucket under). A
+    * table may declare SEVERAL specs (r17, ordered — see the
+    * multi-column manifest format below). The specs are versioned WITH
+    * the data — each manifest carries its own `p` header(s) — so
+    * partition pruning composes with version and timestamp travel,
+    * and a spec CHANGE (partition evolution) is just newer manifests
+    * carrying different headers: old versions keep pruning by the
+    * spec they were written under; files written before the new spec
+    * carry no value line under it and safely degrade to must-scan. */
   final case class PartitionSpec(transform: String, col: String)
 
-  /** One file's recorded partition value under the manifest's spec. A
-    * file with rows in MORE than one partition gets no line (the write
-    * path records a value only when the file is single-valued) — it
-    * simply always scans, the absence-means-must-scan rule. */
-  final case class FilePartition(file: String, value: Long)
+  /** One file's recorded partition values under the manifest's spec
+    * list, positionally — `values(d)` is the file's value under spec
+    * dimension `d`; `None` (the `?` manifest token, r17) marks a
+    * dimension the file is MULTI-VALUED in (it must-scan on that
+    * dimension but still prunes on its concrete ones). A file
+    * multi-valued in EVERY dimension gets no line at all — the
+    * absence-means-must-scan rule. */
+  final case class FilePartition(file: String, values: Seq[Option[Long]]) {
+    /** Leading-dimension value — the single-spec (r16) accessor; throws
+      * on a `?`-valued leading dimension. */
+    def value: Long = values.head.get
+  }
+
+  /** Per-file NULL COUNT for one stat column (r17 — the Delta nullCount
+    * shape): with the file's row count (`r` lines), it answers the two
+    * prunes min/max never can — `IS NULL` (nulls = 0 → no match) and
+    * `IS NOT NULL` (nulls = rowCount → no match). */
+  final case class FileNullStat(file: String, col: String, nulls: Long)
 
   /** One committed manifest's content: the primary snapshot directory,
     * the optional pinned as-of instant, the optional explicit file
@@ -185,7 +203,8 @@ object SnapshotStore {
   private final case class ManifestData(
       snap: String, asOf: Option[Long], files: Seq[String],
       stats: Seq[FileStat], typedStats: Seq[TypedFileStat],
-      spec: Option[PartitionSpec], partVals: Seq[FilePartition],
+      specs: Seq[PartitionSpec], partVals: Seq[FilePartition],
+      rowCounts: Map[String, Long], nullStats: Seq[FileNullStat],
       txns: Map[String, Long], terminated: Boolean)
 
   private def manifestId(name: String): Option[Long] =
@@ -210,11 +229,23 @@ object SnapshotStore {
       .sortBy(-_._1)
   }
 
-  private def readContent(fs: FileSystem, p: Path): Option[String] =
+  /** Manifest CONTENT reads performed since JVM start — test
+    * instrumentation for the resolution-cost contract (see the
+    * "checkpointing" note on the object scaladoc): every manifest is
+    * SELF-CONTAINED (full file list + stats + specs + txns — each
+    * commit IS its own checkpoint, Delta's log+checkpoint rolled into
+    * one), so resolving the head parses exactly 1 + (torn debris
+    * above it) manifests REGARDLESS of retained history length.
+    * ResolutionCostSpec pins that bound with this counter. */
+  private[etl] val contentReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def readContent(fs: FileSystem, p: Path): Option[String] = {
+    contentReads.incrementAndGet(): Unit
     scala.util.Try {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
     }.toOption.filter(_.nonEmpty)
+  }
 
   /** Manifest content: line 1 = primary snapshot dir name; line 2
     * (optional, may be blank) = the commit's pinned as-of timestamp in
@@ -223,7 +254,11 @@ object SnapshotStore {
     * column stats, and `t <kind> <col> <lo> <hi> <E|T> <relative
     * path>` per-file TYPED stats (path LAST on every line — it is the
     * only token that could ever grow a delimiter; stat column names
-    * are whitespace-rejected at write time); final line = the `end`
+    * are whitespace-rejected at write time), plus (r17)
+    * `r <rowCount> <relative path>` per-file row counts and
+    * `n <col> <nullCount> <relative path>` per-file null counts — the
+    * IS NULL / IS NOT NULL skipping index [[readNullFilter]] prunes
+    * with; final line = the `end`
     * terminator (required for the manifest to commit — see
     * [[ManifestData]]). Unknown line prefixes are ignored, so a reader
     * from before a line type existed still resolves the manifest (and
@@ -243,28 +278,62 @@ object SnapshotStore {
     * partition-evolution behavior; files from before the change carry
     * no `v` line under the new spec and degrade to must-scan.
     *
-    * MULTI-COLUMN SPEC DESIGN NOTE (not implemented): a composite spec
-    * (Iceberg's spec = an ordered transform LIST) would ride the same
-    * device — repeated `p` headers in declaration order plus
-    * `v <v1> <v2> ... <path>` tuple lines; pruning would intersect the
-    * per-dimension keep sets exactly like the dual-pruning
-    * intersections already do. Until then the typed per-file stats +
-    * the z-order compact cover the second dimension: the spec prunes
-    * the dominant partition column and the stats prune within it. */
+    * MULTI-COLUMN SPECS (r17 — the r16 design note become code; the
+    * Iceberg spec = an ordered transform LIST): repeated `p` headers
+    * declare the dimensions IN ORDER, and each `v` line carries one
+    * value PER DIMENSION positionally — `v <v1> <v2> ... <path>` —
+    * with `?` marking a dimension the file is multi-valued in (it
+    * must-scans on that dimension, prunes on its concrete ones).
+    * Pruning intersects the per-dimension keep sets exactly like the
+    * dual-pruning intersections do; a single-spec r16 manifest parses
+    * as the one-dimension case unchanged. A MALFORMED `p` line (a
+    * column name that would misparse the space-split, an empty
+    * transform) voids the WHOLE spec list — dropping one header would
+    * silently renumber every `v` tuple's dimensions, so the sound
+    * degrade is "unpartitioned: every file must-scans" (defense in
+    * depth for hand-edited manifests; the write path rejects such
+    * specs before committing). */
   private def parseManifest(content: String): ManifestData = {
     val lines = content.split("\n", -1)
     val asOf = if (lines.length >= 2) scala.util.Try(lines(1).trim.toLong).toOption else None
     val files = lines.drop(2).collect { case l if l.startsWith("f ") => l.drop(2).trim }
-    val spec = lines.drop(2).collectFirst { case l if l.startsWith("p ") =>
+    val rawSpecs = lines.drop(2).filter(_.startsWith("p ")).toIndexedSeq.map { l =>
       l.drop(2).trim.split(" ", 2) match {
-        case Array(tr, c) if tr.nonEmpty && c.nonEmpty => Some(PartitionSpec(tr, c.trim))
+        case Array(tr, c) if tr.nonEmpty && c.nonEmpty && !tr.exists(_.isWhitespace) &&
+            !c.trim.exists(_.isWhitespace) && !c.contains("`") =>
+          Some(PartitionSpec(tr, c.trim))
         case _ => None
       }
+    }
+    val specs: Seq[PartitionSpec] =
+      if (rawSpecs.forall(_.isDefined)) rawSpecs.flatten else Nil
+    // v tuple lines: exactly specs.size value tokens, path LAST (split
+    // with limit so a path containing spaces survives); parsed only
+    // when a valid spec list gives the tuple its meaning
+    val partVals: Seq[FilePartition] = if (specs.isEmpty) Nil
+    else lines.drop(2).toIndexedSeq.collect { case l if l.startsWith("v ") =>
+      val toks = l.drop(2).trim.split(" ", specs.size + 1)
+      if (toks.length == specs.size + 1 && toks.last.nonEmpty) {
+        val vals = toks.dropRight(1).toIndexedSeq.map {
+          case "?" => Some(None)
+          case s   => scala.util.Try(s.toLong).toOption.map(Some(_))
+        }
+        if (vals.forall(_.isDefined)) Some(FilePartition(toks.last.trim, vals.map(_.get)))
+        else None
+      } else None
     }.flatten
-    val partVals = lines.drop(2).collect { case l if l.startsWith("v ") =>
+    // `r <rowCount> <path>` / `n <col> <nullCount> <path>` (r17): the
+    // row-count + null-count index IS NULL / IS NOT NULL pruning reads
+    val rowCounts: Map[String, Long] = lines.drop(2).collect { case l if l.startsWith("r ") =>
       l.drop(2).trim.split(" ", 2) match {
-        case Array(value, p) if p.nonEmpty =>
-          scala.util.Try(FilePartition(p.trim, value.toLong)).toOption
+        case Array(c, p) if p.nonEmpty => scala.util.Try(p.trim -> c.toLong).toOption
+        case _ => None
+      }
+    }.flatten.toMap
+    val nullStats = lines.drop(2).collect { case l if l.startsWith("n ") =>
+      l.drop(2).trim.split(" ", 3) match {
+        case Array(c, nn, p) if p.nonEmpty =>
+          scala.util.Try(FileNullStat(p.trim, c, nn.toLong)).toOption
         case _ => None
       }
     }.flatten
@@ -292,7 +361,8 @@ object SnapshotStore {
       }
     }.flatten
     ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
-      typed.toIndexedSeq, spec, partVals.toIndexedSeq, txns, lines.last.trim == "end")
+      typed.toIndexedSeq, specs, partVals, rowCounts, nullStats.toIndexedSeq,
+      txns, lines.last.trim == "end")
   }
 
   /** The width W of a `div<W>` transform name, if it is one (W ≥ 1). */
@@ -301,21 +371,55 @@ object SnapshotStore {
       scala.util.Try(transform.stripPrefix("div").toLong).toOption.filter(_ >= 1L)
     else None
 
+  /** The bucket count N of a `bucket<N>` transform name, if it is one
+    * (N ≥ 1) — the Iceberg bucket[N] hash-partition family (r17). */
+  private[etl] def bucketN(transform: String): Option[Int] =
+    if (transform.startsWith("bucket"))
+      scala.util.Try(transform.stripPrefix("bucket").toInt).toOption.filter(_ >= 1)
+    else None
+
+  /** The bucket a LONG key falls in under `bucket<N>`, computed
+    * DRIVER-SIDE: Murmur3 (x86_32, seed 42) of the long — byte-for-byte
+    * the hash `functions.hash(col.cast("long"))` computes per row, so a
+    * driver-side point probe and the column-side transform can never
+    * disagree (BucketSpec pins the parity). */
+  def bucketValue(key: Long, n: Int): Long = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42)
+    (((h.toLong % n) + n) % n)
+  }
+
   /** The partition-transform column for `spec` over `df`'s schema —
     * the ONE definition of every transform's semantics, shared by the
     * write-side value recorder, the read-side exact filter, and the
     * copy-on-write batch-span prune, so they can never drift. Throws
-    * on an unknown transform or a column type it cannot take. */
+    * on an unknown transform or a column type it cannot take — and,
+    * defense in depth, on a column name that would misparse or escape
+    * the quoted `expr()` route (the promote-side guard re-checked here
+    * because a spec can also arrive PARSED from a hand-edited
+    * manifest; r16 ADVICE). */
   private[etl] def transformColumn(spec: PartitionSpec,
       df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, month, year}
     import org.apache.spark.sql.types._
+    if (spec.col.exists(_.isWhitespace) || spec.col.contains("`") ||
+        spec.transform.exists(_.isWhitespace))
+      throw new IllegalArgumentException(
+        s"SnapshotStore: partition spec '$spec' carries whitespace or a backtick — " +
+          "rejected everywhere a spec is consumed, not only at promote")
     (spec.transform, df.schema(spec.col).dataType) match {
       case ("identity", ByteType | ShortType | IntegerType | LongType) =>
         col(spec.col).cast("long")
       case ("year", DateType)  => year(col(spec.col)).cast("long")
       case ("month", DateType) =>
         (year(col(spec.col)) * 100 + month(col(spec.col))).cast("long")
+      case (t, ByteType | ShortType | IntegerType | LongType) if bucketN(t).isDefined =>
+        // Murmur3(seed 42) of the value AS LONG, mod N into [0, N):
+        // functions.hash on a long column IS Murmur3_x86_32.hashLong,
+        // so [[bucketValue]] reproduces this exactly driver-side. The
+        // cast-to-long first makes int/long key columns hash alike.
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col(spec.col).cast("long")),
+          org.apache.spark.sql.functions.lit(bucketN(t).get)).cast("long")
       case (t, ByteType | ShortType | IntegerType | LongType) if divWidth(t).isDefined =>
         // FLOOR division in EXACT long arithmetic: subtract the
         // non-negative pmod first (the numerator is then exactly
@@ -328,7 +432,7 @@ object SnapshotStore {
             s"pmod(CAST(`${spec.col}` AS BIGINT), $w)) div $w AS BIGINT)")
       case (t, dt) => throw new IllegalArgumentException(
         s"SnapshotStore: partition transform $t is not applicable to ${spec.col}: $dt — " +
-          "identity/div<W> take an integral column; year/month take a date column")
+          "identity/div<W>/bucket<N> take an integral column; year/month take a date column")
     }
   }
 
@@ -511,18 +615,18 @@ object SnapshotStore {
       val statted = stats.map(_.file).toSet
       val statKeep = (files.filterNot(statted) ++
         stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet
-      // dual pruning (r16): an identity partition spec on the SAME
-      // column adds its v-line keep set — a valued file outside the
-      // range prunes even when it carries no stat line
-      val keepSet = m.spec match {
-        case Some(ps) if ps.transform == "identity" && ps.col == column =>
-          statKeep.intersect(partitionKeep(m, files, lo, hi))
-        case Some(ps) if divWidth(ps.transform).isDefined && ps.col == column =>
-          val w = divWidth(ps.transform).get
-          statKeep.intersect(partitionKeep(m, files,
+      // dual pruning (r16; per-dimension since r17): an identity/div
+      // partition spec on the SAME column adds its v-line keep set — a
+      // valued file outside the range prunes even when it carries no
+      // stat line (bucket specs never join: a hash is not monotone, so
+      // a key range maps to no bucket range)
+      val keepSet = m.specs.zipWithIndex.collectFirst {
+        case (ps, d) if ps.col == column &&
+            (ps.transform == "identity" || divWidth(ps.transform).isDefined) =>
+          val w = divWidth(ps.transform).getOrElse(1L)
+          statKeep.intersect(partitionKeep(m, files, d,
             Math.floorDiv(lo, w), Math.floorDiv(hi, w)))
-        case _ => statKeep
-      }
+      }.getOrElse(statKeep)
       val keep = files.filter(keepSet).sorted
       // an ALL-PRUNED range is an EMPTY RESULT, not a missing table:
       // read the schema from the full list and cut the scan with
@@ -566,19 +670,19 @@ object SnapshotStore {
       val statted = stats.map(_._1).toSet
       val statKeep = (files.filterNot(statted) ++
         stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).toSet
-      // dual pruning (r16): a year/month partition spec on the SAME
-      // column adds its v-line keep set — the transform is monotone in
-      // the date, so the query window maps to a transform-value range
-      val keepSet = m.spec match {
-        case Some(ps) if (ps.transform == "year" || ps.transform == "month")
+      // dual pruning (r16; per-dimension since r17): a year/month
+      // partition spec on the SAME column adds its v-line keep set —
+      // the transform is monotone in the date, so the query window
+      // maps to a transform-value range
+      val keepSet = m.specs.zipWithIndex.collectFirst {
+        case (ps, d) if (ps.transform == "year" || ps.transform == "month")
             && ps.col == column =>
-          def tx(d: java.time.LocalDate): Long =
-            if (ps.transform == "year") d.getYear.toLong
-            else d.getYear.toLong * 100 + d.getMonthValue
-          statKeep.intersect(partitionKeep(m, files,
+          def tx(dt: java.time.LocalDate): Long =
+            if (ps.transform == "year") dt.getYear.toLong
+            else dt.getYear.toLong * 100 + dt.getMonthValue
+          statKeep.intersect(partitionKeep(m, files, d,
             tx(java.time.LocalDate.parse(loDate)), tx(java.time.LocalDate.parse(hiDate))))
-        case _ => statKeep
-      }
+      }.getOrElse(statKeep)
       val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
       readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
@@ -686,17 +790,20 @@ object SnapshotStore {
     }
   }
 
-  /** Files of `files` a partition-range probe [lo, hi] keeps under
-    * manifest `m`'s `v` lines: valued files inside the range plus every
-    * unvalued file (pre-evolution, multi-valued — absence means
-    * must-scan). A sound superset of the matching files. */
-  private def partitionKeep(m: ManifestData, files: Seq[String],
+  /** Files of `files` a partition-range probe [lo, hi] on dimension
+    * `dim` keeps under manifest `m`'s `v` lines: files with a CONCRETE
+    * dim value inside the range, plus every file without one (no `v`
+    * line at all — pre-evolution — or a `?` on this dimension: a
+    * multi-valued file prunes on its concrete dimensions and
+    * must-scans here). A sound superset of the matching files. */
+  private def partitionKeep(m: ManifestData, files: Seq[String], dim: Int,
       lo: Long, hi: Long): Set[String] = {
     val fileSet = files.toSet
     val vals = m.partVals.filter(pv => fileSet.contains(pv.file))
-    val valued = vals.map(_.file).toSet
+    val judged = vals.filter(_.values.lift(dim).exists(_.isDefined))
+    val valued = judged.map(_.file).toSet
     (files.filterNot(valued) ++
-      vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).toSet
+      judged.filter(_.values(dim).exists(v => v >= lo && v <= hi)).map(_.file)).toSet
   }
 
   /** Files a partition-range probe keeps judged by the FILE STATS on
@@ -726,7 +833,10 @@ object SnapshotStore {
       (files.filterNot(statted) ++
         stats.filter { case (_, mn, mx) => tx(mx) >= lo && tx(mn) <= hi }
           .map(_._1)).toSet
-    case _ => files.toSet // unknown transform: no sound stats mapping — must scan
+    // bucket<N> (a hash is not monotone — a column range maps to no
+    // bucket range) and unknown transforms: no sound stats mapping —
+    // every file must-scans on this half of the dual prune
+    case _ => files.toSet
   }
 
   /** Partition-pruned read (r16): the committed state restricted to
@@ -748,32 +858,68 @@ object SnapshotStore {
     * committed. All-pruned → empty frame. Lazy — see the read-laziness
     * contract. */
   def readPartitionRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Option[Long] = None): Option[DataFrame] =
+    readPartitionRanges(spark, dir, Seq(Some((lo, hi))), version)
+
+  /** Multi-dimension partition-pruned read (r17): `ranges(d)` probes
+    * spec dimension `d` with an inclusive transform-value range (None
+    * = unconstrained); fewer ranges than dimensions leaves the tail
+    * unconstrained. Pruning INTERSECTS the per-dimension keep sets —
+    * each dimension's `v`-tuple index AND its file-stats mapping (dual
+    * pruning per dimension) — so a file survives only when EVERY
+    * constrained dimension could hold matching rows; the exact
+    * transform filters run on top, so the indexes only cut IO, never
+    * correctness. The reference's Q2/Q3 two-dimension report filters
+    * (year + supplier/state — LQY_query2.txt:79-81, LQY_query3.txt:92)
+    * are exactly this shape over a (year, dim2)-partitioned fact.
+    * Composes with version/timestamp travel like the r16 reader; same
+    * no-spec throw, all-pruned → empty frame, lazy contract. */
+  def readPartitionRanges(spark: SparkSession, dir: String,
+      ranges: Seq[Option[(Long, Long)]],
       version: Option[Long] = None): Option[DataFrame] = {
     val (fs, tgt) = fsOf(spark, dir)
     manifestFor(fs, tgt, version).flatMap { m =>
-      val spec = m.spec.getOrElse(throw new IllegalStateException(
-        s"SnapshotStore.readPartitionRange: $dir carries no partition spec" +
-          version.fold(" at the committed head")(v => s" at version $v")))
+      if (m.specs.isEmpty) throw new IllegalStateException(
+        s"SnapshotStore.readPartitionRanges: $dir carries no partition spec" +
+          version.fold(" at the committed head")(v => s" at version $v"))
+      if (ranges.size > m.specs.size) throw new IllegalArgumentException(
+        s"SnapshotStore.readPartitionRanges: ${ranges.size} ranges probe a " +
+          s"${m.specs.size}-dimension spec ${m.specs.mkString(", ")}")
       val files = manifestDataFiles(fs, tgt, m)
-      val keepSet = partitionKeep(m, files, lo, hi)
-        .intersect(specStatsKeep(m, files, spec, lo, hi))
+      val dims = ranges.zipWithIndex.collect { case (Some((lo, hi)), d) => (d, lo, hi) }
+      val keepSet = dims.foldLeft(files.toSet) { case (acc, (d, lo, hi)) =>
+        acc.intersect(partitionKeep(m, files, d, lo, hi))
+          .intersect(specStatsKeep(m, files, m.specs(d), lo, hi))
+      }
       val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange);
       // a zero-file version resolves None like every other reader
       readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
-        val exact = df.filter(transformColumn(spec, df).between(lo, hi))
+        val exact = dims
+          .map { case (d, lo, hi) => transformColumn(m.specs(d), df).between(lo, hi) }
+          .reduceOption(_ && _)
+          .fold(df)(df.filter)
         if (keep.isEmpty) exact.limit(0) else exact
       }
     }
   }
 
-  /** The partition spec the head (or `version`'s) manifest was written
-    * under, if any — what a writer consults before choosing how to
-    * shape a commit, and what the partition-evolution spec pins. */
+  /** The LEADING partition-spec dimension the head (or `version`'s)
+    * manifest was written under, if any — the r16 single-spec view;
+    * multi-dimension tables report their full ordered list through
+    * [[partitionSpecsOf]]. */
   def partitionSpecOf(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Option[PartitionSpec] = {
+      version: Option[Long] = None): Option[PartitionSpec] =
+    partitionSpecsOf(spark, dir, version).headOption
+
+  /** The ORDERED partition-spec list the head (or `version`'s)
+    * manifest was written under (empty = unpartitioned) — what a
+    * writer consults before choosing how to shape a commit, and what
+    * the partition-evolution spec pins. */
+  def partitionSpecsOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[PartitionSpec] = {
     val (fs, tgt) = fsOf(spark, dir)
-    manifestFor(fs, tgt, version).flatMap(_.spec)
+    manifestFor(fs, tgt, version).toSeq.flatMap(_.specs)
   }
 
   /** The per-file partition values the head (or `version`'s) manifest
@@ -783,6 +929,59 @@ object SnapshotStore {
       version: Option[Long] = None): Seq[FilePartition] = {
     val (fs, tgt) = fsOf(spark, dir)
     manifestFor(fs, tgt, version).toSeq.flatMap(_.partVals)
+  }
+
+  /** The head (or `version`'s) per-file NULL-COUNT stats (empty when
+    * the commit carries none) — metadata only, the IS NULL index. */
+  def fileNullStats(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[FileNullStat] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).toSeq.flatMap(_.nullStats)
+  }
+
+  /** The head (or `version`'s) per-file ROW COUNTS (file → rows; empty
+    * when the commit carries none) — metadata only, what turns a null
+    * count into an IS NOT NULL prune (nulls = rows → no non-null row). */
+  def fileRowCounts(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).map(_.rowCounts).getOrElse(Map.empty)
+  }
+
+  /** NULL-predicate pruned read (r17 — what min/max stats can never
+    * answer, recorded per file as `n`/`r` lines the way Delta keeps
+    * nullCount): the committed state restricted to `column IS NULL`
+    * (`isNull = true`) or `column IS NOT NULL`, opening only the files
+    * that can hold a matching row — for IS NULL a file with a recorded
+    * null count of 0 prunes; for IS NOT NULL a file whose null count
+    * EQUALS its recorded row count (all-null) prunes. Files without
+    * both lines must-scan (absence is never a prune), and the exact
+    * predicate runs on top, so the index only cuts IO. The reference's
+    * open-loan measures (`returnDate IS NULL`,
+    * 05_InitialLoading.sql:375-390) are the structural consumer.
+    * Composes with version travel; None when never committed;
+    * all-pruned → empty frame; lazy. */
+  def readNullFilter(spark: SparkSession, dir: String, column: String,
+      isNull: Boolean, version: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).flatMap { m =>
+      val files = manifestDataFiles(fs, tgt, m)
+      val nulls = m.nullStats.filter(_.col == column).map(st => st.file -> st.nulls).toMap
+      val keep = files.filter { f =>
+        nulls.get(f) match {
+          case None => true // unstatted → must scan
+          case Some(n) =>
+            if (isNull) n > 0L
+            else m.rowCounts.get(f).forall(_ != n) // no row count → must scan
+        }
+      }.sorted
+      // all-pruned = empty result, not a missing table (see readKeyRange)
+      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+        val exact = df.filter(if (isNull) col(column).isNull else col(column).isNotNull)
+        if (keep.isEmpty) exact.limit(0) else exact
+      }
+    }
   }
 
   /** The latest transaction version the table recorded for `appId`
@@ -969,16 +1168,37 @@ object SnapshotStore {
     * [[ConflictException]] instead of committing a lost update; the
     * exclusive manifest claim backstops the window the pre-check cannot
     * see (two writers racing past the same head: exactly one claim
-    * succeeds, the loser conflicts). */
+    * succeeds, the loser conflicts).
+    *
+    * `txn` records an idempotent-transaction marker (the Delta
+    * txnAppId/txnVersion shape): a commit whose (appId, version) the
+    * table already carries at-or-past throws
+    * [[TxnAlreadyAppliedException]] — treat as success. NOTE the
+    * concurrency contract: the pre-check/re-check alone closes the
+    * duplicate window only for SEQUENTIAL re-runs (crash → rerun).
+    * TWO CONCURRENT writers carrying the same (appId, version) can
+    * BOTH land when torn debris above the head bumps one writer's
+    * claimed id past the other's — exactly-once under concurrency
+    * additionally requires `expectCurrent` (occ), whose head pin
+    * turns the race into a [[ConflictException]] whose retry then
+    * hits the marker; [[VersionedLoad.idempotent]] composed with
+    * occ + [[VersionedLoad.withConflictRetry]] is the supported
+    * combination (r16 ADVICE).
+    *
+    * `partitionSpec` / `partitionSpecs` declare the table's ordered
+    * partition-spec dimensions (single + extra tail, mirroring
+    * statsCol/statsCols); see [[PartitionSpec]]. */
   def promote(spark: SparkSession, dir: String, df: DataFrame,
       preferredId: Long = 0L, keep: Int = 2,
       asOfMicros: Option[Long] = None, fence: Option[Long] = None,
       reuseFiles: Seq[String] = Nil, expectCurrent: Option[Long] = None,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       partitionSpec: Option[PartitionSpec] = None,
+      partitionSpecs: Seq[PartitionSpec] = Nil,
       txn: Option[(String, Long)] = None): Long = {
     val (fs, tgt) = fsOf(spark, dir)
     val effCols = (statsCol.toSeq ++ statsCols).distinct
+    val callerSpecs = partitionSpec.toSeq ++ partitionSpecs
     // idempotent-transaction pre-check (r16 — the Delta txnAppId/
     // txnVersion shape): a commit carrying a txn marker the table
     // already recorded at (or past) that version was applied by an
@@ -1000,7 +1220,7 @@ object SnapshotStore {
     // leave an orphaned snapshot directory behind. transformColumn is
     // the shared write/read builder, so a spec that validates here
     // prunes identically on read.
-    partitionSpec.foreach { ps =>
+    callerSpecs.foreach { ps =>
       if (ps.col.exists(_.isWhitespace) || ps.transform.exists(_.isWhitespace) ||
           ps.col.contains("`"))
         throw new IllegalArgumentException(
@@ -1104,20 +1324,26 @@ object SnapshotStore {
     val prevAny: Option[ManifestData] = currentManifest(fs, tgt).map(_._2)
     val prevManifest: Option[ManifestData] =
       if (reuseFiles.isEmpty) None else prevAny
-    // effective partition spec: the caller's, or — for an incremental
-    // commit — CARRIED from the head manifest, so a chain of refreshes/
-    // merges keeps its table partitioned without re-declaring the spec
-    // on every commit. A caller-passed spec that differs from the head's
-    // is partition EVOLUTION: it applies from this commit forward.
-    val effSpec: Option[PartitionSpec] = partitionSpec.orElse(
-      prevAny.flatMap(_.spec).filter { ps =>
-        // a carried spec survives any incremental commit unconditionally,
-        // but a FULL REWRITE (no reuse) that dropped or retyped the spec
-        // column defines a table the spec can no longer describe — carry
-        // it and every readPartitionRange would throw forever; drop it
-        // instead (the only way to shed a spec, and the sound one)
-        reuseFiles.nonEmpty || scala.util.Try(transformColumn(ps, df)).isSuccess
-      })
+    // effective partition specs: the caller's ordered list, or — for an
+    // incremental commit — CARRIED from the head manifest, so a chain of
+    // refreshes/merges keeps its table partitioned without re-declaring
+    // the specs on every commit. A caller-passed list that differs from
+    // the head's is partition EVOLUTION: it applies from this commit
+    // forward. The carried list survives ALL-OR-NOTHING: a FULL REWRITE
+    // (no reuse) that dropped or retyped ANY spec column defines a table
+    // the spec list can no longer describe — carrying a partial list
+    // would silently renumber the dimensions, and carrying the full one
+    // would make every readPartitionRanges throw forever; dropping the
+    // whole list (the only way to shed specs, and the sound one) leaves
+    // an unpartitioned head.
+    val effSpecs: Seq[PartitionSpec] =
+      if (callerSpecs.nonEmpty) callerSpecs
+      else prevAny.map(_.specs).getOrElse(Nil) match {
+        case carried if carried.nonEmpty && (reuseFiles.nonEmpty ||
+            carried.forall(ps => scala.util.Try(transformColumn(ps, df)).isSuccess)) =>
+          carried
+        case _ => Nil
+      }
     val carriedLines: Seq[String] = if (reuseFiles.isEmpty) Nil else {
       val reused = reuseFiles.toSet
       prevManifest.toSeq.flatMap(_.stats)
@@ -1125,34 +1351,52 @@ object SnapshotStore {
         .map(st => s"s ${st.col} ${st.min} ${st.max} ${st.file}") ++
       prevManifest.toSeq.flatMap(_.typedStats)
         .filter(st => reused.contains(st.file))
-        .map(st => s"t ${st.kind} ${st.col} ${st.lo} ${st.hi} ${if (st.hiTrunc) "T" else "E"} ${st.file}")
+        .map(st => s"t ${st.kind} ${st.col} ${st.lo} ${st.hi} ${if (st.hiTrunc) "T" else "E"} ${st.file}") ++
+      // row/null counts describe immutable reused files like min/max
+      // stats do — carried unconditionally (r17)
+      prevManifest.toSeq.flatMap(_.rowCounts.toSeq.sortBy(_._1))
+        .filter { case (f, _) => reused.contains(f) }
+        .map { case (f, rc) => s"r $rc $f" } ++
+      prevManifest.toSeq.flatMap(_.nullStats)
+        .filter(st => reused.contains(st.file))
+        .map(st => s"n ${st.col} ${st.nulls} ${st.file}")
     }
-    // reused files keep their partition values ONLY when the spec is
-    // unchanged: after an evolution the old `v` values were computed
-    // under the old transform and would prune wrongly — dropping them
-    // degrades pre-evolution files to must-scan, the sound default
-    // (Iceberg's old-data-keeps-old-spec, expressed per manifest)
+    // reused files keep their partition values ONLY when the spec list
+    // is unchanged: after an evolution the old `v` tuples were computed
+    // under the old transforms (or carry the wrong arity) and would
+    // prune wrongly — dropping them degrades pre-evolution files to
+    // must-scan, the sound default (Iceberg's old-data-keeps-old-spec,
+    // expressed per manifest)
     val carriedPartLines: Seq[String] =
-      if (reuseFiles.isEmpty || effSpec.isEmpty) Nil
-      else if (prevManifest.exists(_.spec == effSpec)) {
+      if (reuseFiles.isEmpty || effSpecs.isEmpty) Nil
+      else if (prevManifest.exists(_.specs == effSpecs)) {
         val reused = reuseFiles.toSet
         prevManifest.toSeq.flatMap(_.partVals)
           .filter(pv => reused.contains(pv.file))
-          .map(pv => s"v ${pv.value} ${pv.file}")
+          .map(pv => s"v ${pv.values.map(_.fold("?")(_.toString)).mkString(" ")} ${pv.file}")
       } else Nil
     val (ownLines, ownPartLines): (Seq[String], Seq[String]) = {
-      import org.apache.spark.sql.functions.{col => fcol, datediff, expr, lit,
-        max => fmax, min => fmin}
+      import org.apache.spark.sql.functions.{col => fcol, count => fcount, datediff,
+        expr, lit, max => fmax, min => fmin}
       import org.apache.spark.sql.types.{DateType, StringType}
-      if (ownFiles.isEmpty || (effCols.isEmpty && effSpec.isEmpty)) (Nil, Nil)
+      if (ownFiles.isEmpty || (effCols.isEmpty && effSpecs.isEmpty)) (Nil, Nil)
       else {
         val reread = spark.read.parquet(new Path(tgt, snapName).toString)
         // a CARRIED spec may reference a column this commit's own rows
         // lack or cannot transform (additive-evolution edge): its own
-        // files then record no value and must-scan — absence, never a
-        // wrong value
-        val specTx = effSpec.flatMap(ps =>
+        // files then record no value on that DIMENSION (`?` when other
+        // dimensions are concrete, no line when none is) and must-scan
+        // there — absence, never a wrong value
+        val specTxs: Seq[Option[org.apache.spark.sql.Column]] = effSpecs.map(ps =>
           scala.util.Try(transformColumn(ps, reread)).toOption)
+        val availDims = specTxs.zipWithIndex.collect { case (Some(tx), d) => (tx, d) }
+        // ONE O(delta) scan computes everything per file: row count
+        // (`r`), per stat column min/max + NON-NULL count (`s`/`t` +
+        // `n` — nulls = rows − non-nulls; count(col) is null-skipping
+        // exactly like min/max, and null-ness is transform-independent
+        // so the raw column serves every stat kind), and per spec
+        // dimension the transform's min/max (a `v` component exactly
+        // when single-valued and non-null)
         val statAggs = effCols.zipWithIndex.flatMap { case (c, i) =>
           val base = df.schema(c).dataType match {
             case StringType => fcol(c)
@@ -1163,17 +1407,15 @@ object SnapshotStore {
               org.apache.spark.sql.functions.unix_micros(fcol(c))
             case _        => fcol(c).cast("long")
           }
-          Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"))
+          Seq(fmin(base).as(s"__mn$i"), fmax(base).as(s"__mx$i"),
+            fcount(fcol(c)).as(s"__nn$i"))
         }
-        // the partition value rides the SAME single O(delta) scan as the
-        // stats: per file, min/max of the transform — a value line is
-        // recorded exactly when the file is single-valued and non-null
-        val specAggs = specTx.toSeq.flatMap(tx =>
-          Seq(fmin(tx).as("__pmn"), fmax(tx).as("__pmx")))
-        val aggs = statAggs ++ specAggs
-        if (aggs.isEmpty) (Nil, Nil)
+        val specAggs = availDims.flatMap { case (tx, d) =>
+          Seq(fmin(tx).as(s"__pmn$d"), fmax(tx).as(s"__pmx$d")) }
+        val aggs = Seq(fcount(lit(1)).as("__rc")) ++ statAggs ++ specAggs
+        if (statAggs.isEmpty && specAggs.isEmpty) (Nil, Nil)
         else {
-          val selCols = (effCols ++ effSpec.map(_.col).toSeq).distinct
+          val selCols = (effCols ++ effSpecs.map(_.col)).distinct
             .filter(reread.columns.contains)
           val rows = reread
             .select(expr("regexp_extract(input_file_name(), '([^/]+/[^/]+)$', 1)").as("__f")
@@ -1181,36 +1423,52 @@ object SnapshotStore {
             .groupBy("__f")
             .agg(aggs.head, aggs.tail: _*)
             .collect().toSeq
+          // row layout: 0 = __f, 1 = __rc, stat col i at (2+3i, 3+3i,
+          // 4+3i), then available spec dim j at (base+2j, base+2j+1)
+          val pBase = 2 + 3 * effCols.size
           val statLs = rows.flatMap { r =>
             val file = r.getString(0)
+            val rc   = r.getLong(1)
+            Seq(s"r $rc $file") ++
             effCols.zipWithIndex.flatMap { case (c, i) =>
-              val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-              else df.schema(c).dataType match {
-                case StringType =>
-                  val (loP, _)    = truncBytes(r.getString(mnI))
-                  val (hiP, hiT)  = truncBytes(r.getString(mxI))
-                  Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
-                case DateType =>
-                  Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
-                case org.apache.spark.sql.types.TimestampType =>
-                  Some(s"t ts $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
-                case _ =>
-                  Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
-              }
+              val (mnI, mxI, nnI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+              val nullLine = s"n $c ${rc - r.getLong(nnI)} $file"
+              val rangeLine =
+                if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+                else df.schema(c).dataType match {
+                  case StringType =>
+                    val (loP, _)    = truncBytes(r.getString(mnI))
+                    val (hiP, hiT)  = truncBytes(r.getString(mxI))
+                    Some(s"t str $c ${encB64(loP)} ${encB64(hiP)} ${if (hiT) "T" else "E"} $file")
+                  case DateType =>
+                    Some(s"t date $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                  case org.apache.spark.sql.types.TimestampType =>
+                    Some(s"t ts $c ${r.getLong(mnI)} ${r.getLong(mxI)} E $file")
+                  case _ =>
+                    Some(s"s $c ${r.getLong(mnI)} ${r.getLong(mxI)} $file")
+                }
+              rangeLine.toSeq :+ nullLine
             }
           }
-          val partLs = if (specTx.isEmpty) Nil else rows.flatMap { r =>
-            val (pmnI, pmxI) = (1 + 2 * effCols.size, 2 + 2 * effCols.size)
-            if (r.isNullAt(pmnI) || r.isNullAt(pmxI) || r.getLong(pmnI) != r.getLong(pmxI)) None
-            else Some(s"v ${r.getLong(pmnI)} ${r.getString(0)}")
+          val availIdx: Map[Int, Int] = availDims.map(_._2).zipWithIndex.toMap
+          val partLs = if (availDims.isEmpty) Nil else rows.flatMap { r =>
+            val vals: Seq[Option[Long]] = effSpecs.indices.map { d =>
+              availIdx.get(d).flatMap { j =>
+                val (pmnI, pmxI) = (pBase + 2 * j, pBase + 2 * j + 1)
+                if (r.isNullAt(pmnI) || r.isNullAt(pmxI) ||
+                    r.getLong(pmnI) != r.getLong(pmxI)) None
+                else Some(r.getLong(pmnI))
+              }
+            }
+            if (vals.forall(_.isEmpty)) None
+            else Some(s"v ${vals.map(_.fold("?")(_.toString)).mkString(" ")} ${r.getString(0)}")
           }
           (statLs, partLs)
         }
       }
     }
     val statLines = (ownLines ++ carriedLines).map("\n" + _).mkString
-    val specLine  = effSpec.fold("")(ps => s"\np ${ps.transform} ${ps.col}")
+    val specLine  = effSpecs.map(ps => s"\np ${ps.transform} ${ps.col}").mkString
     val partLines = (ownPartLines ++ carriedPartLines).map("\n" + _).mkString
     // re-check the txn marker against the freshest head read (narrows
     // the pre-check→claim window; the exclusive claim + occ remain the
@@ -1320,12 +1578,22 @@ object SnapshotStore {
     * vacuum. Asking for a retention below [[MinVacuumRetentionMicros]]
     * throws unless `enforceRetention = false` is passed deliberately
     * (the Delta retentionDurationCheck escape hatch). Untimestamped
-    * commits carry no age and rely on `keep` alone. */
+    * commits carry no age and rely on `keep` alone.
+    *
+    * TIME DOMAIN (r16 ADVICE): `nowMicros` must live in the SAME
+    * LOGICAL time domain as the commits' pinned `asOfMicros` — age is
+    * judged by their difference, so a wall-clock `now` against
+    * historical business-time pins protects everything (or nothing)
+    * rather than "the last 7 days". With `nowMicros` ABSENT the
+    * retention window cannot apply at all, so the below-floor check is
+    * skipped too: `keep` alone governs, and no floor error fires for
+    * a parameter that has no effect. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 16,
       nowMicros: Option[Long] = None,
       retentionMicros: Long = DefaultVacuumRetentionMicros,
       enforceRetention: Boolean = true): Unit = {
-    if (enforceRetention && retentionMicros < MinVacuumRetentionMicros)
+    if (nowMicros.isDefined && enforceRetention &&
+        retentionMicros < MinVacuumRetentionMicros)
       throw new IllegalArgumentException(
         s"SnapshotStore.vacuum: retention ${retentionMicros}us is below the " +
           s"${MinVacuumRetentionMicros}us floor — a reader holding a recent version pin " +

@@ -41,10 +41,12 @@ object VersionedLoad {
   def bootstrap(spark: SparkSession, table: String, initial: DataFrame,
       asOfMicros: Long, keep: Int = 16, statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      partitionSpec: Option[SnapshotStore.PartitionSpec] = None): Long =
+      partitionSpec: Option[SnapshotStore.PartitionSpec] = None,
+      partitionSpecs: Seq[SnapshotStore.PartitionSpec] = Nil): Long =
     SnapshotStore.promote(spark, table, initial,
       preferredId = 0L, keep = keep, asOfMicros = Some(asOfMicros),
-      statsCol = statsCol, statsCols = statsCols, partitionSpec = partitionSpec)
+      statsCol = statsCol, statsCols = statsCols, partitionSpec = partitionSpec,
+      partitionSpecs = partitionSpecs)
 
   /** Compact the CURRENT version's files into `numFiles` as a NEW
     * commit — the table-format answer to small-file accumulation (many
@@ -92,7 +94,8 @@ object VersionedLoad {
       asOfMicros: Option[Long] = None, keep: Int = 16,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       sortBy: Option[String] = None, zorderBy: Seq[String] = Nil,
-      partitionSpec: Option[SnapshotStore.PartitionSpec] = None): Long = {
+      partitionSpec: Option[SnapshotStore.PartitionSpec] = None,
+      partitionSpecs: Seq[SnapshotStore.PartitionSpec] = Nil): Long = {
     import org.apache.spark.sql.functions.{call_function, col, datediff, lit, when}
     if (sortBy.isDefined && zorderBy.nonEmpty)
       throw new IllegalArgumentException(
@@ -168,11 +171,16 @@ object VersionedLoad {
         case None => current.coalesce(numFiles)
       }
     // compact is layout maintenance, not a semantic replace: the head's
-    // partition spec carries across the full rewrite (its per-file
-    // values recompute from the rewritten files) unless overridden
+    // FULL partition-spec list carries across the full rewrite (its
+    // per-file values recompute from the rewritten files) unless
+    // overridden
+    val carrySpecs: Seq[SnapshotStore.PartitionSpec] =
+      if (partitionSpec.isDefined || partitionSpecs.nonEmpty)
+        partitionSpec.toSeq ++ partitionSpecs
+      else SnapshotStore.partitionSpecsOf(spark, table)
     SnapshotStore.promote(spark, table, shaped,
       keep = keep, asOfMicros = asOfMicros, statsCol = statsCol, statsCols = statsCols,
-      partitionSpec = partitionSpec.orElse(SnapshotStore.partitionSpecOf(spark, table)))
+      partitionSpecs = carrySpecs)
   }
 
   /** One incremental refresh: anti-join `batch` against the CURRENT
@@ -553,6 +561,20 @@ object VersionedLoad {
     * stays time-travelable until GC, and [[cdcBetween]] emits the
     * deleted pre-images as 'delete' events.
     *
+    * ERASURE CONTRACT (r17 — right-to-be-forgotten COMPLETION): the
+    * delete makes purged rows invisible at the head immediately, but
+    * their BYTES live on in the pre-delete version's files until
+    * retention lapses — deliberately, as the audit window every
+    * compliance regime allows. Hard erasure is the composition
+    * `delete` → `[[SnapshotStore.vacuum]]` past the retention window
+    * (pinned logical now): vacuum physically removes every file no
+    * retained version references, including the rewritten pre-images,
+    * after which the purged data is unreadable by ANY read path
+    * (travel included) — ErasureSpec pins files-gone-from-disk in
+    * the erased direction and version-survives in the still-retained
+    * direction. Until vacuum runs, travel-for-audit is a feature, not
+    * a leak.
+    *
     * Throws when the table was never bootstrapped. `occ` as in
     * [[merge]]. */
   def delete(spark: SparkSession, table: String, deleteKeys: DataFrame,
@@ -792,43 +814,58 @@ object VersionedLoad {
       }
       (files.filterNot(statted) ++ files.filter(candidates)).toSet
     }
-    // partition-value keep set (r16 — dual pruning on the WRITE path):
-    // when the head manifest's partition spec transforms a grain key
-    // component, the batch keys' transform SPAN prunes valued files
-    // like the stats do — sound because the transforms are monotone, so
-    // a valued file outside the span cannot hold any batch key's row;
-    // unvalued files keep (must-scan), null key components never match
-    // under the store's null-unsafe key equality so min/max ignoring
-    // them is sound
-    val partKeep: Option[Set[String]] =
-      SnapshotStore.partitionSpecOf(spark, table).filter(ps => keys.contains(ps.col))
-        .flatMap { ps =>
-          import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    // partition-value keep sets (r16; per-dimension since r17 — dual
+    // pruning on the WRITE path): EVERY spec dimension transforming a
+    // grain key component contributes a keep set. For the monotone
+    // transforms the batch keys' transform SPAN prunes valued files
+    // like the stats do — a valued file outside the span cannot hold
+    // any batch key's row; for bucket<N> (not monotone) the batch
+    // keys' DISTINCT bucket SET probes instead (bounded by N values —
+    // a span would smear [min,max] over every unrelated bucket
+    // between). A `?` (multi-valued) dimension component and unvalued
+    // files keep (must-scan); null key components never match under
+    // the store's null-unsafe key equality so ignoring them is sound.
+    val partKeeps: Seq[Set[String]] = {
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+      val specs = SnapshotStore.partitionSpecsOf(spark, table)
+      lazy val partVals = SnapshotStore.filePartitionsOf(spark, table)
+        .filter(pv => fileSet.contains(pv.file))
+      specs.zipWithIndex.filter { case (ps, _) => keys.contains(ps.col) }
+        .flatMap { case (ps, d) =>
           // the ONE transform definition (SnapshotStore.transformColumn)
           // also builds the batch-side probe, so write-path pruning can
           // never drift from the recorded values; a transform the batch
-          // key's type cannot take reads as None → skip the prune
-          val txCol = scala.util.Try(
-            SnapshotStore.transformColumn(ps, batchKeys)).toOption
-          txCol.flatMap { tx =>
-            val r = batchKeys.agg(fmin(tx), fmax(tx)).head()
-            if (r.isNullAt(0) || r.isNullAt(1)) None
-            else {
-              val (lo, hi) = (r.getLong(0), r.getLong(1))
-              val vals = SnapshotStore.filePartitionsOf(spark, table)
-                .filter(pv => fileSet.contains(pv.file))
-              val valued = vals.map(_.file).toSet
-              Some((files.filterNot(valued) ++
-                vals.filter(pv => pv.value >= lo && pv.value <= hi).map(_.file)).toSet)
+          // key's type cannot take reads as None → skip this dimension
+          scala.util.Try(SnapshotStore.transformColumn(ps, batchKeys)).toOption
+            .flatMap { tx =>
+              def keepFrom(pred: Long => Boolean): Set[String] = {
+                val judged = partVals.filter(_.values.lift(d).exists(_.isDefined))
+                val valued = judged.map(_.file).toSet
+                (files.filterNot(valued) ++
+                  judged.filter(_.values(d).exists(pred)).map(_.file)).toSet
+              }
+              if (SnapshotStore.bucketN(ps.transform).isDefined) {
+                val bs = batchKeys.select(tx.as("__b"))
+                  .filter(col("__b").isNotNull).distinct()
+                  .collect().map(_.getLong(0)).toSet
+                if (bs.isEmpty) None else Some(keepFrom(bs.contains))
+              } else {
+                val r = batchKeys.agg(fmin(tx), fmax(tx)).head()
+                if (r.isNullAt(0) || r.isNullAt(1)) None
+                else {
+                  val (lo, hi) = (r.getLong(0), r.getLong(1))
+                  Some(keepFrom(v => v >= lo && v <= hi))
+                }
+              }
             }
-          }
         }
+    }
     // intersect every statted component's keep set plus the partition
-    // keep set (see scaladoc): each is a sound superset of the touched
+    // keep sets (see scaladoc): each is a sound superset of the touched
     // files, so the intersection is too — and strictly tighter when the
     // grain carries several statted components (a file in-range on
     // date_key but out-of-range on member_key is never opened)
-    val keepSets = statKeys.map { case (k, kind) => keepSetFor(k, kind) } ++ partKeep.toSeq
+    val keepSets = statKeys.map { case (k, kind) => keepSetFor(k, kind) } ++ partKeeps
     val scanFiles: Seq[String] =
       if (keepSets.isEmpty) files
       else files.filter(f => keepSets.forall(_.contains(f))).sorted

@@ -57,13 +57,22 @@ object QuantileCell {
             s"quantile_cell: bounds must be a literal ARRAY<DOUBLE>, " +
               s"got ${other.dataType} (foldable=${other.foldable})")
         }
-        QuantileCellExpr(exprs(0), bounds)
+        QuantileCellExpr(exprs(0), bounds.toIndexedSeq)
       },
       "built-in")
 }
 
-case class QuantileCellExpr(child: Expression, bounds: Array[Double])
+/** Bounds are held as an immutable Seq, NOT Array: a case class over an
+  * Array compares by reference, so two semantically identical
+  * expressions would never be `==` and Catalyst canonicalization /
+  * semanticEquals / common-subexpression elimination would silently
+  * miss them (r16 ADVICE). The runtime path still hands generated code
+  * a primitive double[] (materialized once per plan, shared by
+  * reference). */
+case class QuantileCellExpr(child: Expression, bounds: IndexedSeq[Double])
     extends UnaryExpression {
+
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "quantile_cell"
@@ -74,10 +83,10 @@ case class QuantileCellExpr(child: Expression, bounds: Array[Double])
       s"quantile_cell needs a DOUBLE value, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    QuantileCell.countBelow(bounds, v.asInstanceOf[Double])
+    QuantileCell.countBelow(boundsArr, v.asInstanceOf[Double])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val ref = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     defineCodeGen(ctx, ev, v => s"graft.functions.QuantileCell.countBelow($ref, $v)")
   }
 

@@ -71,6 +71,16 @@ object EtlOps {
   private val historyTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the fully-built (two-dimension-partitioned bootstrap) table
+    * of etl_partition_spec_multi. */
+  private val multiSpecTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** dir → the two co-bucketed store tables of etl_bucket_join,
+    * encoded "custTable|ordTable". */
+  private val bucketJoinTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -1140,6 +1150,130 @@ object EtlOps {
       yearAgg(s.readPartitionRange(spark, table, 1995L, 1996L).get, "head_9596")
         .unionByName(yearAgg(
           s.readPartitionRange(spark, table, 1995L, 1995L, version = Some(v0)).get, "v0_95"))
+    },
+
+    // ── etl_partition_spec_multi: MULTI-COLUMN partition specs (r17 —
+    // the r16 design note become code; Iceberg's spec = an ordered
+    // transform LIST): orders commit under TWO spec dimensions —
+    // `year(od)` and `div200000(o_orderkey)` — declared as repeated `p`
+    // headers with per-file `v <v1> <v2> <path>` tuple lines, and the
+    // reads prune by INTERSECTING the per-dimension keep sets (the
+    // reference's own Q2/Q3 reports filter on year AND a second
+    // dimension — LQY_query2.txt:79-81, LQY_query3.txt:92 — the shape
+    // a (year, dim2)-partitioned 100 TB fact answers from metadata).
+    // Three legs: both dimensions constrained (year 1995-96 ∧ key
+    // block 0), dimension 1 alone (leading dim unconstrained — the
+    // ranges vector passes None for year), and dimension 0 alone. A
+    // file MULTI-VALUED in one dimension records `?` there and still
+    // prunes on its concrete dimensions (MultiPartitionSpecSpec pins
+    // per-dimension destroyed-file pruning + evolution). The oracle
+    // replays all three legs as plain WHEREs — exact long floor
+    // division on both engines — so the tuple recording, the
+    // intersection, and the exact filters are all hash-checked.
+    OpQuery.checked(
+      "etl_partition_spec_multi",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT 'both_dims' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o WHERE year(od) BETWEEN 1995 AND 1996 AND o_orderkey // 200000 = 0
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'dim1_only', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE o_orderkey // 200000 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'dim0_only', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE year(od) = 1997 GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val specs = Seq(
+        graft.etl.SnapshotStore.PartitionSpec("year", "od"),
+        graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
+      val table = EtlOps.multiSpecTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "multispec_tbl_")
+        // range-partition by BOTH transform values: most files land
+        // single-valued in both dimensions; a straggler spanning two
+        // key blocks records `?` on that dimension and still prunes
+        // by year — graceful degrade, not a correctness edge
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          o.repartitionByRange(12, year(col("od")),
+            expr("CAST(o_orderkey div 200000 AS BIGINT)")),
+          asOfMicros = 900000000000000L,
+          statsCol = Some("o_orderkey"), partitionSpecs = specs)
+        t
+      })
+      def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(leg).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      val s = graft.etl.SnapshotStore
+      yearAgg(s.readPartitionRanges(spark, table,
+          Seq(Some((1995L, 1996L)), Some((0L, 0L)))).get, "both_dims")
+        .unionByName(yearAgg(s.readPartitionRanges(spark, table,
+          Seq(None, Some((0L, 0L)))).get, "dim1_only"))
+        .unionByName(yearAgg(s.readPartitionRanges(spark, table,
+          Seq(Some((1997L, 1997L)))).get, "dim0_only"))
+    },
+
+    // ── etl_bucket_join: the bucket<N> partition transform (r17 —
+    // Iceberg's bucket[N] family: Murmur3-seed-42 of the long key mod
+    // N, [[graft.etl.SnapshotStore.bucketValue]] driver-side =
+    // `functions.hash` column-side by construction): customer and
+    // orders each commit under the SAME `bucket8(custkey)` spec, and
+    // the join runs BUCKET-BY-BUCKET — leg b reads ONLY bucket b's
+    // files from each table (the v-line index; BucketSpec pins
+    // never-opened with the destroyed-file device) and the legs union
+    // into the exact join result, because equal keys share a bucket by
+    // construction. HONEST SCALE NOTE: each leg still carries its own
+    // join Exchange — a plain parquet scan exposes no
+    // outputPartitioning to Catalyst, so store-level bucketing PRUNES
+    // (1/N of both tables per leg, bounded working sets, point-lookup
+    // pruning by key) but cannot remove the shuffle the way a
+    // saveAsTable bucketed scan does (io_bucketed_join demonstrates
+    // that path); removing it would take a custom DataSource v2
+    // reporting KeyGroupedPartitioning. The oracle is the plain join —
+    // bucket routing must be invisible in the result.
+    OpQuery.checked(
+      "etl_bucket_join",
+      """SELECT c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val n = 8
+      val t = Tables(spark, dir)
+      val s = graft.etl.SnapshotStore
+      val both = EtlOps.bucketJoinTables.computeIfAbsent(dir, _ => {
+        val ct = EtlOps.freshStoreTable(dir, "bucket_cust_")
+        val ot = EtlOps.freshStoreTable(dir, "bucket_ord_")
+        def bucketed(df: org.apache.spark.sql.DataFrame, key: String) =
+          df.repartitionByRange(n, pmod(hash(col(key).cast("long")), lit(n)))
+        graft.etl.VersionedLoad.bootstrap(spark, ct,
+          bucketed(t.customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+          asOfMicros = 900000000000000L,
+          partitionSpec = Some(s.PartitionSpec("bucket8", "c_custkey")))
+        graft.etl.VersionedLoad.bootstrap(spark, ot,
+          bucketed(t.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+          asOfMicros = 900000000000000L,
+          partitionSpec = Some(s.PartitionSpec("bucket8", "o_custkey")))
+        s"$ct|$ot"
+      })
+      val Array(ct, ot) = both.split('|')
+      (0 until n).map { b =>
+        val cb = s.readPartitionRange(spark, ct, b.toLong, b.toLong).get
+        val ob = s.readPartitionRange(spark, ot, b.toLong, b.toLong).get
+        ob.join(cb, col("o_custkey") === col("c_custkey"))
+      }.reduce(_.unionByName(_))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("revenue"))
     },
 
     // ── etl_store_history: the DESCRIBE HISTORY audit surface as data

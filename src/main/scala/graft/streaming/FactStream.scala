@@ -174,9 +174,13 @@ object FactStream {
     * under a deleted checkpoint can never suppress reprocessing — batch
     * ids restart under a NEW appId — and two checkpoints can never
     * collide (the id is a UUID). None when unreadable → no marker is
-    * recorded, the safe default. Re-read per batch (one driver-side open
-    * of a <200-byte file), never cached: a checkpoint recreated within
-    * one JVM must serve its new id. */
+    * recorded, the safe default. Read ONCE per STARTED query (each
+    * sink's lazy txnApp val — correct, because a running query's id
+    * cannot change and the metadata file exists before the first
+    * batch); a checkpoint recreated within one JVM serves its new id
+    * through the NEXT query's fresh sink instance (r16 ADVICE: the
+    * earlier "re-read per batch" wording described pre-caching
+    * behavior). */
   private def checkpointQueryId(spark: SparkSession, cp: String): Option[String] = {
     val parsed = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(cp, "metadata")
