@@ -205,7 +205,14 @@ object SnapshotStore {
       stats: Seq[FileStat], typedStats: Seq[TypedFileStat],
       specs: Seq[PartitionSpec], partVals: Seq[FilePartition],
       rowCounts: Map[String, Long], nullStats: Seq[FileNullStat],
-      txns: Map[String, Long], terminated: Boolean)
+      schemaJson: Option[String],
+      txns: Map[String, Long], terminated: Boolean) {
+    /** The commit's recorded table schema, if its `c` line parses. */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.flatMap(j => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+  }
 
   private def manifestId(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix))
@@ -258,7 +265,9 @@ object SnapshotStore {
     * `r <rowCount> <relative path>` per-file row counts and
     * `n <col> <nullCount> <relative path>` per-file null counts — the
     * IS NULL / IS NOT NULL skipping index [[readNullFilter]] prunes
-    * with; final line = the `end`
+    * with — and `c <base64(StructType.json)>`, the commit's recorded
+    * TABLE schema (readers plan with zero footer reads; see
+    * readManifest); final line = the `end`
     * terminator (required for the manifest to commit — see
     * [[ManifestData]]). Unknown line prefixes are ignored, so a reader
     * from before a line type existed still resolves the manifest (and
@@ -337,6 +346,14 @@ object SnapshotStore {
         case _ => None
       }
     }.flatten
+    // `c <base64(StructType.json)>` (r17 — the Delta schema-in-the-log
+    // shape): the commit's TABLE schema, recorded so readers plan with
+    // zero parquet-footer reads; an undecodable line degrades to the
+    // footer-merging read, never a wrong schema
+    val schemaJson = lines.drop(2).collectFirst { case l if l.startsWith("c ") =>
+      scala.util.Try(new String(
+        java.util.Base64.getDecoder.decode(l.drop(2).trim), "UTF-8")).toOption
+    }.flatten
     // `x <appId> <version>` — idempotent-transaction markers (r16, the
     // Delta txnAppId/txnVersion shape): latest version per application
     // id, carried forward by every commit
@@ -362,18 +379,18 @@ object SnapshotStore {
     }.flatten
     ManifestData(lines(0).trim, asOf, files.toIndexedSeq, stats.toIndexedSeq,
       typed.toIndexedSeq, specs, partVals, rowCounts, nullStats.toIndexedSeq,
-      txns, lines.last.trim == "end")
+      schemaJson, txns, lines.last.trim == "end")
   }
 
   /** The width W of a `div<W>` transform name, if it is one (W ≥ 1). */
-  private[etl] def divWidth(transform: String): Option[Long] =
+  private[graft] def divWidth(transform: String): Option[Long] =
     if (transform.startsWith("div"))
       scala.util.Try(transform.stripPrefix("div").toLong).toOption.filter(_ >= 1L)
     else None
 
   /** The bucket count N of a `bucket<N>` transform name, if it is one
     * (N ≥ 1) — the Iceberg bucket[N] hash-partition family (r17). */
-  private[etl] def bucketN(transform: String): Option[Int] =
+  private[graft] def bucketN(transform: String): Option[Int] =
     if (transform.startsWith("bucket"))
       scala.util.Try(transform.stripPrefix("bucket").toInt).toOption.filter(_ >= 1)
     else None
@@ -386,6 +403,20 @@ object SnapshotStore {
   def bucketValue(key: Long, n: Int): Long = {
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42)
     (((h.toLong % n) + n) % n)
+  }
+
+  /** `df` range-clustered BY ITS PARTITION-SPEC VALUES — the write-side
+    * layout helper (r17): range-partitioning on the ordered transform
+    * columns makes each written file single-valued in as many leading
+    * dimensions as the data allows, so the manifest records concrete
+    * `v` tuples instead of `?` must-scans. Callers pass the SAME spec
+    * list to [[promote]]/[[VersionedLoad.bootstrap]]; a straggler file
+    * spanning two values in some dimension degrades to `?` there — a
+    * pruning loss, never a correctness edge. */
+  def clusterBySpecs(df: DataFrame, specs: Seq[PartitionSpec],
+      numFiles: Int): DataFrame = {
+    require(specs.nonEmpty, "SnapshotStore.clusterBySpecs: empty spec list")
+    df.repartitionByRange(numFiles, specs.map(transformColumn(_, df)): _*)
   }
 
   /** The partition-transform column for `spec` over `df`'s schema —
@@ -467,15 +498,25 @@ object SnapshotStore {
     val paths =
       if (m.files.nonEmpty) m.files.map(f => new Path(tgt, f).toString)
       else Seq(new Path(tgt, m.snap).toString)
-    // mergeSchema: a version's file list may mix schema generations
-    // after an ADDITIVE evolution ([[VersionedLoad.merge]] with
-    // allowEvolution — reused files predate the new column, the commit
-    // directory carries it); the union schema projects the missing
-    // column as null in old files. Cost: one footer read per listed
-    // file, metadata-scale like the listing itself. Conflicting TYPE
-    // changes on one column fail the read loudly — evolution here is
-    // additive by contract, never coercive.
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    m.schema match {
+      // recorded table schema (r17, the Delta schema-in-the-log shape):
+      // the read plans with ZERO parquet-footer reads — at 100k files
+      // the mergeSchema fallback's one-footer-per-file planning cost is
+      // the largest remaining metadata-scale term, and the recorded
+      // schema removes it. A file that predates an additive evolution
+      // projects its missing column as null, exactly like the merged
+      // read; a type conflict fails loudly AT SCAN (the additive-only
+      // evolution contract, enforced at promote since r17).
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      // mergeSchema fallback (pre-r17 manifests, undecodable c line): a
+      // version's file list may mix schema generations after an
+      // ADDITIVE evolution — the union schema projects the missing
+      // column as null in old files. Cost: one footer read per listed
+      // file. Conflicting TYPE changes on one column fail the read
+      // loudly — evolution here is additive by contract, never
+      // coercive.
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** The newest COMMITTED manifest — walks newest-first and stops at the
@@ -577,11 +618,25 @@ object SnapshotStore {
   }
 
   /** Read an explicit file list (as returned by [[filesForVersion]] /
-    * [[currentFiles]]) lazily. Empty list → None. */
+    * [[currentFiles]]) lazily. Empty list → None. Footer-merging (the
+    * caller has no manifest to take a recorded schema from); the
+    * manifest-aware readers route through the recorded schema
+    * instead — see readManifest. */
   def readFiles(spark: SparkSession, dir: String, files: Seq[String]): Option[DataFrame] =
+    readFilesAs(spark, dir, files, None)
+
+  /** [[readFiles]] with an optional RECORDED schema (from the resolved
+    * manifest's `c` line): schema given → zero footer reads at plan
+    * time; absent → mergeSchema fallback. */
+  private def readFilesAs(spark: SparkSession, dir: String, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => new Path(dir, f).toString): _*)) // see readManifest
+    else Some(schema match {
+      case Some(s) => spark.read.schema(s)
+        .parquet(files.map(f => new Path(dir, f).toString): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => new Path(dir, f).toString): _*) // see readManifest
+    })
 
   /** Resolve the pruned readers' target manifest: the committed head,
     * or — when `version` is given — exactly that retained committed
@@ -629,9 +684,10 @@ object SnapshotStore {
       }.getOrElse(statKeep)
       val keep = files.filter(keepSet).sorted
       // an ALL-PRUNED range is an EMPTY RESULT, not a missing table:
-      // read the schema from the full list and cut the scan with
-      // limit(0) (PropagateEmptyRelation — footers only, no row reads)
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      // plan over the full list and cut the scan with limit(0)
+      // (PropagateEmptyRelation — no row reads; with a recorded `c`
+      // schema not even footers, closing the r16 every-footer nit)
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         // the stat writer refuses non-integral columns loudly; the
         // reader must match — a silent cast("long") on a double column
         // TRUNCATES (5.7 passes a [1,5] filter) and returns rows
@@ -685,7 +741,7 @@ object SnapshotStore {
       }.getOrElse(statKeep)
       val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         df.schema(column).dataType match {
           case org.apache.spark.sql.types.DateType => ()
           case dt => throw new IllegalArgumentException(
@@ -718,7 +774,7 @@ object SnapshotStore {
         stats.filter { case (_, mn, mx) => mx >= loMicros && mn <= hiMicros }
           .map(_._1)).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         df.schema(column).dataType match {
           case org.apache.spark.sql.types.TimestampType => ()
           case dt => throw new IllegalArgumentException(
@@ -778,7 +834,7 @@ object SnapshotStore {
       }.map(_.file)
       val keep = (files.filterNot(statted) ++ candidates).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         df.schema(column).dataType match {
           case org.apache.spark.sql.types.StringType => ()
           case dt => throw new IllegalArgumentException(
@@ -894,7 +950,7 @@ object SnapshotStore {
       val keep = files.filter(keepSet).sorted
       // all-pruned = empty result, not a missing table (see readKeyRange);
       // a zero-file version resolves None like every other reader
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         val exact = dims
           .map { case (d, lo, hi) => transformColumn(m.specs(d), df).between(lo, hi) }
           .reduceOption(_ && _)
@@ -977,7 +1033,7 @@ object SnapshotStore {
         }
       }.sorted
       // all-pruned = empty result, not a missing table (see readKeyRange)
-      readFiles(spark, dir, if (keep.isEmpty) files.sorted else keep).map { df =>
+      readFilesAs(spark, dir, if (keep.isEmpty) files.sorted else keep, m.schema).map { df =>
         val exact = df.filter(if (isNull) col(column).isNull else col(column).isNotNull)
         if (keep.isEmpty) exact.limit(0) else exact
       }
@@ -1034,6 +1090,58 @@ object SnapshotStore {
       i += 1
     }
     a.length - b.length
+  }
+
+  /** Every nested level forced nullable — the shape a mergeSchema read
+    * produces and the only sound recording for a file list that mixes
+    * schema generations (a pre-evolution file projects the evolved
+    * column as null; a non-null recorded field over actual nulls would
+    * be a codegen correctness hazard, not just a lie). */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** prev ∪ next, ADDITIVELY: every prev field keeps its position and
+    * type (a field the delta dropped stays — reused files still carry
+    * it, exactly like the merged-footer read); next-only fields append.
+    * A same-name field whose type differs (recursively, ignoring
+    * nullability) violates the additive-evolution contract and throws —
+    * at WRITE time since r17, where the mergeSchema fallback could only
+    * fail at read. */
+  private[etl] def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val kept = prev.fields.map { pf =>
+      nextByName.get(pf.name).foreach { nf =>
+        // structural equality after recursive nullability normalization
+        // (DataType.sameType is private[sql])
+        if (asNullable(pf.dataType) != asNullable(nf.dataType))
+          throw new IllegalArgumentException(
+            s"SnapshotStore: column ${pf.name} changes type ${pf.dataType.simpleString} → " +
+              s"${nf.dataType.simpleString} across a file-reuse commit — evolution is " +
+              "additive by contract, never coercive")
+      }
+      pf
+    }
+    val prevNames = prev.fieldNames.toSet
+    val added = next.fields.filterNot(f => prevNames.contains(f.name))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** The table schema the head (or `version`'s) manifest records, if
+    * its commit carried a `c` line — what readers plan with (zero
+    * footer reads); None on pre-r17 manifests. */
+  def tableSchema(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).flatMap(_.schema)
   }
 
   /** Base64 with a `-` sentinel for the empty string (standard Base64
@@ -1470,6 +1578,21 @@ object SnapshotStore {
     val statLines = (ownLines ++ carriedLines).map("\n" + _).mkString
     val specLine  = effSpecs.map(ps => s"\np ${ps.transform} ${ps.col}").mkString
     val partLines = (ownPartLines ++ carriedPartLines).map("\n" + _).mkString
+    // recorded table schema (r17 — see readManifest): a full rewrite
+    // records the delta's own schema; a file-reuse commit records
+    // prev ∪ delta additively (type conflicts throw — better at write
+    // than the fallback's at-read failure). Reuse over a manifest with
+    // NO recorded schema records nothing — the reused files' union is
+    // unknowable without the footer reads this feature exists to avoid,
+    // and absence just keeps the mergeSchema fallback for this version.
+    val schemaLine: String = {
+      val recorded: Option[org.apache.spark.sql.types.StructType] =
+        if (reuseFiles.isEmpty) Some(df.schema)
+        else prevAny.flatMap(_.schema).map(ps => mergeSchemas(ps, df.schema))
+      recorded.map(s => "\nc " + java.util.Base64.getEncoder.encodeToString(
+        asNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+          .json.getBytes("UTF-8"))).getOrElse("")
+    }
     // re-check the txn marker against the freshest head read (narrows
     // the pre-check→claim window; the exclusive claim + occ remain the
     // final arbiter for what this check cannot see)
@@ -1485,7 +1608,7 @@ object SnapshotStore {
     // create is atomic but this write is not, and a truncated file list
     // must never resolve as a committed subset (see ManifestData)
     val content = snapName + "\n" + asOfMicros.fold("")(_.toString) +
-      fileLines + specLine + statLines + partLines + txnLines + "\nend"
+      fileLines + schemaLine + specLine + statLines + partLines + txnLines + "\nend"
     val mPath = new Path(tgt, f"$ManifestPrefix$nextId%020d")
     if (!claimFile(fs, mPath, content.getBytes("UTF-8"))) {
       val msg = s"SnapshotStore: manifest id $nextId was claimed concurrently — " +

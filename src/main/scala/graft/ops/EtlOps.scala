@@ -1198,13 +1198,13 @@ object EtlOps {
         graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
       val table = EtlOps.multiSpecTables.computeIfAbsent(dir, _ => {
         val t = EtlOps.freshStoreTable(dir, "multispec_tbl_")
-        // range-partition by BOTH transform values: most files land
-        // single-valued in both dimensions; a straggler spanning two
-        // key blocks records `?` on that dimension and still prunes
-        // by year — graceful degrade, not a correctness edge
+        // range-cluster by BOTH transform values (clusterBySpecs — the
+        // ONE transform definition shapes the layout too): most files
+        // land single-valued in both dimensions; a straggler spanning
+        // two key blocks records `?` on that dimension and still
+        // prunes by year — graceful degrade, not a correctness edge
         graft.etl.VersionedLoad.bootstrap(spark, t,
-          o.repartitionByRange(12, year(col("od")),
-            expr("CAST(o_orderkey div 200000 AS BIGINT)")),
+          graft.etl.SnapshotStore.clusterBySpecs(o, specs, 12),
           asOfMicros = 900000000000000L,
           statsCol = Some("o_orderkey"), partitionSpecs = specs)
         t
@@ -1254,16 +1254,14 @@ object EtlOps {
       val both = EtlOps.bucketJoinTables.computeIfAbsent(dir, _ => {
         val ct = EtlOps.freshStoreTable(dir, "bucket_cust_")
         val ot = EtlOps.freshStoreTable(dir, "bucket_ord_")
-        def bucketed(df: org.apache.spark.sql.DataFrame, key: String) =
-          df.repartitionByRange(n, pmod(hash(col(key).cast("long")), lit(n)))
-        graft.etl.VersionedLoad.bootstrap(spark, ct,
-          bucketed(t.customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
-          asOfMicros = 900000000000000L,
-          partitionSpec = Some(s.PartitionSpec("bucket8", "c_custkey")))
-        graft.etl.VersionedLoad.bootstrap(spark, ot,
-          bucketed(t.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
-          asOfMicros = 900000000000000L,
-          partitionSpec = Some(s.PartitionSpec("bucket8", "o_custkey")))
+        def load(tbl: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+          val spec = s.PartitionSpec(s"bucket$n", key)
+          graft.etl.VersionedLoad.bootstrap(spark, tbl,
+            s.clusterBySpecs(df, Seq(spec), n),
+            asOfMicros = 900000000000000L, partitionSpec = Some(spec)): Unit
+        }
+        load(ct, t.customer.select("c_custkey", "c_mktsegment"), "c_custkey")
+        load(ot, t.orders.select("o_custkey", "o_totalprice"), "o_custkey")
         s"$ct|$ot"
       })
       val Array(ct, ot) = both.split('|')

@@ -1,0 +1,412 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import graft.etl.SnapshotStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The versioned store as a FIRST-CLASS Spark DataSource v2 (r17):
+  * `spark.read.format("graft.sources.StoreSource").load(tableDir)`
+  * plans over the manifest alone — schema from the recorded `c` line
+  * (zero footer reads at plan time), FILE PRUNING from pushed filters
+  * against the manifest's per-file stats / partition values / null
+  * counts, column pruning pushed into the parquet reader, and — when
+  * the caller opts into partition-grouped tasks — a reported
+  * [[KeyGroupedPartitioning]] that lets Catalyst plan a STORAGE-
+  * PARTITIONED JOIN between two co-partitioned store tables with NO
+  * shuffle Exchange (`spark.sql.sources.v2.bucketing.enabled=true`;
+  * StoreSourceSpec asserts the Exchange-free plan).
+  *
+  * This is the preference-order answer the hand-called readers
+  * ([[SnapshotStore.readKeyRange]] ff.) cannot give: inside the
+  * planner, the pruning composes with everything Catalyst does —
+  * `df.filter(...)` reaches the source as pushed filters, EXPLAIN
+  * shows the decision, and joins see the layout.
+  *
+  * Options: `path` (table root), `version` (pin a committed version),
+  * `partitionGrouped` (= "true": one task per partition-value tuple,
+  * required for the storage-partitioned join; default one task per
+  * file — better parallelism for plain scans).
+  *
+  * Scope (documented, enforced loudly): the table must carry a
+  * recorded `c` schema (any r17+ commit does); files missing an
+  * additively-evolved column project it as null. The executor-side
+  * reader is Spark's own vectorized parquet reader driven per file;
+  * its simple-path initializer builds a fresh local Hadoop config, so
+  * this source targets filesystems reachable with default config
+  * (local/HDFS-default) — the store's own contract. Partitioning is
+  * REPORTED only when every dimension is `identity` (resolvable
+  * without a function catalog) or `bucket<N>` and every file carries a
+  * concrete tuple; anything else degrades to unknown partitioning,
+  * never a wrong one. */
+class StoreSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).filter(_.nonEmpty)
+    p.getOrElse(throw new IllegalArgumentException(
+      "graft-store: .load(<table dir>) is required"))
+  }
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("version")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    SnapshotStore.tableSchema(spark, dir, versionOf(options)).getOrElse(
+      throw new IllegalStateException(
+        s"graft-store: $dir carries no recorded schema (`c` manifest line) — " +
+          "commit once with an r17+ writer, or read through SnapshotStore.read"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val ci = new CaseInsensitiveStringMap(properties)
+    new StoreTable(dirOf(ci), versionOf(ci),
+      Option(ci.get("partitionGrouped")).exists(_.equalsIgnoreCase("true")),
+      schema)
+  }
+}
+
+private[sources] class StoreTable(dir: String, version: Option[Long],
+    grouped: Boolean, tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-store:$dir" + version.fold("")(v => s"@v$v")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = {
+    val spark = SparkSession.active
+    SnapshotStore.partitionSpecsOf(spark, dir, version).flatMap { ps =>
+      ps.transform match {
+        case "identity" => Some(Expressions.identity(ps.col))
+        case t => SnapshotStore.bucketN(t).map(n => Expressions.bucket(n, ps.col))
+        // year/month/div: real transforms, but reporting them here
+        // without a function catalog would be unresolvable noise
+      }
+    }.toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StoreScanBuilder(dir, version, grouped ||
+      Option(options.get("partitionGrouped")).exists(_.equalsIgnoreCase("true")),
+      tableSchema)
+}
+
+/** Driver-side planning: collects pushed filters, prunes the manifest's
+  * file list by every index it carries (per-column long stats,
+  * partition-value tuples through the monotone/bucket transforms, null
+  * counts), and prunes columns. All filters stay RESIDUAL (Spark
+  * re-applies them on the scan output) — the indexes only cut IO,
+  * never correctness, the store's standing contract. */
+private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
+    grouped: Boolean, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the table's field order — the reader builds rows in
+    // readSchema order, and an empty projection (count(*)) keeps one
+    // narrowest column to drive row counts
+    required = {
+      val want = requiredSchema.fieldNames.toSet
+      val kept = StructType(tableSchema.fields.filter(f => want.contains(f.name)))
+      if (kept.fields.nonEmpty) kept
+      else StructType(tableSchema.fields.sortBy(_.dataType.defaultSize).take(1))
+    }
+
+  private def integral(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    // a filter is "pushed" when some manifest index can act on it; it
+    // is ALWAYS also returned as residual (the parquet-source pattern:
+    // best-effort pushdown, exact re-application on top)
+    pushed = filters.filter {
+      case sources.EqualTo(c, v: Number) => integral(c) && v != null
+      case sources.GreaterThan(c, v: Number) => integral(c) && v != null
+      case sources.GreaterThanOrEqual(c, v: Number) => integral(c) && v != null
+      case sources.LessThan(c, v: Number) => integral(c) && v != null
+      case sources.LessThanOrEqual(c, v: Number) => integral(c) && v != null
+      case sources.In(c, vs) => integral(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
+      case sources.IsNull(_) | sources.IsNotNull(_) => true
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val files = version.fold(SnapshotStore.currentFiles(spark, dir))(v =>
+      SnapshotStore.filesForVersion(spark, dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"graft-store: version $v of $dir is not committed/retained")))
+    // per-column conjunctive ranges from the pushed comparisons
+    val ranges = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      ranges(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    var nullPreds = List.empty[(String, Boolean)] // (col, isNull)
+    pushed.foreach {
+      case sources.EqualTo(c, v: Number) => tighten(c, v.longValue, v.longValue)
+      case sources.GreaterThan(c, v: Number) =>
+        val l = v.longValue
+        tighten(c, if (l == Long.MaxValue) l else l + 1, Long.MaxValue)
+      case sources.GreaterThanOrEqual(c, v: Number) => tighten(c, v.longValue, Long.MaxValue)
+      case sources.LessThan(c, v: Number) =>
+        val l = v.longValue
+        tighten(c, Long.MinValue, if (l == Long.MinValue) l else l - 1)
+      case sources.LessThanOrEqual(c, v: Number) => tighten(c, Long.MinValue, v.longValue)
+      case sources.In(c, vs) =>
+        val ls = vs.collect { case n: Number => n.longValue }
+        if (ls.nonEmpty) tighten(c, ls.min, ls.max)
+      case sources.IsNull(c) => nullPreds ::= (c, true)
+      case sources.IsNotNull(c) => nullPreds ::= (c, false)
+      case _ => ()
+    }
+    val fileSet = files.toSet
+    var keep: Set[String] = fileSet
+    // per-column long stats (unstatted files keep — absence = must-scan)
+    val stats = version.fold(SnapshotStore.currentFileStats(spark, dir))(v =>
+      SnapshotStore.filesForVersionStats(spark, dir, v)).filter(st => fileSet.contains(st.file))
+    ranges.foreach { case (c, (lo, hi)) =>
+      val cs = stats.filter(_.col == c)
+      if (cs.nonEmpty) {
+        val statted = cs.map(_.file).toSet
+        keep = keep.intersect(
+          (files.filterNot(statted) ++
+            cs.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet)
+      }
+    }
+    // partition-value tuples through the transforms (identity/div by
+    // range; bucket by the EqualTo/In value set — a hash has no range)
+    val specs = SnapshotStore.partitionSpecsOf(spark, dir, version)
+    val partVals = SnapshotStore.filePartitionsOf(spark, dir, version)
+      .filter(pv => fileSet.contains(pv.file))
+    def dimKeep(d: Int, pred: Long => Boolean): Set[String] = {
+      val judged = partVals.filter(_.values.lift(d).exists(_.isDefined))
+      val valued = judged.map(_.file).toSet
+      (files.filterNot(valued) ++
+        judged.filter(_.values(d).exists(pred)).map(_.file)).toSet
+    }
+    specs.zipWithIndex.foreach { case (ps, d) =>
+      ranges.get(ps.col).foreach { case (lo, hi) =>
+        SnapshotStore.divWidth(ps.transform) match {
+          case Some(w) =>
+            keep = keep.intersect(dimKeep(d,
+              v => v >= Math.floorDiv(lo, w) && v <= Math.floorDiv(hi, w)))
+          case None if ps.transform == "identity" =>
+            keep = keep.intersect(dimKeep(d, v => v >= lo && v <= hi))
+          case None => SnapshotStore.bucketN(ps.transform).foreach { n =>
+            // only a point/set probe maps through a hash
+            val pts = pushed.collect {
+              case sources.EqualTo(c, v: Number) if c == ps.col => Seq(v.longValue)
+              case sources.In(c, vs) if c == ps.col =>
+                vs.collect { case x: Number => x.longValue }.toSeq
+            }.flatten
+            if (pts.nonEmpty) {
+              val bs = pts.map(SnapshotStore.bucketValue(_, n)).toSet
+              keep = keep.intersect(dimKeep(d, bs.contains))
+            }
+          }
+        }
+      }
+    }
+    // null counts (IS NULL: nulls=0 prunes; IS NOT NULL: nulls=rows)
+    val nullStats = SnapshotStore.fileNullStats(spark, dir, version)
+    val rowCounts = SnapshotStore.fileRowCounts(spark, dir, version)
+    nullPreds.foreach { case (c, isNull) =>
+      val byFile = nullStats.filter(_.col == c).map(st => st.file -> st.nulls).toMap
+      keep = keep.intersect(files.filter { f =>
+        byFile.get(f) match {
+          case None => true
+          case Some(n) => if (isNull) n > 0L else rowCounts.get(f).forall(_ != n)
+        }
+      }.toSet)
+    }
+    val keptFiles = files.filter(keep).sorted
+    new StoreScan(dir, keptFiles, required, tableSchema, specs, partVals, grouped)
+  }
+}
+
+/** One task per file (default) or per concrete partition tuple
+  * (`partitionGrouped` — each task owns one tuple's files and reports
+  * it as the partition key, the storage-partitioned-join shape). */
+private[sources] class StoreScan(dir: String, files: Seq[String],
+    readSchemaV: StructType, tableSchema: StructType,
+    specs: Seq[SnapshotStore.PartitionSpec],
+    partVals: Seq[SnapshotStore.FilePartition], grouped: Boolean)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = readSchemaV
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-store $dir (${files.size} files after pruning)"
+
+  /** (tuple → its files), defined only when EVERY kept file carries a
+    * fully-concrete value tuple — the precondition for partition-
+    * grouped tasks and for reporting the layout to Catalyst. */
+  private lazy val tuples: Option[Seq[(Seq[Long], Seq[String])]] = {
+    val byFile = partVals.map(pv => pv.file -> pv.values).toMap
+    val concrete = specs.nonEmpty && files.forall(f =>
+      byFile.get(f).exists(vs => vs.size == specs.size && vs.forall(_.isDefined)))
+    if (!concrete) None
+    else Some(files.map(f => (byFile(f).map(_.get), f))
+      .groupBy(_._1).toSeq.map { case (k, fs) => (k, fs.map(_._2).sorted) }
+      .sortBy(_._1.mkString(",")))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped && tuples.isDefined)
+      tuples.get.map { case (key, fs) =>
+        StoreKeyedPartition(fs.map(f => new Path(dir, f).toString), key.toArray)
+          : InputPartition
+      }.toArray
+    else files.map(f =>
+      StoreFilePartition(Seq(new Path(dir, f).toString)): InputPartition).toArray
+
+  /** Reported only for dimensions Catalyst can resolve WITHOUT a
+    * function catalog (identity over a LONG column — the partition key
+    * rows carry longs) plus bucket<N>; year/month/div degrade to
+    * unknown partitioning, never a wrong report. */
+  override def outputPartitioning(): Partitioning = {
+    def reportable(ps: SnapshotStore.PartitionSpec): Boolean =
+      (ps.transform == "identity" &&
+        tableSchema.fields.find(_.name == ps.col)
+          .exists(_.dataType == org.apache.spark.sql.types.LongType)) ||
+      SnapshotStore.bucketN(ps.transform).isDefined
+    if (grouped && tuples.isDefined && specs.forall(reportable))
+      new KeyGroupedPartitioning(
+        specs.map(ps => ps.transform match {
+          case "identity" => Expressions.identity(ps.col)
+            : org.apache.spark.sql.connector.expressions.Expression
+          case t => Expressions.bucket(SnapshotStore.bucketN(t).get, ps.col)
+        }).toArray,
+        tuples.get.size)
+    else new UnknownPartitioning(
+      if (grouped && tuples.isDefined) tuples.get.size else files.size)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StoreReaderFactory(readSchemaV)
+}
+
+private[sources] case class StoreFilePartition(paths: Seq[String])
+    extends InputPartition
+
+private[sources] case class StoreKeyedPartition(paths: Seq[String],
+    key: Array[Long]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(key.map(_.asInstanceOf[Any]))
+}
+
+/** Executor-side: Spark's own vectorized parquet reader driven per
+  * file (the simple-path initializer — fresh local Hadoop config, the
+  * documented scope), required columns pushed into the parquet
+  * projection, rows copied out of the reused columnar batch, columns a
+  * file predates projected as null. */
+private[sources] class StoreReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val paths = partition match {
+      case StoreFilePartition(ps)     => ps
+      case StoreKeyedPartition(ps, _) => ps
+      case other => throw new IllegalStateException(s"graft-store: foreign partition $other")
+    }
+    new PartitionReader[InternalRow] {
+      import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+      private val queue = scala.collection.mutable.Queue(paths: _*)
+      private var reader: VectorizedParquetRecordReader = _
+      private var proj: Array[Int] = _ // output ordinal → input ordinal, -1 = null
+      private var row: InternalRow = _
+
+      /** Open the next queued file; false when none remain. */
+      private def openNext(): Boolean = {
+        if (queue.isEmpty) return false
+        val path = queue.dequeue()
+        // the file's present subset of the required columns, requested
+        // in OUR order (the vectorized reader builds its row in exactly
+        // the requested order); a column the file predates projects null
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(path), conf)
+        val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val fileSchema = try pr.getFileMetaData.getSchema finally pr.close()
+        val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+        val idx = present.map(_.name).zipWithIndex.toMap
+        proj = schema.fields.map(f => idx.getOrElse(f.name, -1))
+        reader = new VectorizedParquetRecordReader(false, 4096)
+        if (present.isEmpty) {
+          // a file predating EVERY required column: read all columns
+          // just to drive the row count; the projection nulls everything
+          reader.initialize(path, null)
+        } else {
+          val names = new java.util.ArrayList[String]()
+          present.foreach(f => names.add(f.name): Unit)
+          reader.initialize(path, names)
+        }
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null && !openNext()) return false
+          if (reader.nextKeyValue()) {
+            val in = reader.getCurrentValue.asInstanceOf[InternalRow]
+            val out = new Array[Any](schema.fields.length)
+            var o = 0
+            while (o < proj.length) {
+              val i = proj(o)
+              out(o) =
+                if (i < 0 || in.isNullAt(i)) null
+                else in.get(i, schema.fields(o).dataType) match {
+                  // copy values aliasing the reused batch memory
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+                  case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+                  case r: InternalRow => r.copy()
+                  case other => other
+                }
+              o += 1
+            }
+            row = new GenericInternalRow(out)
+            return true
+          }
+          reader.close()
+          reader = null
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = row
+
+      override def close(): Unit = {
+        if (reader != null) { reader.close(); reader = null }
+      }
+    }
+  }
+}

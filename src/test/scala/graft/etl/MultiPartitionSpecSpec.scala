@@ -25,22 +25,22 @@ class MultiPartitionSpecSpec extends SparkSuite {
     java.nio.file.Files.write(new java.io.File(new java.io.File(t), file).toPath,
       "not a parquet file".getBytes("UTF-8")): Unit
 
-  // (year, group) fact: 2×2 partitions, one file each under
-  // repartitionByRange on both transform values
-  private def fact() = {
-    import org.apache.spark.sql.functions.{col, year}
-    Seq((10L, "1995-03-01", 1L, "a"), (11L, "1995-09-01", 1L, "b"),
-        (20L, "1995-04-01", 200L, "c"), (21L, "1995-10-01", 200L, "d"),
-        (30L, "1997-02-01", 1L, "e"), (31L, "1997-08-01", 1L, "f"),
-        (40L, "1997-03-01", 200L, "g"), (41L, "1997-09-01", 200L, "h"))
-      .toDF("k", "ds", "g", "v")
-      .selectExpr("k", "CAST(ds AS DATE) AS d", "g", "v")
-      .repartitionByRange(4, year(col("d")), col("g").divide(100).cast("long"))
-  }
-
   private val specs = Seq(
     SnapshotStore.PartitionSpec("year", "d"),
     SnapshotStore.PartitionSpec("div100", "g"))
+
+  // (year, group) fact: 2×2 partitions, one file each, clustered by the
+  // write-side layout helper (clusterBySpecs — the one transform
+  // definition shapes the layout the spec then indexes)
+  private def fact() =
+    SnapshotStore.clusterBySpecs(
+      Seq((10L, "1995-03-01", 1L, "a"), (11L, "1995-09-01", 1L, "b"),
+          (20L, "1995-04-01", 200L, "c"), (21L, "1995-10-01", 200L, "d"),
+          (30L, "1997-02-01", 1L, "e"), (31L, "1997-08-01", 1L, "f"),
+          (40L, "1997-03-01", 200L, "g"), (41L, "1997-09-01", 200L, "h"))
+        .toDF("k", "ds", "g", "v")
+        .selectExpr("k", "CAST(ds AS DATE) AS d", "g", "v"),
+      specs, 4)
 
   // v-tuple lines of a manifest as (dim0, dim1, path) string triples
   private def vTuples(m: Seq[String]): Seq[(String, String, String)] =
