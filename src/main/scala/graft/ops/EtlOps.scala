@@ -81,6 +81,11 @@ object EtlOps {
   private val bucketJoinTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** dir → the two identity-co-partitioned store tables of
+    * etl_store_spj_join, encoded "aTable|bTable". */
+  private val spjTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sweep abandoned UUID-named store tables with `prefix` under the
     * corpus's scratch root, then return a fresh table path. The sweep
     * only ever removes THIS process's own failed earlier attempts:
@@ -1272,6 +1277,112 @@ object EtlOps {
       }.reduce(_.unionByName(_))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ── etl_store_dsv2_scan: the versioned store as a FIRST-CLASS
+    // Spark DataSource v2 (r17 — graft.sources.StoreSource):
+    // spark.read.format(...).load(tableDir) plans over the manifest
+    // alone — schema from the recorded `c` line (zero footer reads),
+    // and the caller's plain `.filter(...)` reaches the source as
+    // PUSHED FILTERS that prune whole files against the per-column
+    // stats AND the partition-value tuples (here the o_orderkey range
+    // routes through both the `s` stats and the div200000 spec
+    // dimension of the shared two-dimension table). This is the
+    // preference-order win over the hand-called readers: inside the
+    // planner the pruning composes with Catalyst — column pruning,
+    // EXPLAIN visibility, joins. StoreSourceSpec pins never-opened
+    // with the destroyed-file device; here both legs (head + a
+    // version pin) are oracle-replayed, so the DSv2 read path itself
+    // is hash-checked end to end.
+    OpQuery.checked(
+      "etl_store_dsv2_scan",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT 'head_low' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o WHERE o_orderkey <= 100000 GROUP BY 2
+        |UNION ALL
+        |SELECT 'v0_low', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE o_orderkey <= 100000 GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      // the shared two-dimension store table (etl_partition_spec_multi
+      // builds it; either op may arrive first — the memo covers both)
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val specs = Seq(
+        graft.etl.SnapshotStore.PartitionSpec("year", "od"),
+        graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
+      val table = EtlOps.multiSpecTables.computeIfAbsent(dir, _ => {
+        val t = EtlOps.freshStoreTable(dir, "multispec_tbl_")
+        graft.etl.VersionedLoad.bootstrap(spark, t,
+          graft.etl.SnapshotStore.clusterBySpecs(o, specs, 12),
+          asOfMicros = 900000000000000L,
+          statsCol = Some("o_orderkey"), partitionSpecs = specs)
+        t
+      })
+      def leg(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.filter(col("o_orderkey") <= 100000L)
+          .groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(name).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      leg(spark.read.format("graft.sources.StoreSource").load(table), "head_low")
+        .unionByName(leg(spark.read.format("graft.sources.StoreSource")
+          .option("version", "0").load(table), "v0_low"))
+    },
+
+    // ── etl_store_spj_join: STORAGE-PARTITIONED JOIN groundwork as an
+    // oracle key — two store tables identity-co-partitioned on the
+    // same grain column read through the DSv2 source with
+    // partition-grouped tasks (one task per partition value, each
+    // reporting its key). With spark.sql.sources.v2.bucketing.enabled
+    // the planner may then join them with NO shuffle Exchange —
+    // StoreSourceSpec pins exactly that plan under controlled confs
+    // (broadcast off, AQE off, contrast plan shuffling); HERE the key
+    // pins the RESULT: whatever join strategy the session picks, the
+    // partition-grouped DSv2 scans must produce the hash-identical
+    // relational answer. The conf is enabled for the session (it only
+    // widens the planner's options); broadcast stays free to win on
+    // small inputs — at 100 TB the SPJ path is the one that matters,
+    // and it is plan-proved in the spec.
+    OpQuery.checked(
+      "etl_store_spj_join",
+      """WITH a AS (SELECT o_custkey % 50 AS g,
+        |                  CAST(count(*) AS BIGINT) AS n_orders,
+        |                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT c_custkey % 50 AS g,
+        |             CAST(count(*) AS BIGINT) AS n_custs
+        |      FROM customer GROUP BY 1)
+        |SELECT CAST(a.g AS BIGINT) AS g, a.n_orders, a.spend, b.n_custs
+        |FROM a JOIN b USING (g)""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val s = graft.etl.SnapshotStore
+      val spec = s.PartitionSpec("identity", "g")
+      val both = EtlOps.spjTables.computeIfAbsent(dir, _ => {
+        val at = EtlOps.freshStoreTable(dir, "spj_orders_")
+        val bt = EtlOps.freshStoreTable(dir, "spj_cust_")
+        val a = t.orders.groupBy((col("o_custkey") % 50).cast("long").as("g"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+        val b = t.customer.groupBy((col("c_custkey") % 50).cast("long").as("g"))
+          .agg(count(lit(1)).as("n_custs"))
+        graft.etl.VersionedLoad.bootstrap(spark, at,
+          s.clusterBySpecs(a, Seq(spec), 50), asOfMicros = 900000000000000L,
+          partitionSpec = Some(spec))
+        graft.etl.VersionedLoad.bootstrap(spark, bt,
+          s.clusterBySpecs(b, Seq(spec), 50), asOfMicros = 900000000000000L,
+          partitionSpec = Some(spec))
+        s"$at|$bt"
+      })
+      val Array(at, bt) = both.split('|')
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def side(tbl: String) = spark.read.format("graft.sources.StoreSource")
+        .option("partitionGrouped", "true").load(tbl)
+      side(at).join(side(bt), Seq("g")).select("g", "n_orders", "spend", "n_custs")
     },
 
     // ── etl_store_history: the DESCRIBE HISTORY audit surface as data
