@@ -137,17 +137,34 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
       case _ => false
     }
 
+  private def dateCol(c: String): Boolean =
+    tableSchema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.DateType)
+
+  /** A comparison value as epoch days, for DATE-column pushdown (v1
+    * filters carry java.sql.Date, or java.time.LocalDate under the
+    * java8 datetime API). */
+  private def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date        => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate  => Some(d.toEpochDay)
+    case _                       => None
+  }
+
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     // a filter is "pushed" when some manifest index can act on it; it
     // is ALWAYS also returned as residual (the parquet-source pattern:
     // best-effort pushdown, exact re-application on top)
+    def cmpValue(c: String, v: Any): Boolean = v match {
+      case n: Number => integral(c) && n != null
+      case other     => dateCol(c) && epochDay(other).isDefined
+    }
     pushed = filters.filter {
-      case sources.EqualTo(c, v: Number) => integral(c) && v != null
-      case sources.GreaterThan(c, v: Number) => integral(c) && v != null
-      case sources.GreaterThanOrEqual(c, v: Number) => integral(c) && v != null
-      case sources.LessThan(c, v: Number) => integral(c) && v != null
-      case sources.LessThanOrEqual(c, v: Number) => integral(c) && v != null
-      case sources.In(c, vs) => integral(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
+      case sources.EqualTo(c, v) => cmpValue(c, v)
+      case sources.GreaterThan(c, v) => cmpValue(c, v)
+      case sources.GreaterThanOrEqual(c, v) => cmpValue(c, v)
+      case sources.LessThan(c, v) => cmpValue(c, v)
+      case sources.LessThanOrEqual(c, v) => cmpValue(c, v)
+      case sources.In(c, vs) => vs.nonEmpty && vs.forall(cmpValue(c, _))
       case sources.IsNull(_) | sources.IsNotNull(_) => true
       case _ => false
     }
@@ -162,25 +179,33 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
       SnapshotStore.filesForVersion(spark, dir, v).getOrElse(
         throw new IllegalStateException(
           s"graft-store: version $v of $dir is not committed/retained")))
-    // per-column conjunctive ranges from the pushed comparisons
+    // per-column conjunctive ranges from the pushed comparisons — one
+    // numeric domain per column: raw longs for integral columns, EPOCH
+    // DAYS for date columns (matching the `t date` stat encoding)
     val ranges = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
       ranges(c) = (math.max(l0, lo), math.min(h0, hi))
     }
+    def numValue(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case other => other match {
+        case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _                      => None
+      }
+    }
     var nullPreds = List.empty[(String, Boolean)] // (col, isNull)
     pushed.foreach {
-      case sources.EqualTo(c, v: Number) => tighten(c, v.longValue, v.longValue)
-      case sources.GreaterThan(c, v: Number) =>
-        val l = v.longValue
-        tighten(c, if (l == Long.MaxValue) l else l + 1, Long.MaxValue)
-      case sources.GreaterThanOrEqual(c, v: Number) => tighten(c, v.longValue, Long.MaxValue)
-      case sources.LessThan(c, v: Number) =>
-        val l = v.longValue
-        tighten(c, Long.MinValue, if (l == Long.MinValue) l else l - 1)
-      case sources.LessThanOrEqual(c, v: Number) => tighten(c, Long.MinValue, v.longValue)
+      case sources.EqualTo(c, v) => numValue(v).foreach(l => tighten(c, l, l))
+      case sources.GreaterThan(c, v) => numValue(v).foreach(l =>
+        tighten(c, if (l == Long.MaxValue) l else l + 1, Long.MaxValue))
+      case sources.GreaterThanOrEqual(c, v) => numValue(v).foreach(tighten(c, _, Long.MaxValue))
+      case sources.LessThan(c, v) => numValue(v).foreach(l =>
+        tighten(c, Long.MinValue, if (l == Long.MinValue) l else l - 1))
+      case sources.LessThanOrEqual(c, v) => numValue(v).foreach(tighten(c, Long.MinValue, _))
       case sources.In(c, vs) =>
-        val ls = vs.collect { case n: Number => n.longValue }
+        val ls = vs.flatMap(numValue(_).toSeq)
         if (ls.nonEmpty) tighten(c, ls.min, ls.max)
       case sources.IsNull(c) => nullPreds ::= (c, true)
       case sources.IsNotNull(c) => nullPreds ::= (c, false)
@@ -188,16 +213,28 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     }
     val fileSet = files.toSet
     var keep: Set[String] = fileSet
-    // per-column long stats (unstatted files keep — absence = must-scan)
+    def isDate(c: String): Boolean =
+      tableSchema.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.DateType)
+    // per-column stats: integral columns via the `s` long index, date
+    // columns via the `t date` epoch-day index (unstatted files keep —
+    // absence = must-scan)
     val stats = version.fold(SnapshotStore.currentFileStats(spark, dir))(v =>
       SnapshotStore.filesForVersionStats(spark, dir, v)).filter(st => fileSet.contains(st.file))
+    val typedStats = version.fold(SnapshotStore.currentTypedFileStats(spark, dir))(v =>
+      SnapshotStore.filesForVersionTypedStats(spark, dir, v))
+      .filter(st => fileSet.contains(st.file))
     ranges.foreach { case (c, (lo, hi)) =>
-      val cs = stats.filter(_.col == c)
+      val cs: Seq[(String, Long, Long)] =
+        if (isDate(c))
+          typedStats.filter(st => st.col == c && st.kind == "date")
+            .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
+        else stats.filter(_.col == c).map(st => (st.file, st.min, st.max))
       if (cs.nonEmpty) {
-        val statted = cs.map(_.file).toSet
+        val statted = cs.map(_._1).toSet
         keep = keep.intersect(
           (files.filterNot(statted) ++
-            cs.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSet)
+            cs.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)).toSet)
       }
     }
     // partition-value tuples through the transforms (identity/div by
@@ -219,6 +256,18 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
               v => v >= Math.floorDiv(lo, w) && v <= Math.floorDiv(hi, w)))
           case None if ps.transform == "identity" =>
             keep = keep.intersect(dimKeep(d, v => v >= lo && v <= hi))
+          case None if (ps.transform == "year" || ps.transform == "month") && isDate(ps.col) =>
+            // the date range (epoch days) maps through the monotone
+            // calendar transform; beyond ±1e6 days (≈ ±2700 CE span)
+            // a bound degrades to unconstrained — sound, never narrow
+            def tx(day: Long): Long = {
+              val dte = java.time.LocalDate.ofEpochDay(day)
+              if (ps.transform == "year") dte.getYear.toLong
+              else dte.getYear.toLong * 100 + dte.getMonthValue
+            }
+            val tLo = if (lo < -1000000L) Long.MinValue else tx(lo)
+            val tHi = if (hi > 1000000L) Long.MaxValue else tx(hi)
+            keep = keep.intersect(dimKeep(d, v => v >= tLo && v <= tHi))
           case None => SnapshotStore.bucketN(ps.transform).foreach { n =>
             // only a point/set probe maps through a hash
             val pts = pushed.collect {

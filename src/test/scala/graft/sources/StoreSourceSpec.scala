@@ -92,6 +92,24 @@ class StoreSourceSpec extends SparkSuite {
       "a point lookup maps through bucketValue and opens one bucket")
   }
 
+  test("DATE filters push down: typed date stats and the year spec dimension both prune (destroyed-file)") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val spec = SnapshotStore.PartitionSpec("year", "d")
+    val df = Seq((1L, "1995-03-01", "a"), (2L, "1995-09-01", "b"),
+        (3L, "1997-02-01", "c"), (4L, "1997-08-01", "d"))
+      .toDF("k", "ds", "v").selectExpr("k", "CAST(ds AS DATE) AS d", "v")
+    VersionedLoad.bootstrap(spark, t,
+      SnapshotStore.clusterBySpecs(df, Seq(spec), 2),
+      asOfMicros = 1000L, statsCols = Seq("d"), partitionSpec = Some(spec))
+    manifest(t, 0L).filter(_.startsWith("v ")).map(_.split(" ", 3))
+      .filter(_(1).toLong == 1997L).foreach(a => destroy(t, a(2)))
+    assert(spark.read.format(Fmt).load(t)
+      .filter(col("d").between("1995-01-01", "1995-12-31"))
+      .select("v").as[String].collect().sorted.toSeq == Seq("a", "b"),
+      "a date-range filter prunes through the t-date stats and the year dimension")
+  }
+
   test("additive evolution: files predating a column project null through the DSv2 reader") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
