@@ -330,7 +330,15 @@ private[sources] class StoreScan(dir: String, files: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     if (grouped && tuples.isDefined)
       tuples.get.map { case (key, fs) =>
-        StoreKeyedPartition(fs.map(f => new Path(dir, f).toString), key.toArray)
+        // per-dimension key value types match the reported transform's
+        // result type: identity → long (the column), bucket → int (the
+        // V2 bucket function's resultType) — a mismatched partition-key
+        // row type would break the planner's value comparisons
+        val typed: Seq[Any] = key.zip(specs).map { case (v, ps) =>
+          if (SnapshotStore.bucketN(ps.transform).isDefined) Int.box(v.toInt)
+          else Long.box(v)
+        }
+        StoreKeyedPartition(fs.map(f => new Path(dir, f).toString), typed)
           : InputPartition
       }.toArray
     else files.map(f =>
@@ -366,9 +374,9 @@ private[sources] case class StoreFilePartition(paths: Seq[String])
     extends InputPartition
 
 private[sources] case class StoreKeyedPartition(paths: Seq[String],
-    key: Array[Long]) extends InputPartition with HasPartitionKey {
+    key: Seq[Any]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(key.map(_.asInstanceOf[Any]))
+    new GenericInternalRow(key.toArray)
 }
 
 /** Executor-side: Spark's own vectorized parquet reader driven per
