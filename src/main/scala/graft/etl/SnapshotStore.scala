@@ -1004,6 +1004,25 @@ object SnapshotStore {
     manifestFor(fs, tgt, version).map(_.rowCounts).getOrElse(Map.empty)
   }
 
+  /** One resolved version's FULL metadata view, from a SINGLE manifest
+    * resolution (r17 — for the DSv2 planner, whose scan build needs
+    * files + every index at once: seven separate accessor calls would
+    * re-list and re-parse per call, and a commit landing between two
+    * of them could pair one version's file list with another's specs). */
+  private[graft] final case class TableMeta(files: Seq[String],
+      stats: Seq[FileStat], typedStats: Seq[TypedFileStat],
+      specs: Seq[PartitionSpec], partVals: Seq[FilePartition],
+      rowCounts: Map[String, Long], nullStats: Seq[FileNullStat],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private[graft] def tableMeta(spark: SparkSession, dir: String,
+      version: Option[Long]): Option[TableMeta] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    manifestFor(fs, tgt, version).map(m => TableMeta(
+      manifestDataFiles(fs, tgt, m), m.stats, m.typedStats, m.specs,
+      m.partVals, m.rowCounts, m.nullStats, m.schema))
+  }
+
   /** NULL-predicate pruned read (r17 — what min/max stats can never
     * answer, recorded per file as `n`/`r` lines the way Delta keeps
     * nullCount): the committed state restricted to `column IS NULL`

@@ -72,9 +72,34 @@ object EtlOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** dir → the fully-built (two-dimension-partitioned bootstrap) table
-    * of etl_partition_spec_multi. */
+    * shared by etl_partition_spec_multi and etl_store_dsv2_scan. */
   private val multiSpecTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The (year(od), div200000(o_orderkey)) two-dimension orders table —
+    * ONE builder (either sharing op may arrive first; a drifting copy
+    * would silently redefine the other op's table). */
+  private def multiSpecTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+    val specs = Seq(
+      graft.etl.SnapshotStore.PartitionSpec("year", "od"),
+      graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
+    multiSpecTables.computeIfAbsent(dir, _ => {
+      val t = freshStoreTable(dir, "multispec_tbl_")
+      // range-cluster by BOTH transform values (clusterBySpecs — the
+      // ONE transform definition shapes the layout too): most files
+      // land single-valued in both dimensions; a straggler spanning
+      // two key blocks records `?` on that dimension and still prunes
+      // by year — graceful degrade, not a correctness edge
+      graft.etl.VersionedLoad.bootstrap(spark, t,
+        graft.etl.SnapshotStore.clusterBySpecs(o, specs, 12),
+        asOfMicros = 900000000000000L,
+        statsCol = Some("o_orderkey"), partitionSpecs = specs)
+      t
+    })
+  }
 
   /** dir → the two co-bucketed store tables of etl_bucket_join,
     * encoded "custTable|ordTable". */
@@ -1196,24 +1221,7 @@ object EtlOps {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM o WHERE year(od) = 1997 GROUP BY 2""".stripMargin
     ) { (spark, dir) =>
-      val o = Tables(spark, dir).orders
-        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
-      val specs = Seq(
-        graft.etl.SnapshotStore.PartitionSpec("year", "od"),
-        graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
-      val table = EtlOps.multiSpecTables.computeIfAbsent(dir, _ => {
-        val t = EtlOps.freshStoreTable(dir, "multispec_tbl_")
-        // range-cluster by BOTH transform values (clusterBySpecs — the
-        // ONE transform definition shapes the layout too): most files
-        // land single-valued in both dimensions; a straggler spanning
-        // two key blocks records `?` on that dimension and still
-        // prunes by year — graceful degrade, not a correctness edge
-        graft.etl.VersionedLoad.bootstrap(spark, t,
-          graft.etl.SnapshotStore.clusterBySpecs(o, specs, 12),
-          asOfMicros = 900000000000000L,
-          statsCol = Some("o_orderkey"), partitionSpecs = specs)
-        t
-      })
+      val table = EtlOps.multiSpecTable(spark, dir)
       def yearAgg(df: org.apache.spark.sql.DataFrame, leg: String) =
         df.groupBy(year(col("od")).cast("long").as("yr"))
           .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
@@ -1309,21 +1317,9 @@ object EtlOps {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM o WHERE o_orderkey <= 100000 GROUP BY 2""".stripMargin
     ) { (spark, dir) =>
-      // the shared two-dimension store table (etl_partition_spec_multi
-      // builds it; either op may arrive first — the memo covers both)
-      val o = Tables(spark, dir).orders
-        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
-      val specs = Seq(
-        graft.etl.SnapshotStore.PartitionSpec("year", "od"),
-        graft.etl.SnapshotStore.PartitionSpec("div200000", "o_orderkey"))
-      val table = EtlOps.multiSpecTables.computeIfAbsent(dir, _ => {
-        val t = EtlOps.freshStoreTable(dir, "multispec_tbl_")
-        graft.etl.VersionedLoad.bootstrap(spark, t,
-          graft.etl.SnapshotStore.clusterBySpecs(o, specs, 12),
-          asOfMicros = 900000000000000L,
-          statsCol = Some("o_orderkey"), partitionSpecs = specs)
-        t
-      })
+      // the shared two-dimension store table (one builder, either op
+      // may arrive first)
+      val table = EtlOps.multiSpecTable(spark, dir)
       def leg(df: org.apache.spark.sql.DataFrame, name: String) =
         df.filter(col("o_orderkey") <= 100000L)
           .groupBy(year(col("od")).cast("long").as("yr"))
@@ -1344,10 +1340,11 @@ object EtlOps {
     // (broadcast off, AQE off, contrast plan shuffling); HERE the key
     // pins the RESULT: whatever join strategy the session picks, the
     // partition-grouped DSv2 scans must produce the hash-identical
-    // relational answer. The conf is enabled for the session (it only
-    // widens the planner's options); broadcast stays free to win on
-    // small inputs — at 100 TB the SPJ path is the one that matters,
-    // and it is plan-proved in the spec.
+    // relational answer under the session's DEFAULT planning — an
+    // oracle op must never mutate shared session conf (order-dependent
+    // plans across unrelated ops); the SPJ engagement itself is
+    // plan-proved in StoreSourceSpec/StoreCatalogSpec under
+    // test-controlled confs.
     OpQuery.checked(
       "etl_store_spj_join",
       """WITH a AS (SELECT o_custkey % 50 AS g,
@@ -1379,7 +1376,6 @@ object EtlOps {
         s"$at|$bt"
       })
       val Array(at, bt) = both.split('|')
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       def side(tbl: String) = spark.read.format("graft.sources.StoreSource")
         .option("partitionGrouped", "true").load(tbl)
       side(at).join(side(bt), Seq("g")).select("g", "n_orders", "spend", "n_custs")

@@ -90,14 +90,20 @@ private[sources] class StoreTable(dir: String, version: Option[Long],
 
   override def partitioning(): Array[Transform] = {
     val spark = SparkSession.active
-    SnapshotStore.partitionSpecsOf(spark, dir, version).flatMap { ps =>
+    val specs = SnapshotStore.partitionSpecsOf(spark, dir, version)
+    val mapped = specs.map { ps =>
       ps.transform match {
         case "identity" => Some(Expressions.identity(ps.col))
         case t => SnapshotStore.bucketN(t).map(n => Expressions.bucket(n, ps.col))
-        // year/month/div: real transforms, but reporting them here
-        // without a function catalog would be unresolvable noise
+        // year/month/div: real transforms, but unexpressible here
+        // without a function catalog
       }
-    }.toArray
+    }
+    // ALL-OR-NOTHING like StoreScan.outputPartitioning: dropping only
+    // the unexpressible dimensions would CLAIM a coarser layout the
+    // files do not have — a mixed-spec table reports no partitioning
+    // rather than a wrong one (review r17)
+    if (mapped.forall(_.isDefined)) mapped.flatten.toArray else Array.empty
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -154,9 +160,15 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     // a filter is "pushed" when some manifest index can act on it; it
     // is ALWAYS also returned as residual (the parquet-source pattern:
     // best-effort pushdown, exact re-application on top)
+    // integral columns admit only WHOLE-number literals: a fractional
+    // bound truncated via longValue would shift GreaterThan/LessThan's
+    // ±1 adjustment across a real value and prune files holding
+    // matching rows (review r17) — rejecting it keeps the filter
+    // residual-only, which is always sound
     def cmpValue(c: String, v: Any): Boolean = v match {
-      case n: Number => integral(c) && n != null
-      case other     => dateCol(c) && epochDay(other).isDefined
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => integral(c)
+      case other => dateCol(c) && epochDay(other).isDefined
     }
     pushed = filters.filter {
       case sources.EqualTo(c, v) => cmpValue(c, v)
@@ -175,10 +187,14 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = version.fold(SnapshotStore.currentFiles(spark, dir))(v =>
-      SnapshotStore.filesForVersion(spark, dir, v).getOrElse(
-        throw new IllegalStateException(
-          s"graft-store: version $v of $dir is not committed/retained")))
+    // ONE manifest resolution serves the whole build: separate accessor
+    // calls would re-parse per call AND could pair one version's file
+    // list with a concurrently-committed version's specs (review r17)
+    val meta = SnapshotStore.tableMeta(spark, dir, version).getOrElse(
+      throw new IllegalStateException(version.fold(
+        s"graft-store: $dir has no committed version")(v =>
+        s"graft-store: version $v of $dir is not committed/retained")))
+    val files = meta.files
     // per-column conjunctive ranges from the pushed comparisons — one
     // numeric domain per column: raw longs for integral columns, EPOCH
     // DAYS for date columns (matching the `t date` stat encoding)
@@ -219,11 +235,8 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     // per-column stats: integral columns via the `s` long index, date
     // columns via the `t date` epoch-day index (unstatted files keep —
     // absence = must-scan)
-    val stats = version.fold(SnapshotStore.currentFileStats(spark, dir))(v =>
-      SnapshotStore.filesForVersionStats(spark, dir, v)).filter(st => fileSet.contains(st.file))
-    val typedStats = version.fold(SnapshotStore.currentTypedFileStats(spark, dir))(v =>
-      SnapshotStore.filesForVersionTypedStats(spark, dir, v))
-      .filter(st => fileSet.contains(st.file))
+    val stats = meta.stats.filter(st => fileSet.contains(st.file))
+    val typedStats = meta.typedStats.filter(st => fileSet.contains(st.file))
     ranges.foreach { case (c, (lo, hi)) =>
       val cs: Seq[(String, Long, Long)] =
         if (isDate(c))
@@ -239,9 +252,8 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     }
     // partition-value tuples through the transforms (identity/div by
     // range; bucket by the EqualTo/In value set — a hash has no range)
-    val specs = SnapshotStore.partitionSpecsOf(spark, dir, version)
-    val partVals = SnapshotStore.filePartitionsOf(spark, dir, version)
-      .filter(pv => fileSet.contains(pv.file))
+    val specs = meta.specs
+    val partVals = meta.partVals.filter(pv => fileSet.contains(pv.file))
     def dimKeep(d: Int, pred: Long => Boolean): Set[String] = {
       val judged = partVals.filter(_.values.lift(d).exists(_.isDefined))
       val valued = judged.map(_.file).toSet
@@ -284,8 +296,8 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
       }
     }
     // null counts (IS NULL: nulls=0 prunes; IS NOT NULL: nulls=rows)
-    val nullStats = SnapshotStore.fileNullStats(spark, dir, version)
-    val rowCounts = SnapshotStore.fileRowCounts(spark, dir, version)
+    val nullStats = meta.nullStats
+    val rowCounts = meta.rowCounts
     nullPreds.foreach { case (c, isNull) =>
       val byFile = nullStats.filter(_.col == c).map(st => st.file -> st.nulls).toMap
       keep = keep.intersect(files.filter { f =>
@@ -354,7 +366,7 @@ private[sources] class StoreScan(dir: String, files: Seq[String],
         tableSchema.fields.find(_.name == ps.col)
           .exists(_.dataType == org.apache.spark.sql.types.LongType)) ||
       SnapshotStore.bucketN(ps.transform).isDefined
-    if (grouped && tuples.isDefined && specs.forall(reportable))
+    if (grouped && tuples.exists(_.nonEmpty) && specs.forall(reportable))
       new KeyGroupedPartitioning(
         specs.map(ps => ps.transform match {
           case "identity" => Expressions.identity(ps.col)
