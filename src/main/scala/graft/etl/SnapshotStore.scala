@@ -1590,7 +1590,15 @@ object SnapshotStore {
             if (vals.forall(_.isEmpty)) None
             else Some(s"v ${vals.map(_.fold("?")(_.toString)).mkString(" ")} ${r.getString(0)}")
           }
-          (statLs, partLs)
+          // a zero-ROW own file produces no group row above (the agg
+          // emits no frame row for it) but its row count is still a
+          // KNOWN fact — record `r 0` (Delta's numRecords=0 shape) so
+          // the count index stays COMPLETE: the DSv2 metadata-only
+          // aggregates require a row count for every file, and a full
+          // delete's empty rewrite must not silently break them
+          val statted = rows.map(_.getString(0)).toSet
+          val zeroRowLs = ownFiles.filterNot(statted).map(f => s"r 0 $f")
+          (statLs ++ zeroRowLs, partLs)
         }
       }
     }

@@ -101,6 +101,29 @@ object EtlOps {
     })
   }
 
+  /** dir → the fully-statted orders table of etl_store_agg_pushdown
+    * (row/null counts + long and date min/max on every file). */
+  private val aggPushTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The orders table statted for metadata-only aggregates: every file
+    * carries `r` (rows), `n` (nulls: maybe_key), `s` (o_orderkey) and
+    * `t date` (od) lines, so COUNT/MIN/MAX answer from the manifest. */
+  private def aggPushTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    aggPushTables.computeIfAbsent(dir, _ => {
+      val t = freshStoreTable(dir, "aggpush_tbl_")
+      val o = Tables(spark, dir).orders.select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey")).as("maybe_key"))
+      graft.etl.VersionedLoad.bootstrap(spark, t,
+        o.repartitionByRange(6, col("o_orderkey")),
+        asOfMicros = 900000000000000L,
+        statsCol = Some("o_orderkey"), statsCols = Seq("od", "maybe_key"))
+      t
+    })
+
   /** dir → the two co-bucketed store tables of etl_bucket_join,
     * encoded "custTable|ordTable". */
   private val bucketJoinTables =
@@ -1379,6 +1402,43 @@ object EtlOps {
       def side(tbl: String) = spark.read.format("graft.sources.StoreSource")
         .option("partitionGrouped", "true").load(tbl)
       side(at).join(side(bt), Seq("g")).select("g", "n_orders", "spend", "n_custs")
+    },
+
+    // ── etl_store_agg_pushdown: METADATA-ONLY aggregates through the
+    // DSv2 source (r17 — StoreScanBuilder SupportsPushDownAggregates):
+    // COUNT(*) / COUNT(col) / MIN / MAX over a store table answer
+    // ENTIRELY from the manifest's r/n/s/t-date lines as a driver-side
+    // LocalScan — zero tasks, zero data files opened (the Delta/
+    // Iceberg metadata-aggregate move; at 100 TB a COUNT(*) becomes
+    // one manifest read). StoreAggPushdownSpec proves the zero-IO
+    // claim with EVERY data file destroyed and pins the fallback
+    // gates (filters/SUM/DISTINCT/unstatted stay on the data path);
+    // HERE the answers themselves are oracle-replayed: row count,
+    // null-skipping count, long min/max, and date min/max must
+    // hash-match DuckDB over the same orders-derived frame — a stats
+    // line recording bounds the true values escape is a hash diff.
+    OpQuery.checked(
+      "etl_store_agg_pushdown",
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(o_orderdate AS DATE) AS od,
+        |                  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END AS maybe_key
+        |           FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(maybe_key) AS BIGINT) AS n_maybe,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |       min(od) AS min_od,
+        |       max(od) AS max_od
+        |FROM o""".stripMargin
+    ) { (spark, dir) =>
+      val table = EtlOps.aggPushTable(spark, dir)
+      spark.read.format("graft.sources.StoreSource").load(table).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("maybe_key")).as("n_maybe"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("od")).as("min_od"),
+        max(col("od")).as("max_od"))
     },
 
     // ── etl_store_history: the DESCRIBE HISTORY audit surface as data

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources
@@ -120,10 +121,20 @@ private[sources] class StoreTable(dir: String, version: Option[Long],
   * never correctness, the store's standing contract. */
 private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     grouped: Boolean, tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Array[InternalRow])] = None
+
+  /** ONE manifest resolution serves the whole builder — aggregate
+    * probing, file pruning, and the final build all read the SAME
+    * resolved version (separate accessor calls could pair one
+    * version's file list with a concurrently-committed version's
+    * specs; review r17). */
+  private lazy val metaOpt: Option[SnapshotStore.TableMeta] =
+    SnapshotStore.tableMeta(SparkSession.active, dir, version)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the table's field order — the reader builds rows in
@@ -185,15 +196,158 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
+  /** Metadata-only aggregates (r17): COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) — optionally grouped by identity-partition
+    * LONG columns — answered ENTIRELY from the manifest's `r` (row
+    * count), `n` (null count), `s` (long min/max) and `t date`
+    * (epoch-day min/max) lines, the Delta/Iceberg metadata-aggregate
+    * move: a COUNT(*) over 100 TB becomes one manifest read and ZERO
+    * tasks. Soundness gates, each degrading to the normal scan (never
+    * a wrong answer):
+    *
+    *  - Spark offers aggregate pushdown only when NO post-scan filter
+    *    remains; this source keeps every filter residual, so only
+    *    filterless queries arrive (`pushed.isEmpty` re-checked as
+    *    defense).
+    *  - COUNT(*) needs a recorded row count for EVERY file; COUNT(col)
+    *    additionally the col's null count (rows − nulls is exact —
+    *    count(col) is null-skipping exactly like the stats scan that
+    *    wrote the lines). DISTINCT never pushes.
+    *  - MIN/MAX need the col statted on every file holding rows:
+    *    integral via the `s` index, DATE via the exact `t date` index.
+    *    String stats are PREFIX-TRUNCATED bounds, not values — never
+    *    pushed. min/max-of-per-file-min/max is exact because the file
+    *    stats are null-skipping like SQL MIN/MAX.
+    *  - GROUP BY cols must each be an `identity` spec dimension over a
+    *    LONG column where every file carries a concrete tuple value
+    *    AND a recorded null count of 0 — the recorded value is
+    *    min==max over NON-NULL rows, so without the null gate a file
+    *    could smuggle null-group rows into its tuple's counts. Groups
+    *    come from files; a group whose files hold 0 rows is not
+    *    emitted (relationally it does not exist). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFromStats(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete-or-nothing: answerFromStats is the SAME test
+    // supportCompletePushDown ran, so a partial-rewrite retry (which
+    // would need merge semantics we don't implement) can never be
+    // accepted here
+    aggAnswer = answerFromStats(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answerFromStats(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty) return None
+    val meta = metaOpt.getOrElse(return None)
+    val files = meta.files
+    val rowsOf = meta.rowCounts
+    // every aggregate below needs to classify files as row-bearing or
+    // empty; an unrecorded count is unknowable — bail
+    if (!files.forall(rowsOf.contains)) return None
+    val live = files.filter(f => rowsOf(f) > 0L)
+    def fieldOf(c: String) = tableSchema.fields.find(_.name == c)
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+        case _ => None
+      }
+    // ── group dimensions
+    val specIdx: Map[String, Int] = meta.specs.zipWithIndex.collect {
+      case (ps, d) if ps.transform == "identity" => ps.col -> d
+    }.toMap
+    val byFile = meta.partVals.map(pv => pv.file -> pv.values).toMap
+    val groupCols: Seq[String] =
+      agg.groupByExpressions.toSeq.map(e => nameOf(e).getOrElse(return None))
+    val groupDims: Seq[Int] = groupCols.map { c =>
+      if (!fieldOf(c).exists(_.dataType == LongType)) return None
+      val d = specIdx.getOrElse(c, return None)
+      val nulls = meta.nullStats.filter(_.col == c).map(st => st.file -> st.nulls).toMap
+      val ok = live.forall(f =>
+        byFile.get(f).exists(_.lift(d).exists(_.isDefined)) && nulls.get(f).contains(0L))
+      if (!ok) return None
+      d
+    }
+    val groups: Seq[(Seq[Long], Seq[String])] =
+      if (groupDims.isEmpty) Seq((Nil, live))
+      else live.groupBy(f => groupDims.map(d => byFile(f)(d).get))
+        .toSeq.sortBy(_._1.mkString(","))
+    // ── one evaluator per aggregate: group's files → exact value
+    type Eval = Seq[String] => Option[Any]
+    def minMax(colRef: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean): Option[(StructField, Eval)] =
+      nameOf(colRef).flatMap(c => fieldOf(c)).flatMap { f =>
+        def pick(vals: Seq[Long]): Long = if (wantMin) vals.min else vals.max
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val st = meta.stats.filter(_.col == f.name)
+              .map(s => s.file -> (if (wantMin) s.min else s.max)).toMap
+            Some((StructField(s"${if (wantMin) "min" else "max"}(${f.name})", f.dataType),
+              (fs: Seq[String]) =>
+                if (!fs.forall(st.contains)) None
+                else Some(if (fs.isEmpty) null else {
+                  val v = pick(fs.map(st))
+                  f.dataType match {
+                    case ByteType    => Byte.box(v.toByte)
+                    case ShortType   => Short.box(v.toShort)
+                    case IntegerType => Int.box(v.toInt)
+                    case _           => Long.box(v)
+                  }
+                })))
+          case DateType =>
+            val st = meta.typedStats.filter(s => s.col == f.name && s.kind == "date")
+              .flatMap(s => scala.util.Try(
+                s.file -> (if (wantMin) s.lo.toLong else s.hi.toLong)).toOption).toMap
+            Some((StructField(s"${if (wantMin) "min" else "max"}(${f.name})", DateType),
+              (fs: Seq[String]) =>
+                if (!fs.forall(st.contains)) None
+                else Some(if (fs.isEmpty) null else Int.box(pick(fs.map(st)).toInt))))
+          case _ => None // doubles unstatted; string stats are truncated prefixes
+        }
+      }
+    val evals: Seq[(StructField, Eval)] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          (fs: Seq[String]) => Some(Long.box(fs.map(rowsOf).sum)): Option[Any])
+      case c: Count if !c.isDistinct => c.column match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] if l.value != null =>
+          // count(1) — the CountStar shape the DataFrame API emits
+          (StructField("count(1)", LongType, nullable = false),
+            (fs: Seq[String]) => Some(Long.box(fs.map(rowsOf).sum)): Option[Any])
+        case ref =>
+          val name = nameOf(ref).getOrElse(return None)
+          val nulls = meta.nullStats.filter(_.col == name)
+            .map(st => st.file -> st.nulls).toMap
+          (StructField(s"count($name)", LongType, nullable = false),
+            (fs: Seq[String]) =>
+              if (!fs.forall(nulls.contains)) None
+              else Some(Long.box(fs.map(f => rowsOf(f) - nulls(f)).sum)))
+      }
+      case m: Min => minMax(m.column, wantMin = true).getOrElse(return None)
+      case m: Max => minMax(m.column, wantMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    // evaluate every group up front — ANY gap anywhere degrades the
+    // WHOLE query to the normal scan (a per-group fallback would need
+    // merge semantics complete pushdown forbids)
+    val rows: Array[InternalRow] = groups.map { case (key, fs) =>
+      val vals = evals.map { case (_, ev) => ev(fs).getOrElse(return None) }
+      new GenericInternalRow((key.map(Long.box(_): Any) ++ vals).toArray): InternalRow
+    }.toArray
+    val schema = StructType(
+      groupCols.map(c => StructField(c, LongType)) ++ evals.map(_._1))
+    Some((schema, rows))
+  }
+
   override def build(): Scan = {
-    val spark = SparkSession.active
-    // ONE manifest resolution serves the whole build: separate accessor
-    // calls would re-parse per call AND could pair one version's file
-    // list with a concurrently-committed version's specs (review r17)
-    val meta = SnapshotStore.tableMeta(spark, dir, version).getOrElse(
+    val meta = metaOpt.getOrElse(
       throw new IllegalStateException(version.fold(
         s"graft-store: $dir has no committed version")(v =>
         s"graft-store: version $v of $dir is not committed/retained")))
+    aggAnswer.foreach { case (schema, rows) =>
+      return new StoreAggScan(dir, schema, rows)
+    }
     val files = meta.files
     // per-column conjunctive ranges from the pushed comparisons — one
     // numeric domain per column: raw longs for integral columns, EPOCH
@@ -310,6 +464,19 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     val keptFiles = files.filter(keep).sorted
     new StoreScan(dir, keptFiles, required, tableSchema, specs, partVals, grouped)
   }
+}
+
+/** A pushed-aggregate result: the answer was computed on the DRIVER
+  * from manifest lines alone, so the scan is a [[LocalScan]] — Spark
+  * plans it as a LocalTableScanExec with ZERO tasks and ZERO data
+  * files opened (StoreAggPushdownSpec proves it with every data file
+  * destroyed). */
+private[sources] class StoreAggScan(dir: String, schema: StructType,
+    resultRows: Array[InternalRow]) extends Scan with LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resultRows
+  override def description(): String =
+    s"graft-store $dir metadata-only aggregate (${resultRows.length} rows from manifest stats)"
 }
 
 /** One task per file (default) or per concrete partition tuple
