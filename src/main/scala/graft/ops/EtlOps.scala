@@ -124,6 +124,33 @@ object EtlOps {
       t
     })
 
+  /** dir → the bootstrap+DSv2-appended orders table of
+    * etl_store_dsv2_write. */
+  private val dsv2WriteTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Built THROUGH the DSv2 write path: v0 bootstraps the low half of
+    * orders, v1 lands the high half via
+    * `df.write.format(...).mode("append")` — the append must REUSE
+    * v0's files and stat its own. */
+  private def dsv2WriteTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dsv2WriteTables.computeIfAbsent(dir, _ => {
+      val t = freshStoreTable(dir, "dsv2write_tbl_")
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_totalprice"))
+      graft.etl.VersionedLoad.bootstrap(spark, t,
+        o.filter(col("o_orderkey") <= 300000L).repartitionByRange(4, col("o_orderkey")),
+        asOfMicros = 900000000000000L, statsCol = Some("o_orderkey"))
+      o.filter(col("o_orderkey") > 300000L).repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft.sources.StoreSource")
+        .option("statsCol", "o_orderkey")
+        .option("asOfMicros", "900000001000000")
+        .mode("append").save(t)
+      t
+    })
+
   /** dir → the two co-bucketed store tables of etl_bucket_join,
     * encoded "custTable|ordTable". */
   private val bucketJoinTables =
@@ -1439,6 +1466,42 @@ object EtlOps {
         max(col("o_orderkey")).as("max_key"),
         min(col("od")).as("min_od"),
         max(col("od")).as("max_od"))
+    },
+
+    // ── etl_store_dsv2_write: the DSv2 WRITE path end to end (r17 —
+    // StoreTable SupportsWrite via the V1Write bridge +
+    // CreatableRelationProvider for format().save): the table's high
+    // half lands through `df.write.format(...).mode("append")`, which
+    // must commit EXACTLY like an incremental promote — v0's files
+    // reused untouched, the append's own files statted, one new
+    // version. Both legs read back through the DSv2 source: the head
+    // must show the union, the v0 pin only the bootstrap half — a
+    // write that rewrote instead of reusing, dropped rows, or bumped
+    // the wrong version is a hash diff. StoreWriteSpec pins the
+    // file-reuse manifests, INSERT INTO/OVERWRITE DDL, CTAS, and the
+    // pin-refusal; HERE the committed DATA is oracle-replayed.
+    OpQuery.checked(
+      "etl_store_dsv2_write",
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |           FROM orders)
+        |SELECT 'head' AS leg, CAST(year(od) AS BIGINT) AS yr,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM o GROUP BY 2
+        |UNION ALL
+        |SELECT 'v0_boot', CAST(year(od) AS BIGINT),
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM o WHERE o_orderkey <= 300000 GROUP BY 2""".stripMargin
+    ) { (spark, dir) =>
+      val table = EtlOps.dsv2WriteTable(spark, dir)
+      def leg(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(year(col("od")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"), Norm.dsum(col("o_totalprice")).as("spend"))
+          .select(lit(name).as("leg"), col("yr"), col("n_orders"), col("spend"))
+      leg(spark.read.format("graft.sources.StoreSource").load(table), "head")
+        .unionByName(leg(spark.read.format("graft.sources.StoreSource")
+          .option("version", "0").load(table), "v0_boot"))
     },
 
     // ── etl_store_history: the DESCRIBE HISTORY audit surface as data

@@ -49,19 +49,52 @@ class StoreCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: enumeration is not meaningful
 
+  /** CREATE TABLE (r17 — the DDL route into the store): commits an
+    * EMPTY version 0 carrying the schema (`c` line) and the declared
+    * partition spec, so `df.writeTo(...).create()`, plain
+    * `CREATE TABLE graftstore.\`/path\` (...) PARTITIONED BY (...)`,
+    * and the INSERTs that follow all work through standard Spark
+    * APIs. Transforms map onto the store's spec family —
+    * identity / bucket(N) / years / months; anything else is
+    * refused loudly (days/hours have no store transform). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft-store catalog is read-only — write through SnapshotStore/VersionedLoad")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val dir = ident.name()
+    val spark = SparkSession.active
+    if (SnapshotStore.currentVersion(spark, dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name(), dir))
+    val specs = partitions.toSeq.map(StoreCatalog.specOf)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    SnapshotStore.promote(spark, dir, empty, partitionSpecs = specs): Unit
+    new StoreTable(dir, None, grouped = true, schema)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-store catalog is read-only")
+    throw new UnsupportedOperationException(
+      "graft-store: ALTER TABLE is not supported — schema evolves additively at write")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft-store catalog is read-only")
+  /** DROP TABLE — honest and guarded: removes the directory only when
+    * it actually IS a store table (holds a manifest); anything else
+    * returns false untouched, so a mistyped path can never vanish. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = ident.name()
+    val spark = SparkSession.active
+    if (SnapshotStore.currentVersion(spark, dir).isEmpty) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+      true
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft-store catalog is read-only")
+    throw new UnsupportedOperationException(
+      "graft-store: tables are path-addressed — rename by moving the directory")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))
@@ -72,6 +105,26 @@ class StoreCatalog extends TableCatalog with FunctionCatalog {
 }
 
 object StoreCatalog {
+
+  /** A declared V2 transform as a store [[SnapshotStore.PartitionSpec]]. */
+  private[sources] def specOf(t: Transform): SnapshotStore.PartitionSpec = {
+    val col = t.references()(0).fieldNames().mkString(".")
+    t.name().toLowerCase match {
+      case "identity" => SnapshotStore.PartitionSpec("identity", col)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft-store: bucket transform needs a literal bucket count: $t"))
+        SnapshotStore.PartitionSpec(s"bucket$n", col)
+      case "years" | "year"   => SnapshotStore.PartitionSpec("year", col)
+      case "months" | "month" => SnapshotStore.PartitionSpec("month", col)
+      case other => throw new UnsupportedOperationException(
+        s"graft-store: unsupported partition transform $other — " +
+          "use identity, bucket(N), years or months")
+    }
+  }
 
   /** The V2 `bucket(numBuckets, key)` function — BOUND semantics are
     * exactly [[SnapshotStore.bucketValue]] (Murmur3 seed 42 of the

@@ -50,9 +50,45 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * without a function catalog) or `bucket<N>` and every file carries a
   * concrete tuple; anything else degrades to unknown partitioning,
   * never a wrong one. */
-class StoreSource extends TableProvider {
+class StoreSource extends TableProvider
+    with sources.CreatableRelationProvider {
 
   override def supportsExternalMetadata(): Boolean = false
+
+  /** `df.write.format(...).mode(...).save(dir)` — Spark routes a
+    * TableProvider without BATCH_WRITE through the V1 write command,
+    * which needs this interface (the JDBC pattern). Append reuses the
+    * head's files, Overwrite rewrites, ErrorIfExists/Ignore honor the
+    * table's existence; the commit itself is the same
+    * [[StoreWrites.commit]] the catalog DML route uses. NEW tables
+    * cannot start here (the read-side schema inference needs a
+    * manifest) — create through the catalog
+    * (`writeTo(...).create()` / CREATE TABLE) or bootstrap. */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): sources.BaseRelation = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store: .save(<table dir>) is required"))
+    parameters.get("version").foreach(v => throw new IllegalArgumentException(
+      s"graft-store: cannot write to version pin $v of $dir — versions are immutable"))
+    val spark = data.sparkSession
+    val exists = SnapshotStore.currentVersion(spark, dir).isDefined
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-store: $dir already exists (SaveMode.ErrorIfExists)")
+      case Ignore if exists => ()
+      case m => StoreWrites.commit(spark, dir, data,
+        overwrite = m == Overwrite, opt = parameters.get)
+    }
+    val out = sqlContext
+    new sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = out
+      override def schema: StructType = data.schema
+    }
+  }
 
   private def dirOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).filter(_.nonEmpty)
@@ -82,12 +118,31 @@ class StoreSource extends TableProvider {
 }
 
 private[sources] class StoreTable(dir: String, version: Option[Long],
-    grouped: Boolean, tableSchema: StructType) extends Table with SupportsRead {
+    grouped: Boolean, tableSchema: StructType) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-store:$dir" + version.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Writes ride Spark's V1Write bridge (the JDBC-v2 pattern): the
+    * planned input lands as a DataFrame on the DRIVER-side insert,
+    * which commits through [[SnapshotStore.promote]] — append reuses
+    * the head's files (incremental add), truncate/overwrite rewrites.
+    * The store's whole commit discipline comes for free: carried
+    * partition specs compute `v` tuples for the new files, carried
+    * stats survive on reused files, own-file stats via the
+    * `statsCol`/`statsCols` write options, GC via `keep`. Writing to
+    * a version PIN is refused — the past is immutable. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    version.foreach(v => throw new IllegalArgumentException(
+      s"graft-store: cannot write to version pin $v of $dir — versions are immutable"))
+    new StoreWriteBuilder(dir, info)
+  }
 
   override def partitioning(): Array[Transform] = {
     val spark = SparkSession.active
@@ -111,6 +166,58 @@ private[sources] class StoreTable(dir: String, version: Option[Long],
     new StoreScanBuilder(dir, version, grouped ||
       Option(options.get("partitionGrouped")).exists(_.equalsIgnoreCase("true")),
       tableSchema)
+}
+
+/** The write side of the connector. Append (the default) promotes the
+  * batch WITH the head's files reused — O(delta) like every
+  * incremental store commit; truncate (INSERT OVERWRITE /
+  * mode("overwrite")) promotes a full rewrite. Options: `statsCol` /
+  * `statsCols` (comma-separated) stat the new files, `asOfMicros`
+  * pins the commit's business instant, `keep` the GC retention.
+  * Concurrency: the exclusive manifest claim arbitrates as always;
+  * exactly-once / OCC writes stay on the SnapshotStore API where
+  * txn markers and expectCurrent live. */
+private[sources] class StoreWriteBuilder(dir: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        new sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              ignored: Boolean): Unit =
+            StoreWrites.commit(data.sparkSession, dir, data,
+              overwrite = overwrite,
+              opt = k => Option(info.options.get(k)))
+        }
+    }
+}
+
+/** The ONE commit both write routes (catalog DML via V1Write,
+  * `format(...).save` via CreatableRelationProvider) share — a
+  * drifting copy would give the two routes different semantics. */
+private[sources] object StoreWrites {
+  def commit(spark: SparkSession, dir: String,
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean,
+      opt: String => Option[String]): Unit = {
+    val statsCol = opt("statsCol").map(_.trim).filter(_.nonEmpty)
+    val statsCols = opt("statsCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val asOf = opt("asOfMicros").map(_.toLong)
+    val keep = opt("keep").map(_.toInt).getOrElse(16)
+    val reuse = if (overwrite) Nil else SnapshotStore.currentFiles(spark, dir)
+    SnapshotStore.promote(spark, dir, data, keep = keep,
+      asOfMicros = asOf, reuseFiles = reuse,
+      statsCol = statsCol, statsCols = statsCols): Unit
+  }
 }
 
 /** Driver-side planning: collects pushed filters, prunes the manifest's

@@ -52,7 +52,7 @@ class StoreCatalogSpec extends SparkSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
-  test("the catalog's bucket function agrees with the store's recorded values; the catalog is read-only") {
+  test("the catalog's bucket function agrees with the store's recorded values; destructive DDL is guarded") {
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](4, 7L))
     assert(StoreCatalog.BucketFn.produceResult(row) ==
@@ -60,9 +60,15 @@ class StoreCatalogSpec extends SparkSuite {
     val cat = new StoreCatalog
     cat.initialize("g", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Collections.emptyMap()))
+    // DROP of anything that is not a store table is a guarded no-op
+    // (r17 — the catalog became writable; see StoreWriteSpec for the
+    // full DDL surface), and rename/alter stay unsupported
+    assert(!cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "/nope")))
     intercept[UnsupportedOperationException] {
-      cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array.empty, "/nope"))
+      cat.renameTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "/a"),
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "/b"))
     }
   }
 }
