@@ -1015,6 +1015,19 @@ object SnapshotStore {
       rowCounts: Map[String, Long], nullStats: Seq[FileNullStat],
       schema: Option[org.apache.spark.sql.types.StructType])
 
+  /** The committed head's (version, file list) from ONE manifest
+    * resolution — the atomic read an OCC append bases itself on
+    * (separate currentVersion/currentFiles calls could straddle a
+    * concurrent commit and pair one version's id with another's
+    * files; review r17). */
+  private[graft] def headState(spark: SparkSession,
+      dir: String): Option[(Long, Seq[String])] = {
+    val (fs, tgt) = fsOf(spark, dir)
+    currentManifest(fs, tgt).map { case (id, m) =>
+      (id, manifestDataFiles(fs, tgt, m))
+    }
+  }
+
   private[graft] def tableMeta(spark: SparkSession, dir: String,
       version: Option[Long]): Option[TableMeta] = {
     val (fs, tgt) = fsOf(spark, dir)

@@ -77,18 +77,19 @@ class StoreCatalog extends TableCatalog with FunctionCatalog {
 
   /** DROP TABLE — honest and guarded: removes the directory only when
     * it actually IS a store table (holds a manifest); anything else
-    * returns false untouched, so a mistyped path can never vanish. */
+    * returns false untouched, so a mistyped path can never vanish.
+    * Deletion goes through the SAME Hadoop FileSystem every other
+    * store operation resolves paths with — a java.io.File delete
+    * would silently no-op on URI-form or non-local paths while still
+    * reporting success (review r17). */
   override def dropTable(ident: Identifier): Boolean = {
     val dir = ident.name()
     val spark = SparkSession.active
     if (SnapshotStore.currentVersion(spark, dir).isEmpty) false
     else {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-      true
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
     }
   }
 
@@ -108,6 +109,12 @@ object StoreCatalog {
 
   /** A declared V2 transform as a store [[SnapshotStore.PartitionSpec]]. */
   private[sources] def specOf(t: Transform): SnapshotStore.PartitionSpec = {
+    // exactly ONE referenced column: silently keeping references()(0)
+    // of a multi-column transform (bucket(4, c1, c2) parses) would
+    // commit a spec the user never declared (review r17)
+    if (t.references().length != 1)
+      throw new UnsupportedOperationException(
+        s"graft-store: partition transforms take exactly one column, got $t")
     val col = t.references()(0).fieldNames().mkString(".")
     t.name().toLowerCase match {
       case "identity" => SnapshotStore.PartitionSpec("identity", col)

@@ -203,7 +203,15 @@ private[sources] class StoreWriteBuilder(dir: String,
 
 /** The ONE commit both write routes (catalog DML via V1Write,
   * `format(...).save` via CreatableRelationProvider) share — a
-  * drifting copy would give the two routes different semantics. */
+  * drifting copy would give the two routes different semantics.
+  *
+  * Appends are OCC: the head (version, files) comes from ONE manifest
+  * resolution and the promote carries `expectCurrent` on it, so two
+  * concurrent appends cannot both land on the same base — the loser
+  * fails with ConflictException and retries, instead of silently
+  * dropping the winner's files from the new head (the lost-update
+  * Delta surfaces as ConcurrentAppendException; review r17).
+  * Overwrites replace everything BY INTENT and stay non-OCC. */
 private[sources] object StoreWrites {
   def commit(spark: SparkSession, dir: String,
       data: org.apache.spark.sql.DataFrame, overwrite: Boolean,
@@ -213,9 +221,14 @@ private[sources] object StoreWrites {
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val asOf = opt("asOfMicros").map(_.toLong)
     val keep = opt("keep").map(_.toInt).getOrElse(16)
-    val reuse = if (overwrite) Nil else SnapshotStore.currentFiles(spark, dir)
+    val (expect, reuse) =
+      if (overwrite) (None, Nil)
+      else SnapshotStore.headState(spark, dir) match {
+        case Some((v, files)) => (Some(v), files)
+        case None             => (Some(SnapshotStore.NoVersion), Nil)
+      }
     SnapshotStore.promote(spark, dir, data, keep = keep,
-      asOfMicros = asOf, reuseFiles = reuse,
+      asOfMicros = asOf, reuseFiles = reuse, expectCurrent = expect,
       statsCol = statsCol, statsCols = statsCols): Unit
   }
 }
@@ -332,15 +345,27 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     *    could smuggle null-group rows into its tuple's counts. Groups
     *    come from files; a group whose files hold 0 rows is not
     *    emitted (relationally it does not exist). */
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation instance; memoizing on identity avoids building
+  // the full answer (stat maps, groups, result rows) twice per query
+  // (review r17). A different instance just recomputes — still correct.
+  private var memoAgg: Aggregation = _
+  private var memoAnswer: Option[(StructType, Array[InternalRow])] = None
+
+  private def answerMemo(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    if (!(agg eq memoAgg)) { memoAgg = agg; memoAnswer = answerFromStats(agg) }
+    memoAnswer
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerFromStats(agg).isDefined
+    answerMemo(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    // complete-or-nothing: answerFromStats is the SAME test
+    // complete-or-nothing: answerMemo is the SAME test
     // supportCompletePushDown ran, so a partial-rewrite retry (which
     // would need merge semantics we don't implement) can never be
     // accepted here
-    aggAnswer = answerFromStats(agg)
+    aggAnswer = answerMemo(agg)
     aggAnswer.isDefined
   }
 
