@@ -242,11 +242,28 @@ private[sources] object StoreWrites {
 private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
     grouped: Boolean, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Array[InternalRow])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT n truncates the PLANNED file list once the manifest's known
+    * row counts reach n — `df.limit(100)` over a 10k-file table plans
+    * one file, not 10k tasks. Sound only on a filterless scan (any
+    * residual filter could reject every row the kept files hold — and
+    * Spark's rule only offers the limit then; re-checked as defense)
+    * and only for per-file tasks (partition-grouped scans report a
+    * layout whose per-tuple file sets must stay whole). Files without
+    * a recorded count are kept and bound nothing. Spark re-applies
+    * the exact limit on top (isPartiallyPushed). */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || grouped) false
+    else { limit = Some(n); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** ONE manifest resolution serves the whole builder — aggregate
     * probing, file pruning, and the final build all read the SAME
@@ -594,7 +611,19 @@ private[sources] class StoreScanBuilder(dir: String, version: Option[Long],
       }.toSet)
     }
     val keptFiles = files.filter(keep).sorted
-    new StoreScan(dir, keptFiles, required, tableSchema, specs, partVals, grouped)
+    val limited = limit match {
+      case Some(n) if pushed.isEmpty && !grouped =>
+        val rc = meta.rowCounts
+        var acc = 0L
+        val b = Seq.newBuilder[String]
+        val it = keptFiles.iterator
+        while (it.hasNext && acc < n) {
+          val f = it.next(); b += f; acc += rc.getOrElse(f, 0L)
+        }
+        b.result()
+      case _ => keptFiles
+    }
+    new StoreScan(dir, limited, required, tableSchema, specs, partVals, grouped)
   }
 }
 

@@ -161,4 +161,30 @@ class StoreSourceSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("LIMIT truncates the planned file list by known row counts (destroyed-file); filters keep it whole") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    VersionedLoad.bootstrap(spark, t,
+      (1L to 60L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(4, col("k")),
+      asOfMicros = 1000L, statsCol = Some("k"))
+    // destroy every file but the lowest-range one: limit(10) must plan
+    // ONLY that file (15 rows >= 10 by the recorded r lines) and never
+    // open the rest
+    val byLow = manifest(t, 0L).filter(_.startsWith("s k ")).map(_.split(" ", 5))
+      .sortBy(_(2).toLong).map(_(4))
+    byLow.drop(1).foreach(destroy(t, _))
+    val lim = spark.read.format(Fmt).load(t).limit(10)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("(1 files after pruning)"),
+      s"a pushed limit must truncate the planned file list:\n$plan")
+    assert(lim.collect().length == 10)
+    // under ANY filter the limit must NOT drop files — a residual
+    // filter could reject every row the kept prefix holds
+    val filtered = spark.read.format(Fmt).load(t)
+      .filter(col("k") <= 100L).limit(10)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("(4 files after pruning)"),
+      "a filtered scan keeps its full pruned file list under LIMIT")
+  }
 }
