@@ -471,11 +471,38 @@ object SnapshotStore {
     * content terminator and the PRIMARY snapshot directory carries
     * `_SUCCESS` — a manifest whose write raced a crash (no content, or
     * a truncated prefix of it) resolves to None. */
-  private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[ManifestData] =
-    readContent(fs, manifest)
-      .map(parseManifest)
-      .filter(m => m.terminated && m.snap.nonEmpty &&
-        fs.exists(new Path(new Path(tgt, m.snap), "_SUCCESS")))
+  /** Parsed-manifest memo (r18). Committed manifests are WRITE-ONCE by
+    * the claim protocol (create-no-overwrite + content + terminator;
+    * no rewrite path exists), so a parse keyed by (path, length,
+    * mtime) can be reused for the session — a metadata-heavy op (the
+    * CDC/purge read path resolves the same manifest ~10× per
+    * invocation) pays one read+parse per manifest instead. Resolution
+    * SEMANTICS are unchanged: only terminated manifests are memoized
+    * (a torn write that completes later must re-read), and the primary
+    * dir's `_SUCCESS` liveness check still runs on every call, so a
+    * GC'd version resolves None exactly as before. Bounded: cleared
+    * wholesale past 512 entries (a session touches far fewer). */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), ManifestData]()
+  private[etl] def clearManifestMemo(): Unit = manifestMemo.clear()
+
+  private def resolve(fs: FileSystem, tgt: Path, manifest: Path): Option[ManifestData] = {
+    val key = scala.util.Try {
+      val st = fs.getFileStatus(manifest)
+      (manifest.toString, st.getLen, st.getModificationTime)
+    }.toOption
+    val parsed = key.flatMap(k => Option(manifestMemo.get(k))).orElse {
+      val p = readContent(fs, manifest)
+        .map(parseManifest)
+        .filter(m => m.terminated && m.snap.nonEmpty)
+      for (k <- key; m <- p) {
+        if (manifestMemo.size > 512) manifestMemo.clear()
+        manifestMemo.put(k, m): Unit
+      }
+      p
+    }
+    parsed.filter(m => fs.exists(new Path(new Path(tgt, m.snap), "_SUCCESS")))
+  }
 
   /** The data files a committed manifest references, table-root
     * relative: the explicit list if present, else every visible file of

@@ -255,7 +255,7 @@ object VersionedLoad {
     * prune is the only sound answer). None when `files` is empty. */
   private def prunedRead(spark: SparkSession, table: String, version: Long,
       files: Set[String], statsCol: Option[String],
-      probe: DataFrame): Option[DataFrame] = {
+      probe: DataFrame, probeFiles: Option[(Long, Set[String])] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, count, datediff, lit,
       max => fmax, min => fmin}
     import org.apache.spark.sql.types.{DateType, StringType}
@@ -265,27 +265,97 @@ object VersionedLoad {
       if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(2) != 0L) None
       else Some((r.get(0), r.get(1)))
     }
+    // Manifest-metadata span of the probe (r18): when the caller knows
+    // the probe is EXACTLY the contents of `probeFiles` of a committed
+    // version, its key span and null count are already recorded in that
+    // version's manifest — reading them replaces the driver-blocking
+    // min/max JOB above (the CDC read path paid one such job per table
+    // per invocation; at 100 TB the probe scan it avoids is O(delta)
+    // bytes). Outer None = the metadata cannot decide (a probe file
+    // without a parsed stat or null-count line) → run the probe job;
+    // inner None = the probe provably carries null keys → no pruning,
+    // the same answer the job path gives. String bounds widen to the
+    // recorded prefixes (lo prefix ≤ true min; truncated hi's byte
+    // successor ≥ true max), so the kept file set is a superset —
+    // pruning stays sound, it only ever keeps extra files.
+    def metaSpanNulls(pv: Long, pfs: Set[String], c: String): Option[Boolean] = {
+      val ns = SnapshotStore.fileNullStats(spark, table, Some(pv))
+        .filter(s => s.col == c && pfs.contains(s.file))
+      if (ns.map(_.file).toSet != pfs) None
+      else Some(ns.exists(_.nulls > 0))
+    }
+    def metaSpanLong(c: String, kind: String): Option[Option[(Long, Long)]] =
+      probeFiles.flatMap { case (pv, pfs) =>
+        if (pfs.isEmpty) None
+        else metaSpanNulls(pv, pfs, c).flatMap { hasNulls =>
+          if (hasNulls) Some(None)
+          else {
+            val st =
+              if (kind == "long")
+                SnapshotStore.filesForVersionStats(spark, table, pv)
+                  .filter(s => s.col == c && pfs.contains(s.file))
+                  .map(s => (s.file, s.min, s.max))
+              else
+                SnapshotStore.filesForVersionTypedStats(spark, table, pv)
+                  .filter(s => s.col == c && s.kind == kind && pfs.contains(s.file))
+                  .flatMap(s => scala.util.Try((s.file, s.lo.toLong, s.hi.toLong)).toOption)
+            if (st.map(_._1).toSet != pfs) None
+            else Some(Some((st.map(_._2).min, st.map(_._3).max)))
+          }
+        }
+      }
+    def metaSpanStr(c: String): Option[Option[(Array[Byte], Array[Byte])]] =
+      probeFiles.flatMap { case (pv, pfs) =>
+        if (pfs.isEmpty) None
+        else metaSpanNulls(pv, pfs, c).flatMap { hasNulls =>
+          if (hasNulls) Some(None)
+          else {
+            val st = SnapshotStore.filesForVersionTypedStats(spark, table, pv)
+              .filter(s => s.col == c && s.kind == "str" && pfs.contains(s.file))
+              .flatMap { s =>
+                scala.util.Try {
+                  val lo = SnapshotStore.decB64(s.lo)
+                  val hi0 = SnapshotStore.decB64(s.hi)
+                  val hi = if (!s.hiTrunc) Some(hi0) else SnapshotStore.incrBytes(hi0)
+                  (s.file, lo, hi)
+                }.toOption
+              }
+            if (st.map(_._1).toSet != pfs || st.exists(_._3.isEmpty)) None
+            else {
+              val lo = st.map(_._2).reduce((a, b) =>
+                if (SnapshotStore.cmpBytes(a, b) <= 0) a else b)
+              val hi = st.map(_._3.get).reduce((a, b) =>
+                if (SnapshotStore.cmpBytes(a, b) >= 0) a else b)
+              Some(Some((lo, hi)))
+            }
+          }
+        }
+      }
     val pruned: Option[Option[DataFrame]] = statsCol.flatMap { c =>
       val keepFiles: Option[Seq[String]] = probe.schema(c).dataType match {
         case _ if isIntegral(probe, c) =>
           val stats = SnapshotStore.filesForVersionStats(spark, table, version)
             .filter(st => st.col == c && files.contains(st.file))
           if (stats.isEmpty) None
-          else span(col(c).cast("long"), c).map { case (lo: Long, hi: Long) =>
-            val statted = stats.map(_.file).toSet
-            (files.filterNot(statted) ++
-              stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSeq.sorted
-          }
+          else metaSpanLong(c, "long")
+            .getOrElse(span(col(c).cast("long"), c).map { case (lo: Long, hi: Long) => (lo, hi) })
+            .map { case (lo, hi) =>
+              val statted = stats.map(_.file).toSet
+              (files.filterNot(statted) ++
+                stats.filter(st => st.max >= lo && st.min <= hi).map(_.file)).toSeq.sorted
+            }
         case DateType | org.apache.spark.sql.types.TimestampType =>
           val kind = if (probe.schema(c).dataType == DateType) "date" else "ts"
           val stats = SnapshotStore.filesForVersionTypedStats(spark, table, version)
             .filter(st => st.col == c && st.kind == kind && files.contains(st.file))
             .flatMap(st => scala.util.Try((st.file, st.lo.toLong, st.hi.toLong)).toOption)
           if (stats.isEmpty) None
-          else span(
-            if (kind == "ts") org.apache.spark.sql.functions.unix_micros(col(c))
-            else datediff(col(c), lit("1970-01-01").cast("date")).cast("long"), c)
-            .map { case (lo: Long, hi: Long) =>
+          else metaSpanLong(c, kind)
+            .getOrElse(span(
+              if (kind == "ts") org.apache.spark.sql.functions.unix_micros(col(c))
+              else datediff(col(c), lit("1970-01-01").cast("date")).cast("long"), c)
+              .map { case (lo: Long, hi: Long) => (lo, hi) })
+            .map { case (lo, hi) =>
               val statted = stats.map(_._1).toSet
               (files.filterNot(statted) ++
                 stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
@@ -295,9 +365,10 @@ object VersionedLoad {
           val stats = SnapshotStore.filesForVersionTypedStats(spark, table, version)
             .filter(st => st.col == c && st.kind == "str" && files.contains(st.file))
           if (stats.isEmpty) None
-          else span(col(c), c).map { case (loS: String, hiS: String) =>
-            val loB = loS.getBytes("UTF-8")
-            val hiB = hiS.getBytes("UTF-8")
+          else metaSpanStr(c)
+            .getOrElse(span(col(c), c).map { case (loS: String, hiS: String) =>
+              (loS.getBytes("UTF-8"), hiS.getBytes("UTF-8")) })
+            .map { case (loB, hiB) =>
             val (parsedKeep, parsedAll) = stats.foldLeft(
               (List.empty[String], List.empty[String])) { case ((keep, all), st) =>
               scala.util.Try {
@@ -352,7 +423,10 @@ object VersionedLoad {
     val newFiles  = (toFiles -- fromFiles).toSeq.sorted
     SnapshotStore.readFiles(spark, table, newFiles).flatMap { newRows =>
       val fromSide: Option[DataFrame] =
-        prunedRead(spark, table, fromVersion, fromFiles, statsCol, newRows)
+        prunedRead(spark, table, fromVersion, fromFiles, statsCol, newRows,
+          // the probe is exactly the new files' contents — the manifest
+          // span fast path applies (no driver min/max job)
+          probeFiles = Some((toVersion, newFiles.toSet)))
       val changed = fromSide.fold(newRows) { f =>
         def nullLit(fd: org.apache.spark.sql.types.StructField) =
           org.apache.spark.sql.functions.lit(null).cast(fd.dataType).as(fd.name)
@@ -435,7 +509,10 @@ object VersionedLoad {
     // the caller's statsCol.
     val probeCol = statsCol.filter(keys.contains)
     val dels = SnapshotStore.readFiles(spark, table, removed.toSeq.sorted).map { cand =>
-      val toKeys = prunedRead(spark, table, toVersion, toFiles, probeCol, cand)
+      val toKeys = prunedRead(spark, table, toVersion, toFiles, probeCol, cand,
+        // the candidates are exactly the removed files' contents — the
+        // manifest span fast path applies (no driver min/max job)
+        probeFiles = Some((fromVersion, removed)))
         .map(_.select(keys.map(org.apache.spark.sql.functions.col): _*))
       toKeys.fold(cand) { tk =>
         val cond = keys.map(k => cand(k) <=> tk(k)).reduce(_ && _)

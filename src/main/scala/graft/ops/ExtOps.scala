@@ -1085,9 +1085,16 @@ object ExtOps {
       // null group keys excluded on BOTH sides (dailyGrid contract) —
       // GlobalRank's null-group guard vs DuckDB's null partition would
       // otherwise diverge crash-vs-result
+      // persisted: this narrow (type, id, decimal) frame feeds the two
+      // sketch passes, both audits, and both exact-branch GlobalRank
+      // passes (each of which reads its input twice — range sampling +
+      // shuffle) — without the persist the events scan+filter re-ran
+      // ~6× inside one query (guide §1/§5: cache only genuinely reused
+      // frames; this one is the hub of the whole DAG)
       val t = Tables(spark, dir).events
         .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
+        .persist()
       // ── sketch branch (the 100 TB path): med and MAD from two KLL
       // passes; fixed-size mergeable partials, no per-type sort anywhere
       val skMed = t.groupBy("event_type")
@@ -1095,8 +1102,15 @@ object ExtOps {
           count(lit(1)).as("n"))
       val dk = t.join(broadcast(skMed), Seq("event_type"))
         .withColumn("dkv", abs(col("v").cast("double") - col("med_kll")))
-      val skMad = dk.groupBy("event_type")
-        .agg(element_at(expr("kll_quantiles(dkv, 256, 0.5)"), 1).as("mad_kll"))
+      // the MAD sketch and the MED audit consume the SAME dk rows under
+      // the SAME grouping — one aggregate pass computes both (was two
+      // full passes; guide §2.3 "aggregate before you shuffle" applied
+      // to pass count)
+      val skMadAud = dk.groupBy("event_type", "n")
+        .agg(element_at(expr("kll_quantiles(dkv, 256, 0.5)"), 1).as("mad_kll"),
+          sum(when(col("v").cast("double") < col("med_kll"), 1L).otherwise(0L)).as("lo_med"),
+          sum(when(col("v").cast("double") <= col("med_kll"), 1L).otherwise(0L)).as("hi_med"))
+      val skMad = skMadAud.select(col("event_type"), col("mad_kll"))
       // rank audit: both sketch estimates must sit within ε of the true
       // median rank (ε = KLL's advertised 0.05 at k=256 plus 4/n small-n
       // slack) — computed FROM the estimates, so the sketch branch
@@ -1105,17 +1119,13 @@ object ExtOps {
       // [#{x < est}, #{x ≤ est}]; the audit passes iff that range
       // intersects [0.5 − ε, 0.5 + ε]·n, which is exactly KLL's
       // guarantee even when the estimate sits inside a tie run.
-      val audMed = t.join(broadcast(skMed), Seq("event_type"))
-        .groupBy("event_type", "n", "med_kll")
-        .agg(sum(when(col("v").cast("double") < col("med_kll"), 1L).otherwise(0L)).as("lo_med"),
-          sum(when(col("v").cast("double") <= col("med_kll"), 1L).otherwise(0L)).as("hi_med"))
       val audMad = dk.join(broadcast(skMad), Seq("event_type"))
         .groupBy("event_type", "n", "mad_kll")
         .agg(sum(when(col("dkv") < col("mad_kll"), 1L).otherwise(0L)).as("lo_mad"),
           sum(when(col("dkv") <= col("mad_kll"), 1L).otherwise(0L)).as("hi_mad"))
       val eps = col("n").cast("double") * 0.05 + 4.0
       val half = col("n").cast("double") / 2
-      val audit = audMed.join(audMad.drop("n"), Seq("event_type"))
+      val audit = skMadAud.join(audMad.drop("n", "mad_kll"), Seq("event_type"))
         .select(col("event_type"),
           (col("lo_med").cast("double") <= half + eps &&
             col("hi_med").cast("double") >= half - eps &&

@@ -836,9 +836,13 @@ object GraphOps {
     * triangle-free nodes. */
   def triangles(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val tri = triangleList(pairs)
-    val corners = tri.select(col("s").as("pk"))
-      .union(tri.select(col("b").as("pk")))
-      .union(tri.select(col("c").as("pk")))
+    // ONE explode pass, not a 3-arm union: the union arms would each
+    // re-run the (uncached) wedge+closure joins — the triangle
+    // enumeration is the expensive pass and was paying 3× (the ktruss
+    // edgeSupport explode discipline, applied here). Same multiset of
+    // corner rows, same counts.
+    val corners = tri
+      .select(explode(array(col("s"), col("b"), col("c"))).as("pk"))
     nodes.join(corners.groupBy("pk").agg(count(lit(1)).as("cnt")), Seq("pk"), "left_outer")
       .select(col("pk"), coalesce(col("cnt"), lit(0L)).cast("long").as("n"))
   }
@@ -852,11 +856,16 @@ object GraphOps {
     val p = pairs // triangleList caches this same object for all arms
     val tri = triangleList(p)
     // each triangle strengthens all three of its sides; s is not
-    // id-ordered against b/c, so those two sides re-canonicalize
+    // id-ordered against b/c, so those two sides re-canonicalize.
+    // ONE explode pass, not a 3-arm union — the union arms would each
+    // re-run the (uncached) wedge+closure joins, tripling the triangle
+    // enumeration (the ktruss edgeSupport explode discipline).
     val sides = tri
-      .select(least(col("s"), col("b")).as("u"), greatest(col("s"), col("b")).as("v"))
-      .union(tri.select(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")))
-      .union(tri.select(col("b").as("u"), col("c").as("v")))
+      .select(explode(array(
+        struct(least(col("s"), col("b")).as("u"), greatest(col("s"), col("b")).as("v")),
+        struct(least(col("s"), col("c")).as("u"), greatest(col("s"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("sd"))
+      .select(col("sd.u").as("u"), col("sd.v").as("v"))
     val common = sides.groupBy("u", "v").agg(count(lit(1)).as("nc"))
     val deg = degrees(p)
     val nCommon = coalesce(col("nc"), lit(0L))

@@ -450,9 +450,19 @@ object TextOps {
         .join(fp.toDF("b_id", "sigb"), "b_id")
         .filter(expr("size(filter(sequence(1, 16), k -> element_at(siga, k) = element_at(sigb, k))) >= 8"))
         .select("a_id", "b_id")
-      val m = gold.agg(count(lit(1)).as("n_gold"))
-        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
-        .crossJoin(gold.join(pred, Seq("a_id", "b_id")).agg(count(lit(1)).as("tp")))
+      // ONE pass over gold ∪ pred for all three pair counts: the old
+      // shape crossed three separate aggregates, which evaluated the
+      // (uncached) banded-LSH pred pipeline twice — once for n_pred,
+      // once inside the tp join. A full-outer flag join computes
+      // n_gold / n_pred / tp from a single evaluation of each side
+      // (both are distinct pair sets, so sums of 0/1 flags are exact).
+      val m = gold.select(col("a_id"), col("b_id"), lit(1L).as("g"))
+        .join(pred.select(col("a_id"), col("b_id"), lit(1L).as("p")),
+          Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("g")), lit(0L)).as("n_gold"),
+          coalesce(sum(col("p")), lit(0L)).as("n_pred"),
+          coalesce(sum(col("g") * col("p")), lit(0L)).as("tp"))
         .crossJoin(capd.agg(count(lit(1)).as("n_docs")))
       m.select(col("n_docs"), col("n_gold"), col("n_pred"), col("tp"),
         (col("tp").cast("double") / when(col("n_pred") =!= 0, col("n_pred"))).as("precision_"),

@@ -30,7 +30,13 @@ class ResolutionCostSpec extends SparkSuite {
       SnapshotStore.promote(spark, t, Seq((i.toLong, s"v$i")).toDF("k", "v"),
         keep = Int.MaxValue, asOfMicros = Some(1000L + i)): Unit
     }
+    // the r18 parsed-manifest memo would legitimately answer repeat
+    // resolutions with ZERO content reads — clear it so each block
+    // measures the COLD resolution cost the self-contained-manifest
+    // contract bounds (the memo's own contract is pinned in the last
+    // test below)
     def reads(body: => Unit): Long = {
+      SnapshotStore.clearManifestMemo()
       val before = SnapshotStore.contentReads.get()
       body
       SnapshotStore.contentReads.get() - before
@@ -65,9 +71,34 @@ class ResolutionCostSpec extends SparkSuite {
     val id = SnapshotStore.promote(spark, t, Seq((9L, "y")).toDF("k", "v"),
       keep = Int.MaxValue)
     assert(id == 4L, "the commit claims past the debris")
+    SnapshotStore.clearManifestMemo()
     val before = SnapshotStore.contentReads.get()
     assert(SnapshotStore.read(spark, t).get.count() == 1L)
     assert(SnapshotStore.contentReads.get() - before == 1L,
       "a clean head above the debris resolves in one parse again")
+  }
+
+  test("r18 memo: a repeat resolution of a committed head parses 0 manifests; vacuum semantics survive the memo") {
+    val t = freshTable()
+    (0 until 3).foreach { i =>
+      SnapshotStore.promote(spark, t, Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        keep = Int.MaxValue, asOfMicros = Some(1000L + i)): Unit
+    }
+    SnapshotStore.clearManifestMemo()
+    assert(SnapshotStore.read(spark, t).get.count() == 1L) // warms the memo
+    val before = SnapshotStore.contentReads.get()
+    assert(SnapshotStore.read(spark, t).get.count() == 1L)
+    assert(SnapshotStore.contentReads.get() - before == 0L,
+      "memoized head resolution must not re-read manifest content")
+    // the _SUCCESS liveness check still runs on every resolve: destroy
+    // version 0's primary-dir marker (what GC does) and the memoized
+    // manifest must STOP resolving — a memo that skipped the check
+    // would resurrect vacuumed versions
+    val m0 = SnapshotStore.filesForVersion(spark, t, 0L)
+    assert(m0.isDefined)
+    val snapDir = new java.io.File(new java.io.File(t), m0.get.head.split('/').head)
+    assert(new java.io.File(snapDir, "_SUCCESS").delete())
+    assert(SnapshotStore.readVersion(spark, t, 0L).isEmpty,
+      "a version whose primary _SUCCESS is gone must resolve None even when memoized")
   }
 }
