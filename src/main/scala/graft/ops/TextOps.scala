@@ -846,10 +846,16 @@ object TextOps {
       val sim = tables(spark, dir).documents.select(
         col("doc_id"),
         expr("simhash64_md5(split(trim(text), '\\\\s+'))").as("simhash"))
+      // persisted: BlockedPairs references its input three times (block
+      // counts + both join sides), and each reference re-ran the
+      // simhash64_md5 tokenize+hash pass over the corpus (4 document
+      // scans in the r18 plan audit). The frame is (doc_id, 8-byte
+      // simhash) × 4 slices — bytes per document at any scale.
       val sliced = sim.select(
         col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), s -> named_struct('slice', s, 'sv', (simhash >> (s * 16)) & 65535))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.slice").as("slice"), col("x.sv").as("slice_val"))
+        .persist()
       // skew-guarded shuffle join on (slice, slice_val) — both sides
       // corpus-sized, no broadcast hint; BlockedPairs bounds hot slices
       // (near-identical corpora collapse many docs into one 16-bit value).

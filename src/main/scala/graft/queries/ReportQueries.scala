@@ -127,12 +127,19 @@ object ReportQueries {
         sum(col("brand_spend")).as("order_spend"),
         min(struct((-col("brand_spend")).as("neg_spend"), col("p_brand"))).getField("p_brand").as("p_brand"))
 
+    // persisted: the frame is consumed THREE times (the quarter
+    // universe, the genre universe, and the densified join) and each
+    // use re-ran the full star join + two order-grain aggregations
+    // (visible as three copies of the subtree in the r18 plan audit).
+    // The grain is (yr, qtr, genre) — dims-bounded at any corpus size,
+    // so the persist is bytes, never data-proportional.
     val attributed = primary
       .groupBy(
         year(col("o_orderdate")).cast("long").as("yr"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         col("p_brand").as("genre"))
       .agg(count(lit(1)).as("n_orders"), sum(col("order_spend")).as("spend_dec"))
+      .persist()
 
     // densification: full (yr, qtr) × genre universe, zero-filled
     val quarters = attributed.select("yr", "qtr").distinct()
