@@ -327,8 +327,10 @@ object GraphOps {
       corenessSql(rounds = 6, kMax = 3)
     ) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+      // partitioned by src before the shared checkpoint — all three
+      // peels' per-round degree aggregates reuse the layout (see kcore)
       val strong = coGraph(spark, li)._1.filter(col("w") >= 2).select("src", "dst")
-        .localCheckpoint(true)
+        .repartition(col("src")).localCheckpoint(true)
       // k = 1 is the IDENTITY peel on a symmetric edge list: every
       // present node keeps ≥ 1 in-set neighbor at round 0, so the
       // 1-core membership is the node set itself — zero peel rounds
@@ -535,8 +537,17 @@ object GraphOps {
     // (graph_coreness shares ONE localCheckpoint'd edge artifact across
     // its three peels — re-checkpointing it would store a redundant full
     // copy and pay a copy job per k); plan-shape sniffing would silently
-    // recompute a non-checkpointed LogicalRDD source every round
-    val cached = if (edgesMaterialized) edges else edges.localCheckpoint(true)
+    // recompute a non-checkpointed LogicalRDD source every round.
+    // The edge set is HASH-PARTITIONED BY src before materializing
+    // (r18): every peel round ends in groupBy("src"), and the
+    // checkpointed layout satisfies that distribution, so each round's
+    // degree aggregate runs exchange-free off the materialized edges
+    // (the survivor semi-joins broadcast their small side) — one
+    // partitioning paid once for the whole loop instead of a shuffle
+    // per round, the classic iterative-workload layout (guide §2.4).
+    val cached =
+      if (edgesMaterialized) edges
+      else edges.repartition(col("src")).localCheckpoint(true)
     def survive(core: DataFrame): DataFrame = cached
       .join(core.toDF("src"), Seq("src"), "left_semi")
       .join(core.toDF("dst"), Seq("dst"), "left_semi")
