@@ -248,7 +248,12 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    val centDf = trainCentroidsDf(spark, emb)
+    // artifact-backed quantizer (r18): training is deterministic and the
+    // persisted centroids are byte-identical to a fresh fit (the
+    // trainedCentroids scaladoc's skip-if-present argument), so the
+    // query path reads the index artifact like a production ANN service
+    // instead of re-fitting k-means on every invocation
+    val centDf = trainedCentroids(spark, emb)
     val assigned = emb.join(assignCells(emb, centDf), Seq("vec_id"))
     val probes = probeCells(querySample(emb, 25), centDf)
     probes
@@ -269,7 +274,7 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    val centDf = trainCentroidsDf(spark, emb)
+    val centDf = trainedCentroids(spark, emb) // artifact-backed, see ivfKmeansApprox
     // int8 codes ride the cell scan: 64 bytes/vector instead of 256 —
     // the 4× memory/IO cut is why a 100 TB ANN corpus scans codes and
     // re-ranks only a shortlist against the float vectors.
@@ -440,8 +445,9 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    val centDf = trainCentroidsDf(spark, emb)
-    val books = trainPqCodebooksDf(spark, emb, centDf)
+    // artifact-backed quantizer + codebooks, see ivfKmeansApprox
+    val centDf = trainedCentroids(spark, emb)
+    val books = trainedPqBooks(spark, emb, centDf)
     ivfPq8Retrieve(emb, querySample(emb, 25), centDf, books, shortlist)
   }
 
