@@ -278,11 +278,8 @@ object AggOps {
       graft.functions.KllQuantiles.register(spark)
       val probs = Seq(0.25, 0.5, 0.75, 0.95)
       val eps = 0.05
-      // persisted: the narrow (g, x) frame feeds four passes (sketch,
-      // rank audit, targets, exact rank) — each re-scanned lineitem
       val t = Tables(spark, dir).lineitem
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-        .persist()
       // sketch branch: one streaming pass, O(k·log n) state per group
       val est = t.groupBy("g")
         .agg(expr(s"kll_quantiles(x, 256, ${probs.mkString(", ")})").as("est"),

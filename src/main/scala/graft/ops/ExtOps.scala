@@ -1085,16 +1085,9 @@ object ExtOps {
       // null group keys excluded on BOTH sides (dailyGrid contract) —
       // GlobalRank's null-group guard vs DuckDB's null partition would
       // otherwise diverge crash-vs-result
-      // persisted: this narrow (type, id, decimal) frame feeds the two
-      // sketch passes, both audits, and both exact-branch GlobalRank
-      // passes (each of which reads its input twice — range sampling +
-      // shuffle) — without the persist the events scan+filter re-ran
-      // ~6× inside one query (guide §1/§5: cache only genuinely reused
-      // frames; this one is the hub of the whole DAG)
       val t = Tables(spark, dir).events
         .filter(col("value").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"), col("event_id"), Norm.dec6(col("value")).as("v"))
-        .persist()
       // ── sketch branch (the 100 TB path): med and MAD from two KLL
       // passes; fixed-size mergeable partials, no per-type sort anywhere
       val skMed = t.groupBy("event_type")

@@ -386,15 +386,16 @@ object ReportQueries {
         count(lit(1)).as("n_orders"),
         sum(Norm.dec(col("o_totalprice"))).as("mon_dec"))
     val anchor = t.orders.agg(max(col("o_orderdate")).as("anchor"))
-    // persisted: the customer-grain frame feeds ~10 passes (three
-    // GlobalRank thresholds — each reading it twice for range sampling
-    // + shuffle — three sketch audits, and the final scoring join);
-    // left lazy each pass re-ran the orders scan + aggregation
+    // NOT persisted (r18, measured): the frame feeds ~10 passes, but
+    // they sit in independent plan branches that AQE materializes
+    // CONCURRENTLY — re-deriving it is ~1 scan of wall time, while a
+    // persist serializes the whole fan-out behind one materialization
+    // (measured +0.3-0.5 s on this op; contrast q2's attributed frame,
+    // whose duplicated subtree is a multi-stage chain and does win)
     val base = cust.crossJoin(broadcast(anchor))
       .select(col("cust_key"),
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("n_orders"), col("mon_dec"))
-      .persist()
     // exact quintile thresholds per measure: value at global rank
     // ceil(k·n/5), k = 1..4 — a 4-value frame from one GlobalRank pass
     def thresholds(vCol: String, pfx: String): DataFrame = {
