@@ -2464,19 +2464,25 @@ object PipelineOps {
       // scaladoc has the equivalence argument), at per-FINGERPRINT
       // instead of per-POSITION allocation; it returns null below w
       // grams, so explode performs the size(hs) >= 4 gate
-      val f5 = w5.filter(col("b") < 5)
-        .unionByName(w5.filter(col("b") >= 5).join(k4, Seq("doc_id")))
+      // the two winnowed sides are built separately (r18) so the bench
+      // fingerprints — consumed by the eager bloom build below AND the
+      // verify join — never depend on a filter being pushed through the
+      // union into the k4-join arm; each side persists once and every
+      // consumer reads exactly its own side
+      def winnowed(side: DataFrame) = side
         .select(col("doc_id"), col("b"),
           explode(expr("winnow_fps_words(ws, 8, 4)")).as("fp"))
         .persist()
-      val benchFp = f5.filter(col("b") < 5).select("fp").distinct()
+      val benchSide = winnowed(w5.filter(col("b") < 5))
+      val trainSide = winnowed(w5.filter(col("b") >= 5).join(k4, Seq("doc_id")))
+      val benchFp = benchSide.select("fp").distinct()
       // the one collect: the fixed 128 KiB bitset, constant at any scale
       val tBloom = System.nanoTime()
       val bloom = benchFp.agg(expr("bloom_build(fp, 1048576, 5)").as("bf"))
         .head().getAs[Array[Byte]](0)
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[v2-stage] bloom_build       ${(System.nanoTime() - tBloom) / 1e9}%.2f s")
-      val contam = f5.filter(col("b") >= 5)
+      val contam = trainSide
         .filter(call_function("bloom_contains", lit(bloom), col("fp"), lit(5)))
         .join(benchFp, Seq("fp"))
         .select("doc_id").distinct()
