@@ -890,14 +890,15 @@ object PipelineOps {
           "array_distinct(transform(sequence(1, greatest(size(ws) - 7, 1)), i -> concat_ws(' ', slice(ws, i, 8))))"
         )).as("gr"))
         .select(col("doc_id"), md5(col("gr")).as("gh"))
-      // persisted: the bench gram set feeds the bloom build (an eager
-      // driver job) AND the exact verify join — left lazy each ran the
-      // full gram explode over the corpus again (3 evaluations total
-      // with the train side; now 2). Distinct bench grams are the
-      // ~5%-bucket's vocabulary — far smaller than the corpus.
+      // NOT persisted (r18, measured +0.2 s): a cache boundary here
+      // forces the distinct to fully materialize inside the eager bloom
+      // head(), where the unpersisted form lets the bloom aggregate
+      // fold over the distinct's partials — and the verify join's
+      // re-derivation runs concurrently with the train-side scan anyway
+      // (the score_rfm_threshold lesson: caching a cheap parallel
+      // branch serializes more than it saves).
       val benchGh = grams.filter(Norm.hashBucket(col("doc_id"), 100) < 5)
         .select("gh").distinct()
-        .persist()
       val bloom = benchGh
         .agg(expr("bloom_build(gh, 1048576, 5)").as("bf"))
         .head().getAs[Array[Byte]](0)

@@ -141,9 +141,28 @@ object SimOps {
   /** Content fingerprint of the embeddings corpus — Σ ⌊dim₁·2²⁰⌋
     * (the COUNT collides across sf0.001/sf0.01, both 500 vectors); the
     * same sum the artifact-reading oracles compute in SQL. */
-  private def corpusFp(emb: DataFrame): Long = emb
-    .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
-    .head().getLong(0)
+  /** Single-slot corpus-fingerprint memo (the GraphOps.fpMemo
+    * discipline, r18): every artifact-backed consumer — the recall
+    * evals, knn graph, semantic dedup, and (since r18) the ivf_kmeans/
+    * pq/pq8 retrieval paths — pays the fingerprint scan once per
+    * session instead of once per artifact access. Keyed by (analyzed
+    * plan semantic hash, scan size in bytes); same staleness remedy as
+    * GraphOps.fpMemo (drop the memo before re-fingerprinting a rewritten
+    * corpus). */
+  private var corpusFpMemo: Option[((Int, BigInt), Long)] = None
+  private def corpusFp(emb: DataFrame): Long = synchronized {
+    val key = (emb.queryExecution.analyzed.semanticHash(),
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes)
+    corpusFpMemo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = emb
+          .agg(sum(floor(element_at(col("embedding"), 1).cast("double") * 1048576).cast("long")))
+          .head().getLong(0)
+        corpusFpMemo = Some((key, v))
+        v
+    }
+  }
 
   /** The persisted trained coarse quantizer — ONE artifact per corpus
     * (fingerprint hive partition, `_SUCCESS`-gated), used by every op
@@ -248,12 +267,11 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    // artifact-backed quantizer (r18): training is deterministic and the
-    // persisted centroids are byte-identical to a fresh fit (the
-    // trainedCentroids scaladoc's skip-if-present argument), so the
-    // query path reads the index artifact like a production ANN service
-    // instead of re-fitting k-means on every invocation
-    val centDf = trainedCentroids(spark, emb)
+    // in-memory training, deliberately (re-measured r18): switching to
+    // the persisted artifact was byte-equivalent but slower on the
+    // bench (fingerprint + ready() + parquet read per invocation beats
+    // the tiny driver fit only at corpus scale) — see OPTIMIZATION_r18
+    val centDf = trainCentroidsDf(spark, emb)
     val assigned = emb.join(assignCells(emb, centDf), Seq("vec_id"))
     val probes = probeCells(querySample(emb, 25), centDf)
     probes
@@ -274,7 +292,7 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    val centDf = trainedCentroids(spark, emb) // artifact-backed, see ivfKmeansApprox
+    val centDf = trainCentroidsDf(spark, emb) // in-memory, see ivfKmeansApprox
     // int8 codes ride the cell scan: 64 bytes/vector instead of 256 —
     // the 4× memory/IO cut is why a 100 TB ANN corpus scans codes and
     // re-ranks only a shortlist against the float vectors.
@@ -445,9 +463,9 @@ object SimOps {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sharedEmb: Option[DataFrame] = None, shortlist: Int = Shortlist): DataFrame = {
     val emb = sharedEmb.getOrElse(cachedEmb(spark, dir))
-    // artifact-backed quantizer + codebooks, see ivfKmeansApprox
-    val centDf = trainedCentroids(spark, emb)
-    val books = trainedPqBooks(spark, emb, centDf)
+    // in-memory training, see ivfKmeansApprox
+    val centDf = trainCentroidsDf(spark, emb)
+    val books = trainPqCodebooksDf(spark, emb, centDf)
     ivfPq8Retrieve(emb, querySample(emb, 25), centDf, books, shortlist)
   }
 
